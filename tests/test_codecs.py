@@ -1,0 +1,94 @@
+"""Codec round-trip: decode(encode(x)) == x exactly (bit-for-bit)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyreshaper_ray.functions.codecs import (
+    dod_decode,
+    dod_encode,
+    gorilla_decode,
+    gorilla_encode,
+)
+
+
+def test_dod_empty_and_tiny():
+    for arr in ([], [5], [5, 7], [5, 7, 9]):
+        a = np.array(arr, dtype=np.int64)
+        assert np.array_equal(dod_decode(dod_encode(a)), a)
+
+
+def test_dod_constant_spacing_compresses():
+    """F1-e5: exact 60s grid → all-zero dod → ~1 bit per point."""
+    ts = np.arange(0, 60_000_000 * 1000, 60_000_000, dtype=np.int64)
+    blob = dod_encode(ts)
+    assert np.array_equal(dod_decode(blob), ts)
+    # header 4+8+8 bytes + ~1 bit per remaining point
+    assert len(blob) < 20 + len(ts) // 8 + 2
+
+
+def test_dod_microsecond_gaps():
+    gaps = np.array([5, 30, 70, 400, 5, 400, 30] * 50, dtype=np.int64) * 1_000_000
+    ts = np.concatenate([[1_767_225_600_000_000], 1_767_225_600_000_000 + np.cumsum(gaps)])
+    assert np.array_equal(dod_decode(dod_encode(ts)), ts)
+
+
+def test_dod_negative_and_large_dod():
+    ts = np.array([0, 10**12, 10**12 + 1, 5, -(10**15), 0], dtype=np.int64)
+    assert np.array_equal(dod_decode(dod_encode(ts)), ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=64))
+def test_dod_roundtrip_property(xs):
+    a = np.array(xs, dtype=np.int64)
+    assert np.array_equal(dod_decode(dod_encode(a)), a)
+
+
+def test_gorilla_empty_and_tiny():
+    for arr in ([], [1.5], [1.5, 1.5], [1.5, -2.25, 3.0]):
+        a = np.array(arr, dtype=np.float64)
+        assert np.array_equal(gorilla_decode(gorilla_encode(a)), a)
+
+
+def test_gorilla_constant_compresses():
+    """F1-e5: identical consecutive values → XOR == 0 → 1 bit per point."""
+    a = np.full(1000, 100.0)
+    blob = gorilla_encode(a)
+    assert np.array_equal(gorilla_decode(blob), a)
+    assert len(blob) < 12 + len(a) // 8 + 2
+
+
+def test_gorilla_sign_flips():
+    """F1-e5 (conv000099 analog): sign-flipping values round-trip."""
+    a = np.array([1.0, -1.0, 2.5, -2.5, 1e300, -1e-300, 0.0, -0.0], dtype=np.float64)
+    dec = gorilla_decode(gorilla_encode(a))
+    assert np.array_equal(dec.view(np.uint64), a.view(np.uint64))  # incl. -0.0
+
+
+def test_gorilla_nan_bit_patterns():
+    a = np.array([np.nan, 1.0, np.inf, -np.inf, np.nan], dtype=np.float64)
+    dec = gorilla_decode(gorilla_encode(a))
+    assert np.array_equal(dec.view(np.uint64), a.view(np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64),
+        max_size=64,
+    )
+)
+def test_gorilla_roundtrip_property(xs):
+    a = np.array(xs, dtype=np.float64)
+    dec = gorilla_decode(gorilla_encode(a))
+    assert np.array_equal(dec.view(np.uint64), a.view(np.uint64))
+
+
+def test_gorilla_int_valued_series():
+    """char_len-like series (small ints as floats)."""
+    a = (20 + (np.arange(2400) * 17) % 400).astype(np.float64)
+    assert np.array_equal(gorilla_decode(gorilla_encode(a)), a)
