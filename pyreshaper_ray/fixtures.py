@@ -160,13 +160,16 @@ def write_fixture(
     n_files: int = 8,
     skew_turns: int = 2400,
 ) -> list[str]:
-    """Write the fixture as `n_files` ts-contiguous parquet files + conv_meta.
+    """Write the fixture: `n_files` ts-contiguous parquet files under
+    ``<out_dir>/transcripts/`` plus ``<out_dir>/conv_meta.parquet``.
 
-    Returns the transcript file paths. Idempotent: skips work if the directory
-    already holds the expected files (generation is deterministic).
+    Returns the transcript file paths (their parent dir is the pipeline
+    input). Idempotent: skips work if the directory already holds the
+    expected files (generation is deterministic).
     """
-    os.makedirs(out_dir, exist_ok=True)
-    paths = [os.path.join(out_dir, f"transcripts-{k:04d}.parquet") for k in range(n_files)]
+    ts_dir = os.path.join(out_dir, "transcripts")
+    os.makedirs(ts_dir, exist_ok=True)
+    paths = [os.path.join(ts_dir, f"transcripts-{k:04d}.parquet") for k in range(n_files)]
     meta_path = os.path.join(out_dir, "conv_meta.parquet")
     marker = os.path.join(out_dir, f".fixture-{n_conv}-{n_files}-{skew_turns}")
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths):

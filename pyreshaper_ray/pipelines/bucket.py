@@ -1,0 +1,253 @@
+"""Bucket kernel: all per-conversation work for one hash bucket, in one task.
+
+This mirrors PyReshaper's execution shape (public repo ``reshaper.py``): after
+one static partition assignment (there: WeightBalanced over variables; here:
+``hash(conv_id) % n_buckets``), each worker runs the whole transform for its
+partition locally and writes its own outputs — data never moves again. The
+single Ray ``groupby("bucket")`` shuffle is the only all-to-all in the
+flagship; every downstream product (pivoted turns, encoded series, all rollup
+tiers, gap-fill) is conversation-local and therefore bucket-local.
+
+All heavy steps are vectorized over the WHOLE bucket (one Arrow sort, one
+numpy dedup mask, Arrow ``group_by`` rollups); only the codecs and gap-fill
+iterate conversations, each a numpy-kernel call on a contiguous slice.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.codecs import dod_encode, gorilla_encode
+from ..functions.gapfill import GAPFILL_SCHEMA, gapfill_conversation, gapfill_to_arrow
+from ..functions.normalize import WINDOW_US
+from ..state.manifest import SectionTimer, atomic_write_parquet, commit_bucket
+
+TIER_DIRS = {
+    "turns": "turns",
+    "series": "series",
+    "1m": "rollup_1m",
+    "1h": "rollup_1h",
+    "1d": "rollup_1d",
+    "gapfill_1m": "gapfill_1m",
+}
+
+
+def _conv_boundaries(conv: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Start offsets of each conversation run in a sorted column (+ end)."""
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    return np.r_[starts, len(codes)]
+
+
+def sort_dedup_bucket(t: pa.Table) -> pa.Table:
+    """Vectorized pivot over a whole bucket: one sort, one dedup mask."""
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    codes = pc.dictionary_encode(t["conv_id"].combine_chunks()).indices.to_numpy(
+        zero_copy_only=False
+    )
+    turns = t["turn_idx"].to_numpy(zero_copy_only=False)
+    keep = np.empty(len(codes), dtype=bool)
+    if len(codes):
+        keep[0] = True
+        keep[1:] = (codes[1:] != codes[:-1]) | (turns[1:] != turns[:-1])
+    return t.filter(pa.array(keep))
+
+
+def encode_series_bucket(turns: pa.Table) -> pa.Table:
+    """Per-conversation DoD + Gorilla over a sorted, deduped bucket."""
+    bounds = _conv_boundaries(turns["conv_id"])
+    ts = (
+        turns["ts"]
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    vals = turns["char_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+    conv = turns["conv_id"].combine_chunks()
+    n = len(bounds) - 1
+    conv_ids: list[str] = []
+    n_turns = np.empty(n, dtype=np.int64)
+    dod: list[bytes] = []
+    gor: list[bytes] = []
+    for k in range(n):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        conv_ids.append(conv[lo].as_py())
+        n_turns[k] = hi - lo
+        dod.append(dod_encode(ts[lo:hi]))
+        gor.append(gorilla_encode(vals[lo:hi]))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "n_turns": pa.array(n_turns, pa.int64()),
+            "dod_ts": pa.array(dod, pa.binary()),
+            "gorilla_char_len": pa.array(gor, pa.binary()),
+        }
+    )
+
+
+def gapfill_bucket(tier_1m: pa.Table, tier: str = "1m") -> pa.Table:
+    """Gap-fill every conversation in a (sorted) 1m-tier bucket block."""
+    if tier_1m.num_rows == 0:
+        return GAPFILL_SCHEMA.empty_table()
+    idx = pc.sort_indices(
+        tier_1m, sort_keys=[("conv_id", "ascending"), ("window_start", "ascending")]
+    )
+    t = tier_1m.take(idx)
+    bounds = _conv_boundaries(t["conv_id"])
+    win = (
+        t["window_start"]
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    cols = {
+        name: t[name].to_numpy(zero_copy_only=False)
+        for name in (
+            "turn_count",
+            "char_sum",
+            "char_min",
+            "char_max",
+            "tok_est_sum",
+            "tool_calls",
+        )
+    }
+    conv = t["conv_id"].combine_chunks()
+    step = WINDOW_US[tier]
+    pieces: list[pa.Table] = []
+    for k in range(len(bounds) - 1):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        filled = gapfill_conversation(
+            win[lo:hi],
+            cols["turn_count"][lo:hi],
+            cols["char_sum"][lo:hi],
+            cols["char_min"][lo:hi],
+            cols["char_max"][lo:hi],
+            cols["tok_est_sum"][lo:hi],
+            cols["tool_calls"][lo:hi],
+            step,
+        )
+        pieces.append(gapfill_to_arrow(conv[lo].as_py(), filled))
+    return pa.concat_tables(pieces)
+
+
+def _sorted_rollup(block: pa.Table) -> pa.Table:
+    idx = pc.sort_indices(
+        block, sort_keys=[("conv_id", "ascending"), ("window_start", "ascending")]
+    )
+    return block.take(idx)
+
+
+def process_bucket(t: pa.Table, spec_dict: dict) -> tuple[dict[str, pa.Table], dict]:
+    """Full bucket transform → {product → table}, metrics record.
+
+    ``spec_dict`` carries the picklable JobSpec fields the kernel needs
+    (tiers / gapfill / encode flags).
+    """
+    from ..stages.rollup import cascade_block, rollup_block
+
+    timer = SectionTimer()
+    timer.start("pivot_sort_dedup")
+    turns = sort_dedup_bucket(t)
+    out: dict[str, pa.Table] = {"turns": turns}
+
+    tiers = tuple(spec_dict.get("tiers", ("1m", "1h", "1d")))
+    prev_name: str | None = None
+    for tier in tiers:
+        timer.start(f"rollup_{tier}")
+        if tier == "1m" or prev_name is None:
+            block = _sorted_rollup(rollup_block(turns, "w1m"))
+            if tier != "1m":
+                block = _sorted_rollup(cascade_block(block, tier))
+        else:
+            block = _sorted_rollup(cascade_block(out[prev_name], tier))
+        out[tier] = block
+        prev_name = tier
+
+    if spec_dict.get("gapfill", True) and "1m" in out:
+        timer.start("gapfill_1m")
+        out["gapfill_1m"] = gapfill_bucket(out["1m"])
+
+    if spec_dict.get("encode", True):
+        timer.start("encode_series")
+        out["series"] = encode_series_bucket(turns)
+
+    timer.stop()
+    metrics = {
+        "n_rows_in": t.num_rows,
+        "n_turns": turns.num_rows,
+        "n_convs": int(pc.count_distinct(turns["conv_id"]).as_py()),
+        "rows": {k: v.num_rows for k, v in out.items()},
+        "char_sum_total": int(pc.sum(turns["char_len"]).as_py() or 0),
+        "ts_min": str(pc.min(turns["ts"]).as_py()) if turns.num_rows else None,
+        "ts_max": str(pc.max(turns["ts"]).as_py()) if turns.num_rows else None,
+        "timings": dict(timer.times),
+    }
+    return out, metrics
+
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("n_rows_in", pa.int64()),
+        ("n_turns", pa.int64()),
+        ("n_convs", pa.int64()),
+        ("seconds", pa.float64()),
+    ]
+)
+
+
+def make_bucket_writer(spec_dict: dict):
+    """Group fn: process one bucket, atomically write its outputs, commit the
+    manifest record, return a one-row metrics table (the diagnostics gather —
+    ``print_diagnostics`` analog — is a trivial reduce over these rows)."""
+
+    out_dir = spec_dict["out_dir"]
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        bucket = int(group["bucket"][0].as_py())
+        products, metrics = process_bucket(group, spec_dict)
+        files: dict[str, str] = {}
+        for name, table in products.items():
+            sub = TIER_DIRS[name]
+            path = os.path.join(out_dir, sub, f"bucket={bucket:05d}", "part-000.parquet")
+            if name == "turns":
+                table = table.drop_columns(["bucket"])
+            atomic_write_parquet(table, path)
+            files[name] = path
+        dt = time.perf_counter() - t0
+        commit_bucket(
+            out_dir,
+            {
+                "bucket": bucket,
+                "files": files,
+                "seconds": dt,
+                **metrics,
+            },
+        )
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "n_rows_in": pa.array([metrics["n_rows_in"]], pa.int64()),
+                "n_turns": pa.array([metrics["n_turns"]], pa.int64()),
+                "n_convs": pa.array([metrics["n_convs"]], pa.int64()),
+                "seconds": pa.array([dt], pa.float64()),
+            }
+        )
+
+    return write_bucket
