@@ -1,44 +1,394 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every implemented operator from SURVEY.md §2 (plus the training-data ops)
+has an entry here; non-SQL-expressible ones (codecs, gap-fill grid, LSH
+candidate generation, language-ID heuristics) have no ``oracle_sql`` entry
+and get the driver's rows-only check — their correctness gates live in
+``tests/`` instead (bit-exact vs the single-process oracle).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+this module or the library calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyreshaper_ray.sources.adapters import (
+    EVENTS_AS_TRANSCRIPTS_SQL,
+    read_events_as_transcripts,
+)
+from pyreshaper_ray.stages.normalize import normalize_dataset
+from pyreshaper_ray.stages.pivot import pivot_turns
+
+_T = EVENTS_AS_TRANSCRIPTS_SQL  # the adapter, restated in SQL
+
+
+def _int64_rollup(ds) -> pa.Table:
+    """Collect a rollup Dataset and cast the int32 min/max to BIGINT so the
+    schema matches DuckDB's aggregate output types."""
+    from pyreshaper_ray.util import collect_table
+
+    t = collect_table(ds)
+    cols = {}
+    for name in t.column_names:
+        col = t[name]
+        cols[name] = pc.cast(col, pa.int64()) if col.type == pa.int32() else col
+    return pa.table(cols)
+
+
+def _norm_ds(sf_dir: str):
+    return normalize_dataset(read_events_as_transcripts(sf_dir))
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_pivot_turns(sf_dir: str):
+    return pivot_turns(_norm_ds(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def q_rollup_1m(sf_dir: str):
+    from pyreshaper_ray.stages.rollup import rollup_1m
+
+    return _int64_rollup(rollup_1m(_norm_ds(sf_dir)))
+
+
+def q_rollup_1h(sf_dir: str):
+    from pyreshaper_ray.stages.rollup import cascade, rollup_1m
+
+    return _int64_rollup(cascade(rollup_1m(_norm_ds(sf_dir)), "1h"))
+
+
+def q_rollup_1d(sf_dir: str):
+    from pyreshaper_ray.stages.rollup import cascade, rollup_1m
+
+    return _int64_rollup(cascade(cascade(rollup_1m(_norm_ds(sf_dir)), "1h"), "1d"))
+
+
+def q_gapfill_1m(sf_dir: str):
+    from pyreshaper_ray.stages.gapfill import gapfill_tier
+    from pyreshaper_ray.stages.rollup import rollup_1m
+
+    return gapfill_tier(rollup_1m(_norm_ds(sf_dir)))
+
+
+def q_series_encode(sf_dir: str):
+    from pyreshaper_ray.stages.pivot import encode_series
+    from pyreshaper_ray.util import collect_table
+
+    ds = encode_series(_norm_ds(sf_dir))
+    t = collect_table(ds)
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "n_turns": t["n_turns"],
+            "dod_bytes": pc.cast(pc.binary_length(t["dod_ts"]), pa.int64()),
+            "gorilla_bytes": pc.cast(
+                pc.binary_length(t["gorilla_char_len"]), pa.int64()
+            ),
+        }
+    )
+
+
+def q_distinct_tools_1m(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import distinct_tools_per_window
+
+    return distinct_tools_per_window(_norm_ds(sf_dir), "w1m")
+
+
+def q_topk_convs(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import topk_convs_by_chars
+
+    return topk_convs_by_chars(_norm_ds(sf_dir), k=10)
+
+
+def q_sessionize(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import sessionize
+
+    return sessionize(read_events_as_transcripts(sf_dir), gap_s=1800)
+
+
+def q_conv_stats(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import conv_stats
+
+    return conv_stats(read_events_as_transcripts(sf_dir))
+
+
+def q_q1(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q1_pricing_summary
+
+    return q1_pricing_summary(sf_dir)
+
+
+def q_orders_by_segment(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import orders_by_segment
+
+    return orders_by_segment(sf_dir)
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dedup_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_exact(ds)
+
+
+def q_token_count(sf_dir: str):
+    from pyreshaper_ray.stages.text import run_text_stage, token_count_batch
+
+    return run_text_stage(sf_dir, token_count_batch)
+
+
+def q_quality(sf_dir: str):
+    from pyreshaper_ray.stages.text import quality_batch, run_text_stage
+
+    return run_text_stage(sf_dir, quality_batch)
+
+
+def q_content_hash(sf_dir: str):
+    from pyreshaper_ray.stages.text import content_hash_batch, run_text_stage
+
+    return run_text_stage(sf_dir, content_hash_batch)
+
+
+def q_fingerprint(sf_dir: str):
+    from pyreshaper_ray.stages.text import fingerprint_batch, run_text_stage
+
+    return run_text_stage(sf_dir, fingerprint_batch)
+
+
+def q_lang_id(sf_dir: str):
+    from pyreshaper_ray.stages.text import lang_id_documents
+
+    return lang_id_documents(sf_dir)
+
+
+def q_simhash(sf_dir: str):
+    from pyreshaper_ray.stages.dedup import simhash_documents
+
+    return simhash_documents(sf_dir)
+
+
+def q_minhash_neardup(sf_dir: str):
+    from pyreshaper_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(sf_dir, threshold=0.8)
+
+
+def q_knn(sf_dir: str):
+    from pyreshaper_ray.stages.similarity import knn_bruteforce
+
+    return knn_bruteforce(sf_dir, n_queries=5, k=5)
+
+
+def q_embedding_neardup(sf_dir: str):
+    from pyreshaper_ray.stages.similarity import neardup_pairs
+    from pyreshaper_ray.util import collect_table
+
+    # the synthetic embeddings' max pairwise cosine is ~0.51 — 0.4 selects a
+    # small but non-empty near-dup set
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    return collect_table(neardup_pairs(sf_dir, threshold=0.4), schema)
+
+
+def q_multimodal(sf_dir: str):
+    from pyreshaper_ray.stages.multimodal import decode_documents_as_images
+
+    return decode_documents_as_images(sf_dir).select_columns(
+        ["doc_id", "width", "height", "n_bytes"]
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
+    tiers + gap-fill + codecs → partitioned parquet + manifest) on the
+    sf0.001 events stream adapted to the transcript schema."""
+    from pyreshaper_ray.pipelines.flagship import read_tier, run_flagship
+    from pyreshaper_ray.pipelines.spec import create_spec
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = tempfile.mkdtemp(prefix="pyreshaper_ray_entry_")
+    spec = create_spec(
+        input=f"{sf_dir}/events.parquet", out_dir=out, n_buckets=8, wmode="o"
+    )
+    ds = read_events_as_transcripts(sf_dir)
+    run_flagship(spec, ds=ds)
+    return read_tier(out, "1m")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pivot_turns": q_pivot_turns,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h,
+        "rollup_1d_cascade": q_rollup_1d,
+        "gapfill_1m": q_gapfill_1m,
+        "series_encode": q_series_encode,
+        "distinct_tools_1m": q_distinct_tools_1m,
+        "topk_convs_by_chars": q_topk_convs,
+        "sessionize_30m": q_sessionize,
+        "conv_stats": q_conv_stats,
+        "q1_pricing_summary": q_q1,
+        "orders_by_segment": q_orders_by_segment,
+        "dedup_exact_documents": q_dedup_exact,
+        "token_count_documents": q_token_count,
+        "quality_documents": q_quality,
+        "content_hash_documents": q_content_hash,
+        "fingerprint_documents": q_fingerprint,
+        "lang_id_documents": q_lang_id,
+        "simhash_documents": q_simhash,
+        "minhash_neardup_documents": q_minhash_neardup,
+        "knn_cosine_top5": q_knn,
+        "embedding_neardup_pairs": q_embedding_neardup,
+        "multimodal_decode_stub": q_multimodal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ROLLUP_SQL = f"""
+WITH t AS ({_T})
+SELECT conv_id,
+       date_trunc('minute', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS turn_count,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum,
+       CAST(MIN(LENGTH(text)) AS BIGINT) AS char_min,
+       CAST(MAX(LENGTH(text)) AS BIGINT) AS char_max,
+       CAST(SUM((LENGTH(text) + 3) // 4) AS BIGINT) AS tok_est_sum,
+       CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_calls
+FROM t
+GROUP BY 1, 2
+"""
+
+
+def _rollup_sql(unit: str) -> str:
+    return _ROLLUP_SQL.replace("date_trunc('minute', ts)", f"date_trunc('{unit}', ts)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pivot_turns": _T,
+        "rollup_1m": _ROLLUP_SQL,
+        "rollup_1h_cascade": _rollup_sql("hour"),
+        "rollup_1d_cascade": _rollup_sql("day"),
+        "distinct_tools_1m": f"""
+            WITH t AS ({_T})
+            SELECT date_trunc('minute', ts) AS window_start,
+                   CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+            FROM t WHERE tool <> '' GROUP BY 1
+        """,
+        "topk_convs_by_chars": f"""
+            WITH t AS ({_T})
+            SELECT conv_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum
+            FROM t GROUP BY 1
+            ORDER BY char_sum DESC, conv_id ASC LIMIT 10
+        """,
+        "sessionize_30m": f"""
+            WITH t AS ({_T}),
+            d AS (
+                SELECT conv_id,
+                       CASE WHEN epoch_us(ts) - epoch_us(
+                                LAG(ts) OVER (PARTITION BY conv_id
+                                              ORDER BY ts, turn_idx)
+                            ) > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM t
+            )
+            SELECT conv_id, CAST(1 + COALESCE(SUM(brk), 0) AS BIGINT) AS n_sessions
+            FROM d GROUP BY 1
+        """,
+        "conv_stats": f"""
+            WITH t AS ({_T})
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts,
+                   CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles
+            FROM t GROUP BY 1
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "dedup_exact_documents": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_count_documents": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_documents": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                   CAST(LEN(regexp_extract_all(LOWER(text), '\b(the|a|and|of|to|in|is)\b')) AS BIGINT) AS n_stopwords,
+                   CAST(LEN(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+                   CAST(LEN(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+            FROM documents
+        """,
+        "content_hash_documents": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5
+            FROM documents
+        """,
+        "knn_cosine_top5": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+                FROM embeddings e, q WHERE e.vec_id <> q.qid
+            ),
+            r AS (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, nid ASC) AS rn
+                FROM s
+            )
+            SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id
+            FROM r WHERE rn <= 5
+        """,
+        "embedding_neardup_pairs": """
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+        """,
+        "multimodal_decode_stub": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+                   CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+    }

@@ -1,0 +1,225 @@
+"""General analytic operators over Datasets (SURVEY.md §2.5–§2.6).
+
+All follow the combiner-first pattern: vectorized per-block partial
+aggregation inside ``map_batches`` (Arrow ``group_by``), then a final
+multi-key ``groupby().aggregate`` over the pre-reduced partials, so the
+all-to-all exchange only moves one row per key per block. Monetary doubles
+are aggregated as integer cents (``round(x*100)``) to keep sums bit-exact
+under any combine order — the same integer-domain rule the rollup tiers use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def to_cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Exact integer cents from a 2-decimal double column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = col.to_numpy(zero_copy_only=False)
+    return pa.array(np.rint(v * 100).astype(np.int64), pa.int64())
+
+
+def sessionize(
+    ds_transcripts: "ray.data.Dataset", gap_s: int = 1800
+) -> "ray.data.Dataset":
+    """Per-conversation session count: a new session starts when the gap to
+    the previous turn exceeds ``gap_s`` seconds. Stream-shaped windowing as
+    per-group kernel over ts-sorted turns (ray_guide 'streaming-shaped')."""
+    gap_us = gap_s * 1_000_000
+
+    def count_sessions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("turn_idx", "ascending")]
+        )
+        ts = (
+            group["ts"]
+            .take(idx)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        n = 1 + int(np.count_nonzero(np.diff(ts) > gap_us)) if len(ts) else 0
+        return pa.table(
+            {
+                "conv_id": pa.array([group["conv_id"][0].as_py()], pa.string()),
+                "n_sessions": pa.array([n], pa.int64()),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        count_sessions, batch_format="pyarrow"
+    )
+
+
+def distinct_tools_per_window(
+    ds_normalized: "ray.data.Dataset", window_col: str = "w1m"
+) -> "ray.data.Dataset":
+    """COUNT(DISTINCT tool) per window — per-block pair dedup (combiner) →
+    global pair dedup (shuffle on small pairs) → per-window count."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["tool"], ""))
+        g = t.group_by([window_col, "tool"]).aggregate([])
+        return pa.table({"window_start": g[window_col], "tool": g["tool"]})
+
+    p = ds_normalized.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = p.groupby(["window_start", "tool"]).aggregate(Count(alias_name="_n"))
+    out = uniq.groupby("window_start").aggregate(Count(alias_name="n_tools"))
+    return out.select_columns(["window_start", "n_tools"])
+
+
+def topk_convs_by_chars(
+    ds_normalized: "ray.data.Dataset", k: int = 10
+) -> "ray.data.Dataset":
+    """Top-k conversations by total chars: combiner → groupby → sort+limit
+    (the sort runs over one row per conversation, not raw turns)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id"]).aggregate([("char_len", "sum")])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "char_sum": pc.cast(g["char_len_sum"], pa.int64()),
+            }
+        )
+
+    p = ds_normalized.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.groupby("conv_id").aggregate(Sum("char_sum", alias_name="char_sum"))
+    # deterministic tie-break: (char_sum desc, conv_id asc)
+    return agg.sort(["char_sum", "conv_id"], descending=[True, False]).limit(k)
+
+
+def conv_stats(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-conversation stream stats: n_turns, first_ts, last_ts, n_roles."""
+    base = ds_transcripts.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
+
+    def role_pairs(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id", "role"]).aggregate([])
+        return g
+
+    pairs = ds_transcripts.map_batches(
+        role_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    uniq = pairs.groupby(["conv_id", "role"]).aggregate(Count(alias_name="_n"))
+    nroles = uniq.groupby("conv_id").aggregate(Count(alias_name="n_roles"))
+    # both sides are one row per conversation — a small-side merge, not a
+    # big-data driver loop
+    a = base.to_pandas().merge(nroles.to_pandas()[["conv_id", "n_roles"]], on="conv_id")
+    return ray.data.from_pandas(a)
+
+
+def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped integer-exact pricing summary over lineitem."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": to_cents(batch["l_quantity"]),
+                "price_c": to_cents(batch["l_extendedprice"]),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("qty_c", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "qty_cents": g["qty_c_sum"],
+                "price_cents": g["price_c_sum"],
+                "n_rows": pc.cast(g["qty_c_count"], pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_cents", alias_name="qty_cents"),
+        Sum("price_cents", alias_name="price_cents"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+
+class SegmentLookup:
+    """Broadcast-join actor: the small dimension side is shipped once via
+    ``ray.put`` and resolved ONCE per actor in ``__init__`` (not per batch)."""
+
+    def __init__(self, lookup_ref):
+        import ray
+
+        lut: dict[int, str] = ray.get(lookup_ref)
+        keys = np.fromiter(lut.keys(), dtype=np.int64, count=len(lut))
+        order = np.argsort(keys)
+        self._keys = keys[order]
+        self._vals = np.array(list(lut.values()), dtype=object)[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self._keys, k)
+        seg = self._vals[pos]
+        return batch.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+
+def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast map-side join (J1 analog): orders ⋈ customer on custkey,
+    aggregated per market segment. No shuffle join — customer is small."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lut = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    ref = ray.put(lut)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = orders.map_batches(
+        SegmentLookup,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "price_c": to_cents(batch["o_totalprice"]),
+            }
+        )
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("price_c", "sum"), ("price_c", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "total_cents": g["price_c_sum"],
+                "n_orders": pc.cast(g["price_c_count"], pa.int64()),
+            }
+        )
+
+    p = joined.map_batches(partial, batch_format="pyarrow")
+    return p.groupby("c_mktsegment").aggregate(
+        Sum("total_cents", alias_name="total_cents"),
+        Sum("n_orders", alias_name="n_orders"),
+    )

@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.7+).
+
+- exact: content-hash → hash-partitioned groupby → keep lowest doc_id
+- MinHash + LSH: word-shingles → minhash signature → banded bucket groupby →
+  candidate pairs → exact Jaccard verification (the scale path: only
+  bucket-colliding pairs are ever compared)
+- SimHash: 64-bit hyperplane-free simhash over token hashes
+- n-gram Jaccard: exact verification kernel (also usable brute-force on
+  small inputs)
+
+All hashing is seed-fixed and process-stable (blake2b / crc32 — never
+Python's salted ``hash``), so distributed runs are deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Min
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    h = [
+        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        >> 1  # keep in int64 range
+        for t in texts
+    ]
+    return batch.append_column("content_hash", pa.array(h, pa.int64()))
+
+
+def dedup_exact(ds_docs: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """One row per distinct text: (doc_id = min id, n_copies). The groupby is
+    hash-partitioned on the 64-bit content hash — only 16-byte rows shuffle,
+    never the text payload."""
+    hashed = ds_docs.map_batches(
+        lambda b: add_content_hash(b, text_col).select(["doc_id", "content_hash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["content_hash"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "content_hash": g["content_hash"],
+                "doc_id": g["doc_id_min"],
+                "n_copies": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    p = hashed.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = p.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies")
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+# ------------------------------------------------------------ shingles/minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = text.lower().split()
+    return np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (rolling window over token crc32s)."""
+    th = _token_hashes(text)
+    if len(th) < k:
+        return np.unique(th) if len(th) else np.array([0], dtype=np.uint64)
+    # combine k consecutive token hashes into one 64-bit shingle hash
+    acc = th[: len(th) - k + 1].copy()
+    for i in range(1, k):
+        acc = acc * np.uint64(1_000_003) + th[i : len(th) - k + 1 + i]
+    return np.unique(acc)
+
+
+class MinHasher:
+    """Seed-fixed universal-hash MinHash signatures (built once per actor)."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 42, shingle_k: int = 3) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.k)  # (s,)
+        # (n_perm, s) universal hashes mod Mersenne prime, min over shingles
+        v = (
+            self.a[:, None] * sh[None, :] + self.b[:, None]
+        ) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        arr = pa.array(
+            [s.astype(np.int64).tolist() for s in sigs], pa.list_(pa.int64())
+        )
+        return pa.table({"doc_id": batch["doc_id"], "minhash": arr})
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)
+def _minhasher(n_perm: int, seed: int, k: int) -> MinHasher:
+    """Per-worker-process MinHasher singleton — lets the signature stage run
+    as elastic stateless tasks (setup amortized by the cache) instead of a
+    CPU-reserving actor pool."""
+    return MinHasher(n_perm=n_perm, seed=seed, shingle_k=k)
+
+
+def minhash_lsh_candidates(
+    ds_docs: "ray.data.Dataset",
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """LSH candidate pairs: signature → explode to (band, band_hash, doc_id)
+    → bucket groupby → pairs within bucket. rows_per_band = n_perm // bands.
+    With 128 perms / 32 bands (r=4) the collision curve passes ~0.5 at
+    J≈0.56 — a recall-oriented setting; verify with exact Jaccard after."""
+    rows = n_perm // bands
+
+    def sign(batch: pa.Table) -> pa.Table:
+        return _minhasher(n_perm, 42, shingle_k)(batch)
+
+    sig_ds = ds_docs.map_batches(sign, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.array(batch["minhash"].to_pylist(), dtype=np.uint64)  # (n, perm)
+        n = len(doc)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        doc_rep = np.tile(doc, bands)
+        bh = np.empty(n * bands, dtype=np.int64)
+        for b in range(bands):
+            chunk = sig[:, b * rows : (b + 1) * rows]
+            # stable band hash: blake2b over the row bytes
+            bh[b * n : (b + 1) * n] = [
+                int.from_bytes(
+                    hashlib.blake2b(c.tobytes(), digest_size=8).digest(), "big"
+                )
+                >> 1
+                for c in chunk
+            ]
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(bh, pa.int64()),
+                "doc_id": pa.array(doc_rep, pa.int64()),
+            }
+        )
+
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        if len(ids) < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # dedup pairs across bands
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("doc_a", alias_name="_"))
+    return uniq.select_columns(["doc_a", "doc_b"])
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
+    inter = len(np.intersect1d(sa, sb))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+def verify_pairs_batch(
+    batch: pa.Table, texts_ref, threshold: float = 0.8, k: int = 3
+) -> pa.Table:
+    """Verify candidate pairs with exact shingle Jaccard. The id→text store
+    is broadcast once (``ray.put``) and cached per worker process
+    (util.cached_get); at scale this becomes a co-partitioned join of pair
+    ids against the docs table on doc_id."""
+    from ..util import cached_get
+
+    texts: dict[int, str] = cached_get(texts_ref)
+    da = batch["doc_a"].to_pylist()
+    db = batch["doc_b"].to_pylist()
+    jac = [exact_jaccard(texts[a], texts[b], k) for a, b in zip(da, db)]
+    t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+    return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+
+def minhash_dedup(
+    sf_dir: str, threshold: float = 0.8, n_perm: int = 128, bands: int = 32
+) -> "ray.data.Dataset":
+    """End-to-end near-dup pipeline over documents.parquet."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, n_perm=n_perm, bands=bands)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
+    return cands.map_batches(
+        lambda b: verify_pairs_batch(b, texts_ref, threshold),
+        batch_format="pyarrow",
+    )
+
+
+# -------------------------------------------------------------------- simhash
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token crc32-seeded blake2b hashes."""
+    th = _token_hashes(text)
+    if not len(th):
+        return 0
+    # expand each token hash to 64 bits deterministically
+    bits = np.zeros(64, dtype=np.int64)
+    full = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(int(t).to_bytes(8, "big"), digest_size=8).digest(),
+                "big",
+            )
+            for t in th
+        ],
+        dtype=np.uint64,
+    )
+    for i in range(64):
+        bit = (full >> np.uint64(i)) & np.uint64(1)
+        bits[i] = int(bit.sum()) * 2 - len(full)
+    v = 0
+    for i in range(64):
+        if bits[i] > 0:
+            v |= 1 << i
+    return v >> 1  # 63 bits → int64-safe
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    out = [simhash64(t) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
+    )
+
+
+def simhash_documents(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque `binary` payloads + typed metadata.
+
+The decode kernels themselves are STUBBED (image/audio libraries are not in
+this container — see module constants); everything Ray-side is real and
+tested: schema handling of binary columns, actor-pool `map_batches` with
+per-actor setup, small batch sizes for large payloads, and deterministic
+fake "decode" outputs so downstream layout/code paths are exercisable.
+
+A real deployment swaps `_decode_image_stub` for PIL/libvips/ffmpeg calls in
+the same actor signature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+DECODE_BACKEND_AVAILABLE = False  # no PIL/ffmpeg in this environment
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, n_bytes) as pure functions
+    of the payload so the oracle SQL can restate them. A real backend raises
+    ImportError here instead."""
+    n = len(payload)
+    return (n % 640, (n * 7) % 480, n)
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: 'decode' binary image payloads → typed metadata +
+    a fixed-size feature stub. State (decoder handles, model weights) is
+    created once per actor in __init__."""
+
+    def __init__(self, feature_dim: int = 8) -> None:
+        if DECODE_BACKEND_AVAILABLE:  # pragma: no cover — not in sandbox
+            raise NotImplementedError("plug a real decoder here")
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        w, h, nb = [], [], []
+        feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            wi, hi, ni = _decode_image_stub(p)
+            w.append(wi)
+            h.append(hi)
+            nb.append(ni)
+            # deterministic fake features: byte histogram over feature_dim bins
+            if ni:
+                b = np.frombuffer(p, dtype=np.uint8)
+                feats[i] = np.bincount(
+                    b % self.feature_dim, minlength=self.feature_dim
+                ).astype(np.float32) / len(b)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(w, pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "features": pa.array(
+                    [row.tolist() for row in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def synthesize_binary_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic binary payloads from document text (utf-8 bytes) — the
+    sandbox stand-in for real image/audio blobs."""
+    payloads = [t.encode("utf-8") for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def decode_documents_as_images(sf_dir: str, batch_size: int = 256) -> "ray.data.Dataset":
+    """End-to-end multimodal plumbing: synthesize binary column → actor-pool
+    decode with a small batch_size (large-payload discipline)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    with_bin = ds.map_batches(
+        synthesize_binary_column, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return with_bin.map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=2,
+    )

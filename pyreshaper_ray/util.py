@@ -1,0 +1,42 @@
+"""Small driver-side helpers + per-worker broadcast cache."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def cached_get(ref):
+    """``ray.get`` with a per-worker-process cache keyed by object id.
+
+    For broadcast lookup structures used by stateless-task stages: the first
+    batch in each worker pays the deserialization; later batches reuse it.
+    (Actor pools get the same effect via ``__init__``; plain tasks need this
+    because a task has no persistent state of its own.) Lets small stateful
+    stages stay elastic tasks instead of reserving actor-pool CPUs — on tiny
+    clusters several stacked pools can starve the task operators entirely.
+    """
+    import ray
+
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def collect_table(ds, fallback_schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (small, result-sized) Dataset as one Arrow table.
+
+    Ray Data can emit schema-less zero-column blocks for empty partitions
+    (e.g. after a sort/groupby whose range got no rows); drop those before
+    concatenation so the result keeps the real schema. Only for small
+    results — aggregates, per-key summaries, test outputs.
+    """
+    import ray
+
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_columns > 0]
+    if not tables:
+        return fallback_schema.empty_table() if fallback_schema else pa.table({})
+    return pa.concat_tables(tables)
