@@ -83,10 +83,35 @@ def q_rollup_1d(sf_dir: str):
 
 
 def q_gapfill_1m(sf_dir: str):
+    """Gap-fill the 1m tier, then summarize per conversation (full grid size
+    + number of filled windows) — SQL-checkable and driver-sized."""
+    from ray.data.aggregate import Sum
+
     from pyreshaper_ray.stages.gapfill import gapfill_tier
     from pyreshaper_ray.stages.rollup import rollup_1m
 
-    return gapfill_tier(rollup_1m(_norm_ds(sf_dir)))
+    gf = gapfill_tier(rollup_1m(_norm_ds(sf_dir)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"conv_id": b["conv_id"], "filled_i": pc.cast(b["filled"], pa.int64())}
+        )
+        g = t.group_by(["conv_id"]).aggregate(
+            [("filled_i", "sum"), ("filled_i", "count")]
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_filled": g["filled_i_sum"],
+                "n_windows": pc.cast(g["filled_i_count"], pa.int64()),
+            }
+        )
+
+    p = gf.map_batches(partial, batch_format="pyarrow")
+    return p.groupby("conv_id").aggregate(
+        Sum("n_filled", alias_name="n_filled"),
+        Sum("n_windows", alias_name="n_windows"),
+    )
 
 
 def q_series_encode(sf_dir: str):
@@ -288,6 +313,28 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _ROLLUP_SQL,
         "rollup_1h_cascade": _rollup_sql("hour"),
         "rollup_1d_cascade": _rollup_sql("day"),
+        # bounded gap-fill (max_gap = 60 windows, the engine default): a gap
+        # of g missing minutes is filled only when 1 <= g <= 60
+        "gapfill_1m": f"""
+            WITH t AS ({_T}),
+            w AS (SELECT DISTINCT conv_id, date_trunc('minute', ts) AS w FROM t),
+            d AS (
+                SELECT conv_id,
+                       date_diff('minute',
+                                 LAG(w) OVER (PARTITION BY conv_id ORDER BY w),
+                                 w) - 1 AS g
+                FROM w
+            )
+            SELECT conv_id,
+                   CAST(COALESCE(SUM(CASE WHEN g BETWEEN 1 AND 60
+                                          THEN g ELSE 0 END), 0) AS BIGINT)
+                       AS n_filled,
+                   CAST(COUNT(*)
+                        + COALESCE(SUM(CASE WHEN g BETWEEN 1 AND 60
+                                            THEN g ELSE 0 END), 0) AS BIGINT)
+                       AS n_windows
+            FROM d GROUP BY 1
+        """,
         "distinct_tools_1m": f"""
             WITH t AS ({_T})
             SELECT date_trunc('minute', ts) AS window_start,

@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+    GRAFT_SF_DIR   input tables dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS parallelism (default 32)
+
+Headline metric: wall seconds of the flagship pipeline (read → normalize →
+bucket shuffle → pivot + rollup tiers + gap-fill + DoD/Gorilla encode →
+partitioned parquet + manifest) over a deterministic synthetic transcript
+corpus sized to the scale factor (~600k turns at sf0.1), plus a turns/sec
+derivation. Also times the flagship over the sf dir's `events` stream and a
+sample of the secondary operators.
+
+``--scaling``: runs the headline job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (page cache pre-warmed) and
+reports both throughputs + scaling efficiency — the sandbox substitution for
+the north_rule's N vs 4N cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/pyreshaper_bench")
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def fixture_params(sf: float) -> dict:
+    # ~24 turns/conv median → n_conv chosen for ≈ 94M turns/sf-unit
+    # (≈ 9.4M turns at sf0.1: long enough that per-phase fixed costs don't
+    # dominate the scaling measurement)
+    n_conv = max(200, int(4_000_000 * sf))
+    return {"n_conv": n_conv, "n_files": 64, "skew_turns": 2400}
+
+
+def ensure_fixture(sf: float) -> str:
+    from pyreshaper_ray.fixtures import write_fixture
+
+    p = fixture_params(sf)
+    d = os.path.join(BENCH_TMP, f"fixture_sf{sf}")
+    write_fixture(d, **p)
+    return os.path.join(d, "transcripts")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import __ray_entry__ as entry_mod
+    from pyreshaper_ray.pipelines.flagship import run_flagship
+    from pyreshaper_ray.pipelines.spec import create_spec
+
+    sf = sf_from_dir(SF_DIR)
+    fixture_in = ensure_fixture(sf)
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    n_turns_in = 0
+    for f in sorted(os.listdir(fixture_in)):
+        n_turns_in += pq.read_table(os.path.join(fixture_in, f)).num_rows
+
+    # untimed warmup: spin up every Ray worker process (imports, JIT) on a
+    # 2-bucket subset so the timed run measures steady-state throughput
+    warm_out = os.path.join(BENCH_TMP, f"warmup_cpus{NUM_CPUS}")
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_flagship(
+        create_spec(
+            input=fixture_in,
+            out_dir=warm_out,
+            n_buckets=max(64, NUM_CPUS * 4),
+            output_limit=2,
+            wmode="o",
+        )
+    )
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        return result
+
+    # headline: flagship over the synthetic transcript corpus
+    out_dir = os.path.join(BENCH_TMP, f"out_sf{sf}_cpus{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spec = create_spec(
+        input=fixture_in, out_dir=out_dir, n_buckets=max(64, NUM_CPUS * 4), wmode="o"
+    )
+    metrics = timed("flagship_fixture", lambda: run_flagship(spec))
+    headline = queries["flagship_fixture"]
+    import pyarrow.compute as pc
+
+    n_turns_out = int(pc.sum(metrics["n_turns"]).as_py() or 0)
+
+    # flagship over the sf dir's events stream (adapter path)
+    from pyreshaper_ray.sources.adapters import read_events_as_transcripts
+
+    out2 = os.path.join(BENCH_TMP, f"out_events_sf{sf}_cpus{NUM_CPUS}")
+    shutil.rmtree(out2, ignore_errors=True)
+    spec2 = create_spec(
+        input=f"{SF_DIR}/events.parquet", out_dir=out2, n_buckets=32, wmode="o"
+    )
+    timed(
+        "flagship_events",
+        lambda: run_flagship(spec2, ds=read_events_as_transcripts(SF_DIR)),
+    )
+
+    # secondary operators over the sf dir tables
+    q = entry_mod.queries()
+    for name in (
+        "rollup_1m",
+        "sessionize_30m",
+        "q1_pricing_summary",
+        "orders_by_segment",
+        "dedup_exact_documents",
+        "token_count_documents",
+        "minhash_neardup_documents",
+        "knn_cosine_top5",
+    ):
+        def consume(fn=q[name]):
+            r = fn(SF_DIR)
+            import pandas as pd
+            import pyarrow as pa
+
+            import ray.data
+
+            if isinstance(r, ray.data.Dataset):
+                return r.count()
+            return len(r)
+
+        timed(name, consume)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_e2e_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_turns_in": n_turns_in,
+        "n_turns_out": n_turns_out,
+        "turns_per_sec": round(n_turns_in / headline, 1) if headline else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32 → efficiency."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["turns_per_sec"]
+    tp_hi = r_hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": tp_lo,
+        "turns_per_sec_hi": tp_hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

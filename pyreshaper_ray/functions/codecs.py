@@ -40,10 +40,11 @@ class BitWriter:
             return
         self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
         self._nbits += nbits
-        while self._nbits >= 8:
-            self._nbits -= 8
-            self._out.append((self._acc >> self._nbits) & 0xFF)
-        self._acc &= (1 << self._nbits) - 1
+        if self._nbits >= 8:
+            rem = self._nbits & 7
+            self._out += (self._acc >> rem).to_bytes((self._nbits - rem) >> 3, "big")
+            self._acc &= (1 << rem) - 1
+            self._nbits = rem
 
     def getvalue(self) -> bytes:
         out = bytes(self._out)
@@ -108,7 +109,7 @@ def dod_encode(ts: np.ndarray) -> bytes:
     if n == 2:
         return w.getvalue()
     dods = np.diff(deltas)
-    # vectorized bucket selection
+    # one combined (prefix<<vbits | value) write per point
     for dod in dods.tolist():
         if dod == 0:
             w.write(0, 1)
@@ -117,8 +118,7 @@ def dod_encode(ts: np.ndarray) -> bytes:
             lo = -(1 << (vbits - 1))
             hi = (1 << (vbits - 1)) - 1
             if lo <= dod <= hi:
-                w.write(prefix, pbits)
-                w.write(dod & ((1 << vbits) - 1), vbits)
+                w.write((prefix << vbits) | (dod & ((1 << vbits) - 1)), pbits + vbits)
                 break
     return w.getvalue()
 
@@ -198,14 +198,13 @@ def gorilla_encode(values: np.ndarray) -> bytes:
         mlen = 64 - lead - trail
         prev_trail = 64 - prev_lead - prev_mlen
         if prev_lead >= 0 and lead >= prev_lead and trail >= prev_trail:
-            # control '10': meaningful bits fit the previous (lead, mlen) window
-            w.write(0b10, 2)
-            w.write(x >> prev_trail, prev_mlen)
+            # control '10': meaningful bits fit the previous (lead, mlen)
+            # window — one combined write per point
+            w.write((0b10 << prev_mlen) | (x >> prev_trail), 2 + prev_mlen)
         else:
-            w.write(0b11, 2)
-            w.write(lead, 5)
-            w.write(mlen - 1, 6)
-            w.write(x >> trail, mlen)
+            # control '11' + 5-bit lead + 6-bit (mlen-1) + meaningful bits
+            header = (0b11 << 11) | (lead << 6) | (mlen - 1)
+            w.write((header << mlen) | (x >> trail), 13 + mlen)
             prev_lead, prev_mlen = lead, mlen
     return w.getvalue()
 

@@ -10,7 +10,11 @@ itself is unit-tested on hand-computed cases (tests/test_gapfill.py).
 Semantics (F1-e3: a missing turn must not be invented — filled windows carry
 zero counts and explicitly-flagged reconstructed values):
 
-  - grid = every window from min(window) to max(window) step ``window_us``
+  - grid = every window from min(window) to max(window) step ``window_us``,
+    EXCEPT that a gap longer than ``max_gap`` windows is left as a break
+    (no filled rows) — the standard TSDB bound on interpolation, and the
+    thing that keeps a sparse month-long stream from exploding into a
+    half-million-row minute grid. ``max_gap=None`` fills unboundedly.
   - real rows pass through with ``filled = False``
   - missing windows get ``filled = True``, integer counts = 0,
     ``char_min``/``char_max`` = null,
@@ -56,6 +60,9 @@ GAPFILL_FIELDS = [
 ]
 
 
+DEFAULT_MAX_GAP = 60  # windows; shared by JobSpec, oracle and the SQL oracle
+
+
 def gapfill_conversation(
     window_us: np.ndarray,
     turn_count: np.ndarray,
@@ -65,6 +72,7 @@ def gapfill_conversation(
     tok_est_sum: np.ndarray,
     tool_calls: np.ndarray,
     step_us: int,
+    max_gap: int | None = DEFAULT_MAX_GAP,
 ) -> dict[str, np.ndarray]:
     """Fill one conversation's window series. Inputs sorted ascending, unique.
 
@@ -76,7 +84,21 @@ def gapfill_conversation(
     if n == 0:
         return {name: np.empty(0, dtype=np.int64) for name, _ in GAPFILL_FIELDS}
     lo, hi = int(window_us[0]), int(window_us[-1])
-    grid = np.arange(lo, hi + step_us, step_us, dtype=np.int64)
+    if max_gap is None:
+        grid = np.arange(lo, hi + step_us, step_us, dtype=np.int64)
+    else:
+        # fill only gaps of <= max_gap missing windows; longer gaps break
+        gaps = np.diff(window_us) // step_us - 1  # missing windows per gap
+        pieces = [window_us]
+        fill_idx = np.nonzero((gaps > 0) & (gaps <= max_gap))[0]
+        for i in fill_idx:
+            pieces.append(
+                np.arange(
+                    window_us[i] + step_us, window_us[i + 1], step_us, dtype=np.int64
+                )
+            )
+        grid = np.concatenate(pieces)
+        grid.sort()
     g = len(grid)
     pos = np.searchsorted(grid, window_us)  # position of each real row in grid
     real = np.zeros(g, dtype=bool)

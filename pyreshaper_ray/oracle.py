@@ -107,8 +107,17 @@ def _rollup_to_arrow(df: pd.DataFrame) -> pa.Table:
     )
 
 
-def oracle_gapfill(tier_1m: pa.Table, tier: str = "1m") -> pa.Table:
-    """Gap-fill every conversation's window series on the tier grid."""
+def oracle_gapfill(
+    tier_1m: pa.Table, tier: str = "1m", max_gap: int | None = None
+) -> pa.Table:
+    """Gap-fill every conversation's window series on the tier grid.
+
+    ``max_gap`` defaults to the engine-wide DEFAULT_MAX_GAP when None is not
+    explicitly wanted — callers pass it through from the JobSpec."""
+    from .functions.gapfill import DEFAULT_MAX_GAP
+
+    if max_gap is None:
+        max_gap = DEFAULT_MAX_GAP
     step = WINDOW_US[tier]
     df = tier_1m.to_pandas()
     df = df.sort_values(["conv_id", "window_start"], kind="mergesort")
@@ -123,6 +132,7 @@ def oracle_gapfill(tier_1m: pa.Table, tier: str = "1m") -> pa.Table:
             g["tok_est_sum"].to_numpy(np.int64),
             g["tool_calls"].to_numpy(np.int64),
             step,
+            max_gap=max_gap,
         )
         pieces.append(gapfill_to_arrow(conv_id, filled))
     if not pieces:

@@ -100,8 +100,14 @@ def encode_series_bucket(turns: pa.Table) -> pa.Table:
     )
 
 
-def gapfill_bucket(tier_1m: pa.Table, tier: str = "1m") -> pa.Table:
+def gapfill_bucket(
+    tier_1m: pa.Table, tier: str = "1m", max_gap: int | None = None
+) -> pa.Table:
     """Gap-fill every conversation in a (sorted) 1m-tier bucket block."""
+    from ..functions.gapfill import DEFAULT_MAX_GAP
+
+    if max_gap is None:
+        max_gap = DEFAULT_MAX_GAP
     if tier_1m.num_rows == 0:
         return GAPFILL_SCHEMA.empty_table()
     idx = pc.sort_indices(
@@ -128,7 +134,10 @@ def gapfill_bucket(tier_1m: pa.Table, tier: str = "1m") -> pa.Table:
     }
     conv = t["conv_id"].combine_chunks()
     step = WINDOW_US[tier]
-    pieces: list[pa.Table] = []
+    # run the kernel per conversation but assemble ONE Arrow table per bucket
+    # (per-conv pa.table construction was the gap-fill hot spot)
+    acc: dict[str, list[np.ndarray]] = {}
+    conv_rep_idx: list[np.ndarray] = []
     for k in range(len(bounds) - 1):
         lo, hi = int(bounds[k]), int(bounds[k + 1])
         filled = gapfill_conversation(
@@ -140,9 +149,30 @@ def gapfill_bucket(tier_1m: pa.Table, tier: str = "1m") -> pa.Table:
             cols["tok_est_sum"][lo:hi],
             cols["tool_calls"][lo:hi],
             step,
+            max_gap=max_gap,
         )
-        pieces.append(gapfill_to_arrow(conv[lo].as_py(), filled))
-    return pa.concat_tables(pieces)
+        g = len(filled["window_start"])
+        conv_rep_idx.append(np.full(g, lo, dtype=np.int64))
+        for key, arr in filled.items():
+            acc.setdefault(key, []).append(arr)
+    cat = {k: np.concatenate(v) for k, v in acc.items()}
+    null_mask = cat["_null_mask"]
+    conv_col = conv.take(pa.array(np.concatenate(conv_rep_idx)))
+    return pa.table(
+        {
+            "conv_id": conv_col,
+            "window_start": pa.array(cat["window_start"], pa.timestamp("us")),
+            "filled": pa.array(cat["filled"], pa.bool_()),
+            "turn_count": pa.array(cat["turn_count"], pa.int64()),
+            "char_sum": pa.array(cat["char_sum"], pa.int64()),
+            "char_min": pa.array(cat["char_min"], pa.int32(), mask=null_mask),
+            "char_max": pa.array(cat["char_max"], pa.int32(), mask=null_mask),
+            "tok_est_sum": pa.array(cat["tok_est_sum"], pa.int64()),
+            "tool_calls": pa.array(cat["tool_calls"], pa.int64()),
+            "char_sum_interp": pa.array(cat["char_sum_interp"], pa.float64()),
+            "locf_char_max": pa.array(cat["locf_char_max"], pa.int32()),
+        }
+    )
 
 
 def _sorted_rollup(block: pa.Table) -> pa.Table:
@@ -180,7 +210,9 @@ def process_bucket(t: pa.Table, spec_dict: dict) -> tuple[dict[str, pa.Table], d
 
     if spec_dict.get("gapfill", True) and "1m" in out:
         timer.start("gapfill_1m")
-        out["gapfill_1m"] = gapfill_bucket(out["1m"])
+        out["gapfill_1m"] = gapfill_bucket(
+            out["1m"], max_gap=spec_dict.get("gapfill_max_gap")
+        )
 
     if spec_dict.get("encode", True):
         timer.start("encode_series")
@@ -198,6 +230,79 @@ def process_bucket(t: pa.Table, spec_dict: dict) -> tuple[dict[str, pa.Table], d
         "timings": dict(timer.times),
     }
     return out, metrics
+
+
+def make_spill_bucket_worker(spec_dict: dict, spill_dir: str):
+    """Phase-B worker of the spill exchange: given a batch of bucket ids,
+    read ONLY those buckets' spill files (local pyarrow read — each task
+    touches exactly its own partition, PyReshaper-rank style), run the full
+    bucket kernel, write products atomically, commit the manifest.
+
+    An id with no spill directory (an empty bucket) still commits a zero-row
+    manifest record so resume never reconsiders it.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    wb = make_bucket_writer(spec_dict)
+
+    def work(batch: pa.Table) -> pa.Table:
+        from ..util import tune_worker_threads
+
+        tune_worker_threads()
+        outs: list[pa.Table] = []
+        for b in batch["bucket"].to_pylist():
+            files = sorted(glob.glob(os.path.join(spill_dir, f"bucket={b}", "*.parquet")))
+            if not files:
+                commit_bucket(
+                    spec_dict["out_dir"],
+                    {"bucket": int(b), "files": {}, "seconds": 0.0, "n_rows_in": 0,
+                     "n_turns": 0, "n_convs": 0, "rows": {}, "char_sum_total": 0,
+                     "ts_min": None, "ts_max": None, "timings": {}},
+                )
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            # partition_cols moves `bucket` into the path; restore the column
+            if "bucket" not in t.column_names:
+                t = t.append_column(
+                    "bucket", pa.array([int(b)] * t.num_rows, pa.int32())
+                )
+            outs.append(wb(t))
+        if not outs:
+            return METRICS_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+    return work
+
+
+def make_block_writer(spec_dict: dict):
+    """Block-level writer for the hash-shuffle exchange: a hash-partitioned
+    block holds one or more WHOLE buckets (hash partitioning never splits a
+    key); split it by bucket and run the per-bucket writer on each.
+
+    Scale invariant (documented partitioning assumption): a partition must
+    fit a worker's heap — at real scale choose n_partitions so that
+    corpus_size / n_partitions ≲ target block size, exactly like choosing
+    PyReshaper's rank count so the largest variable fits a rank.
+    """
+    wb = make_bucket_writer(spec_dict)
+
+    def write_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return METRICS_SCHEMA.empty_table()
+        idx = pc.sort_indices(block, sort_keys=[("bucket", "ascending")])
+        block = block.take(idx)
+        codes = block["bucket"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bounds = np.r_[starts, len(codes)]
+        outs = [
+            wb(block.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k])))
+            for k in range(len(bounds) - 1)
+        ]
+        return pa.concat_tables(outs)
+
+    return write_block
 
 
 METRICS_SCHEMA = pa.schema(
@@ -219,10 +324,14 @@ def make_bucket_writer(spec_dict: dict):
     out_dir = spec_dict["out_dir"]
 
     def write_bucket(group: pa.Table) -> pa.Table:
+        from ..util import tune_worker_threads
+
+        tune_worker_threads()
         t0 = time.perf_counter()
         bucket = int(group["bucket"][0].as_py())
         products, metrics = process_bucket(group, spec_dict)
         files: dict[str, str] = {}
+        tw = time.perf_counter()
         for name, table in products.items():
             sub = TIER_DIRS[name]
             path = os.path.join(out_dir, sub, f"bucket={bucket:05d}", "part-000.parquet")
@@ -230,6 +339,7 @@ def make_bucket_writer(spec_dict: dict):
                 table = table.drop_columns(["bucket"])
             atomic_write_parquet(table, path)
             files[name] = path
+        metrics["timings"]["write"] = time.perf_counter() - tw
         dt = time.perf_counter() - t0
         commit_bucket(
             out_dir,

@@ -23,9 +23,13 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# wall-clock of the last run's phases (driver-side diagnostics, bench uses it)
+PHASE_TIMES: dict[str, float] = {}
 
 import ray.data
 
@@ -47,12 +51,121 @@ def build_input(spec: JobSpec) -> "ray.data.Dataset":
     return ray.data.read_parquet(paths, columns=TRANSCRIPT_COLUMNS)
 
 
+def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]) -> pa.Table:
+    """The one all-to-all, chosen by ``spec.exchange``:
+
+    - ``"spill"`` (default): two-phase disk-mediated exchange, the classic
+      map-side-partitioned-spill / reduce-side-read shuffle — and the direct
+      Ray analog of PyReshaper's rank-local model (each rank touches only its
+      own partition's data; shared storage is the exchange medium).
+        phase A: ``write_parquet(spill, partition_cols=["bucket"])`` — an
+                 embarrassingly parallel fan-out write (measured ≈0.9
+                 scaling efficiency), committed with a marker file;
+        phase B: one task per bucket batch reads ONLY its bucket's spill
+                 files and runs the full bucket kernel + atomic write +
+                 manifest commit. No object-store all-to-all at all, and a
+                 crash between phases resumes without redoing phase A.
+    - ``"hash"``: in-memory HASH_SHUFFLE ``repartition(keys=["bucket"])``
+      (n_partitions bounded by CPUs — aggregators are actors).
+    - ``"groupby"``: sort-based ``groupby("bucket").map_groups`` fallback.
+    """
+    import ray
+
+    from .bucket import make_block_writer, make_bucket_writer
+
+    spec_dict = _spec_dict(spec)
+
+    if spec.exchange == "spill":
+        from .bucket import make_spill_bucket_worker
+
+        spill_dir = os.path.join(spec.out_dir, "_spill")
+        marker = os.path.join(spill_dir, "_SPILL_COMPLETE")
+        # the spill is only reusable for the same input + filters + bucketing
+        fingerprint = repr(
+            (spec.input, spec.n_buckets, spec.exclude_roles, spec.conv_subset)
+        )
+        current = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                current = f.read()
+        if current != fingerprint:
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            # coalesce to ~2 blocks/CPU first: the partitioned write creates
+            # one file per (block × bucket), and file-creation metadata is
+            # the dominant fixed cost of the spill
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            ds.repartition(num_cpus * 2).write_parquet(
+                spill_dir, partition_cols=["bucket"]
+            )
+            PHASE_TIMES["spill_write"] = time.perf_counter() - t0
+            with open(marker, "w") as f:
+                f.write(fingerprint)
+        else:
+            PHASE_TIMES["spill_write"] = 0.0
+        todo = [
+            {"bucket": b}
+            for b in range(spec.n_buckets)
+            if b not in completed
+            and (spec.output_limit is None or b < spec.output_limit)
+        ]
+        if not todo:
+            from .bucket import METRICS_SCHEMA
+
+            return METRICS_SCHEMA.empty_table()
+        t0 = time.perf_counter()
+        # phase B is a task-parallel loop over bucket ids — no data flows
+        # between buckets, each task reads only its own spill partition.
+        # This is the one place the engine drops to raw Ray tasks: a
+        # 128-element id list is a degenerate Dataset, and ray.data's
+        # task-sizing heuristics (tuned for byte-sized inputs) measurably
+        # under-parallelize it, while plain tasks scale with the CPU count.
+        worker = make_spill_bucket_worker(spec_dict, spill_dir)
+        one = ray.remote(num_cpus=1)(
+            lambda b: worker(pa.table({"bucket": pa.array([b], pa.int32())}))
+        )
+        results = ray.get([one.remote(d["bucket"]) for d in todo])
+        result = pa.concat_tables([r for r in results if r.num_rows >= 0])
+        PHASE_TIMES["bucket_phase"] = time.perf_counter() - t0
+        return result
+
+    if spec.exchange == "hash":
+        from ray.data.context import ShuffleStrategy
+
+        num_cpus = int(ray.cluster_resources().get("CPU", 8))
+        nparts = max(2, min(spec.n_buckets, num_cpus - 2 if num_cpus > 4 else 2))
+        ctx = ray.data.DataContext.get_current()
+        prev = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            rp = ds.repartition(nparts, keys=["bucket"], sort=False)
+            out = rp.map_batches(
+                make_block_writer(spec_dict),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+        finally:
+            ctx.shuffle_strategy = prev
+
+    metrics_ds = ds.groupby("bucket").map_groups(
+        make_bucket_writer(spec_dict), batch_format="pyarrow"
+    )
+    return pa.Table.from_pandas(metrics_ds.to_pandas(), preserve_index=False)
+
+
 def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Table:
     """Run the flagship conversion. Returns the per-bucket metrics table."""
     spec.validate()
     os.makedirs(spec.out_dir, exist_ok=True)
     if spec.wmode == "o":
         mf.clear(spec.out_dir)
+        import shutil
+
+        shutil.rmtree(os.path.join(spec.out_dir, "_spill"), ignore_errors=True)
     completed = set(mf.load_completed(spec.out_dir)) if spec.wmode == "s" else set()
 
     if ds is None:
@@ -75,25 +188,26 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
 
         ds = ds.map_batches(keep_convs, batch_format="pyarrow", zero_copy_batch=True)
 
-    if spec.output_limit is not None:
-        limit = spec.output_limit  # debug subset: first N buckets (s2srun --limit)
+    if spec.exchange != "spill":
+        # spill mode handles limit/resume at the phase-B task list instead —
+        # the spill itself is written once and shared by every resume
+        if spec.output_limit is not None:
+            limit = spec.output_limit  # debug subset: first N buckets
 
-        def keep_limit(b: pa.Table) -> pa.Table:
-            return b.filter(pc.less(b["bucket"], limit))
+            def keep_limit(b: pa.Table) -> pa.Table:
+                return b.filter(pc.less(b["bucket"], limit))
 
-        ds = ds.map_batches(keep_limit, batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(keep_limit, batch_format="pyarrow", zero_copy_batch=True)
 
-    if completed:
-        done = pa.array(sorted(completed), pa.int32())
+        if completed:
+            done = pa.array(sorted(completed), pa.int32())
 
-        def drop_done(b: pa.Table) -> pa.Table:
-            return b.filter(pc.invert(pc.is_in(b["bucket"], value_set=done)))
+            def drop_done(b: pa.Table) -> pa.Table:
+                return b.filter(pc.invert(pc.is_in(b["bucket"], value_set=done)))
 
-        ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
 
-    writer = make_bucket_writer(_spec_dict(spec))
-    metrics_ds = ds.groupby("bucket").map_groups(writer, batch_format="pyarrow")
-    metrics = pa.Table.from_pandas(metrics_ds.to_pandas(), preserve_index=False)
+    metrics = _execute_exchange(ds, spec, completed)
 
     # once-file analog: the shared dimension table is written ONCE per run by
     # the driver, not replicated into every bucket (J2, SURVEY.md §2.4).

@@ -35,6 +35,7 @@ class JobSpec:
     n_buckets: int = 64
     tiers: tuple[str, ...] = VALID_TIERS
     gapfill: bool = True
+    gapfill_max_gap: int | None = 60  # windows; None = unbounded fill
     encode: bool = True
     wmode: str = "s"
     conv_meta: str | None = None  # optional dimension-table parquet
@@ -43,6 +44,7 @@ class JobSpec:
     conv_subset: tuple[str, ...] | None = None
     output_limit: int | None = None  # debug: only first N buckets (s2srun --limit)
     salt_threshold: int = 100_000  # turns above which a conversation is salted
+    exchange: str = "spill"  # "spill" | "hash" | "groupby" (see flagship.py)
 
     def validate(self) -> "JobSpec":
         """Type checks then value checks, mirroring Specifier.validate()."""
@@ -59,6 +61,8 @@ class JobSpec:
             raise ValueError("tiers must be ordered fine→coarse (cascade input)")
         if self.wmode not in VALID_WMODES:
             raise ValueError(f"wmode must be one of {VALID_WMODES}")
+        if self.exchange not in ("spill", "hash", "groupby"):
+            raise ValueError("exchange must be 'spill', 'hash' or 'groupby'")
         if self.output_limit is not None and self.output_limit < 1:
             raise ValueError("output_limit must be >= 1")
         paths = [self.input] if isinstance(self.input, str) else self.input

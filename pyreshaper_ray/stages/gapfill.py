@@ -20,7 +20,7 @@ from ..functions.gapfill import gapfill_conversation, gapfill_to_arrow
 from ..functions.normalize import WINDOW_US
 
 
-def _gapfill_group_fn(step_us: int):
+def _gapfill_group_fn(step_us: int, max_gap: int | None):
     def fill(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group, sort_keys=[("window_start", "ascending")])
         g = group.take(idx)
@@ -39,13 +39,20 @@ def _gapfill_group_fn(step_us: int):
             g["tok_est_sum"].to_numpy(zero_copy_only=False),
             g["tool_calls"].to_numpy(zero_copy_only=False),
             step_us,
+            max_gap=max_gap,
         )
         return gapfill_to_arrow(g["conv_id"][0].as_py(), out)
 
     return fill
 
 
-def gapfill_tier(ds_tier: "ray.data.Dataset", tier: str = "1m") -> "ray.data.Dataset":
+def gapfill_tier(
+    ds_tier: "ray.data.Dataset", tier: str = "1m", max_gap: int | None = None
+) -> "ray.data.Dataset":
+    from ..functions.gapfill import DEFAULT_MAX_GAP
+
+    if max_gap is None:
+        max_gap = DEFAULT_MAX_GAP
     return ds_tier.groupby("conv_id").map_groups(
-        _gapfill_group_fn(WINDOW_US[tier]), batch_format="pyarrow"
+        _gapfill_group_fn(WINDOW_US[tier], max_gap), batch_format="pyarrow"
     )

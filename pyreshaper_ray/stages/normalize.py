@@ -35,6 +35,9 @@ def make_normalize_fn(n_buckets: int | None = None):
     `bucket` partition column (hash(conv_id) % n_buckets)."""
 
     def normalize(batch: pa.Table) -> pa.Table:
+        from ..util import tune_worker_threads
+
+        tune_worker_threads()
         _check_schema(batch)
         out = normalize_batch(batch)
         if n_buckets is not None:

@@ -5,6 +5,28 @@ from __future__ import annotations
 import pyarrow as pa
 
 _BROADCAST_CACHE: dict[str, object] = {}
+_THREADS_TUNED = False
+
+
+def tune_worker_threads() -> None:
+    """Pin pyarrow's intra-op thread pools to 1 inside Ray workers.
+
+    Arrow defaults its CPU pool to the machine's core count PER PROCESS;
+    with 32 Ray workers that is 32×32 threads fighting over 32 cores —
+    measured 7× task-time inflation on the bucket kernel. Ray already
+    parallelizes across processes, so each worker should be single-threaded.
+    Call at the top of every worker fn (idempotent, guarded)."""
+    global _THREADS_TUNED
+    if _THREADS_TUNED:
+        return
+    import pyarrow as pa
+
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    _THREADS_TUNED = True
 
 
 def cached_get(ref):

@@ -170,3 +170,24 @@ def test_per_turn_text_equality_vs_input(small_transcripts):
     )
     inp = inp.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     assert inp["text"].tolist() == p["text"].to_pylist()
+
+
+def test_gapfill_bounded_max_gap():
+    """A gap longer than max_gap windows is left as a break (no filled rows)."""
+    win = np.array([0, 2 * 60_000_000, 100 * 60_000_000], np.int64)  # gaps: 1, 97
+    args = (
+        np.array([1, 1, 1], np.int64),
+        np.array([10, 20, 30], np.int64),
+        np.array([10, 20, 30], np.int32),
+        np.array([10, 20, 30], np.int32),
+        np.array([3, 5, 8], np.int64),
+        np.array([0, 0, 0], np.int64),
+    )
+    out = gapfill_conversation(win, *args, 60_000_000, max_gap=60)
+    assert len(out["window_start"]) == 4  # 3 real + 1 filled (the 1-window gap)
+    assert out["filled"].tolist() == [False, True, False, False]
+    # unbounded fills everything
+    out2 = gapfill_conversation(win, *args, 60_000_000, max_gap=None)
+    assert len(out2["window_start"]) == 101
+    # interpolation across the small gap unchanged
+    assert out["char_sum_interp"].tolist()[1] == 15.0
