@@ -1,0 +1,156 @@
+"""CLI — the ``s2smake`` / ``s2srun`` analog (public NCAR/PyReshaper repo
+``scripts/``).
+
+    python -m pyreshaper_ray.cli make --input DIR --out DIR [options] SPECFILE
+    python -m pyreshaper_ray.cli run SPECFILE [--wmode s|o] [--limit N]
+                                              [--serial] [--num-cpus N]
+
+``make`` builds + validates a JobSpec and writes it as JSON (the pickled
+Specifier analog, but human-readable). ``run`` loads it and executes the
+flagship pipeline; ``--serial`` runs the single-process oracle instead (the
+``s2srun --serial`` analog — and the correctness reference).
+
+This module OWNS a Ray session (guarded init); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def cmd_make(args: argparse.Namespace) -> int:
+    from .pipelines.spec import create_spec
+
+    spec = create_spec(
+        input=args.input,
+        out_dir=args.out,
+        n_buckets=args.n_buckets,
+        tiers=tuple(args.tiers.split(",")),
+        gapfill=not args.no_gapfill,
+        gapfill_max_gap=args.max_gap,
+        encode=not args.no_encode,
+        wmode=args.wmode,
+        conv_meta=args.conv_meta,
+        once=not args.no_once,
+        exclude_roles=tuple(args.exclude) if args.exclude else (),
+        conv_subset=tuple(args.conv) if args.conv else None,
+        salt_threshold=args.salt_threshold,
+    )
+    spec.write(args.specfile)
+    print(f"wrote {args.specfile}")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from .pipelines.spec import JobSpec
+
+    spec = JobSpec.read(args.specfile)
+    if args.wmode:
+        spec.wmode = args.wmode
+    if args.limit is not None:
+        spec.output_limit = args.limit
+    spec.validate()
+
+    if args.serial:
+        # serial mode = the oracle (single-process reference implementation)
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .oracle import oracle_full
+        from .state.manifest import atomic_write_parquet
+
+        paths = (
+            sorted(glob.glob(os.path.join(spec.input, "*.parquet")))
+            if isinstance(spec.input, str) and os.path.isdir(spec.input)
+            else ([spec.input] if isinstance(spec.input, str) else spec.input)
+        )
+        t = pa.concat_tables([pq.read_table(p) for p in paths])
+        out = oracle_full(t)
+        names = {
+            "turns": "turns",
+            "rollup_1m": "rollup_1m",
+            "rollup_1h": "rollup_1h",
+            "rollup_1d": "rollup_1d",
+            "gapfill_1m": "gapfill_1m",
+            "series": "series",
+        }
+        for key, sub in names.items():
+            atomic_write_parquet(
+                out[key], os.path.join(spec.out_dir, sub, "serial", "part-000.parquet")
+            )
+        print(json.dumps({k: v.num_rows for k, v in out.items()}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = args.verbosity > 0
+
+    from .pipelines.flagship import run_flagship
+
+    try:
+        metrics = run_flagship(spec)
+        import pyarrow.compute as pc
+
+        summary = {
+            "buckets": metrics.num_rows,
+            "n_turns": int(pc.sum(metrics["n_turns"]).as_py() or 0),
+            "n_convs": int(pc.sum(metrics["n_convs"]).as_py() or 0),
+            "task_seconds": round(float(pc.sum(metrics["seconds"]).as_py() or 0), 2),
+        }
+        print(json.dumps(summary))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pyreshaper_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    mk = sub.add_parser("make", help="build + validate a JobSpec (s2smake)")
+    mk.add_argument("specfile")
+    mk.add_argument("--input", required=True, help="parquet path/dir/glob")
+    mk.add_argument("--out", required=True, help="output directory")
+    mk.add_argument("--n-buckets", type=int, default=64)
+    mk.add_argument("--tiers", default="1m,1h,1d")
+    mk.add_argument("--no-gapfill", action="store_true")
+    mk.add_argument("--max-gap", type=int, default=60)
+    mk.add_argument("--no-encode", action="store_true")
+    mk.add_argument("--wmode", choices=["s", "o"], default="s")
+    mk.add_argument("--conv-meta", default=None)
+    mk.add_argument("--no-once", action="store_true")
+    mk.add_argument("--exclude", action="append", help="role to exclude (repeatable)")
+    mk.add_argument("--conv", action="append", help="explicit conv subset (repeatable)")
+    mk.add_argument("--salt-threshold", type=int, default=100_000)
+    mk.set_defaults(fn=cmd_make)
+
+    rn = sub.add_parser("run", help="run the conversion (s2srun)")
+    rn.add_argument("specfile")
+    rn.add_argument("--wmode", choices=["s", "o"], default=None)
+    rn.add_argument("--limit", type=int, default=None, help="first N buckets only")
+    rn.add_argument("--serial", action="store_true", help="single-process oracle")
+    rn.add_argument("--num-cpus", type=int, default=8)
+    rn.add_argument("--verbosity", type=int, default=0)
+    rn.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

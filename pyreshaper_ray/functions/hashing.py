@@ -25,16 +25,33 @@ def stable_hash32(s: str) -> int:
     return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
 
 
-def conv_bucket(conv_ids: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+def conv_bucket(
+    conv_ids: pa.ChunkedArray | pa.Array,
+    n_buckets: int,
+    overrides: dict[str, int] | None = None,
+) -> pa.Array:
     """Vectorized bucket id for a string key column.
 
     Hashes only the per-batch dictionary (unique values), then takes.
+    ``overrides`` pins specific keys to explicit buckets — the
+    WeightBalanced analog for heavy conversations (SURVEY.md §4): the hash
+    spreads the mass, the override list spreads the known-heavy keys so no
+    two of them collide in one partition.
     """
     if isinstance(conv_ids, pa.ChunkedArray):
         conv_ids = conv_ids.combine_chunks()
     dict_arr = pc.dictionary_encode(conv_ids)
     uniques = dict_arr.dictionary.to_pylist()
-    lut = np.array([stable_hash32(u) % n_buckets for u in uniques], dtype=np.int32)
+    if overrides:
+        lut = np.array(
+            [
+                overrides.get(u, stable_hash32(u) % n_buckets)
+                for u in uniques
+            ],
+            dtype=np.int32,
+        )
+    else:
+        lut = np.array([stable_hash32(u) % n_buckets for u in uniques], dtype=np.int32)
     indices = dict_arr.indices.to_numpy(zero_copy_only=False)
     return pa.array(lut[indices], pa.int32())
 

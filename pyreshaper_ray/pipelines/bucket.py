@@ -238,7 +238,7 @@ def make_spill_bucket_worker(spec_dict: dict, spill_dir: str):
     touches exactly its own partition, PyReshaper-rank style), run the full
     bucket kernel, write products atomically, commit the manifest.
 
-    An id with no spill directory (an empty bucket) still commits a zero-row
+    An id with no spill files (an empty bucket) still commits a zero-row
     manifest record so resume never reconsiders it.
     """
     import glob
@@ -254,7 +254,14 @@ def make_spill_bucket_worker(spec_dict: dict, spill_dir: str):
         outs: list[pa.Table] = []
         for b in batch["bucket"].to_pylist():
             files = sorted(glob.glob(os.path.join(spill_dir, f"bucket={b}", "*.parquet")))
-            if not files:
+            t = None
+            if files:
+                t = pa.concat_tables([pq.read_table(f) for f in files])
+                if "bucket" not in t.column_names:
+                    t = t.append_column(
+                        "bucket", pa.array([int(b)] * t.num_rows, pa.int32())
+                    )
+            if t is None:
                 commit_bucket(
                     spec_dict["out_dir"],
                     {"bucket": int(b), "files": {}, "seconds": 0.0, "n_rows_in": 0,
@@ -262,12 +269,6 @@ def make_spill_bucket_worker(spec_dict: dict, spill_dir: str):
                      "ts_min": None, "ts_max": None, "timings": {}},
                 )
                 continue
-            t = pa.concat_tables([pq.read_table(f) for f in files])
-            # partition_cols moves `bucket` into the path; restore the column
-            if "bucket" not in t.column_names:
-                t = t.append_column(
-                    "bucket", pa.array([int(b)] * t.num_rows, pa.int32())
-                )
             outs.append(wb(t))
         if not outs:
             return METRICS_SCHEMA.empty_table()

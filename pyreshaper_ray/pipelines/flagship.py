@@ -82,7 +82,13 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
         marker = os.path.join(spill_dir, "_SPILL_COMPLETE")
         # the spill is only reusable for the same input + filters + bucketing
         fingerprint = repr(
-            (spec.input, spec.n_buckets, spec.exclude_roles, spec.conv_subset)
+            (
+                spec.input,
+                spec.n_buckets,
+                spec.exclude_roles,
+                spec.conv_subset,
+                spec.salt_threshold,
+            )
         )
         current = None
         if os.path.exists(marker):
@@ -93,9 +99,11 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
 
             shutil.rmtree(spill_dir, ignore_errors=True)
             t0 = time.perf_counter()
-            # coalesce to ~2 blocks/CPU first: the partitioned write creates
-            # one file per (block × bucket), and file-creation metadata is
-            # the dominant fixed cost of the spill
+            # coalesce to ~2 blocks/CPU first: the hive-partitioned write
+            # creates one file per (block × bucket), and file-creation
+            # metadata is the dominant fixed cost of the spill. (An Arrow-IPC
+            # indexed spill variant was measured and LOST to this: the
+            # per-bucket slice copies cost more than parquet's codec.)
             num_cpus = int(ray.cluster_resources().get("CPU", 8))
             ds.repartition(num_cpus * 2).write_parquet(
                 spill_dir, partition_cols=["bucket"]
@@ -170,7 +178,25 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
 
     if ds is None:
         ds = build_input(spec)
-    ds = normalize_dataset(ds, n_buckets=spec.n_buckets)
+
+    # WeightBalanced analog (SURVEY.md §4): detect conversations heavier
+    # than salt_threshold turns with a cheap conv_id-only combiner pass and
+    # pin each to its own bucket (round-robin), so a hot conversation never
+    # stacks onto an already-full hash bucket. Costs one extra column-pruned
+    # input scan; skip by setting salt_threshold=0.
+    bucket_overrides: dict[str, int] | None = None
+    if spec.salt_threshold:
+        from ..stages.normalize import find_heavy_conversations
+
+        heavy = find_heavy_conversations(ds, spec.salt_threshold)
+        if heavy:
+            bucket_overrides = {
+                cid: i % spec.n_buckets for i, cid in enumerate(heavy)
+            }
+
+    ds = normalize_dataset(
+        ds, n_buckets=spec.n_buckets, bucket_overrides=bucket_overrides
+    )
 
     if spec.exclude_roles:
         excl = list(spec.exclude_roles)

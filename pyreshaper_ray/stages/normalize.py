@@ -30,9 +30,12 @@ def _check_schema(batch: pa.Table) -> None:
             )
 
 
-def make_normalize_fn(n_buckets: int | None = None):
+def make_normalize_fn(
+    n_buckets: int | None = None, bucket_overrides: dict[str, int] | None = None
+):
     """Build the per-batch normalize fn; optionally append a stable
-    `bucket` partition column (hash(conv_id) % n_buckets)."""
+    `bucket` partition column (hash(conv_id) % n_buckets, with explicit
+    overrides for heavy conversations — the WeightBalanced analog)."""
 
     def normalize(batch: pa.Table) -> pa.Table:
         from ..util import tune_worker_threads
@@ -41,17 +44,58 @@ def make_normalize_fn(n_buckets: int | None = None):
         _check_schema(batch)
         out = normalize_batch(batch)
         if n_buckets is not None:
-            out = out.append_column("bucket", conv_bucket(batch["conv_id"], n_buckets))
+            out = out.append_column(
+                "bucket", conv_bucket(batch["conv_id"], n_buckets, bucket_overrides)
+            )
         return out
 
     return normalize
 
 
 def normalize_dataset(
-    ds: "ray.data.Dataset", n_buckets: int | None = None
+    ds: "ray.data.Dataset",
+    n_buckets: int | None = None,
+    bucket_overrides: dict[str, int] | None = None,
 ) -> "ray.data.Dataset":
     return ds.map_batches(
-        make_normalize_fn(n_buckets),
+        make_normalize_fn(n_buckets, bucket_overrides),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def find_heavy_conversations(
+    ds: "ray.data.Dataset", threshold: int
+) -> dict[str, int]:
+    """Turn counts per conversation (combiner + small groupby), keeping only
+    conversations above ``threshold`` turns. The result is the heavy-hitter
+    list used for balanced bucket assignment — it is small by construction
+    (heavy keys are rare), so broadcasting it in a closure is free."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id"]).aggregate([("conv_id", "count")])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n": pc.cast(g["conv_id_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns(["conv_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    heavy = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], threshold)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    if heavy.empty:
+        return {}
+    heavy = heavy.sort_values(["n", "conv_id"], ascending=[False, True])
+    return {r.conv_id: int(r.n) for r in heavy.itertuples()}
