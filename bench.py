@@ -97,19 +97,20 @@ def run_bench(headline_only: bool = False) -> dict:
     for f in sorted(os.listdir(fixture_in)):
         n_turns_in += pq.read_table(os.path.join(fixture_in, f)).num_rows
 
-    # untimed warmup: spin up every Ray worker process (imports, JIT) on a
-    # 2-bucket subset so the timed run measures steady-state throughput
-    warm_out = os.path.join(BENCH_TMP, f"warmup_cpus{NUM_CPUS}")
+    # untimed warmup: spin up every Ray worker process (imports, JIT) on an
+    # N-bucket subset so the timed run measures steady-state throughput
+    warm_out = "/dev/shm/pyreshaper_bench_warm"
     shutil.rmtree(warm_out, ignore_errors=True)
     run_flagship(
         create_spec(
             input=fixture_in,
             out_dir=warm_out,
             n_buckets=max(64, NUM_CPUS * 4),
-            output_limit=2,
+            output_limit=NUM_CPUS,
             wmode="o",
         )
     )
+    shutil.rmtree(warm_out, ignore_errors=True)
 
     queries: dict[str, float] = {}
 
@@ -222,7 +223,8 @@ def run_scaling() -> dict:
                 rates[n] = total / (time.perf_counter() - t0)
         return (rates[hi] / rates[lo]) / (hi / lo)
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     trials = {lo: [], hi: []}
     for _ in range(2):
         for n in (lo, hi):
