@@ -235,6 +235,101 @@ def q_embedding_neardup(sf_dir: str):
     return collect_table(neardup_pairs(sf_dir, threshold=0.4), schema)
 
 
+def q_lineitem_orders_join(sf_dir: str):
+    """Large⋈large hash join (Dataset.join) + combiner aggregate."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from pyreshaper_ray.stages.analytics import to_cents
+    from pyreshaper_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    li = li.map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["l_orderkey"], "price_c": to_cents(b["l_extendedprice"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(li, orders, on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderstatus"]).aggregate(
+            [("price_c", "sum"), ("price_c", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "price_cents": g["price_c_sum"],
+                "n_items": pc.cast(g["price_c_count"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderstatus"
+    ).aggregate(
+        Sum("price_cents", alias_name="price_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+
+def q_enrich_conv_channel(sf_dir: str):
+    """Broadcast-enrich (J1 analog): per-turn rows enriched with a
+    conversation-level attribute from a small dimension side, aggregated."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from pyreshaper_ray.stages.joins import broadcast_enrich
+
+    # dimension side: per-user segment from customer-like mapping — derive a
+    # deterministic conv attribute from user_id parity (SQL-restatable)
+    ds = read_events_as_transcripts(sf_dir)
+    events = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    users = sorted(set(events["user_id"].to_pylist()))
+    dim = pa.table(
+        {
+            "conv_id": pa.array([f"u{u}" for u in users], pa.string()),
+            "cohort": pa.array(
+                ["even" if u % 2 == 0 else "odd" for u in users], pa.string()
+            ),
+        }
+    )
+    enriched = broadcast_enrich(ds, dim, key="conv_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cohort": b["cohort"],
+                "chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            }
+        )
+        g = t.group_by(["cohort"]).aggregate([("chars", "sum"), ("chars", "count")])
+        return pa.table(
+            {
+                "cohort": g["cohort"],
+                "char_sum": g["chars_sum"],
+                "n_turns": pc.cast(g["chars_count"], pa.int64()),
+            }
+        )
+
+    return enriched.map_batches(partial, batch_format="pyarrow").groupby(
+        "cohort"
+    ).aggregate(Sum("char_sum", alias_name="char_sum"), Sum("n_turns", alias_name="n_turns"))
+
+
+def q_audio_stub(sf_dir: str):
+    from pyreshaper_ray.stages.multimodal import decode_documents_as_audio
+
+    return decode_documents_as_audio(sf_dir)
+
+
 def q_multimodal(sf_dir: str):
     from pyreshaper_ray.stages.multimodal import decode_documents_as_images
 
@@ -285,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top5": q_knn,
         "embedding_neardup_pairs": q_embedding_neardup,
         "multimodal_decode_stub": q_multimodal,
+        "audio_decode_stub": q_audio_stub,
+        "lineitem_orders_join": q_lineitem_orders_join,
+        "enrich_conv_cohort": q_enrich_conv_channel,
     }
 
 
@@ -437,5 +535,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "audio_decode_stub": """
+            WITH s AS (
+                SELECT doc_id, octet_length(encode(text)) // 2 AS n_samples
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(n_samples * 1000 // 16000 AS BIGINT) AS duration_ms,
+                   CAST(CASE WHEN n_samples = 0 THEN 0
+                             ELSE (n_samples - 1) // 512 + 1 END AS BIGINT) AS n_frames
+            FROM s
+        """,
+        "lineitem_orders_join": """
+            SELECT o.o_orderstatus,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "enrich_conv_cohort": f"""
+            WITH t AS ({_T})
+            SELECT CASE WHEN CAST(SUBSTR(conv_id, 2) AS BIGINT) % 2 = 0
+                        THEN 'even' ELSE 'odd' END AS cohort,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM t GROUP BY 1
         """,
     }

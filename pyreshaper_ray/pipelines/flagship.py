@@ -245,6 +245,13 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
     return metrics
 
 
+def run_many(specs: list[JobSpec]) -> dict[str, pa.Table]:
+    """Run several conversions in one session — the ``create_reshaper``
+    multi-Specifier support analog (public repo ``reshaper.py``). Sequential
+    by design: each job already saturates the cluster."""
+    return {spec.out_dir: run_flagship(spec) for spec in specs}
+
+
 def read_tier(out_dir: str, tier: str) -> "ray.data.Dataset":
     """Read one product of a completed run as a Dataset."""
     from .bucket import TIER_DIRS

@@ -67,6 +67,47 @@ class ImageDecodeStage:
         )
 
 
+class AudioSegmentStage:
+    """Actor-pool stage: 'decode' binary audio payloads → typed segment
+    metadata (sample count, duration, fixed-rate frame samples). Decode is
+    STUBBED deterministically (no audio libs in this container); the
+    Ray-side plumbing — binary schema in, struct-ish columns out, small
+    batches, per-actor state — is real.
+    """
+
+    SAMPLE_RATE = 16_000
+
+    def __init__(self, frame_hop: int = 512) -> None:
+        self.frame_hop = frame_hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n_samples = [len(p) // 2 for p in payloads]  # fake 16-bit PCM
+        duration_ms = [s * 1000 // self.SAMPLE_RATE for s in n_samples]
+        n_frames = [max(0, (s - 1)) // self.frame_hop + 1 if s else 0 for s in n_samples]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "duration_ms": pa.array(duration_ms, pa.int64()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+            }
+        )
+
+
+def decode_documents_as_audio(sf_dir: str, batch_size: int = 256) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    with_bin = ds.map_batches(
+        synthesize_binary_column, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return with_bin.map_batches(
+        AudioSegmentStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=2,
+    )
+
+
 def synthesize_binary_column(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic binary payloads from document text (utf-8 bytes) — the
     sandbox stand-in for real image/audio blobs."""

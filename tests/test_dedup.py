@@ -1,0 +1,95 @@
+"""Dedup operators: exact, MinHash+LSH near-dup, SimHash — planted dups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyreshaper_ray.stages.dedup import (
+    MinHasher,
+    exact_jaccard,
+    shingle_hashes,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the "
+    "warm windowsill and the birds sing in the garden under a blue sky"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word change
+FAR = (
+    "completely different content about database systems and distributed "
+    "query processing engines with columnar storage and vectorized execution"
+)
+
+
+def _docs_table():
+    texts = [BASE, NEAR, FAR, BASE, "tiny", ""]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_shingles_and_exact_jaccard():
+    assert exact_jaccard(BASE, BASE) == 1.0
+    j_near = exact_jaccard(BASE, NEAR)
+    j_far = exact_jaccard(BASE, FAR)
+    assert 0.7 < j_near < 1.0
+    assert j_far < 0.05
+    # degenerate: shorter than k tokens
+    assert len(shingle_hashes("one two", 3)) > 0
+    assert exact_jaccard("", "", 3) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(n_perm=256)
+    sa, sb = mh.signature(BASE), mh.signature(NEAR)
+    est = float(np.mean(sa == sb))
+    true = exact_jaccard(BASE, NEAR)
+    assert abs(est - true) < 0.15
+    sf = mh.signature(FAR)
+    assert float(np.mean(sa == sf)) < 0.1
+    # determinism across instances (seed-fixed)
+    assert np.array_equal(MinHasher(n_perm=256).signature(BASE), sa)
+
+
+def test_simhash_hamming_tracks_similarity():
+    h_base, h_near, h_far = simhash64(BASE), simhash64(NEAR), simhash64(FAR)
+    assert h_base == simhash64(BASE)  # deterministic
+    d_near = bin(h_base ^ h_near).count("1")
+    d_far = bin(h_base ^ h_far).count("1")
+    assert d_near < d_far
+    assert d_near <= 16
+    assert simhash64("") == 0
+
+
+def test_dedup_exact_stage(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dedup_exact
+    from pyreshaper_ray.util import collect_table
+
+    out = collect_table(dedup_exact(ray.data.from_arrow(_docs_table())))
+    rows = dict(zip(out["doc_id"].to_pylist(), out["n_copies"].to_pylist()))
+    assert rows[0] == 2  # BASE appears at ids 0 and 3 → min id kept
+    assert 3 not in rows
+    assert rows[1] == 1 and rows[2] == 1
+
+
+def test_minhash_lsh_finds_planted_neardup(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.dedup import minhash_dedup
+
+    pq.write_table(_docs_table(), str(tmp_path / "documents.parquet"))
+    verified = minhash_dedup(str(tmp_path), threshold=0.6).to_pandas()
+    pairs = set(zip(verified["doc_a"], verified["doc_b"]))
+    assert (0, 3) in pairs  # exact dup
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup found via LSH
+    assert all(j >= 0.6 for j in verified["jaccard"])
+    # FAR must not pair with BASE
+    assert (0, 2) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: binary columns through actor-pool decode stubs."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_image_decode_stub_schema_and_determinism(ray_session):
+    from pyreshaper_ray.stages.multimodal import decode_documents_as_images
+
+    out = decode_documents_as_images(SF, batch_size=64).to_pandas()
+    assert set(out.columns) == {"doc_id", "width", "height", "n_bytes", "features"}
+    assert len(out) == 500
+    assert (out["width"] == out["n_bytes"] % 640).all()
+    assert (out["height"] == (out["n_bytes"] * 7) % 480).all()
+    # features: fixed-dim list<float>, rows normalized (sum ≈ 1 for nonempty)
+    f0 = out["features"].iloc[0]
+    assert len(f0) == 8
+    assert abs(sum(f0) - 1.0) < 1e-5
+    # determinism across runs
+    again = decode_documents_as_images(SF, batch_size=64).to_pandas()
+    assert out.drop(columns=["features"]).equals(again.drop(columns=["features"]))
+
+
+def test_audio_decode_stub(ray_session):
+    from pyreshaper_ray.stages.multimodal import decode_documents_as_audio
+
+    out = decode_documents_as_audio(SF, batch_size=64).to_pandas()
+    assert set(out.columns) == {"doc_id", "n_samples", "duration_ms", "n_frames"}
+    assert (out["duration_ms"] == out["n_samples"] * 1000 // 16000).all()
+    nz = out[out["n_samples"] > 0]
+    assert (nz["n_frames"] == (nz["n_samples"] - 1) // 512 + 1).all()
+
+
+def test_binary_column_roundtrip(ray_session):
+    """The binary payload column survives Arrow batch boundaries intact."""
+    import ray.data
+
+    from pyreshaper_ray.stages.multimodal import synthesize_binary_column
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    with_bin = ds.map_batches(
+        synthesize_binary_column, batch_format="pyarrow", batch_size=32
+    )
+    from pyreshaper_ray.util import collect_table
+
+    t = collect_table(with_bin)
+    assert t.schema.field("payload").type == pa.binary()
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet").to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for i in range(0, t.num_rows, 97):
+        did = t["doc_id"][i].as_py()
+        assert t["payload"][i].as_py() == texts[did].encode("utf-8")

@@ -1,0 +1,67 @@
+"""Text-analysis stages: token count, quality, hashing, language ID."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from pyreshaper_ray.stages.text import (
+    LangId,
+    content_hash_batch,
+    fingerprint_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+
+def _batch(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_token_count():
+    out = token_count_batch(_batch(["a b  c", "", "  x ", "one"]))
+    assert out["n_tokens"].to_pylist() == [3, 0, 1, 1]
+
+
+def test_quality_signals():
+    out = quality_batch(_batch(["The cat, the dog! 42 times?", ""]))
+    row = {k: out[k][0].as_py() for k in out.column_names}
+    assert row["n_chars"] == 27
+    assert row["n_words"] == 6
+    assert row["n_stopwords"] == 2  # 'the' twice (lowercased)
+    assert row["n_punct"] == 3  # , ! ?
+    assert row["n_digits"] == 2
+    assert out["n_chars"][1].as_py() == 0
+
+
+def test_content_hash_matches_md5():
+    out = content_hash_batch(_batch(["hello", ""]))
+    assert out["md5"][0].as_py() == hashlib.md5(b"hello").hexdigest()
+
+
+def test_fingerprint_rolling_property():
+    """Base-256 polynomial mod 2^61-1: verify against direct computation."""
+    MOD = (1 << 61) - 1
+    out = fingerprint_batch(_batch(["abc", ""]))
+    expect = int.from_bytes(b"abc", "big") % MOD
+    assert out["fingerprint"][0].as_py() == expect
+    assert out["fingerprint"][1].as_py() == 0
+
+
+def test_lang_id_on_real_sentences():
+    samples = {
+        "en": "the cat is on the table and it is sleeping in the sun",
+        "fr": "le chat est sur la table et il dort dans le jardin pour un moment",
+        "de": "die katze ist auf dem tisch und sie schläft mit den kindern im haus",
+        "es": "el gato está en la mesa y duerme con los niños en una casa",
+        "zh": "猫在桌子上睡觉，孩子们在房子里玩耍，天气很好，阳光明媚",
+    }
+    out = LangId()(_batch(list(samples.values())))
+    preds = out["lang_pred"].to_pylist()
+    assert preds == list(samples.keys())
