@@ -147,6 +147,12 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
         ctx = ray.data.DataContext.get_current()
         prev = ctx.shuffle_strategy
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # a Dataset captures its DataContext at creation — the already-built
+        # input chain needs the strategy set on ITS context too
+        ds_ctx = getattr(ds, "context", None)
+        prev_ds = ds_ctx.shuffle_strategy if ds_ctx is not None else None
+        if ds_ctx is not None:
+            ds_ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         try:
             rp = ds.repartition(nparts, keys=["bucket"], sort=False)
             out = rp.map_batches(
@@ -158,6 +164,8 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
             return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
         finally:
             ctx.shuffle_strategy = prev
+            if ds_ctx is not None and prev_ds is not None:
+                ds_ctx.shuffle_strategy = prev_ds
 
     metrics_ds = ds.groupby("bucket").map_groups(
         make_bucket_writer(spec_dict), batch_format="pyarrow"

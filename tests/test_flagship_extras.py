@@ -1,0 +1,75 @@
+"""Flagship extras: once-file conv_meta, run_many, exchange variants."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pyreshaper_ray.pipelines.flagship import run_flagship, run_many
+from pyreshaper_ray.pipelines.spec import create_spec
+
+
+def test_once_file_conv_meta(ray_session, fixture_dir, tmp_path):
+    out = str(tmp_path / "out")
+    meta_path = os.path.join(fixture_dir, "conv_meta.parquet")
+    spec = create_spec(
+        input=os.path.join(fixture_dir, "transcripts"),
+        out_dir=out,
+        n_buckets=4,
+        conv_meta=meta_path,
+        tiers=("1m",),
+        gapfill=False,
+        encode=False,
+    )
+    run_flagship(spec)
+    # once-file analog: shared dimension table written exactly once per run
+    written = pq.read_table(os.path.join(out, "conv_meta.parquet"))
+    assert written.equals(pq.read_table(meta_path))
+
+
+def test_run_many(ray_session, fixture_dir, tmp_path):
+    base = os.path.join(fixture_dir, "transcripts")
+    specs = [
+        create_spec(
+            input=base, out_dir=str(tmp_path / f"job{i}"), n_buckets=3,
+            tiers=("1m",), gapfill=False, encode=False,
+        )
+        for i in range(2)
+    ]
+    out = run_many(specs)
+    assert set(out) == {str(tmp_path / "job0"), str(tmp_path / "job1")}
+    for m in out.values():
+        assert int(pc.sum(m["n_turns"]).as_py()) > 0
+
+
+def test_exchange_variants_identical(ray_session, fixture_dir, tmp_path):
+    """spill / hash / groupby exchanges produce identical 1m tiers."""
+    base = os.path.join(fixture_dir, "transcripts")
+    tiers = {}
+    for ex in ("spill", "hash", "groupby"):
+        out = str(tmp_path / ex)
+        run_flagship(
+            create_spec(
+                input=base, out_dir=out, n_buckets=4, exchange=ex,
+                tiers=("1m",), gapfill=False, encode=False, salt_threshold=0,
+            )
+        )
+        from pyreshaper_ray.pipelines.flagship import read_tier
+
+        import ray
+
+        t = pa.concat_tables(
+            [r for r in (ray.get(x) for x in read_tier(out, "1m").to_arrow_refs()) if r.num_columns]
+        )
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        tiers[ex] = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("conv_id", "ascending"), ("window_start", "ascending")]
+            )
+        )
+    assert tiers["spill"].equals(tiers["hash"].select(tiers["spill"].column_names))
+    assert tiers["spill"].equals(tiers["groupby"].select(tiers["spill"].column_names))
