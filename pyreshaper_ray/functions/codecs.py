@@ -109,18 +109,87 @@ def dod_encode(ts: np.ndarray) -> bytes:
     if n == 2:
         return w.getvalue()
     dods = np.diff(deltas)
-    # one combined (prefix<<vbits | value) write per point
-    for dod in dods.tolist():
-        if dod == 0:
-            w.write(0, 1)
-            continue
-        for prefix, pbits, vbits in _DOD_BUCKETS:
-            lo = -(1 << (vbits - 1))
-            hi = (1 << (vbits - 1)) - 1
-            if lo <= dod <= hi:
-                w.write((prefix << vbits) | (dod & ((1 << vbits) - 1)), pbits + vbits)
-                break
-    return w.getvalue()
+    u = dods.view(np.uint64)
+
+    # vectorized bucket classification → one (value, nbits) token per point
+    vals = np.zeros(len(dods), dtype=np.uint64)
+    nb = np.ones(len(dods), dtype=np.int64)
+    rest = dods != 0
+    for prefix, pbits, vbits in _DOD_BUCKETS[:-1]:
+        lo, hi = -(1 << (vbits - 1)), (1 << (vbits - 1)) - 1
+        m = rest & (dods >= lo) & (dods <= hi)
+        vals[m] = (np.uint64(prefix) << np.uint64(vbits)) | (
+            u[m] & np.uint64((1 << vbits) - 1)
+        )
+        nb[m] = pbits + vbits
+        rest = rest & ~m
+    if rest.any():
+        # 5-bit '11111' prefix + full 64-bit payload = 69 bits → two tokens
+        idx = np.flatnonzero(rest)
+        vals[idx] = np.uint64(0b11111)
+        nb[idx] = 5
+        vals = np.insert(vals, idx + 1, u[idx])
+        nb = np.insert(nb, idx + 1, 64)
+    return pack_tokens(vals, nb, w)
+
+
+def pack_tokens(vals: np.ndarray, nbits: np.ndarray, head: BitWriter) -> bytes:
+    """Vectorized MSB-first bit packing of (value, nbits≤64) tokens appended
+    after the bits already in ``head``.
+
+    Each token's shifted value spans ≤9 bytes; contributions of different
+    tokens to a shared boundary byte occupy disjoint bits, so a fused
+    ``bitwise_or`` scatter per byte-lane assembles the stream without any
+    per-token Python.
+    """
+    head_bytes = head.getvalue()
+    head_bits = len(head._out) * 8 + head._nbits  # exact bit length of head
+    if len(vals) == 0:
+        return head_bytes
+    vals = vals.astype(np.uint64, copy=False)
+    nbits64 = nbits.astype(np.int64, copy=False)
+    offs = head_bits + np.concatenate(([0], np.cumsum(nbits64)[:-1]))
+    total_bits = int(head_bits + nbits64.sum())
+    n_bytes = (total_bits + 7) // 8
+    buf = np.zeros(n_bytes, dtype=np.uint8)
+    buf[: len(head_bytes)] = np.frombuffer(head_bytes, dtype=np.uint8)
+
+    end = offs + nbits64  # exclusive bit end
+    pad = (-end) % 8  # right-pad to byte boundary
+    end_byte = (end - 1) // 8
+    start_byte = offs // 8
+    span = end_byte - start_byte + 1
+    pad_u = pad.astype(np.uint64)
+    lo = vals << pad_u  # wraps mod 2^64 — low 64 bits of shifted value
+    rshift = np.where(pad > 0, 64 - pad, 0).astype(np.uint64)  # < 64 always
+    hi = np.where(pad > 0, vals >> rshift, np.uint64(0))
+
+    max_span = int(span.max())
+    for j in range(max_span):
+        live = span > j
+        idx = np.where(live, end_byte - j, 0)
+        if j < 8:
+            byte = (lo >> np.uint64(8 * j)).astype(np.uint8)
+        else:
+            byte = hi.astype(np.uint8)
+        byte = np.where(live, byte, np.uint8(0))
+        np.bitwise_or.at(buf, idx, byte)  # masked-to-zero lanes are no-ops
+    return buf.tobytes()
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (exact: works on ≤32-bit halves,
+    which float64 represents exactly)."""
+    x = x.astype(np.uint64, copy=False)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    use_hi = hi != 0
+    v = np.where(use_hi, hi, lo).astype(np.float64)
+    bl = np.zeros(len(x), dtype=np.int64)
+    nz = v > 0
+    bl[nz] = np.floor(np.log2(v[nz])).astype(np.int64) + 1
+    bl[use_hi] += 32
+    return bl
 
 
 def _wrap64(v: int) -> int:
@@ -165,15 +234,62 @@ def dod_decode(data: bytes) -> np.ndarray:
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:
-    """Encode a float64 array with the Gorilla XOR scheme.
+    """Encode a float64 array with the Gorilla XOR scheme — vectorized.
 
     Layout: [uint32 count][raw first 64-bit value] then per point:
-    '0' when XOR == 0; '10' + meaningful bits inside the previous
-    (leading, meaningful-length) window when it still fits; '11' + 5-bit
-    leading-zero count + 6-bit (meaningful-length - 1) + meaningful bits.
-    NaN-safe (NaN bit patterns round-trip exactly); identical consecutive
-    values (fixture conv000042's constant metric) cost 1 bit.
+    '0' when XOR == 0, else '11' + 5-bit leading-zero count + 6-bit
+    (meaningful-length − 1) + meaningful bits. This encoder always emits the
+    explicit-window '11' control (never the '10' reuse form) — a valid
+    Gorilla bitstream by construction, fully decodable by ``gorilla_decode``;
+    ``gorilla_encode_windowed`` below is the sequential reference that also
+    uses '10' window reuse (slightly smaller, ~25× slower). NaN-safe;
+    identical consecutive values cost 1 bit.
     """
+    vals64 = np.ascontiguousarray(values, dtype=np.float64)
+    bits = vals64.view(np.uint64)
+    n = len(bits)
+    w = BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.getvalue()
+    w.write(int(bits[0]), 64)
+    if n == 1:
+        return w.getvalue()
+    x = bits[1:] ^ bits[:-1]
+    zero = x == 0
+    bl = _bitlen_u64(x)
+    lead = np.minimum(64 - bl, 31)
+    low = x & (np.uint64(0) - x)  # isolate lowest set bit
+    trail = np.where(zero, 0, _bitlen_u64(low) - 1)
+    mlen = np.maximum(64 - lead - trail, 1)
+    header13 = (
+        (np.uint64(0b11) << np.uint64(11))
+        | (lead.astype(np.uint64) << np.uint64(6))
+        | (mlen.astype(np.uint64) - np.uint64(1))
+    )
+    payload = x >> trail.astype(np.uint64)
+    small = mlen <= 51  # 13-bit header + payload fits one 64-bit token
+    tvals = np.where(
+        zero,
+        np.uint64(0),
+        np.where(
+            small,
+            (header13 << np.minimum(mlen, 51).astype(np.uint64)) | payload,
+            header13,
+        ),
+    )
+    tbits = np.where(zero, 1, np.where(small, 13 + mlen, 13))
+    big = np.flatnonzero(~zero & ~small)
+    if len(big):
+        tvals = np.insert(tvals, big + 1, payload[big])
+        tbits = np.insert(tbits, big + 1, mlen[big])
+    return pack_tokens(tvals, tbits, w)
+
+
+def gorilla_encode_windowed(values: np.ndarray) -> bytes:
+    """Sequential Gorilla encoder with '10' previous-window reuse — the
+    reference implementation of the full control scheme (used in tests;
+    both encoders decode with ``gorilla_decode``)."""
     vals = np.ascontiguousarray(values, dtype=np.float64)
     bits = vals.view(np.uint64)
     n = len(bits)

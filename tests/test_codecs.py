@@ -92,3 +92,26 @@ def test_gorilla_int_valued_series():
     """char_len-like series (small ints as floats)."""
     a = (20 + (np.arange(2400) * 17) % 400).astype(np.float64)
     assert np.array_equal(gorilla_decode(gorilla_encode(a)), a)
+
+
+def test_windowed_and_fast_encoders_interdecode():
+    """Both Gorilla encoder policies produce valid streams for ONE decoder."""
+    from pyreshaper_ray.functions.codecs import gorilla_encode_windowed
+
+    a = (20 + (np.arange(5000) * 17) % 400).astype(np.float64)
+    fast = gorilla_encode(a)
+    windowed = gorilla_encode_windowed(a)
+    assert np.array_equal(gorilla_decode(fast), a)
+    assert np.array_equal(gorilla_decode(windowed), a)
+    # windowed ('10'-reuse) must not be larger than the explicit-window form
+    assert len(windowed) <= len(fast)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, width=64), max_size=40))
+def test_windowed_encoder_roundtrip_property(xs):
+    from pyreshaper_ray.functions.codecs import gorilla_encode_windowed
+
+    a = np.array(xs, dtype=np.float64)
+    dec = gorilla_decode(gorilla_encode_windowed(a))
+    assert np.array_equal(dec.view(np.uint64), a.view(np.uint64))
