@@ -67,3 +67,71 @@ def test_wmode_overwrite_reruns_everything(ray_session, fixture_dir, tmp_path):
     # wmode 'o': all buckets rerun
     m3 = run_flagship(create_spec(input=base, out_dir=out, wmode="o", **kw))
     assert sorted(m3["bucket"].to_pylist()) == sorted(m1["bucket"].to_pylist())
+
+
+def test_resume_after_hard_kill(fixture_dir, tmp_path, ray_session):
+    """SIGKILL the driver mid-run; a fresh run must resume from the manifest
+    and produce outputs identical to an uninterrupted run."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    base = os.path.join(fixture_dir, "transcripts")
+    out_kill = str(tmp_path / "killed")
+    out_full = str(tmp_path / "uninterrupted")
+
+    script = f"""
+import ray, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from pyreshaper_ray.pipelines.spec import create_spec
+from pyreshaper_ray.pipelines.flagship import run_flagship
+
+# slow the run down so the kill lands mid-phase-B
+import pyreshaper_ray.pipelines.bucket as bucket
+orig = bucket.process_bucket
+def slow(t, spec_dict):
+    time.sleep(0.35)
+    return orig(t, spec_dict)
+bucket.process_bucket = slow
+
+spec = create_spec(input={base!r}, out_dir={out_kill!r}, n_buckets=12,
+                   tiers=("1m",), gapfill=False, encode=False)
+run_flagship(spec)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script])
+    # wait until some buckets committed, then kill hard
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = mf.load_completed(out_kill)
+        if len(done) >= 2:
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.2)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+    done_after_kill = mf.load_completed(out_kill)
+    assert 0 < len(done_after_kill) < 12, "kill must land mid-run"
+
+    # resume in-process (the session fixture's cluster)
+    run_flagship(
+        create_spec(
+            input=base, out_dir=out_kill, n_buckets=12,
+            tiers=("1m",), gapfill=False, encode=False,
+        )
+    )
+    assert set(mf.load_completed(out_kill)) == set(range(12))
+
+    run_flagship(
+        create_spec(
+            input=base, out_dir=out_full, n_buckets=12,
+            tiers=("1m",), gapfill=False, encode=False,
+        )
+    )
+    a = _tier_table(ray_session, out_kill, "1m")
+    b = _tier_table(ray_session, out_full, "1m")
+    assert a.equals(b)
