@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.codecs import dod_encode, gorilla_encode
-from ..functions.gapfill import GAPFILL_SCHEMA, gapfill_conversation, gapfill_to_arrow
+from ..functions.gapfill import GAPFILL_SCHEMA, gapfill_conversation
 from ..functions.normalize import WINDOW_US
 from ..state.manifest import SectionTimer, atomic_write_parquet, commit_bucket
 

@@ -47,23 +47,6 @@ def cached_get(ref):
     return _BROADCAST_CACHE[key]
 
 
-_INDEX_CACHE: dict[str, dict] = {}
-
-
-def cached_index(path: str) -> dict:
-    """Per-worker-process cache of a spill index JSON file, keyed by the
-    file's mtime so a re-spilled index (wmode 'o') is never served stale."""
-    import os
-
-    key = f"{path}:{os.stat(path).st_mtime_ns}"
-    if key not in _INDEX_CACHE:
-        import json
-
-        with open(path) as f:
-            _INDEX_CACHE[key] = json.load(f)
-    return _INDEX_CACHE[key]
-
-
 def collect_table(ds, fallback_schema: pa.Schema | None = None) -> pa.Table:
     """Materialize a (small, result-sized) Dataset as one Arrow table.
 
