@@ -324,6 +324,19 @@ def q_enrich_conv_channel(sf_dir: str):
     ).aggregate(Sum("char_sum", alias_name="char_sum"), Sum("n_turns", alias_name="n_turns"))
 
 
+def q_sliding_5m(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import sliding_rollup
+    from pyreshaper_ray.stages.rollup import rollup_1m
+
+    return sliding_rollup(rollup_1m(_norm_ds(sf_dir)), window_minutes=5)
+
+
+def q_asof_last_order(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import asof_last_order
+
+    return asof_last_order(sf_dir)
+
+
 def q_audio_stub(sf_dir: str):
     from pyreshaper_ray.stages.multimodal import decode_documents_as_audio
 
@@ -383,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stub": q_audio_stub,
         "lineitem_orders_join": q_lineitem_orders_join,
         "enrich_conv_cohort": q_enrich_conv_channel,
+        "sliding_rollup_5m": q_sliding_5m,
+        "asof_last_order": q_asof_last_order,
     }
 
 
@@ -547,6 +562,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n_samples = 0 THEN 0
                              ELSE (n_samples - 1) // 512 + 1 END AS BIGINT) AS n_frames
             FROM s
+        """,
+        "sliding_rollup_5m": f"""
+            WITH t AS ({_T}),
+            m AS (
+                SELECT conv_id, date_trunc('minute', ts) AS window_start,
+                       CAST(COUNT(*) AS BIGINT) AS turn_count,
+                       CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum
+                FROM t GROUP BY 1, 2
+            )
+            SELECT conv_id, window_start,
+                   CAST(SUM(turn_count) OVER w AS BIGINT) AS turn_count_5m,
+                   CAST(SUM(char_sum) OVER w AS BIGINT) AS char_sum_5m
+            FROM m
+            WINDOW w AS (PARTITION BY conv_id ORDER BY window_start
+                         RANGE BETWEEN INTERVAL 4 MINUTE PRECEDING
+                                   AND CURRENT ROW)
+        """,
+        "asof_last_order": """
+            SELECT e.event_id,
+                   MAX(o.o_orderdate) AS last_order_ts
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
         """,
         "lineitem_orders_join": """
             SELECT o.o_orderstatus,

@@ -119,6 +119,105 @@ def conv_stats(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     return ray.data.from_pandas(a)
 
 
+def sliding_rollup(
+    tier_ds: "ray.data.Dataset", window_minutes: int = 5
+) -> "ray.data.Dataset":
+    """Sliding-window aggregate over the 1m tier: for every existing window
+    w, totals over (w − (window_minutes−1) minutes … w] of the SAME
+    conversation. Per-conversation kernel: cumulative sums + searchsorted
+    over the sorted minute series (no per-row Python), running inside
+    ``groupby(conv_id).map_groups`` so state never crosses conversations.
+    """
+    lo_us = (window_minutes - 1) * 60_000_000
+
+    def slide(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("window_start", "ascending")])
+        g = group.take(idx)
+        win = (
+            g["window_start"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        tc = g["turn_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = g["char_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_tc = np.concatenate(([0], np.cumsum(tc)))
+        cum_cs = np.concatenate(([0], np.cumsum(cs)))
+        left = np.searchsorted(win, win - lo_us, side="left")
+        n = len(win)
+        pos = np.arange(1, n + 1)
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "window_start": g["window_start"],
+                "turn_count_5m": pa.array(cum_tc[pos] - cum_tc[left], pa.int64()),
+                "char_sum_5m": pa.array(cum_cs[pos] - cum_cs[left], pa.int64()),
+            }
+        )
+
+    return tier_ds.groupby("conv_id").map_groups(slide, batch_format="pyarrow")
+
+
+def asof_last_order(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (broadcast small side): for every event, the latest
+    order date of the same customer with o_orderdate ≤ ts. The per-customer
+    sorted order-date arrays are broadcast once; each batch resolves with
+    one searchsorted per customer present in the batch.
+
+    At large-large scale this becomes per-bucket ``pd.merge_asof`` on
+    co-partitioned, ts-sorted sides (same bucket exchange as the flagship).
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    df = orders.to_pandas().sort_values(["o_custkey", "o_orderdate"])
+    lut = {
+        int(k): g["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        for k, g in df.groupby("o_custkey")
+    }
+    ref = ray.put(lut)
+
+    def match(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        orders_by_cust: dict[int, np.ndarray] = cached_get(ref)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        out = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
+        have = np.zeros(len(users), dtype=bool)
+        for u in np.unique(users):
+            dates = orders_by_cust.get(int(u))
+            if dates is None:
+                continue
+            m = users == u
+            pos = np.searchsorted(dates, ts[m], side="right") - 1
+            ok = pos >= 0
+            vals = np.where(ok, dates[np.maximum(pos, 0)], 0)
+            idx = np.flatnonzero(m)
+            out[idx[ok]] = vals[ok]
+            have[idx[ok]] = True
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "last_order_ts": pa.array(out, pa.timestamp("us"), mask=~have),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped integer-exact pricing summary over lineitem."""
     ds = ray.data.read_parquet(

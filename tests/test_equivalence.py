@@ -114,3 +114,51 @@ def test_exclude_and_subset_and_limit(ray_session, fixture_dir, tmp_path):
     )
     m = run_flagship(spec2)
     assert set(m["bucket"].to_pylist()) <= {0, 1}
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_random_corpus_equivalence(ray_session, tmp_path, seed):
+    """Randomized robustness: an adversarial random transcript table (dup
+    turns, shuffled order, ragged conversations, weird gaps) must still be
+    bit-exact between flagship and oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n = 4000
+    conv = rng.integers(0, 120, n)
+    rows = {
+        "conv_id": pa.array([f"c{int(i):04d}" for i in conv], pa.string()),
+        "turn_idx": pa.array(rng.integers(0, 50, n).astype("int32"), pa.int32()),
+        "role": pa.array(
+            rng.choice(["user", "assistant", "tool", "system"], n).tolist(), pa.string()
+        ),
+        "text": pa.array(
+            ["x" * int(k) + str(int(c)) for k, c in zip(rng.integers(0, 300, n), conv)],
+            pa.string(),
+        ),
+        "tool": pa.array(rng.choice(["", "search", "python"], n).tolist(), pa.string()),
+        "ts": pa.array(
+            np.sort(rng.integers(1_700_000_000_000_000, 1_700_864_000_000_000, n)).astype(
+                "int64"
+            ),
+            pa.timestamp("us"),
+        ),
+    }
+    t = pa.table(rows)
+    src = tmp_path / f"rand{seed}"
+    src.mkdir()
+    pq.write_table(t, str(src / "part.parquet"))
+
+    from pyreshaper_ray.oracle import oracle_full
+
+    o = oracle_full(t)
+    out = str(tmp_path / f"out{seed}")
+    run_flagship(create_spec(input=str(src), out_dir=out, n_buckets=7))
+    for tier, keys in TIER_KEYS.items():
+        mine = read_tier_table(ray_session, out, tier)
+        if "bucket" in mine.column_names:
+            mine = mine.drop_columns(["bucket"])
+        ref = o[ORACLE_KEY[tier]]
+        a = canon(mine, keys).select(ref.column_names).cast(ref.schema)
+        assert a.equals(canon(ref, keys)), f"tier {tier} seed {seed}"
