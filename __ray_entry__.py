@@ -132,6 +132,15 @@ def q_series_encode(sf_dir: str):
     )
 
 
+def q_series_roundtrip(sf_dir: str):
+    """Encode → decode round trip at the Dataset level: per-conversation
+    stats re-derived FROM the DoD/Gorilla blobs must equal SQL aggregates of
+    the raw rows — the lossless-compression contract, oracle-checked."""
+    from pyreshaper_ray.stages.pivot import decode_series_stats, encode_series
+
+    return decode_series_stats(encode_series(_norm_ds(sf_dir)))
+
+
 def q_distinct_tools_1m(sf_dir: str):
     from pyreshaper_ray.stages.analytics import distinct_tools_per_window
 
@@ -376,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d_cascade": q_rollup_1d,
         "gapfill_1m": q_gapfill_1m,
         "series_encode": q_series_encode,
+        "series_decode_roundtrip": q_series_roundtrip,
         "distinct_tools_1m": q_distinct_tools_1m,
         "topk_convs_by_chars": q_topk_convs,
         "sessionize_30m": q_sessionize,
@@ -447,6 +457,15 @@ def oracle_sql() -> dict[str, str]:
                                             THEN g ELSE 0 END), 0) AS BIGINT)
                        AS n_windows
             FROM d GROUP BY 1
+        """,
+        "series_decode_roundtrip": f"""
+            WITH t AS ({_T})
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts
+            FROM t GROUP BY 1
         """,
         "distinct_tools_1m": f"""
             WITH t AS ({_T})

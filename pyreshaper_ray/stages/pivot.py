@@ -109,6 +109,41 @@ def pivot_and_encode(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def decode_series_stats(ds_series: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Decode the compressed per-conversation series and re-derive stats —
+    (n_turns, char_sum, first_ts, last_ts) PER CONVERSATION come back out of
+    the DoD/Gorilla blobs, proving losslessness end-to-end at the Dataset
+    level (the SQL oracle recomputes the same stats from the raw rows)."""
+    from ..functions.codecs import dod_decode, gorilla_decode
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_turns = np.empty(n, dtype=np.int64)
+        char_sum = np.empty(n, dtype=np.int64)
+        first_ts = np.empty(n, dtype=np.int64)
+        last_ts = np.empty(n, dtype=np.int64)
+        dod = batch["dod_ts"].to_pylist()
+        gor = batch["gorilla_char_len"].to_pylist()
+        for i in range(n):
+            ts = dod_decode(dod[i])
+            vals = gorilla_decode(gor[i])
+            n_turns[i] = len(ts)
+            char_sum[i] = int(vals.sum())
+            first_ts[i] = ts[0] if len(ts) else 0
+            last_ts[i] = ts[-1] if len(ts) else 0
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "char_sum": pa.array(char_sum, pa.int64()),
+                "first_ts": pa.array(first_ts, pa.timestamp("us")),
+                "last_ts": pa.array(last_ts, pa.timestamp("us")),
+            }
+        )
+
+    return ds_series.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def encode_series(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Standalone series encoder (used when turns are already pivoted)."""
 
