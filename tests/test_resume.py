@@ -19,7 +19,7 @@ from pyreshaper_ray.state import manifest as mf
 
 def _tier_table(ray, out, tier):
     refs = read_tier(out, tier).to_arrow_refs()
-    t = pa.concat_tables([ray.get(r) for r in refs])
+    t = pa.concat_tables([x for x in (ray.get(r) for r in refs) if x.num_columns])
     return t.take(
         pc.sort_indices(
             t, sort_keys=[("conv_id", "ascending"), ("window_start", "ascending")]

@@ -43,9 +43,9 @@ def ds_and_oracle(ray_session, fixture_dir):
 
 
 def _collect(ds) -> pa.Table:
-    import ray
+    from pyreshaper_ray.util import collect_table
 
-    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    return collect_table(ds)
 
 
 def test_normalize_stage(ds_and_oracle):
