@@ -333,6 +333,12 @@ def q_enrich_conv_channel(sf_dir: str):
     ).aggregate(Sum("char_sum", alias_name="char_sum"), Sum("n_turns", alias_name="n_turns"))
 
 
+def q_median_chars(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import median_chars_per_conv
+
+    return median_chars_per_conv(_norm_ds(sf_dir))
+
+
 def q_sliding_5m(sf_dir: str):
     from pyreshaper_ray.stages.analytics import sliding_rollup
     from pyreshaper_ray.stages.rollup import rollup_1m
@@ -408,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_conv_cohort": q_enrich_conv_channel,
         "sliding_rollup_5m": q_sliding_5m,
         "asof_last_order": q_asof_last_order,
+        "median_chars_per_conv": q_median_chars,
     }
 
 
@@ -580,6 +587,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_samples * 1000 // 16000 AS BIGINT) AS duration_ms,
                    CAST(CASE WHEN n_samples = 0 THEN 0
                              ELSE (n_samples - 1) // 512 + 1 END AS BIGINT) AS n_frames
+            FROM s
+        """,
+        "median_chars_per_conv": f"""
+            WITH t AS ({_T}),
+            s AS (
+                SELECT conv_id,
+                       list_sort(list(LENGTH(text))) AS l,
+                       COUNT(*) AS n
+                FROM t GROUP BY 1
+            )
+            SELECT conv_id,
+                   CAST(l[CAST((n - 1) // 2 AS BIGINT) + 1] AS BIGINT) AS median_char
             FROM s
         """,
         "sliding_rollup_5m": f"""

@@ -119,6 +119,26 @@ def conv_stats(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     return ray.data.from_pandas(a)
 
 
+def median_chars_per_conv(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact order statistic per conversation: the lower median of char_len,
+    defined deterministically as sorted[(n-1)//2] so the DuckDB oracle can
+    restate it with list_sort + explicit indexing (no quantile-interpolation
+    ambiguity). Per-group numpy partition — O(n) selection, no full sort."""
+
+    def med(group: pa.Table) -> pa.Table:
+        v = group["char_len"].to_numpy(zero_copy_only=False)
+        k = (len(v) - 1) // 2
+        m = int(np.partition(v, k)[k])
+        return pa.table(
+            {
+                "conv_id": pa.array([group["conv_id"][0].as_py()], pa.string()),
+                "median_char": pa.array([m], pa.int64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(med, batch_format="pyarrow")
+
+
 def sliding_rollup(
     tier_ds: "ray.data.Dataset", window_minutes: int = 5
 ) -> "ray.data.Dataset":
