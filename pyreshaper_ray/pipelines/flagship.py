@@ -4,14 +4,18 @@ The end-to-end ``s2srun`` analog (public repo ``scripts/s2srun`` →
 ``reshaper.create_reshaper(spec).convert()``):
 
     read_parquet(input, columns=transcript cols)        # S1, column-pruned
+      → [heavy-conversation scan → bucket overrides]    # WeightBalanced analog
       → map_batches(normalize + bucket id)              # M-ops, stateless
-      → [resume filter: drop manifest-completed buckets]# wmode 's'
-      → groupby("bucket").map_groups(bucket kernel)     # THE shuffle
+      → exchange (spec.exchange, default "spill"):      # THE one all-to-all
+           map-side hive-partitioned spill write → one task per remaining
+           bucket reads ONLY its partition (see _execute_exchange for the
+           "hash" and "groupby" alternatives)
+      → bucket kernel per task:
            sort+dedup pivot · rollup tiers · cascade ·
            gap-fill · DoD/Gorilla encode · atomic write · manifest commit
       → metrics rows (one per bucket) → driver reduce   # print_diagnostics
 
-Scale properties: exactly one all-to-all exchange; the shuffle payload is the
+Scale properties: exactly one all-to-all exchange; its payload is the
 normalized corpus (text projected through for the turns tier — drop it via
 ``JobSpec`` if only rollups are needed); writes fan out per bucket with
 deterministic names, so a rerun skips committed buckets after one input scan.
