@@ -113,8 +113,11 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
                 spill_dir, partition_cols=["bucket"]
             )
             PHASE_TIMES["spill_write"] = time.perf_counter() - t0
-            with open(marker, "w") as f:
+            # atomic marker commit: a crash mid-write must not leave a
+            # valid-looking marker over an incomplete spill
+            with open(marker + ".tmp", "w") as f:
                 f.write(fingerprint)
+            os.replace(marker + ".tmp", marker)
         else:
             PHASE_TIMES["spill_write"] = 0.0
         todo = [

@@ -103,17 +103,20 @@ spec = create_spec(input={base!r}, out_dir={out_kill!r}, n_buckets=12,
 run_flagship(spec)
 """
     proc = subprocess.Popen([sys.executable, "-c", script])
-    # wait until some buckets committed, then kill hard
+    # wait until the spill is fully committed AND some buckets are done, so
+    # the kill deterministically lands mid-phase-B (not mid-spill)
+    marker = os.path.join(out_kill, "_spill", "_SPILL_COMPLETE")
     deadline = time.time() + 120
     while time.time() < deadline:
         done = mf.load_completed(out_kill)
-        if len(done) >= 2:
+        if os.path.exists(marker) and len(done) >= 2:
             break
         if proc.poll() is not None:
             break
         time.sleep(0.2)
     proc.send_signal(signal.SIGKILL)
     proc.wait()
+    time.sleep(2)  # let the killed driver's orphaned workers abort
     done_after_kill = mf.load_completed(out_kill)
     assert 0 < len(done_after_kill) < 12, "kill must land mid-run"
 
