@@ -137,6 +137,22 @@ def run_bench(headline_only: bool = False) -> dict:
 
     n_turns_out = int(pc.sum(metrics["n_turns"]).as_py() or 0)
 
+    # metrics-only flagship: text projected away before the exchange
+    out3 = os.path.join(out_root, f"out_slim_sf{sf}_cpus{NUM_CPUS}")
+    shutil.rmtree(out3, ignore_errors=True)
+    timed(
+        "flagship_metrics_only",
+        lambda: run_flagship(
+            create_spec(
+                input=fixture_in,
+                out_dir=out3,
+                n_buckets=max(64, NUM_CPUS * 4),
+                include_turns=False,
+                wmode="o",
+            )
+        ),
+    )
+
     # flagship over the sf dir's events stream (adapter path)
     from pyreshaper_ray.sources.adapters import read_events_as_transcripts
 

@@ -193,7 +193,9 @@ def process_bucket(t: pa.Table, spec_dict: dict) -> tuple[dict[str, pa.Table], d
     timer = SectionTimer()
     timer.start("pivot_sort_dedup")
     turns = sort_dedup_bucket(t)
-    out: dict[str, pa.Table] = {"turns": turns}
+    out: dict[str, pa.Table] = {}
+    if spec_dict.get("include_turns", True):
+        out["turns"] = turns
 
     tiers = tuple(spec_dict.get("tiers", ("1m", "1h", "1d")))
     prev_name: str | None = None

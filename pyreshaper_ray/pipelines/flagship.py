@@ -92,6 +92,7 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
                 spec.exclude_roles,
                 spec.conv_subset,
                 spec.salt_threshold,
+                spec.include_turns,
             )
         )
         current = None
@@ -212,6 +213,11 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
     ds = normalize_dataset(
         ds, n_buckets=spec.n_buckets, bucket_overrides=bucket_overrides
     )
+
+    if not spec.include_turns:
+        # metrics-only mode: the payload column never enters the exchange
+        # (char_len/tok_est are already derived); the spill shrinks ~5×
+        ds = ds.drop_columns(["text"])
 
     if spec.exclude_roles:
         excl = list(spec.exclude_roles)

@@ -34,6 +34,9 @@ class JobSpec:
     out_dir: str
     n_buckets: int = 64
     tiers: tuple[str, ...] = VALID_TIERS
+    include_turns: bool = True  # False = rollups/series only: text never
+    # enters the exchange (the 'project text away from metric paths early'
+    # scale lever — the spill shrinks ~5x)
     gapfill: bool = True
     gapfill_max_gap: int | None = 60  # windows; None = unbounded fill
     encode: bool = True

@@ -73,3 +73,41 @@ def test_exchange_variants_identical(ray_session, fixture_dir, tmp_path):
         )
     assert tiers["spill"].equals(tiers["hash"].select(tiers["spill"].column_names))
     assert tiers["spill"].equals(tiers["groupby"].select(tiers["spill"].column_names))
+
+
+def test_metrics_only_mode(ray_session, fixture_dir, tmp_path):
+    """include_turns=False: text never enters the exchange; rollup tiers and
+    series stay bit-exact vs the full run; no turns tier is written."""
+    import glob
+
+    import ray
+
+    base = os.path.join(fixture_dir, "transcripts")
+    out_full = str(tmp_path / "full")
+    out_slim = str(tmp_path / "slim")
+    run_flagship(create_spec(input=base, out_dir=out_full, n_buckets=5))
+    run_flagship(create_spec(input=base, out_dir=out_slim, n_buckets=5, include_turns=False))
+
+    assert not glob.glob(os.path.join(out_slim, "turns", "*"))
+    from pyreshaper_ray.pipelines.flagship import read_tier
+
+    for tier, keys in (("1m", ["conv_id", "window_start"]),
+                       ("1d", ["conv_id", "window_start"]),
+                       ("gapfill_1m", ["conv_id", "window_start"]),
+                       ("series", ["conv_id"])):
+        def load(out):
+            t = pa.concat_tables(
+                [r for r in (ray.get(x) for x in read_tier(out, tier).to_arrow_refs()) if r.num_columns]
+            )
+            if "bucket" in t.column_names:
+                t = t.drop_columns(["bucket"])
+            return t.take(pc.sort_indices(t, sort_keys=[(k, "ascending") for k in keys]))
+
+        a, b = load(out_full), load(out_slim)
+        assert a.equals(b.select(a.column_names)), f"tier {tier} differs in metrics-only mode"
+
+    # the slim spill must not contain text
+    spill_files = glob.glob(os.path.join(out_slim, "_spill", "bucket=*", "*.parquet"))
+    import pyarrow.parquet as pq
+
+    assert "text" not in pq.read_schema(spill_files[0]).names
