@@ -29,6 +29,7 @@ def cmd_make(args: argparse.Namespace) -> int:
         out_dir=args.out,
         n_buckets=args.n_buckets,
         tiers=tuple(args.tiers.split(",")),
+        include_turns=not args.no_turns,
         gapfill=not args.no_gapfill,
         gapfill_max_gap=args.max_gap,
         encode=not args.no_encode,
@@ -128,6 +129,8 @@ def main(argv: list[str] | None = None) -> int:
     mk.add_argument("--out", required=True, help="output directory")
     mk.add_argument("--n-buckets", type=int, default=64)
     mk.add_argument("--tiers", default="1m,1h,1d")
+    mk.add_argument("--no-turns", action="store_true",
+                    help="metrics-only: do not move/emit the text payload")
     mk.add_argument("--no-gapfill", action="store_true")
     mk.add_argument("--max-gap", type=int, default=60)
     mk.add_argument("--no-encode", action="store_true")
