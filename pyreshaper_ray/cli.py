@@ -119,6 +119,39 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_retain(args: argparse.Namespace) -> int:
+    """Enforce retention tiers over a completed run's output layout."""
+    import numpy as np
+
+    import ray
+
+    from .pipelines.retention import DAY_US, apply_retention
+
+    policy: dict[str, int | None] = {}
+    for item in args.keep or []:
+        tier, _, days = item.partition("=")
+        policy[tier] = None if days in ("", "forever") else int(float(days) * DAY_US)
+    now_us = (
+        int(np.datetime64(args.now, "us").astype(np.int64))
+        if args.now
+        else int(np.datetime64("now", "us").astype(np.int64))
+    )
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        record = apply_retention(args.out, policy, now_us)
+        print(json.dumps(record))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyreshaper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -150,6 +183,17 @@ def main(argv: list[str] | None = None) -> int:
     rn.add_argument("--num-cpus", type=int, default=8)
     rn.add_argument("--verbosity", type=int, default=0)
     rn.set_defaults(fn=cmd_run)
+
+    rt = sub.add_parser("retain", help="enforce retention tiers on a run's output")
+    rt.add_argument("--out", required=True, help="run output directory")
+    rt.add_argument(
+        "--keep",
+        action="append",
+        help="tier=days (repeatable), e.g. --keep 1m=7 --keep 1h=90 --keep 1d=forever",
+    )
+    rt.add_argument("--now", default=None, help="reference time (ISO); default: now")
+    rt.add_argument("--num-cpus", type=int, default=8)
+    rt.set_defaults(fn=cmd_retain)
 
     args = p.parse_args(argv)
     return args.fn(args)
