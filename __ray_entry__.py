@@ -234,6 +234,25 @@ def q_knn(sf_dir: str):
     return knn_bruteforce(sf_dir, n_queries=5, k=5)
 
 
+def q_knn_lsh(sf_dir: str):
+    """Approximate ANN (sign-LSH buckets, per-bucket top-k via map_groups).
+    No SQL oracle by design (approximate); the recall-vs-bruteforce gate
+    lives in tests/test_similarity.py."""
+    from pyreshaper_ray.stages.similarity import knn_lsh
+
+    return knn_lsh(sf_dir, n_queries=5, k=5, n_bits=4)
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Approximate near-dup pairs (multi-table sign-LSH + in-bucket exact
+    cosine). Rows-only by design; recall gate in tests/test_similarity.py."""
+    from pyreshaper_ray.stages.similarity import neardup_lsh
+    from pyreshaper_ray.util import collect_table
+
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    return collect_table(neardup_lsh(sf_dir, threshold=0.4), schema)
+
+
 def q_embedding_neardup(sf_dir: str):
     from pyreshaper_ray.stages.similarity import neardup_pairs
     from pyreshaper_ray.util import collect_table
@@ -407,7 +426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": q_simhash,
         "minhash_neardup_documents": q_minhash_neardup,
         "knn_cosine_top5": q_knn,
+        "knn_lsh_top5": q_knn_lsh,
         "embedding_neardup_pairs": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_decode_stub": q_multimodal,
         "audio_decode_stub": q_audio_stub,
         "lineitem_orders_join": q_lineitem_orders_join,

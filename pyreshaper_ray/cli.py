@@ -125,12 +125,16 @@ def cmd_retain(args: argparse.Namespace) -> int:
 
     import ray
 
-    from .pipelines.retention import DAY_US, apply_retention
+    from .pipelines.retention import DAY_US, DEFAULT_POLICY, apply_retention
 
-    policy: dict[str, int | None] = {}
-    for item in args.keep or []:
-        tier, _, days = item.partition("=")
-        policy[tier] = None if days in ("", "forever") else int(float(days) * DAY_US)
+    if args.keep:
+        policy: dict[str, int | None] = {}
+        for item in args.keep:
+            tier, _, days = item.partition("=")
+            policy[tier] = None if days in ("", "forever") else int(float(days) * DAY_US)
+    else:
+        # no --keep: enforce the standard TSDB ladder rather than a no-op
+        policy = dict(DEFAULT_POLICY)
     now_us = (
         int(np.datetime64(args.now, "us").astype(np.int64))
         if args.now

@@ -33,16 +33,19 @@ ROLLUP_COLUMNS = [
 
 
 def oracle_pivot(t: pa.Table) -> pa.Table:
-    """Slice→series pivot: stable sort by (conv_id, turn_idx, ts), dedup
-    keep-first on (conv_id, turn_idx). Per-turn ``text`` is untouched —
-    the bit-for-bit preservation contract."""
+    """Slice→series pivot: stable sort by (conv_id, turn_idx, ts, payload),
+    dedup keep-first on (conv_id, turn_idx). Per-turn ``text`` is untouched —
+    the bit-for-bit preservation contract. The payload columns in the sort
+    key make the keep-first survivor deterministic even when duplicates share
+    a ts but differ in text (same rule as the distributed kernel)."""
     idx = pc.sort_indices(
         t,
         sort_keys=[
             ("conv_id", "ascending"),
             ("turn_idx", "ascending"),
             ("ts", "ascending"),
-        ],
+        ]
+        + [(c, "ascending") for c in ("role", "tool", "text") if c in t.column_names],
     )
     t = t.take(idx)
     df = pd.DataFrame({"conv_id": t["conv_id"].to_pandas(), "turn_idx": t["turn_idx"].to_pandas()})

@@ -47,15 +47,20 @@ def _conv_boundaries(conv: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def sort_dedup_bucket(t: pa.Table) -> pa.Table:
-    """Vectorized pivot over a whole bucket: one sort, one dedup mask."""
-    idx = pc.sort_indices(
-        t,
-        sort_keys=[
-            ("conv_id", "ascending"),
-            ("turn_idx", "ascending"),
-            ("ts", "ascending"),
-        ],
-    )
+    """Vectorized pivot over a whole bucket: one sort, one dedup mask.
+
+    The sort key ends with the payload columns so keep-first is fully
+    deterministic even when duplicate ``turn_idx`` rows share a ``ts`` but
+    differ in text/role — arrival order never decides the survivor.
+    """
+    keys = [
+        ("conv_id", "ascending"),
+        ("turn_idx", "ascending"),
+        ("ts", "ascending"),
+    ] + [
+        (c, "ascending") for c in ("role", "tool", "text") if c in t.column_names
+    ]
+    idx = pc.sort_indices(t, sort_keys=keys)
     t = t.take(idx)
     codes = pc.dictionary_encode(t["conv_id"].combine_chunks()).indices.to_numpy(
         zero_copy_only=False

@@ -50,6 +50,31 @@ def _spec_dict(spec: JobSpec) -> dict:
     return d
 
 
+def _input_signature(input_paths: str | list[str]) -> tuple:
+    """Resolved input file list with (size, mtime_ns) per file — the part of
+    the spill fingerprint that detects input mutation. Unresolvable paths
+    (e.g. the caller passed a pre-built Dataset and ``spec.input`` is only
+    nominal) contribute their literal string, never an error."""
+    import glob as _glob
+
+    paths = [input_paths] if isinstance(input_paths, str) else list(input_paths)
+    sig: list[tuple] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files = sorted(_glob.glob(os.path.join(p, "*.parquet")))
+        elif "*" in p or "?" in p:
+            files = sorted(_glob.glob(p))
+        elif os.path.exists(p):
+            files = [p]
+        else:
+            sig.append((p,))
+            continue
+        for f in files:
+            st = os.stat(f)
+            sig.append((f, st.st_size, st.st_mtime_ns))
+    return tuple(sig)
+
+
 def build_input(spec: JobSpec) -> "ray.data.Dataset":
     paths = spec.input
     return ray.data.read_parquet(paths, columns=TRANSCRIPT_COLUMNS)
@@ -84,10 +109,14 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
 
         spill_dir = os.path.join(spec.out_dir, "_spill")
         marker = os.path.join(spill_dir, "_SPILL_COMPLETE")
-        # the spill is only reusable for the same input + filters + bucketing
+        # the spill is only reusable for the same input + filters + bucketing;
+        # the resolved file list (+ size/mtime) is folded in so a wmode-'s'
+        # rerun never reuses a stale spill after input files change or a glob
+        # matches newly-added files
         fingerprint = repr(
             (
                 spec.input,
+                _input_signature(spec.input),
                 spec.n_buckets,
                 spec.exclude_roles,
                 spec.conv_subset,
@@ -190,6 +219,12 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
         import shutil
 
         shutil.rmtree(os.path.join(spec.out_dir, "_spill"), ignore_errors=True)
+        # drop stale tier outputs too: a rerun with fewer buckets / different
+        # tiers must not leave old bucket=NNNNN files for read_tier to mix in
+        from .bucket import TIER_DIRS
+
+        for sub in set(TIER_DIRS.values()):
+            shutil.rmtree(os.path.join(spec.out_dir, sub), ignore_errors=True)
     completed = set(mf.load_completed(spec.out_dir)) if spec.wmode == "s" else set()
 
     if ds is None:

@@ -97,26 +97,62 @@ def topk_convs_by_chars(
 
 
 def conv_stats(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Per-conversation stream stats: n_turns, first_ts, last_ts, n_roles."""
-    base = ds_transcripts.groupby("conv_id").aggregate(
-        Count(alias_name="n_turns"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
+    """Per-conversation stream stats: n_turns, first_ts, last_ts, n_roles.
+
+    Fully distributed (no driver-side merge): a per-block combiner reduces to
+    one row per (conv_id, role); a groupby on that pair key makes the pairs
+    globally unique while carrying the partial turn counts and ts extremes;
+    a second combiner + groupby on conv_id then folds the (few) role rows per
+    conversation into the final stats, counting each distinct role exactly
+    once. Both shuffles move one row per key per block.
+    """
+
+    def per_role_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id", "role"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ("ts", "count")]
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "role": g["role"],
+                "first_ts": g["ts_min"],
+                "last_ts": g["ts_max"],
+                "n": pc.cast(g["ts_count"], pa.int64()),
+            }
+        )
+
+    per_role = ds_transcripts.map_batches(
+        per_role_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["conv_id", "role"]).aggregate(
+        Sum("n", alias_name="n"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
     )
 
-    def role_pairs(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["conv_id", "role"]).aggregate([])
-        return g
+    def per_conv_partial(batch: pa.Table) -> pa.Table:
+        # rows are globally unique per (conv_id, role) here, so counting rows
+        # per conv_id counts distinct roles
+        g = batch.group_by(["conv_id"]).aggregate(
+            [("n", "sum"), ("first_ts", "min"), ("last_ts", "max"), ("role", "count")]
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_turns": g["n_sum"],
+                "first_ts": g["first_ts_min"],
+                "last_ts": g["last_ts_max"],
+                "n_roles": pc.cast(g["role_count"], pa.int64()),
+            }
+        )
 
-    pairs = ds_transcripts.map_batches(
-        role_pairs, batch_format="pyarrow", zero_copy_batch=True
+    return per_role.map_batches(
+        per_conv_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+        Sum("n_roles", alias_name="n_roles"),
     )
-    uniq = pairs.groupby(["conv_id", "role"]).aggregate(Count(alias_name="_n"))
-    nroles = uniq.groupby("conv_id").aggregate(Count(alias_name="n_roles"))
-    # both sides are one row per conversation — a small-side merge, not a
-    # big-data driver loop
-    a = base.to_pandas().merge(nroles.to_pandas()[["conv_id", "n_roles"]], on="conv_id")
-    return ray.data.from_pandas(a)
 
 
 def median_chars_per_conv(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":

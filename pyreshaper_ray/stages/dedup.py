@@ -73,6 +73,34 @@ def dedup_exact(ds_docs: "ray.data.Dataset", text_col: str = "text") -> "ray.dat
 _MERSENNE = (1 << 61) - 1
 
 
+def _mulmod_m61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*b) mod (2^61-1) for uint64 arrays with a, b < 2^61 — overflow-safe.
+
+    Split each factor into 32-bit limbs and reduce with the Mersenne
+    identities 2^61 ≡ 1 and 2^64 ≡ 8 (mod 2^61-1); every intermediate stays
+    below 2^63, so numpy's wrapping uint64 arithmetic never corrupts the
+    result (the naive a*b wraps mod 2^64 first and breaks the universal-hash
+    family; ADVICE round-1).
+    """
+    M = np.uint64(_MERSENNE)
+    a_hi = a >> np.uint64(32)
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    b_hi = b >> np.uint64(32)
+    b_lo = b & np.uint64(0xFFFFFFFF)
+    hi = a_hi * b_hi  # < 2^58
+    mid = a_hi * b_lo + a_lo * b_hi  # < 2^62
+    lo = a_lo * b_lo  # < 2^64
+    # full product = hi·2^64 + mid·2^32 + lo
+    mid_part = (mid >> np.uint64(29)) + (
+        (mid & np.uint64((1 << 29) - 1)) << np.uint64(32)
+    )
+    lo_part = (lo & M) + (lo >> np.uint64(61))
+    r = hi * np.uint64(8) + mid_part + lo_part  # < 3·2^61 < 2^63
+    r = (r & M) + (r >> np.uint64(61))
+    r = (r & M) + (r >> np.uint64(61))
+    return np.where(r >= M, r - M, r)
+
+
 def _token_hashes(text: str) -> np.ndarray:
     toks = text.lower().split()
     return np.fromiter(
@@ -103,11 +131,11 @@ class MinHasher:
         self.k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)  # (s,)
+        sh = shingle_hashes(text, self.k) & np.uint64(_MERSENNE)  # (s,) < 2^61
         # (n_perm, s) universal hashes mod Mersenne prime, min over shingles
-        v = (
-            self.a[:, None] * sh[None, :] + self.b[:, None]
-        ) % np.uint64(_MERSENNE)
+        v = _mulmod_m61(self.a[:, None], sh[None, :]) + self.b[:, None]
+        v = (v & np.uint64(_MERSENNE)) + (v >> np.uint64(61))
+        v = np.where(v >= np.uint64(_MERSENNE), v - np.uint64(_MERSENNE), v)
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -134,11 +162,19 @@ def minhash_lsh_candidates(
     n_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 3,
+    max_bucket: int = 256,
 ) -> "ray.data.Dataset":
     """LSH candidate pairs: signature → explode to (band, band_hash, doc_id)
     → bucket groupby → pairs within bucket. rows_per_band = n_perm // bands.
     With 128 perms / 32 bands (r=4) the collision curve passes ~0.5 at
-    J≈0.56 — a recall-oriented setting; verify with exact Jaccard after."""
+    J≈0.56 — a recall-oriented setting; verify with exact Jaccard after.
+
+    ``max_bucket`` bounds pair blowup on degenerate buckets (boilerplate-heavy
+    corpora): a bucket with b > max_bucket members emits the b−1 star pairs
+    against its minimum doc_id instead of all O(b²) pairs — every member is
+    still connected to the bucket representative, so dedup connectivity (and
+    keep-lowest-id semantics under transitive grouping) survives while the
+    pair count stays linear."""
     rows = n_perm // bands
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -155,14 +191,15 @@ def minhash_lsh_candidates(
         bh = np.empty(n * bands, dtype=np.int64)
         for b in range(bands):
             chunk = sig[:, b * rows : (b + 1) * rows]
-            # stable band hash: blake2b over the row bytes
-            bh[b * n : (b + 1) * n] = [
-                int.from_bytes(
-                    hashlib.blake2b(c.tobytes(), digest_size=8).digest(), "big"
-                )
-                >> 1
-                for c in chunk
-            ]
+            # stable vectorized band hash: splitmix-style column fold (equal
+            # rows → equal hash; distinct rows collide w.p. ~2^-63, and any
+            # collision is filtered by the exact-Jaccard verify stage)
+            h = np.full(n, 0x9E3779B97F4A7C15, dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                h ^= chunk[:, c]
+                h *= np.uint64(0xBF58476D1CE4E5B9)  # wraps mod 2^64 by design
+                h ^= h >> np.uint64(29)
+            bh[b * n : (b + 1) * n] = (h >> np.uint64(1)).astype(np.int64)
         return pa.table(
             {
                 "band": pa.array(band_ids, pa.int32()),
@@ -174,12 +211,19 @@ def minhash_lsh_candidates(
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        if len(ids) < 2:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        n = len(ids)
+        if n < 2:
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        if n > max_bucket:
+            # degenerate bucket: star pairs to the representative (min id)
+            a = np.full(n - 1, ids[0], dtype=np.int64)
+            b = ids[1:]
+        else:
+            iu, ju = np.triu_indices(n, k=1)
+            a, b = ids[iu], ids[ju]
         return pa.table(
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
@@ -199,39 +243,59 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 1.0
 
 
-def verify_pairs_batch(
-    batch: pa.Table, texts_ref, threshold: float = 0.8, k: int = 3
-) -> pa.Table:
-    """Verify candidate pairs with exact shingle Jaccard. The id→text store
-    is broadcast once (``ray.put``) and cached per worker process
-    (util.cached_get); at scale this becomes a co-partitioned join of pair
-    ids against the docs table on doc_id."""
-    from ..util import cached_get
+def verify_pairs(
+    cands: "ray.data.Dataset",
+    ds_docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> "ray.data.Dataset":
+    """Verify candidate pairs with exact shingle Jaccard — fully distributed.
 
-    texts: dict[int, str] = cached_get(texts_ref)
-    da = batch["doc_a"].to_pylist()
-    db = batch["doc_b"].to_pylist()
-    jac = [exact_jaccard(texts[a], texts[b], k) for a, b in zip(da, db)]
-    t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-    return t.filter(pc.greater_equal(t["jaccard"], threshold))
+    The texts are attached by TWO co-partitioned hash joins of the pair table
+    against the docs table on doc_id (once per pair side); no id→text
+    structure is ever built on the driver or broadcast, so the verify stage
+    scales with the candidate count, not the corpus size. The Jaccard kernel
+    then runs per batch over rows that already carry both texts.
+    """
+    from .joins import hash_join
+
+    def rename(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"doc_{side}": b["doc_id"], f"text_{side}": b["text"]})
+
+        return f
+
+    docs_a = ds_docs.map_batches(rename("a"), batch_format="pyarrow", zero_copy_batch=True)
+    docs_b = ds_docs.map_batches(rename("b"), batch_format="pyarrow", zero_copy_batch=True)
+    with_a = hash_join(cands, docs_a, on="doc_a")
+    with_ab = hash_join(with_a, docs_b, on="doc_b")
+
+    def score(batch: pa.Table) -> pa.Table:
+        jac = [
+            exact_jaccard(a, b, k)
+            for a, b in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+        ]
+        t = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return with_ab.map_batches(score, batch_format="pyarrow")
 
 
 def minhash_dedup(
     sf_dir: str, threshold: float = 0.8, n_perm: int = 128, bands: int = 32
 ) -> "ray.data.Dataset":
-    """End-to-end near-dup pipeline over documents.parquet."""
-    import pyarrow.parquet as pq
-
-    import ray
-
+    """End-to-end near-dup pipeline over documents.parquet: LSH candidate
+    generation → join-based exact-Jaccard verification (no corpus broadcast
+    anywhere in the plan)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(ds, n_perm=n_perm, bands=bands)
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
-    return cands.map_batches(
-        lambda b: verify_pairs_batch(b, texts_ref, threshold),
-        batch_format="pyarrow",
-    )
+    return verify_pairs(cands, ds, threshold=threshold)
 
 
 # -------------------------------------------------------------------- simhash

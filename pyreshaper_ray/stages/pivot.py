@@ -14,8 +14,9 @@ Scale notes:
   - the shuffle key is `conv_id` alone; every later stage reuses the same
     key, so no second all-to-all is needed for series encoding.
   - a group must fit in a worker's heap; giant conversations are handled by
-    the salted path in stages/skew.py (range-based salt = turn_idx // S,
-    contiguous segments, re-merged in salt order).
+    the segment-salted path in pipelines/flagship.py / pipelines/bucket.py
+    (range salt = turn_idx // S, contiguous segments, tier-merged by
+    (conv, window) and re-stitched in salt order).
 """
 
 from __future__ import annotations
@@ -38,11 +39,14 @@ def sort_dedup_group(group: pa.Table) -> pa.Table:
     """Sort one conversation by (turn_idx, ts); dedup keep-first on turn_idx.
 
     The stable-ordering invariant (SURVEY.md §2.6 O3) that the per-turn
-    `text`-equality contract depends on.
+    `text`-equality contract depends on. Payload columns complete the sort
+    key so the keep-first survivor is deterministic even for same-ts
+    duplicates with differing payloads.
     """
-    idx = pc.sort_indices(
-        group, sort_keys=[("turn_idx", "ascending"), ("ts", "ascending")]
-    )
+    keys = [("turn_idx", "ascending"), ("ts", "ascending")] + [
+        (c, "ascending") for c in ("role", "tool", "text") if c in group.column_names
+    ]
+    idx = pc.sort_indices(group, sort_keys=keys)
     group = group.take(idx)
     t = group["turn_idx"].to_numpy(zero_copy_only=False)
     keep = np.empty(len(t), dtype=bool)

@@ -17,6 +17,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -104,45 +105,62 @@ def knn_bruteforce(
     )
 
 
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float) -> pa.Table:
+    """Cosine pairs > threshold between two Arrow blocks (canonical a < b)."""
+    ids_a = ta["vec_id"].to_numpy(zero_copy_only=False)
+    ids_b = tb["vec_id"].to_numpy(zero_copy_only=False)
+    ma = _batch_matrix(ta)
+    mb = _batch_matrix(tb)
+    na = np.linalg.norm(ma, axis=1)
+    na[na == 0] = 1.0
+    nb = np.linalg.norm(mb, axis=1)
+    nb[nb == 0] = 1.0
+    sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+    ai, bj = np.nonzero(sims > threshold)
+    a = ids_a[ai]
+    b = ids_b[bj]
+    keep = a < b  # canonical orientation + drops self/duplicate pairs
+    return pa.table(
+        {
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+        }
+    )
+
+
 def neardup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
-    """All embedding pairs with cosine > threshold (a < b). Each batch is
-    compared against the full (broadcast) normalized matrix — O(n·rows)
-    flops per batch via one matmul; the LSH variant below is the scale path."""
-    import pyarrow.parquet as pq
+    """ALL embedding pairs with cosine > threshold (a < b) — exact.
 
+    Distributed as a block-pair task grid: the corpus is split into B blocks
+    (object-store refs, never gathered to the driver) and one Ray task per
+    block pair (i ≤ j) compares the two blocks with a single matmul. Exact
+    all-pairs is inherently O(n²) flops, but per-task memory is two blocks
+    and no worker ever holds the full matrix — the round-1 full-corpus
+    broadcast is gone. For the approximate scale path (near-linear work) use
+    ``neardup_lsh`` below.
+    """
     import ray
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids = np.array(emb["vec_id"].to_pylist(), dtype=np.int64)
-    mat = _batch_matrix(emb)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    ref = ray.put((all_ids, mat / norms[:, None]))
-
-    def find_pairs(batch: pa.Table) -> pa.Table:
-        from ..util import cached_get
-
-        ref_ids, ref_mat = cached_get(ref)
-        m = _batch_matrix(batch)
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        n = np.linalg.norm(m, axis=1)
-        n[n == 0] = 1.0
-        sims = (m / n[:, None]) @ ref_mat.T
-        ai, bj = np.nonzero(sims > threshold)
-        a = ids[ai]
-        b = ref_ids[bj]
-        keep = a < b  # canonical orientation + drops self-pairs
-        return pa.table(
-            {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-            }
-        )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return ds.map_batches(find_pairs, batch_format="pyarrow")
+    num_cpus = int(ray.cluster_resources().get("CPU", 8))
+    refs = ds.repartition(min(num_cpus, 16)).to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def pair_task(ra, rb):
+        return _block_pair_sims(ra, rb, threshold)
+
+    futs = [
+        pair_task.remote(refs[i], refs[j])
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(futs) if t.num_rows]
+    if not parts:
+        empty = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]).empty_table()
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow(pa.concat_tables(parts))
 
 
 class LshBucketer:
@@ -170,12 +188,34 @@ class LshBucketer:
 
 
 def knn_lsh(sf_dir: str, n_queries: int = 5, k: int = 5, n_bits: int = 6) -> pa.Table:
-    """LSH-bucketed ANN: scan only the query's bucket. Approximate — recall
-    measured against `knn_bruteforce` in tests, not an oracle query."""
+    """LSH-bucketed ANN, distributed: the corpus is sign-bucketed with a
+    ``map_batches`` stage, the per-bucket top-k runs inside
+    ``groupby("bucket").map_groups`` (each bucket scanned exactly once, on a
+    worker), and the driver only merges the tiny per-query candidate rows —
+    the corpus is never materialized outside the shuffle. Approximate —
+    recall measured against ``knn_bruteforce`` in tests, not an oracle query.
+    """
     import pyarrow.parquet as pq
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    dim = len(emb["embedding"][0])
+    import ray
+
+    # query side: read ONLY the first n_queries rows (row-filtered read) and
+    # bucket them with the same seed-fixed hyperplanes; broadcast once
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    dim = len(qt["embedding"][0])
+    bucketer = LshBucketer(dim, n_bits=n_bits)
+    q_bucketed = bucketer(qt)
+    qids = np.array(q_bucketed["vec_id"].to_pylist(), dtype=np.int64)
+    qbuckets = np.array(q_bucketed["bucket"].to_pylist(), dtype=np.int64)
+    qmat = _batch_matrix(qt)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    ref = ray.put((qids, qbuckets, qmat / qn[:, None]))
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -185,30 +225,138 @@ def knn_lsh(sf_dir: str, n_queries: int = 5, k: int = 5, n_bits: int = 6) -> pa.
         batch_format="pyarrow",
         concurrency=2,
     )
-    bt = pa.concat_tables(
-        [ray.get(r) for r in bucketed.to_arrow_refs()]
-    )  # small at test scale; at 100 TB this stays a Dataset feeding a
-    # groupby("bucket").map_groups per-bucket top-k
-    ids = np.array(bt["vec_id"].to_pylist(), dtype=np.int64)
-    buckets = np.array(bt["bucket"].to_pylist(), dtype=np.int64)
-    mat = _batch_matrix(bt)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    rows_q, rows_n = [], []
-    for qid in range(n_queries):
-        qpos = int(np.nonzero(ids == qid)[0][0])
-        mask = (buckets == buckets[qpos]) & (ids != qid)
-        cand = np.nonzero(mask)[0]
-        sims = mat[cand] @ mat[qpos]
-        order = np.lexsort((ids[cand], -sims))[:k]
-        for i in order:
-            rows_q.append(qid)
-            rows_n.append(int(ids[cand[i]]))
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "neighbor_id": pa.array(rows_n, pa.int64()),
-        }
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        g_qids, g_qbuckets, g_qmat = cached_get(ref)
+        bucket = int(group["bucket"][0].as_py())
+        here = np.flatnonzero(g_qbuckets == bucket)
+        if not len(here):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(group)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        rows_q, rows_n, rows_r = [], [], []
+        for qi in here:
+            qid = int(g_qids[qi])
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            sims = m[cand] @ g_qmat[qi]
+            order = np.lexsort((ids[cand], -sims))[:k]
+            for r, i in enumerate(order):
+                rows_q.append(qid)
+                rows_n.append(int(ids[cand[i]]))
+                rows_r.append(r)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "rank": pa.array(rows_r, pa.int64()),
+            }
+        )
+
+    cands = bucketed.groupby("bucket").map_groups(bucket_topk, batch_format="pyarrow")
+    # each query lives in exactly one bucket → the merge is a tiny sort
+    t = collect_similarity_result(cands)
+    idx = pc.sort_indices(
+        t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
     )
+    return t.take(idx).select(["query_id", "neighbor_id"])
+
+
+def collect_similarity_result(ds: "ray.data.Dataset") -> pa.Table:
+    from ..util import collect_table
+
+    schema = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("rank", pa.int64())]
+    )
+    return collect_table(ds, schema)
+
+
+def neardup_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    max_bucket: int = 512,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Approximate near-dup pairs — the 100-TB scale path for
+    ``neardup_pairs``: L independent sign-LSH tables bucket the corpus, exact
+    cosine verification runs ONLY within buckets (``groupby.map_groups``
+    per (table, bucket)), and pairs found by several tables are deduped with
+    a final pair-key groupby. Work is near-linear in corpus size (plus the
+    in-bucket quadratic term, bounded by ``max_bucket``); recall follows the
+    standard 1−(1−p^b)^L sign-LSH curve, so near-identical vectors (the
+    near-dup regime, cos ≥ 0.95) are found with probability ≥ ~0.95 at the
+    defaults while the corpus-scan term of the exact variant disappears.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "<", 1)]
+    )
+    dim = len(head["embedding"][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_bits))
+    planes_ref = ray.put(planes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        w = cached_get(planes_ref)
+        m = _batch_matrix(batch)
+        n_rows = len(m)
+        tabs, bucks = [], []
+        for t in range(n_tables):
+            signs = (m @ w[t]) > 0
+            bucket = np.zeros(n_rows, dtype=np.int64)
+            for i in range(signs.shape[1]):
+                bucket |= signs[:, i].astype(np.int64) << i
+            tabs.append(np.full(n_rows, t, dtype=np.int32))
+            bucks.append(bucket)
+        reps = pa.array(np.tile(np.arange(n_rows), n_tables), pa.int64())
+        return pa.table(
+            {
+                "table": pa.array(np.concatenate(tabs), pa.int32()),
+                "bucket": pa.array(np.concatenate(bucks), pa.int64()),
+                "vec_id": batch["vec_id"].take(reps),
+                "embedding": batch["embedding"].take(reps),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        if group.num_rows > max_bucket:
+            # degenerate bucket: verify only the star against the min id so
+            # one boilerplate bucket cannot emit O(b²) pairs
+            idx = pc.sort_indices(group, sort_keys=[("vec_id", "ascending")])
+            group = group.take(idx)
+            rep = group.slice(0, 1)
+            rest = group.slice(1)
+            return _block_pair_sims(rep, rest, threshold)
+        return _block_pair_sims(group, group, threshold)
+
+    pairs = exploded.groupby(["table", "bucket"]).map_groups(
+        bucket_verify, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    uniq = pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="_n"))
+    return uniq.select_columns(["vec_a", "vec_b"])
 

@@ -74,3 +74,62 @@ def test_neardup_pairs_threshold(ray_session):
     for i in range(min(5, pairs.num_rows)):
         sim = float(mat[pos[int(a[i])]] @ mat[pos[int(b[i])]])
         assert sim > 0.35
+
+
+def test_neardup_pairs_exact_vs_reference(ray_session):
+    """The block-pair exact variant must return EXACTLY the reference pair
+    set (no broadcast shortcuts, no missed cross-block pairs)."""
+    from pyreshaper_ray.stages.similarity import neardup_pairs
+    from pyreshaper_ray.util import collect_table
+
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    pairs = collect_table(neardup_pairs(SF, threshold=0.35), schema)
+    got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist())}
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ai, bj = np.nonzero(sims > 0.35)
+    ref = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(ai, bj)
+        if ids[i] < ids[j]
+    }
+    assert got == ref
+
+
+def test_neardup_lsh_planted_recall(ray_session, tmp_path):
+    """Planted near-identical vectors must be recovered by the multi-table
+    LSH path with high recall (the near-dup regime, cos >= 0.95)."""
+    from pyreshaper_ray.stages.similarity import neardup_lsh
+    from pyreshaper_ray.util import collect_table
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 32
+    base = rng.standard_normal((n, dim))
+    planted = []
+    rows = [base]
+    for i in range(20):  # 20 near-dups of the first 20 vectors
+        dup = base[i] + 0.01 * rng.standard_normal(dim)
+        rows.append(dup[None, :])
+        planted.append((i, n + i))
+    mat = np.concatenate(rows)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    pairs = collect_table(neardup_lsh(str(tmp_path), threshold=0.95), schema)
+    got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist())}
+    found = sum(1 for p in planted if p in got)
+    assert found / len(planted) >= 0.9
+    # precision: every returned pair really is above threshold
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for a, b in list(got)[:10]:
+        assert float(nm[a] @ nm[b]) > 0.95
