@@ -115,3 +115,56 @@ def test_windowed_encoder_roundtrip_property(xs):
     a = np.array(xs, dtype=np.float64)
     dec = gorilla_decode(gorilla_encode_windowed(a))
     assert np.array_equal(dec.view(np.uint64), a.view(np.uint64))
+
+
+def test_vectorized_gorilla_matches_windowed_reference_bytes():
+    """The batch encoder's greedy-containment policy must be byte-identical
+    to the sequential reference (same '10'/'11' decisions, same bit stream)."""
+    from pyreshaper_ray.functions.codecs import gorilla_encode_windowed
+
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        n = int(rng.integers(0, 800))
+        vals = rng.choice([0.0, 1.5, -2.25, 1e300, 37.0, 5e-321], n)
+        assert gorilla_encode(vals) == gorilla_encode_windowed(vals)
+        rnd = rng.standard_normal(n)
+        assert gorilla_encode(rnd) == gorilla_encode_windowed(rnd)
+
+
+def test_windowed_smaller_than_explicit_on_metric_series():
+    """'10' window reuse pays off on char_len-like series (~13 vs ~19 b/pt)."""
+    from pyreshaper_ray.functions.codecs import gorilla_encode_explicit
+
+    a = (20 + (np.arange(5000) * 17) % 400).astype(np.float64)
+    assert len(gorilla_encode(a)) < 0.75 * len(gorilla_encode_explicit(a))
+    assert np.array_equal(gorilla_decode(gorilla_encode_explicit(a)), a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=80),
+    st.integers(min_value=1, max_value=9),
+)
+def test_dod_stream_encoder_equals_batch(xs, chunk):
+    from pyreshaper_ray.functions.codecs import DodStreamEncoder
+
+    a = np.array(xs, dtype=np.int64)
+    enc = DodStreamEncoder()
+    for i in range(0, len(a), chunk):
+        enc.push(a[i : i + chunk])
+    assert enc.finish() == dod_encode(a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.floats(allow_nan=False, width=64), max_size=80),
+    st.integers(min_value=1, max_value=9),
+)
+def test_gorilla_stream_encoder_equals_batch(xs, chunk):
+    from pyreshaper_ray.functions.codecs import GorillaStreamEncoder
+
+    a = np.array(xs, dtype=np.float64)
+    enc = GorillaStreamEncoder()
+    for i in range(0, len(a), chunk):
+        enc.push(a[i : i + chunk])
+    assert enc.finish() == gorilla_encode(a)
