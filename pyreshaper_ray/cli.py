@@ -39,6 +39,8 @@ def cmd_make(args: argparse.Namespace) -> int:
         exclude_roles=tuple(args.exclude) if args.exclude else (),
         conv_subset=tuple(args.conv) if args.conv else None,
         salt_threshold=args.salt_threshold,
+        segment_threshold=args.segment_threshold,
+        segment_rows=args.segment_rows,
     )
     spec.write(args.specfile)
     print(f"wrote {args.specfile}")
@@ -171,17 +173,22 @@ def main(argv: list[str] | None = None) -> int:
     mk.add_argument("--no-gapfill", action="store_true")
     mk.add_argument("--max-gap", type=int, default=60)
     mk.add_argument("--no-encode", action="store_true")
-    mk.add_argument("--wmode", choices=["s", "o"], default="s")
+    mk.add_argument("--wmode", choices=["s", "o", "a"], default="s")
     mk.add_argument("--conv-meta", default=None)
     mk.add_argument("--no-once", action="store_true")
     mk.add_argument("--exclude", action="append", help="role to exclude (repeatable)")
     mk.add_argument("--conv", action="append", help="explicit conv subset (repeatable)")
     mk.add_argument("--salt-threshold", type=int, default=100_000)
+    mk.add_argument("--segment-threshold", type=int, default=1_000_000,
+                    help="turns above which a conversation is SPLIT into "
+                         "segments across buckets (0 = off)")
+    mk.add_argument("--segment-rows", type=int, default=250_000,
+                    help="turns per segment (seg = turn_idx // this)")
     mk.set_defaults(fn=cmd_make)
 
     rn = sub.add_parser("run", help="run the conversion (s2srun)")
     rn.add_argument("specfile")
-    rn.add_argument("--wmode", choices=["s", "o"], default=None)
+    rn.add_argument("--wmode", choices=["s", "o", "a"], default=None)
     rn.add_argument("--limit", type=int, default=None, help="first N buckets only")
     rn.add_argument("--serial", action="store_true", help="single-process oracle")
     rn.add_argument("--num-cpus", type=int, default=8)

@@ -73,8 +73,20 @@ def sort_dedup_bucket(t: pa.Table) -> pa.Table:
     return t.filter(pa.array(keep))
 
 
+SERIES_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("dod_ts", pa.binary()),
+        ("gorilla_char_len", pa.binary()),
+    ]
+)
+
+
 def encode_series_bucket(turns: pa.Table) -> pa.Table:
     """Per-conversation DoD + Gorilla over a sorted, deduped bucket."""
+    if turns.num_rows == 0:
+        return SERIES_SCHEMA.empty_table()
     bounds = _conv_boundaries(turns["conv_id"])
     ts = (
         turns["ts"]
@@ -187,20 +199,80 @@ def _sorted_rollup(block: pa.Table) -> pa.Table:
     return block.take(idx)
 
 
-def process_bucket(t: pa.Table, spec_dict: dict) -> tuple[dict[str, pa.Table], dict]:
-    """Full bucket transform → {product → table}, metrics record.
+def build_salt_partials(turns_salted: pa.Table) -> dict:
+    """Per-segment partial products for GIANT (segmented) conversations.
+
+    ``turns_salted`` is this bucket's slice of one or more segmented
+    conversations — already sorted+deduped, with the ``seg`` column. Emits:
+    - ``rollup_1m``: per-(conv, window) partial rollup rows (merged later by
+      the stitch step — sums/min/max compose exactly);
+    - ``segments``: one record per (conv, seg) with the raw numeric series
+      (int64 ts + int32 char_len as bytes, ~12 B/turn — the text payload
+      stays in the turns tier and never enters the stitch), consumed in seg
+      order by the streaming DoD/Gorilla encoders.
+    """
+    from ..stages.rollup import rollup_block
+
+    partial = rollup_block(turns_salted, "w1m")
+    conv = turns_salted["conv_id"].combine_chunks()
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    segs = turns_salted["seg"].to_numpy(zero_copy_only=False)
+    change = np.r_[True, (codes[1:] != codes[:-1]) | (segs[1:] != segs[:-1])]
+    bounds = np.r_[np.flatnonzero(change), len(codes)]
+    ts = (
+        turns_salted["ts"]
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    vals = turns_salted["char_len"].to_numpy(zero_copy_only=False).astype(np.int32)
+    segments = []
+    for k in range(len(bounds) - 1):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        segments.append(
+            {
+                "conv_id": conv[lo].as_py(),
+                "seg": int(segs[lo]),
+                "n": hi - lo,
+                "ts_bin": ts[lo:hi].tobytes(),
+                "val_bin": vals[lo:hi].tobytes(),
+            }
+        )
+    return {"rollup_1m": partial, "segments": segments}
+
+
+def process_bucket(
+    t: pa.Table, spec_dict: dict
+) -> tuple[dict[str, pa.Table], dict | None, dict]:
+    """Full bucket transform → ({product → table}, salt partials, metrics).
 
     ``spec_dict`` carries the picklable JobSpec fields the kernel needs
-    (tiers / gapfill / encode flags).
+    (tiers / gapfill / encode flags). Rows with ``seg >= 0`` belong to
+    segmented giant conversations: their pivoted turns still land in this
+    bucket's turns tier, but their rollup/series contributions are emitted
+    as PARTIALS for the per-conversation stitch step instead of entering
+    this bucket's tier products.
     """
     from ..stages.rollup import cascade_block, rollup_block
 
     timer = SectionTimer()
     timer.start("pivot_sort_dedup")
-    turns = sort_dedup_bucket(t)
+    turns_all = sort_dedup_bucket(t)
+    salt: dict | None = None
+    turns = turns_all
+    if "seg" in turns_all.column_names:
+        segmask = pc.greater_equal(turns_all["seg"], 0)
+        if pc.any(segmask).as_py():
+            turns_salted = turns_all.filter(segmask)
+            turns = turns_all.filter(pc.invert(segmask)).drop_columns(["seg"])
+            timer.start("salt_partials")
+            salt = build_salt_partials(turns_salted)
+        else:
+            turns = turns_all.drop_columns(["seg"])
+        turns_all = turns_all.drop_columns(["seg"])
     out: dict[str, pa.Table] = {}
     if spec_dict.get("include_turns", True):
-        out["turns"] = turns
+        out["turns"] = turns_all
 
     tiers = tuple(spec_dict.get("tiers", ("1m", "1h", "1d")))
     prev_name: str | None = None
@@ -228,15 +300,15 @@ def process_bucket(t: pa.Table, spec_dict: dict) -> tuple[dict[str, pa.Table], d
     timer.stop()
     metrics = {
         "n_rows_in": t.num_rows,
-        "n_turns": turns.num_rows,
-        "n_convs": int(pc.count_distinct(turns["conv_id"]).as_py()),
+        "n_turns": turns_all.num_rows,
+        "n_convs": int(pc.count_distinct(turns_all["conv_id"]).as_py()),
         "rows": {k: v.num_rows for k, v in out.items()},
-        "char_sum_total": int(pc.sum(turns["char_len"]).as_py() or 0),
-        "ts_min": str(pc.min(turns["ts"]).as_py()) if turns.num_rows else None,
-        "ts_max": str(pc.max(turns["ts"]).as_py()) if turns.num_rows else None,
+        "char_sum_total": int(pc.sum(turns_all["char_len"]).as_py() or 0),
+        "ts_min": str(pc.min(turns_all["ts"]).as_py()) if turns_all.num_rows else None,
+        "ts_max": str(pc.max(turns_all["ts"]).as_py()) if turns_all.num_rows else None,
         "timings": dict(timer.times),
     }
-    return out, metrics
+    return out, salt, metrics
 
 
 def make_spill_bucket_worker(spec_dict: dict, spill_dir: str):
@@ -340,7 +412,7 @@ def make_bucket_writer(spec_dict: dict):
         tune_worker_threads()
         t0 = time.perf_counter()
         bucket = int(group["bucket"][0].as_py())
-        products, metrics = process_bucket(group, spec_dict)
+        products, salt, metrics = process_bucket(group, spec_dict)
         files: dict[str, str] = {}
         tw = time.perf_counter()
         for name, table in products.items():
@@ -350,6 +422,9 @@ def make_bucket_writer(spec_dict: dict):
                 table = table.drop_columns(["bucket"])
             atomic_write_parquet(table, path)
             files[name] = path
+        if salt is not None:
+            write_salt_partials(out_dir, bucket, salt)
+            metrics["salt_segments"] = len(salt["segments"])
         metrics["timings"]["write"] = time.perf_counter() - tw
         dt = time.perf_counter() - t0
         commit_bucket(
@@ -372,3 +447,160 @@ def make_bucket_writer(spec_dict: dict):
         )
 
     return write_bucket
+
+
+# --- segment-salted giant conversations -----------------------------------------
+
+
+def salt_dir(out_dir: str, conv_id: str) -> str:
+    """Per-conversation staging dir for segment partials (path-safe name +
+    crc so distinct conv_ids can never collide after sanitization)."""
+    import re
+    import zlib
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", conv_id)[:80]
+    return os.path.join(
+        out_dir, "_salt", f"{safe}-{zlib.crc32(conv_id.encode()):08x}"
+    )
+
+
+def write_salt_partials(out_dir: str, bucket: int, salt: dict) -> None:
+    """Atomically stage one bucket's segment partials, partitioned by
+    conversation: per-conv 1m partial rollup rows (small — one row per
+    touched window) and one raw-series file per (conv, seg) so the stitch
+    can stream segments in order without ever holding the whole series."""
+    part = salt["rollup_1m"]
+    if part.num_rows:
+        conv = part["conv_id"].combine_chunks()
+        import pyarrow.compute as _pc
+
+        for cid in _pc.unique(conv).to_pylist():
+            sub = part.filter(_pc.equal(part["conv_id"], cid))
+            atomic_write_parquet(
+                sub,
+                os.path.join(salt_dir(out_dir, cid), f"1m-bucket{bucket:05d}.parquet"),
+            )
+    for seg in salt["segments"]:
+        t = pa.table(
+            {
+                "seg": pa.array([seg["seg"]], pa.int32()),
+                "n": pa.array([seg["n"]], pa.int64()),
+                "ts_bin": pa.array([seg["ts_bin"]], pa.binary()),
+                "val_bin": pa.array([seg["val_bin"]], pa.binary()),
+            }
+        )
+        atomic_write_parquet(
+            t,
+            os.path.join(
+                salt_dir(out_dir, seg["conv_id"]), f"raw-seg{seg['seg']:08d}.parquet"
+            ),
+        )
+
+
+def stitch_salted_conversation(
+    spec_dict: dict, conv_id: str, pseudo_bucket: int
+) -> pa.Table:
+    """Per-conversation stitch for a segmented giant conversation: merge the
+    staged 1m partials ((conv, window) sums/min/max compose exactly), derive
+    the coarser tiers and gap-fill from the merged 1m series, and
+    stream-encode the DoD/Gorilla series one segment file at a time (byte
+    ≡ batch encoding of the full array — tests/test_codecs.py). Peak memory
+    is O(windows + one segment), never O(conversation). Outputs land under a
+    pseudo bucket id (n_buckets + salt index) in the normal tier layout, and
+    a manifest record makes the stitch resumable like any bucket.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ..functions.codecs import DodStreamEncoder, GorillaStreamEncoder
+    from ..stages.rollup import cascade_block
+    from ..util import tune_worker_threads
+
+    tune_worker_threads()
+    t0 = time.perf_counter()
+    out_dir = spec_dict["out_dir"]
+    d = salt_dir(out_dir, conv_id)
+    timer = SectionTimer()
+
+    timer.start("merge_1m")
+    files_1m = sorted(glob.glob(os.path.join(d, "1m-bucket*.parquet")))
+    parts = pa.concat_tables([pq.read_table(f) for f in files_1m])
+    # same-tier merge: floor-to-1m is the identity, so cascade_block is the
+    # exact (sum/min/max) partial combiner here
+    merged = _sorted_rollup(cascade_block(parts, "1m"))
+
+    products: dict[str, pa.Table] = {}
+    tiers = tuple(spec_dict.get("tiers", ("1m", "1h", "1d")))
+    for tier in tiers:
+        timer.start(f"rollup_{tier}")
+        products[tier] = (
+            merged if tier == "1m" else _sorted_rollup(cascade_block(merged, tier))
+        )
+
+    if spec_dict.get("gapfill", True) and "1m" in products:
+        timer.start("gapfill_1m")
+        products["gapfill_1m"] = gapfill_bucket(
+            merged, max_gap=spec_dict.get("gapfill_max_gap")
+        )
+
+    n_turns = 0
+    if spec_dict.get("encode", True):
+        timer.start("encode_series")
+        enc_ts = DodStreamEncoder()
+        enc_val = GorillaStreamEncoder()
+        for f in sorted(glob.glob(os.path.join(d, "raw-seg*.parquet"))):
+            r = pq.read_table(f)
+            ts = np.frombuffer(r["ts_bin"][0].as_py(), dtype=np.int64)
+            vals = np.frombuffer(r["val_bin"][0].as_py(), dtype=np.int32).astype(
+                np.float64
+            )
+            enc_ts.push(ts)
+            enc_val.push(vals)
+            n_turns += len(ts)
+        products["series"] = pa.table(
+            {
+                "conv_id": pa.array([conv_id], pa.string()),
+                "n_turns": pa.array([n_turns], pa.int64()),
+                "dod_ts": pa.array([enc_ts.finish()], pa.binary()),
+                "gorilla_char_len": pa.array([enc_val.finish()], pa.binary()),
+            }
+        )
+
+    files: dict[str, str] = {}
+    timer.start("write")
+    for name, table in products.items():
+        path = os.path.join(
+            out_dir, TIER_DIRS[name], f"bucket={pseudo_bucket:05d}", "part-000.parquet"
+        )
+        atomic_write_parquet(table, path)
+        files[name] = path
+    timer.stop()
+    dt = time.perf_counter() - t0
+    commit_bucket(
+        out_dir,
+        {
+            "bucket": pseudo_bucket,
+            "salted_conv": conv_id,
+            "files": files,
+            "seconds": dt,
+            "n_rows_in": 0,
+            # turn rows were counted by the segment buckets that hold them
+            "n_turns": 0,
+            "n_convs": 0,
+            "rows": {k: v.num_rows for k, v in products.items()},
+            "char_sum_total": 0,
+            "ts_min": None,
+            "ts_max": None,
+            "timings": dict(timer.times),
+        },
+    )
+    return pa.table(
+        {
+            "bucket": pa.array([pseudo_bucket], pa.int32()),
+            "n_rows_in": pa.array([0], pa.int64()),
+            "n_turns": pa.array([0], pa.int64()),
+            "n_convs": pa.array([0], pa.int64()),
+            "seconds": pa.array([dt], pa.float64()),
+        }
+    )

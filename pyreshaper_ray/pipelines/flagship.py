@@ -80,7 +80,30 @@ def build_input(spec: JobSpec) -> "ray.data.Dataset":
     return ray.data.read_parquet(paths, columns=TRANSCRIPT_COLUMNS)
 
 
-def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]) -> pa.Table:
+def _spill_fingerprint(spec: JobSpec, signature: tuple | None = None) -> str:
+    """Identity of a spill: input paths + resolved file (size, mtime) list +
+    every field that changes bucketing or the spilled row set."""
+    return repr(
+        (
+            spec.input,
+            signature if signature is not None else _input_signature(spec.input),
+            spec.n_buckets,
+            spec.exclude_roles,
+            spec.conv_subset,
+            spec.salt_threshold,
+            spec.segment_threshold,
+            spec.segment_rows,
+            spec.include_turns,
+        )
+    )
+
+
+def _execute_exchange(
+    ds: "ray.data.Dataset",
+    spec: JobSpec,
+    completed: set[int],
+    append_delta: "ray.data.Dataset | None" = None,
+) -> pa.Table:
     """The one all-to-all, chosen by ``spec.exchange``:
 
     - ``"spill"`` (default): two-phase disk-mediated exchange, the classic
@@ -105,6 +128,8 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
     spec_dict = _spec_dict(spec)
 
     if spec.exchange == "spill":
+        import glob as _glob
+
         from .bucket import make_spill_bucket_worker
 
         spill_dir = os.path.join(spec.out_dir, "_spill")
@@ -113,22 +138,40 @@ def _execute_exchange(ds: "ray.data.Dataset", spec: JobSpec, completed: set[int]
         # the resolved file list (+ size/mtime) is folded in so a wmode-'s'
         # rerun never reuses a stale spill after input files change or a glob
         # matches newly-added files
-        fingerprint = repr(
-            (
-                spec.input,
-                _input_signature(spec.input),
-                spec.n_buckets,
-                spec.exclude_roles,
-                spec.conv_subset,
-                spec.salt_threshold,
-                spec.include_turns,
-            )
-        )
+        fingerprint = _spill_fingerprint(spec)
         current = None
         if os.path.exists(marker):
             with open(marker) as f:
                 current = f.read()
-        if current != fingerprint:
+        if append_delta is not None and current is not None:
+            # wmode 'a' incremental: the existing spill is valid for the OLD
+            # file set (run_flagship verified the marker); spill ONLY the new
+            # files into the same hive layout, then adopt the new fingerprint.
+            # The file-listing diff yields exactly the delta buckets — only
+            # those rerun the kernel (against old + new rows).
+            snapshot = set(
+                _glob.glob(os.path.join(spill_dir, "bucket=*", "*.parquet"))
+            )
+            t0 = time.perf_counter()
+            num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            append_delta.repartition(max(2, num_cpus)).write_parquet(
+                spill_dir, partition_cols=["bucket"]
+            )
+            added = (
+                set(_glob.glob(os.path.join(spill_dir, "bucket=*", "*.parquet")))
+                - snapshot
+            )
+            delta_buckets = {
+                int(os.path.basename(os.path.dirname(f)).split("=")[1])
+                for f in added
+            }
+            PHASE_TIMES["spill_write"] = time.perf_counter() - t0
+            with open(marker + ".tmp", "w") as f:
+                f.write(fingerprint)
+            os.replace(marker + ".tmp", marker)
+            # shared set with run_flagship: the stitch phase sees this too
+            completed.difference_update(delta_buckets)
+        elif current != fingerprint:
             import shutil
 
             shutil.rmtree(spill_dir, ignore_errors=True)
@@ -219,56 +262,157 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
         import shutil
 
         shutil.rmtree(os.path.join(spec.out_dir, "_spill"), ignore_errors=True)
+        shutil.rmtree(os.path.join(spec.out_dir, "_salt"), ignore_errors=True)
         # drop stale tier outputs too: a rerun with fewer buckets / different
         # tiers must not leave old bucket=NNNNN files for read_tier to mix in
         from .bucket import TIER_DIRS
 
         for sub in set(TIER_DIRS.values()):
             shutil.rmtree(os.path.join(spec.out_dir, sub), ignore_errors=True)
-    completed = set(mf.load_completed(spec.out_dir)) if spec.wmode == "s" else set()
+    completed = (
+        set(mf.load_completed(spec.out_dir)) if spec.wmode in ("s", "a") else set()
+    )
 
+    ds_provided = ds is not None
     if ds is None:
         ds = build_input(spec)
 
-    # WeightBalanced analog (SURVEY.md §4): detect conversations heavier
-    # than salt_threshold turns with a cheap conv_id-only combiner pass and
-    # pin each to its own bucket (round-robin), so a hot conversation never
-    # stacks onto an already-full hash bucket. Costs one extra column-pruned
-    # input scan; skip by setting salt_threshold=0.
+    # WeightBalanced analog (SURVEY.md §4), two weight classes from ONE
+    # cheap conv_id-only combiner pass:
+    #   - heavy (≥ salt_threshold turns): pinned WHOLE to round-robin
+    #     buckets so hot conversations never stack on one hash bucket;
+    #   - giant (≥ segment_threshold turns): SPLIT into turn_idx-range
+    #     segments spread across buckets (seg = turn_idx // segment_rows) —
+    #     no task ever holds the whole conversation; tier partials merge in
+    #     the stitch step below.
     bucket_overrides: dict[str, int] | None = None
-    if spec.salt_threshold:
+    segmented: dict[str, int] | None = None
+    scan_thresholds = [
+        t for t in (spec.salt_threshold, spec.segment_threshold) if t
+    ]
+    if scan_thresholds:
         from ..stages.normalize import find_heavy_conversations
 
-        heavy = find_heavy_conversations(ds, spec.salt_threshold)
+        heavy = find_heavy_conversations(ds, min(scan_thresholds))
         if heavy:
-            bucket_overrides = {
-                cid: i % spec.n_buckets for i, cid in enumerate(heavy)
-            }
+            pinned: dict[str, int] = {}
+            seg_base: dict[str, int] = {}
+            for cid, cnt in heavy.items():
+                if spec.segment_threshold and cnt >= spec.segment_threshold:
+                    seg_base[cid] = len(seg_base) % spec.n_buckets
+                elif spec.salt_threshold and cnt >= spec.salt_threshold:
+                    pinned[cid] = len(pinned) % spec.n_buckets
+            bucket_overrides = pinned or None
+            segmented = seg_base or None
 
-    ds = normalize_dataset(
-        ds, n_buckets=spec.n_buckets, bucket_overrides=bucket_overrides
-    )
+    def _prep(dataset: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Normalize + filter pipeline — shared by the full input and the
+        wmode-'a' delta so appended files get IDENTICAL treatment."""
+        dataset = normalize_dataset(
+            dataset,
+            n_buckets=spec.n_buckets,
+            bucket_overrides=bucket_overrides,
+            segmented=segmented,
+            segment_rows=spec.segment_rows,
+        )
+        if not spec.include_turns:
+            # metrics-only mode: the payload column never enters the exchange
+            # (char_len/tok_est are already derived); the spill shrinks ~5×
+            dataset = dataset.drop_columns(["text"])
+        if spec.exclude_roles:
+            excl = list(spec.exclude_roles)
 
-    if not spec.include_turns:
-        # metrics-only mode: the payload column never enters the exchange
-        # (char_len/tok_est are already derived); the spill shrinks ~5×
-        ds = ds.drop_columns(["text"])
+            def drop_roles(b: pa.Table) -> pa.Table:
+                return b.filter(
+                    pc.invert(pc.is_in(b["role"], value_set=pa.array(excl)))
+                )
 
-    if spec.exclude_roles:
-        excl = list(spec.exclude_roles)
+            dataset = dataset.map_batches(
+                drop_roles, batch_format="pyarrow", zero_copy_batch=True
+            )
+        if spec.conv_subset is not None:
+            subset = list(spec.conv_subset)
 
-        def drop_roles(b: pa.Table) -> pa.Table:
-            return b.filter(pc.invert(pc.is_in(b["role"], value_set=pa.array(excl))))
+            def keep_convs(b: pa.Table) -> pa.Table:
+                return b.filter(pc.is_in(b["conv_id"], value_set=pa.array(subset)))
 
-        ds = ds.map_batches(drop_roles, batch_format="pyarrow", zero_copy_batch=True)
+            dataset = dataset.map_batches(
+                keep_convs, batch_format="pyarrow", zero_copy_batch=True
+            )
+        return dataset
 
-    if spec.conv_subset is not None:
-        subset = list(spec.conv_subset)
+    ds = _prep(ds)
 
-        def keep_convs(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b["conv_id"], value_set=pa.array(subset)))
+    # wmode 'a': diff the resolved input files against the last run's
+    # run-meta. Unchanged old files + valid marker → ingest ONLY the new
+    # files (delta spill / delta-bucket recompute). Anything else (files
+    # mutated or removed, bucket assignments moved, crashed prior append)
+    # → fall back to a FULL recompute, never a silently stale result.
+    append_delta: "ray.data.Dataset | None" = None
+    appended = False
+    if spec.wmode == "a" and not ds_provided:
+        meta = mf.load_run_meta(spec.out_dir)
+        cur_sig = _input_signature(spec.input)
+        resolvable = all(len(e) == 3 for e in cur_sig)
+        if meta and meta.get("signature") and resolvable:
+            old_sig = tuple(tuple(e) for e in meta["signature"])
+            old_files = {e[0]: (e[1], e[2]) for e in old_sig}
+            cur_files = {e[0]: (e[1], e[2]) for e in cur_sig}
+            changed = any(
+                p not in cur_files or cur_files[p] != v
+                for p, v in old_files.items()
+            )
+            assign_moved = (
+                meta.get("pinned", {}) != (bucket_overrides or {})
+                or meta.get("segmented", {}) != (segmented or {})
+                or meta.get("n_buckets") != spec.n_buckets
+                or meta.get("segment_rows") != spec.segment_rows
+            )
+            marker_ok = True
+            if spec.exchange == "spill":
+                marker_path = os.path.join(spec.out_dir, "_spill", "_SPILL_COMPLETE")
+                expected_old = _spill_fingerprint(spec, signature=old_sig)
+                marker_ok = (
+                    os.path.exists(marker_path)
+                    and open(marker_path).read() == expected_old
+                )
+            new_files = [p for p in cur_files if p not in old_files]
+            if changed or assign_moved or not marker_ok:
+                # full recompute: forget completed work + stale partials
+                import shutil
 
-        ds = ds.map_batches(keep_convs, batch_format="pyarrow", zero_copy_batch=True)
+                mf.clear(spec.out_dir)
+                completed = set()
+                shutil.rmtree(os.path.join(spec.out_dir, "_salt"), ignore_errors=True)
+            elif new_files:
+                appended = True
+                delta = _prep(
+                    ray.data.read_parquet(new_files, columns=TRANSCRIPT_COLUMNS)
+                )
+                if spec.exchange == "spill":
+                    append_delta = delta
+                else:
+                    # delta buckets from a pruned pass over the new files only
+                    db = delta.select_columns(["bucket"]).map_batches(
+                        lambda b: pa.table(
+                            {"bucket": pc.unique(b["bucket"].combine_chunks())}
+                        ),
+                        batch_format="pyarrow",
+                    )
+                    delta_buckets = {
+                        int(x)
+                        for x in pc.unique(
+                            pa.concat_tables(
+                                [t for t in (ray.get(r) for r in db.to_arrow_refs())
+                                 if t.num_columns]
+                            )["bucket"].combine_chunks()
+                        ).to_pylist()
+                    }
+                    completed.difference_update(delta_buckets)
+        # else: no meta / unresolvable input — behave like wmode 's'
+    if appended:
+        # any new data → re-stitch segmented conversations (cheap, idempotent)
+        completed = {b for b in completed if b < spec.n_buckets}
 
     if spec.exchange != "spill":
         # spill mode handles limit/resume at the phase-B task list instead —
@@ -289,7 +433,31 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
 
             ds = ds.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
 
-    metrics = _execute_exchange(ds, spec, completed)
+    metrics = _execute_exchange(ds, spec, completed, append_delta=append_delta)
+
+    # stitch phase for segmented giant conversations: one task per
+    # conversation merges the staged (bucket, seg) partials into its tier
+    # rows and stream-encodes the series; outputs land under pseudo bucket
+    # ids (n_buckets + index) with normal manifest records, so the stitch is
+    # resumable exactly like a bucket. Skipped under output_limit (a debug
+    # subset may not have produced every segment's partials).
+    if segmented and spec.output_limit is None:
+        from .bucket import stitch_salted_conversation
+
+        spec_dict = _spec_dict(spec)
+        todo = [
+            (cid, spec.n_buckets + idx)
+            for idx, cid in enumerate(sorted(segmented))
+            if spec.n_buckets + idx not in completed
+        ]
+        if todo:
+            t0 = time.perf_counter()
+            stitch = ray.remote(num_cpus=1)(stitch_salted_conversation)
+            rows = ray.get(
+                [stitch.remote(spec_dict, cid, pseudo) for cid, pseudo in todo]
+            )
+            metrics = pa.concat_tables([metrics, *rows])
+            PHASE_TIMES["stitch_phase"] = time.perf_counter() - t0
 
     # once-file analog: the shared dimension table is written ONCE per run by
     # the driver, not replicated into every bucket (J2, SURVEY.md §2.4).
@@ -298,6 +466,22 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
 
         meta = pq.read_table(spec.conv_meta)
         mf.atomic_write_parquet(meta, os.path.join(spec.out_dir, "conv_meta.parquet"))
+
+    # run-meta: the lineage record wmode 'a' diffs against next time —
+    # resolved file signature + the bucket assignments this run used
+    if not ds_provided:
+        sig = _input_signature(spec.input)
+        if sig and all(len(e) == 3 for e in sig):
+            mf.save_run_meta(
+                spec.out_dir,
+                {
+                    "signature": [list(e) for e in sig],
+                    "pinned": bucket_overrides or {},
+                    "segmented": segmented or {},
+                    "n_buckets": spec.n_buckets,
+                    "segment_rows": spec.segment_rows,
+                },
+            )
     return metrics
 
 

@@ -25,7 +25,13 @@ import os
 from dataclasses import dataclass, field
 
 VALID_TIERS = ("1m", "1h", "1d")
-VALID_WMODES = ("s", "o")  # skip-if-done / overwrite
+VALID_WMODES = ("s", "o", "a")  # skip-if-done / overwrite / append
+# 'a' (append): new input files are ingested into EXISTING tiers by
+# recomputing only the buckets their rows hash into (manifest- and
+# run-meta-driven); outputs are bit-equal to a from-scratch run on the
+# union. The create_reshaper(wmode='a') analog, generalized to incremental
+# continuous aggregates. Falls back to a full recompute when previously
+# ingested files changed or the heavy/segment bucket assignments moved.
 
 
 @dataclass
@@ -46,7 +52,14 @@ class JobSpec:
     exclude_roles: tuple[str, ...] = ()
     conv_subset: tuple[str, ...] | None = None
     output_limit: int | None = None  # debug: only first N buckets (s2srun --limit)
-    salt_threshold: int = 100_000  # turns above which a conversation is salted
+    salt_threshold: int = 100_000  # turns above which a conversation is pinned
+    # to its own bucket (whole, WeightBalanced analog)
+    segment_threshold: int = 1_000_000  # turns above which a conversation is
+    # SPLIT into contiguous turn_idx-range segments spread across buckets —
+    # the giant-conversation path: no single task ever holds the whole
+    # conversation; tier partials are merged and the series stream-encoded
+    # in a per-conversation stitch step. 0 disables splitting.
+    segment_rows: int = 250_000  # turns per segment (seg = turn_idx // this)
     exchange: str = "spill"  # "spill" | "hash" | "groupby" (see flagship.py)
 
     def validate(self) -> "JobSpec":
@@ -68,6 +81,10 @@ class JobSpec:
             raise ValueError("exchange must be 'spill', 'hash' or 'groupby'")
         if self.output_limit is not None and self.output_limit < 1:
             raise ValueError("output_limit must be >= 1")
+        if self.segment_rows < 1:
+            raise ValueError("segment_rows must be >= 1")
+        if self.segment_threshold < 0:
+            raise ValueError("segment_threshold must be >= 0 (0 = off)")
         paths = [self.input] if isinstance(self.input, str) else self.input
         for p in paths:
             base = p.split("*")[0] or "/"

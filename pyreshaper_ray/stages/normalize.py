@@ -31,11 +31,23 @@ def _check_schema(batch: pa.Table) -> None:
 
 
 def make_normalize_fn(
-    n_buckets: int | None = None, bucket_overrides: dict[str, int] | None = None
+    n_buckets: int | None = None,
+    bucket_overrides: dict[str, int] | None = None,
+    segmented: dict[str, int] | None = None,
+    segment_rows: int = 250_000,
 ):
     """Build the per-batch normalize fn; optionally append a stable
     `bucket` partition column (hash(conv_id) % n_buckets, with explicit
-    overrides for heavy conversations — the WeightBalanced analog)."""
+    overrides for heavy conversations — the WeightBalanced analog).
+
+    ``segmented`` maps GIANT conversations (≥ spec.segment_threshold turns)
+    to a base bucket: their rows are range-salted into contiguous segments
+    (``seg = turn_idx // segment_rows``) and each segment goes to bucket
+    ``(base + seg) % n_buckets`` — no single task ever holds the whole
+    conversation. A ``seg`` column (-1 for unsegmented rows) rides along so
+    the bucket kernel can route segment partials to the stitch step.
+    """
+    import numpy as np
 
     def normalize(batch: pa.Table) -> pa.Table:
         from ..util import tune_worker_threads
@@ -44,9 +56,31 @@ def make_normalize_fn(
         _check_schema(batch)
         out = normalize_batch(batch)
         if n_buckets is not None:
-            out = out.append_column(
-                "bucket", conv_bucket(batch["conv_id"], n_buckets, bucket_overrides)
-            )
+            bucket = conv_bucket(batch["conv_id"], n_buckets, bucket_overrides)
+            if segmented:
+                import pyarrow.compute as pc
+
+                conv = batch["conv_id"]
+                if isinstance(conv, pa.ChunkedArray):
+                    conv = conv.combine_chunks()
+                dict_arr = pc.dictionary_encode(conv)
+                uniques = dict_arr.dictionary.to_pylist()
+                base_lut = np.array(
+                    [segmented.get(u, -1) for u in uniques], dtype=np.int64
+                )
+                base = base_lut[dict_arr.indices.to_numpy(zero_copy_only=False)]
+                mask = base >= 0
+                seg = np.full(len(base), -1, dtype=np.int32)
+                if mask.any():
+                    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+                    seg[mask] = (turn[mask] // segment_rows).astype(np.int32)
+                    b = bucket.to_numpy(zero_copy_only=False).copy()
+                    b[mask] = (base[mask] + seg[mask]) % n_buckets
+                    bucket = pa.array(b, pa.int32())
+                out = out.append_column("bucket", bucket)
+                out = out.append_column("seg", pa.array(seg, pa.int32()))
+            else:
+                out = out.append_column("bucket", bucket)
         return out
 
     return normalize
@@ -56,9 +90,11 @@ def normalize_dataset(
     ds: "ray.data.Dataset",
     n_buckets: int | None = None,
     bucket_overrides: dict[str, int] | None = None,
+    segmented: dict[str, int] | None = None,
+    segment_rows: int = 250_000,
 ) -> "ray.data.Dataset":
     return ds.map_batches(
-        make_normalize_fn(n_buckets, bucket_overrides),
+        make_normalize_fn(n_buckets, bucket_overrides, segmented, segment_rows),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -54,6 +54,30 @@ def commit_bucket(out_dir: str, record: dict) -> None:
     os.replace(tmp, path)
 
 
+def run_meta_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "run-meta.json")
+
+
+def save_run_meta(out_dir: str, meta: dict) -> None:
+    """Atomically record run-level lineage: the resolved input file list with
+    (size, mtime) and the heavy/segmented bucket assignments — what wmode 'a'
+    needs to ingest ONLY new files into existing tiers."""
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    path = run_meta_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(meta, saved_at=time.time()), f, indent=2)
+    os.replace(tmp, path)
+
+
+def load_run_meta(out_dir: str) -> dict | None:
+    path = run_meta_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def clear(out_dir: str) -> None:
     """wmode 'o': forget all completed buckets."""
     d = manifest_dir(out_dir)
@@ -61,6 +85,8 @@ def clear(out_dir: str) -> None:
         for name in os.listdir(d):
             if name.startswith("bucket-") and name.endswith(".json"):
                 os.remove(os.path.join(d, name))
+    if os.path.exists(run_meta_path(out_dir)):
+        os.remove(run_meta_path(out_dir))
 
 
 def atomic_write_parquet(table, final_path: str) -> None:
