@@ -256,6 +256,13 @@ def process_bucket(
     from ..stages.rollup import cascade_block, rollup_block
 
     timer = SectionTimer()
+    if "char_len" not in t.column_names:
+        # spill-slimmed exchange: derived metric columns were not shipped —
+        # recompute them here from the text payload (one vectorized pass)
+        from ..functions.normalize import normalize_batch
+
+        timer.start("derive")
+        t = normalize_batch(t)
     timer.start("pivot_sort_dedup")
     turns_all = sort_dedup_bucket(t)
     salt: dict | None = None

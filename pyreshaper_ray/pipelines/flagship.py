@@ -85,6 +85,7 @@ def _spill_fingerprint(spec: JobSpec, signature: tuple | None = None) -> str:
     every field that changes bucketing or the spilled row set."""
     return repr(
         (
+            "spill-v2",  # spill schema version (v2 = slimmed, no derived cols)
             spec.input,
             signature if signature is not None else _input_signature(spec.input),
             spec.n_buckets,
@@ -307,13 +308,21 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
 
     def _prep(dataset: "ray.data.Dataset") -> "ray.data.Dataset":
         """Normalize + filter pipeline — shared by the full input and the
-        wmode-'a' delta so appended files get IDENTICAL treatment."""
+        wmode-'a' delta so appended files get IDENTICAL treatment.
+
+        Spill slimming (SURVEY §8.1): with the text payload in the exchange
+        anyway, the derived metric columns are NOT shipped — the bucket
+        kernel recomputes them locally (same vectorized kernel, zero extra
+        passes). Metrics-only mode drops text instead, so there the derived
+        columns must travel.
+        """
         dataset = normalize_dataset(
             dataset,
             n_buckets=spec.n_buckets,
             bucket_overrides=bucket_overrides,
             segmented=segmented,
             segment_rows=spec.segment_rows,
+            derive=not spec.include_turns,
         )
         if not spec.include_turns:
             # metrics-only mode: the payload column never enters the exchange

@@ -251,40 +251,166 @@ def verify_pairs(
 ) -> "ray.data.Dataset":
     """Verify candidate pairs with exact shingle Jaccard — fully distributed.
 
-    The texts are attached by TWO co-partitioned hash joins of the pair table
-    against the docs table on doc_id (once per pair side); no id→text
-    structure is ever built on the driver or broadcast, so the verify stage
-    scales with the candidate count, not the corpus size. The Jaccard kernel
-    then runs per batch over rows that already carry both texts.
+    Texts are attached with a co-partitioned UNION + groupby on doc id (a
+    reduce-side repartition join): each pair contributes one row per side,
+    each document one text row; the first groupby stamps the key's text onto
+    its pair-side rows, the second groupby reunites the two sides of each
+    pair and runs the Jaccard kernel. No id→text structure is ever built on
+    the driver or broadcast, so the verify stage scales with the candidate
+    count, not the corpus size. (Implemented over ``groupby.map_groups``
+    rather than ``Dataset.join`` — the sort exchange is robust to the empty
+    partitions a small candidate set produces.)
     """
-    from .joins import hash_join
+    # coarse partition key: each groupby group holds MANY doc ids, so the
+    # per-group kernels below stay vectorized while the sort exchange
+    # co-locates pairs with their documents (robust to empty partitions,
+    # unlike Dataset.join). 256 groups bound skew without per-key Python.
+    _P = 256
 
-    def rename(side: str):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({f"doc_{side}": b["doc_id"], f"text_{side}": b["text"]})
-
-        return f
-
-    docs_a = ds_docs.map_batches(rename("a"), batch_format="pyarrow", zero_copy_batch=True)
-    docs_b = ds_docs.map_batches(rename("b"), batch_format="pyarrow", zero_copy_batch=True)
-    with_a = hash_join(cands, docs_a, on="doc_a")
-    with_ab = hash_join(with_a, docs_b, on="doc_b")
-
-    def score(batch: pa.Table) -> pa.Table:
-        jac = [
-            exact_jaccard(a, b, k)
-            for a, b in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+    UNION_SCHEMA = pa.schema(
+        [
+            ("kb", pa.int64()),
+            ("key", pa.int64()),
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("is_doc", pa.bool_()),
+            ("text", pa.string()),
         ]
-        t = pa.table(
+    )
+
+    def pairs_to_sides(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return UNION_SCHEMA.empty_table()
+        da = b["doc_a"].combine_chunks()
+        db = b["doc_b"].combine_chunks()
+        key = pa.concat_arrays([da, db])
+        n = b.num_rows
+        return pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "jaccard": pa.array(jac, pa.float64()),
+                "kb": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(_P - 1, pa.int64())), pa.int64()
+                ),
+                "key": key,
+                "doc_a": pa.concat_arrays([da, da]),
+                "doc_b": pa.concat_arrays([db, db]),
+                "is_doc": pa.array([False] * (2 * n), pa.bool_()),
+                "text": pa.nulls(2 * n, pa.string()),
             }
         )
-        return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
-    return with_ab.map_batches(score, batch_format="pyarrow")
+    def docs_to_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key = pc.cast(b["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "kb": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(_P - 1, pa.int64())), pa.int64()
+                ),
+                "key": key,
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "is_doc": pa.array([True] * n, pa.bool_()),
+                "text": b["text"],
+            }
+        )
+
+    sides = cands.map_batches(pairs_to_sides, batch_format="pyarrow")
+    docs = ds_docs.map_batches(docs_to_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    STAMPED_SCHEMA = pa.schema(
+        [
+            ("pb", pa.int64()),
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("key", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def attach_text_block(block: pa.Table) -> pa.Table:
+        """Whole-partition kernel (hash partitioning contains each key):
+        doc-first sort per key, then one vectorized take stamps every pair
+        side with its key's text — no per-key Python."""
+        if block.num_columns == 0 or block.num_rows == 0:
+            return STAMPED_SCHEMA.empty_table()
+        idx = pc.sort_indices(
+            block, sort_keys=[("key", "ascending"), ("is_doc", "descending")]
+        )
+        t = block.take(idx)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        is_doc = t["is_doc"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        run_id = np.cumsum(np.r_[False, key[1:] != key[:-1]])
+        first_idx = starts[run_id]  # per row: index of its key's first row
+        keep = (~is_doc) & is_doc[first_idx]  # pair rows whose key has a doc
+        text_src = pa.array(first_idx[keep], pa.int64())
+        kept = t.filter(pa.array(keep))
+        pb = pc.bit_wise_and(
+            pc.bit_wise_xor(
+                kept["doc_a"], pc.multiply(kept["doc_b"], pa.scalar(31, pa.int64()))
+            ),
+            pa.scalar(_P - 1, pa.int64()),
+        )
+        return pa.table(
+            {
+                "pb": pc.cast(pb, pa.int64()),
+                "doc_a": kept["doc_a"],
+                "doc_b": kept["doc_b"],
+                "key": kept["key"],
+                "text": t["text"].take(text_src),
+            }
+        )
+
+    stamped = docs.union(sides).groupby("kb").map_groups(
+        attach_text_block, batch_format="pyarrow"
+    )
+
+    OUT_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def score_block(block: pa.Table) -> pa.Table:
+        """Reunite each pair's two sides (co-partitioned on the pair key) and
+        run the exact-Jaccard kernel — Python only per CANDIDATE pair, which
+        is the irreducible unit of verify work."""
+        if block.num_columns == 0 or block.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        idx = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("doc_a", "ascending"),
+                ("doc_b", "ascending"),
+                ("key", "ascending"),  # doc_a < doc_b → side a sorts first
+            ],
+        )
+        t = block.take(idx)
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        starts = np.r_[
+            np.flatnonzero(np.r_[True, (da[1:] != da[:-1]) | (db[1:] != db[:-1])]),
+            len(da),
+        ]
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s != 2:  # one side's doc id missing from the corpus
+                continue
+            j = exact_jaccard(texts[s], texts[s + 1], k)
+            if j >= threshold:
+                out_a.append(int(da[s]))
+                out_b.append(int(db[s]))
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return stamped.groupby("pb").map_groups(
+        score_block, batch_format="pyarrow"
+    )
 
 
 def minhash_dedup(

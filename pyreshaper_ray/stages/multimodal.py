@@ -18,25 +18,54 @@ import pyarrow.compute as pc
 
 import ray.data
 
-DECODE_BACKEND_AVAILABLE = False  # no PIL/ffmpeg in this environment
+try:  # real image backend, used when backend="pil" or "auto" finds it
+    import PIL.Image  # noqa: F401
+
+    PIL_AVAILABLE = True
+except ImportError:  # pragma: no cover — sandbox has no PIL
+    PIL_AVAILABLE = False
+
+DECODE_BACKEND_AVAILABLE = PIL_AVAILABLE
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: (width, height, n_bytes) as pure functions
-    of the payload so the oracle SQL can restate them. A real backend raises
-    ImportError here instead."""
+    of the payload so the oracle SQL can restate them."""
     n = len(payload)
     return (n % 640, (n * 7) % 480, n)
 
 
-class ImageDecodeStage:
-    """Actor-pool stage: 'decode' binary image payloads → typed metadata +
-    a fixed-size feature stub. State (decoder handles, model weights) is
-    created once per actor in __init__."""
+def _decode_image_pil(payload: bytes) -> tuple[int, int, int]:
+    """Real decode path (feature-flagged): PIL header parse — deployment is
+    a config change (backend="pil"), not a code change."""
+    import io
 
-    def __init__(self, feature_dim: int = 8) -> None:
-        if DECODE_BACKEND_AVAILABLE:  # pragma: no cover — not in sandbox
-            raise NotImplementedError("plug a real decoder here")
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return (im.width, im.height, len(payload))
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: decode binary image payloads → typed metadata + a
+    fixed-size feature stub. State (decoder handles, model weights) is
+    created once per actor in __init__.
+
+    ``backend``: "stub" (deterministic fake — the oracle-checkable default in
+    this container), "pil" (real decode; raises ImportError with a clear
+    message when PIL is absent), or "auto" (pil if available, else stub).
+    """
+
+    def __init__(self, feature_dim: int = 8, backend: str = "stub") -> None:
+        if backend == "auto":
+            backend = "pil" if PIL_AVAILABLE else "stub"
+        if backend == "pil" and not PIL_AVAILABLE:
+            raise ImportError(
+                "backend='pil' requested but PIL is not installed; "
+                "use backend='stub' or install Pillow"
+            )
+        self._decode = _decode_image_pil if backend == "pil" else _decode_image_stub
+        self.backend = backend
         self.feature_dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -44,7 +73,7 @@ class ImageDecodeStage:
         w, h, nb = [], [], []
         feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
         for i, p in enumerate(payloads):
-            wi, hi, ni = _decode_image_stub(p)
+            wi, hi, ni = self._decode(p)
             w.append(wi)
             h.append(hi)
             nb.append(ni)
@@ -68,22 +97,38 @@ class ImageDecodeStage:
 
 
 class AudioSegmentStage:
-    """Actor-pool stage: 'decode' binary audio payloads → typed segment
-    metadata (sample count, duration, fixed-rate frame samples). Decode is
-    STUBBED deterministically (no audio libs in this container); the
-    Ray-side plumbing — binary schema in, struct-ish columns out, small
-    batches, per-actor state — is real.
+    """Actor-pool stage: decode binary audio payloads → typed segment
+    metadata (sample count, duration, fixed-rate frame samples).
+
+    ``backend``: "stub" (treat bytes as fake 16-bit PCM at 16 kHz — the
+    oracle-checkable default), or "wave" (REAL stdlib RIFF/WAV parse:
+    sample count and rate come from the container header — exercised by
+    tests with genuine WAV bytes, no external libs needed).
     """
 
     SAMPLE_RATE = 16_000
 
-    def __init__(self, frame_hop: int = 512) -> None:
+    def __init__(self, frame_hop: int = 512, backend: str = "stub") -> None:
+        if backend not in ("stub", "wave"):
+            raise ValueError(f"unknown audio backend {backend!r}")
         self.frame_hop = frame_hop
+        self.backend = backend
+
+    def _probe(self, payload: bytes) -> tuple[int, int]:
+        """→ (n_samples, sample_rate)."""
+        if self.backend == "wave":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as w:
+                return (w.getnframes(), w.getframerate())
+        return (len(payload) // 2, self.SAMPLE_RATE)  # fake 16-bit PCM
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        n_samples = [len(p) // 2 for p in payloads]  # fake 16-bit PCM
-        duration_ms = [s * 1000 // self.SAMPLE_RATE for s in n_samples]
+        probed = [self._probe(p) for p in payloads]
+        n_samples = [s for s, _ in probed]
+        duration_ms = [s * 1000 // r for s, r in probed]
         n_frames = [max(0, (s - 1)) // self.frame_hop + 1 if s else 0 for s in n_samples]
         return pa.table(
             {

@@ -35,6 +35,7 @@ def make_normalize_fn(
     bucket_overrides: dict[str, int] | None = None,
     segmented: dict[str, int] | None = None,
     segment_rows: int = 250_000,
+    derive: bool = True,
 ):
     """Build the per-batch normalize fn; optionally append a stable
     `bucket` partition column (hash(conv_id) % n_buckets, with explicit
@@ -46,6 +47,12 @@ def make_normalize_fn(
     ``(base + seg) % n_buckets`` — no single task ever holds the whole
     conversation. A ``seg`` column (-1 for unsegmented rows) rides along so
     the bucket kernel can route segment partials to the stitch step.
+
+    ``derive=False`` skips the derived metric columns (char_len / tok_est /
+    is_tool / w1m) — the spill-slimming lever: when the text payload travels
+    through the exchange anyway, the bucket kernel can recompute the derived
+    columns locally for free, so shipping them only inflates the exchange
+    (~21 B/row). Metrics-only mode (text dropped) must keep derive=True.
     """
     import numpy as np
 
@@ -54,7 +61,7 @@ def make_normalize_fn(
 
         tune_worker_threads()
         _check_schema(batch)
-        out = normalize_batch(batch)
+        out = normalize_batch(batch) if derive else batch
         if n_buckets is not None:
             bucket = conv_bucket(batch["conv_id"], n_buckets, bucket_overrides)
             if segmented:
@@ -92,9 +99,10 @@ def normalize_dataset(
     bucket_overrides: dict[str, int] | None = None,
     segmented: dict[str, int] | None = None,
     segment_rows: int = 250_000,
+    derive: bool = True,
 ) -> "ray.data.Dataset":
     return ds.map_batches(
-        make_normalize_fn(n_buckets, bucket_overrides, segmented, segment_rows),
+        make_normalize_fn(n_buckets, bucket_overrides, segmented, segment_rows, derive),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -53,3 +53,59 @@ def test_binary_column_roundtrip(ray_session):
     for i in range(0, t.num_rows, 97):
         did = t["doc_id"][i].as_py()
         assert t["payload"][i].as_py() == texts[did].encode("utf-8")
+
+
+def test_image_backend_flag(ray_session):
+    """backend='pil' must fail loudly when PIL is absent; 'auto' falls back
+    to the stub; a real deployment flips one constructor arg."""
+    import pytest
+    from pyreshaper_ray.stages.multimodal import PIL_AVAILABLE, ImageDecodeStage
+
+    auto = ImageDecodeStage(backend="auto")
+    assert auto.backend == ("pil" if PIL_AVAILABLE else "stub")
+    if not PIL_AVAILABLE:
+        with pytest.raises(ImportError, match="pil"):
+            ImageDecodeStage(backend="pil")
+
+
+def test_audio_wave_backend_real_decode(ray_session):
+    """The 'wave' backend does a REAL RIFF/WAV parse (stdlib): sample count
+    and rate come from the container header, not the stub heuristic."""
+    import io
+    import wave
+
+    import pyarrow as pa
+
+    from pyreshaper_ray.stages.multimodal import AudioSegmentStage
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 4000)  # 4000 frames @ 8 kHz = 500 ms
+    payload = buf.getvalue()
+
+    stage = AudioSegmentStage(frame_hop=512, backend="wave")
+    out = stage(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+    )
+    assert out["n_samples"][0].as_py() == 4000
+    assert out["duration_ms"][0].as_py() == 500
+    assert out["n_frames"][0].as_py() == 8
+
+    # stub backend on the same payload uses the heuristic instead
+    stub = AudioSegmentStage(frame_hop=512, backend="stub")(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+    )
+    assert stub["n_samples"][0].as_py() == len(payload) // 2
