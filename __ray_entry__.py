@@ -46,6 +46,8 @@ def _int64_rollup(ds) -> pa.Table:
     t = collect_table(ds)
     cols = {}
     for name in t.column_names:
+        if name == "bucket":  # hive partition column from tier layouts
+            continue
         col = t[name]
         cols[name] = pc.cast(col, pa.int64()) if col.type == pa.int32() else col
     return pa.table(cols)
@@ -385,6 +387,71 @@ def q_multimodal(sf_dir: str):
     )
 
 
+def q_flagship_rollup_1m(sf_dir: str):
+    """The FLAGSHIP itself under the oracle gate: full run (normalize →
+    exchange → bucket kernel → atomic writes → manifest) into a temp dir,
+    then the 1m tier read back and compared against the window-aggregate
+    SQL. Exercises the whole engine, not just the standalone rollup stage."""
+    from pyreshaper_ray.pipelines.flagship import read_tier, run_flagship
+    from pyreshaper_ray.pipelines.spec import create_spec
+
+    out = tempfile.mkdtemp(prefix="pyreshaper_ray_q_flagship_")
+    spec = create_spec(
+        input=f"{sf_dir}/events.parquet",
+        out_dir=out,
+        n_buckets=16,
+        wmode="o",
+        gapfill=False,
+        encode=False,
+        tiers=("1m",),
+    )
+    run_flagship(spec, ds=read_events_as_transcripts(sf_dir))
+    return _int64_rollup(read_tier(out, "1m"))
+
+
+def q_pivot_turns_exclude(sf_dir: str):
+    """M5 exclusion filter under the oracle gate: pivot with a role dropped."""
+    from pyreshaper_ray.stages.pivot import pivot_turns
+
+    ds = _norm_ds(sf_dir)
+    excl = pa.array(["view"])
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b["role"], value_set=excl)))
+
+    filtered = ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+    return pivot_turns(filtered).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def q_retention_1m(sf_dir: str):
+    """Retention enforcement under the oracle gate: run the flagship, prune
+    the 1m tier at a fixed cutoff, read back what survived."""
+    from pyreshaper_ray.pipelines.flagship import read_tier, run_flagship
+    from pyreshaper_ray.pipelines.retention import apply_retention
+    from pyreshaper_ray.pipelines.spec import create_spec
+
+    out = tempfile.mkdtemp(prefix="pyreshaper_ray_q_retain_")
+    spec = create_spec(
+        input=f"{sf_dir}/events.parquet",
+        out_dir=out,
+        n_buckets=16,
+        wmode="o",
+        gapfill=False,
+        encode=False,
+        tiers=("1m",),
+    )
+    run_flagship(spec, ds=read_events_as_transcripts(sf_dir))
+    # keep the trailing 30 days before now=2024-02-14 → cutoff 2024-01-15,
+    # mid-corpus (the driver tables span 2024-01-01..30), so the prune
+    # genuinely drops and keeps rows
+    day_us = 86_400_000_000
+    now_us = 1_707_868_800_000_000  # 2024-02-14T00:00:00Z
+    apply_retention(out, {"1m": 30 * day_us}, now_us)
+    return _int64_rollup(read_tier(out, "1m"))
+
+
 def entry() -> Any:
     """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
     tiers + gap-fill + codecs → partitioned parquet + manifest) on the
@@ -405,6 +472,9 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pivot_turns": q_pivot_turns,
+        "pivot_turns_exclude": q_pivot_turns_exclude,
+        "flagship_rollup_1m": q_flagship_rollup_1m,
+        "retention_1m": q_retention_1m,
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h,
         "rollup_1d_cascade": q_rollup_1d,
@@ -461,6 +531,12 @@ def _rollup_sql(unit: str) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pivot_turns": _T,
+        "pivot_turns_exclude": f"SELECT * FROM ({_T}) WHERE role <> 'view'",
+        "flagship_rollup_1m": _ROLLUP_SQL,
+        "retention_1m": f"""
+            SELECT * FROM ({_ROLLUP_SQL})
+            WHERE window_start >= TIMESTAMP '2024-01-15 00:00:00'
+        """,
         "rollup_1m": _ROLLUP_SQL,
         "rollup_1h_cascade": _rollup_sql("hour"),
         "rollup_1d_cascade": _rollup_sql("day"),

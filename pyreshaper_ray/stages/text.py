@@ -90,31 +90,43 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """Stopword-profile language classifier (n-gram-free heuristic):
-    profiles built once per actor; per batch the text is tokenized with one
-    RE2 pass and scored against each profile; CJK ratio shortcuts to zh."""
+    """Stopword-profile language classifier (n-gram-free heuristic) —
+    fully vectorized: per-language stopword-occurrence counts come from one
+    RE2 pass each (patterns compiled once per actor in ``__init__``), the
+    winner is an argmax over the score matrix (first language wins ties, in
+    profile order), and a CJK-codepoint count shortcuts to zh. No per-row
+    Python anywhere."""
+
+    CJK_PATTERN = r"[一-鿿]"
 
     def __init__(self) -> None:
-        self.profiles = _LANG_PROFILES
+        self.langs = list(_LANG_PROFILES)
+        self.patterns = {
+            lang: r"\b(" + "|".join(sorted(words)) + r")\b"
+            for lang, words in _LANG_PROFILES.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(batch["text"]).to_pylist()
-        langs: list[str] = []
-        for t in texts:
-            # CJK shortcut
-            cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
-            if cjk > 5:
-                langs.append("zh")
-                continue
-            words = set(t.split())
-            best, best_score = "en", -1
-            for lang, prof in self.profiles.items():
-                score = len(words & prof)
-                if score > best_score:
-                    best, best_score = lang, score
-            langs.append(best)
+        lower = pc.utf8_lower(batch["text"])
+        prefix = pc.utf8_slice_codeunits(lower, start=0, stop=200)
+        cjk = pc.count_substring_regex(prefix, pattern=self.CJK_PATTERN).to_numpy(
+            zero_copy_only=False
+        )
+        scores = np.stack(
+            [
+                pc.count_substring_regex(lower, pattern=self.patterns[lang]).to_numpy(
+                    zero_copy_only=False
+                )
+                for lang in self.langs
+            ]
+        )  # (n_langs, n_docs)
+        best = np.array(self.langs, dtype=object)[np.argmax(scores, axis=0)]
+        langs = np.where(cjk > 5, "zh", best)
         return pa.table(
-            {"doc_id": batch["doc_id"], "lang_pred": pa.array(langs, pa.string())}
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs.tolist(), pa.string()),
+            }
         )
 
 
