@@ -177,13 +177,16 @@ def _execute_exchange(
 
             shutil.rmtree(spill_dir, ignore_errors=True)
             t0 = time.perf_counter()
-            # coalesce to ~2 blocks/CPU first: the hive-partitioned write
-            # creates one file per (block × bucket), and file-creation
-            # metadata is the dominant fixed cost of the spill. (An Arrow-IPC
-            # indexed spill variant was measured and LOST to this: the
-            # per-bucket slice copies cost more than parquet's codec.)
+            # coalesce to a FIXED block count first: the hive-partitioned
+            # write creates one file per (block × bucket), and file-creation
+            # metadata is the dominant fixed cost of the spill. A constant
+            # count (not cpus×k) keeps the file fan-out — and therefore the
+            # fixed cost — identical at every cluster size, which is what the
+            # N→4N scaling contract needs. (An Arrow-IPC indexed spill
+            # variant was measured and LOST to this: the per-bucket slice
+            # copies cost more than parquet's codec.)
             num_cpus = int(ray.cluster_resources().get("CPU", 8))
-            ds.repartition(num_cpus * 2).write_parquet(
+            ds.repartition(max(64, num_cpus * 2)).write_parquet(
                 spill_dir, partition_cols=["bucket"]
             )
             PHASE_TIMES["spill_write"] = time.perf_counter() - t0
@@ -294,7 +297,9 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
     if scan_thresholds:
         from ..stages.normalize import find_heavy_conversations
 
+        t0 = time.perf_counter()
         heavy = find_heavy_conversations(ds, min(scan_thresholds))
+        PHASE_TIMES["heavy_scan"] = time.perf_counter() - t0
         if heavy:
             pinned: dict[str, int] = {}
             seg_base: dict[str, int] = {}

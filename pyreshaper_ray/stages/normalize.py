@@ -111,35 +111,53 @@ def normalize_dataset(
 def find_heavy_conversations(
     ds: "ray.data.Dataset", threshold: int
 ) -> dict[str, int]:
-    """Turn counts per conversation (combiner + small groupby), keeping only
-    conversations above ``threshold`` turns. The result is the heavy-hitter
-    list used for balanced bucket assignment — it is small by construction
-    (heavy keys are rare), so broadcasting it in a closure is free."""
+    """Turn counts per conversation above ``threshold`` — shuffle-free.
+
+    Per-block combiner counts (one row per conv per block) are pre-filtered
+    to partials ≥ threshold/1024 and merged on the driver with one Arrow
+    ``group_by`` — no all-to-all exchange at all. Conversations are laid out
+    near-contiguously in any real ingest, so the merged partial set is
+    ~O(n_convs) rows; the pre-filter bounds it even under adversarial
+    scatter. Detection bound (documented trade): a conversation smeared so
+    thin that EVERY per-block partial is below threshold/1024 (i.e. spread
+    over >1024 blocks with no local mass) is missed — acceptable because
+    heavy detection steers load balance / segmentation only, never result
+    correctness (hash bucketing remains the fallback, outputs are
+    bit-identical either way), and a conversation that thin exerts no local
+    pressure on any single bucket."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Sum
+    floor = max(1, threshold // 1024)
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["conv_id"]).aggregate([("conv_id", "count")])
-        return pa.table(
+        out = pa.table(
             {
                 "conv_id": g["conv_id"],
                 "n": pc.cast(g["conv_id_count"], pa.int64()),
             }
         )
+        return out.filter(pc.greater_equal(out["n"], floor))
 
-    counts = (
-        ds.select_columns(["conv_id"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("conv_id")
-        .aggregate(Sum("n", alias_name="n"))
+    parts = ds.select_columns(["conv_id"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    heavy = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], threshold)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    if heavy.empty:
+    from ..util import collect_table
+
+    merged = collect_table(
+        parts, pa.schema([("conv_id", pa.string()), ("n", pa.int64())])
+    )
+    if merged.num_rows == 0:
         return {}
-    heavy = heavy.sort_values(["n", "conv_id"], ascending=[False, True])
-    return {r.conv_id: int(r.n) for r in heavy.itertuples()}
+    g = merged.group_by(["conv_id"]).aggregate([("n", "sum")])
+    g = g.filter(pc.greater_equal(g["n_sum"], threshold))
+    if g.num_rows == 0:
+        return {}
+    idx = pc.sort_indices(
+        g, sort_keys=[("n_sum", "descending"), ("conv_id", "ascending")]
+    )
+    g = g.take(idx)
+    ns = g["n_sum"].to_numpy(zero_copy_only=False)
+    return {
+        cid: int(n) for cid, n in zip(g["conv_id"].to_pylist(), ns)
+    }
