@@ -255,6 +255,14 @@ def q_embedding_neardup_lsh(sf_dir: str):
     return collect_table(neardup_lsh(sf_dir, threshold=0.4), schema)
 
 
+def q_neardup_groups(sf_dir: str):
+    """Connected-component near-dup grouping (vec → min-id representative),
+    oracle-checked against a recursive-CTE reachability closure."""
+    from pyreshaper_ray.stages.similarity import neardup_groups
+
+    return neardup_groups(sf_dir, threshold=0.4)
+
+
 def q_embedding_neardup(sf_dir: str):
     from pyreshaper_ray.stages.similarity import neardup_pairs
     from pyreshaper_ray.util import collect_table
@@ -499,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top5": q_knn_lsh,
         "embedding_neardup_pairs": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "neardup_groups": q_neardup_groups,
         "multimodal_decode_stub": q_multimodal,
         "audio_decode_stub": q_audio_stub,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -666,6 +675,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+        """,
+        "neardup_groups": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) > 0.4
+            ),
+            edges AS (
+                SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+            ),
+            reach (vec_id, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.vec_id = e.v
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(MIN(r) AS BIGINT) AS rep_id
+            FROM reach GROUP BY vec_id
         """,
         "multimodal_decode_stub": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

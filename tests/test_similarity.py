@@ -133,3 +133,37 @@ def test_neardup_lsh_planted_recall(ray_session, tmp_path):
     nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     for a, b in list(got)[:10]:
         assert float(nm[a] @ nm[b]) > 0.95
+
+
+def test_neardup_groups_components(ray_session):
+    """Union-find grouping agrees with a reference BFS closure over the
+    exact pair graph, and every rep is its component's min id."""
+    from pyreshaper_ray.stages.similarity import neardup_groups, neardup_pairs
+    from pyreshaper_ray.util import collect_table
+
+    schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    pairs = collect_table(neardup_pairs(SF, threshold=0.35), schema)
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v])
+        rep = min(comp)
+        for v in comp:
+            ref[v] = rep
+
+    got = neardup_groups(SF, threshold=0.35)
+    mine = dict(zip(got["vec_id"].to_pylist(), got["rep_id"].to_pylist()))
+    assert mine == ref
