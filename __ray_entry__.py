@@ -362,6 +362,18 @@ def q_enrich_conv_channel(sf_dir: str):
     ).aggregate(Sum("char_sum", alias_name="char_sum"), Sum("n_turns", alias_name="n_turns"))
 
 
+def q_p95_chars(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import quantile_chars_per_conv
+
+    return quantile_chars_per_conv(_norm_ds(sf_dir), q=0.95)
+
+
+def q_top2_turns(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import topk_turns_per_conv
+
+    return topk_turns_per_conv(_norm_ds(sf_dir), k=2)
+
+
 def q_median_chars(sf_dir: str):
     from pyreshaper_ray.stages.analytics import median_chars_per_conv
 
@@ -515,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_rollup_5m": q_sliding_5m,
         "asof_last_order": q_asof_last_order,
         "median_chars_per_conv": q_median_chars,
+        "p95_chars_per_conv": q_p95_chars,
+        "top2_turns_per_conv": q_top2_turns,
     }
 
 
@@ -726,6 +740,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    CAST(l[CAST((n - 1) // 2 AS BIGINT) + 1] AS BIGINT) AS median_char
             FROM s
+        """,
+        "p95_chars_per_conv": f"""
+            WITH t AS ({_T}),
+            s AS (
+                SELECT conv_id,
+                       list_sort(list(LENGTH(text))) AS l,
+                       COUNT(*) AS n
+                FROM t GROUP BY 1
+            )
+            SELECT conv_id,
+                   CAST(l[GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)] AS BIGINT)
+                       AS p_char
+            FROM s
+        """,
+        "top2_turns_per_conv": f"""
+            WITH t AS ({_T}),
+            r AS (
+                SELECT conv_id, turn_idx,
+                       CAST(LENGTH(text) AS BIGINT) AS char_len,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY conv_id
+                           ORDER BY LENGTH(text) DESC, turn_idx ASC
+                       ) AS rank
+                FROM t
+            )
+            SELECT conv_id, turn_idx, char_len, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 2
         """,
         "sliding_rollup_5m": f"""
             WITH t AS ({_T}),

@@ -153,6 +153,26 @@ def run_bench(headline_only: bool = False) -> dict:
         ),
     )
 
+    # segmented flagship: thresholds lowered so the fixture's skewed
+    # conversations (2400 turns) take the giant-conversation path — measures
+    # the segment-salting + stitch overhead against the plain run above
+    out4 = os.path.join(out_root, f"out_seg_sf{sf}_cpus{NUM_CPUS}")
+    shutil.rmtree(out4, ignore_errors=True)
+    timed(
+        "flagship_segmented",
+        lambda: run_flagship(
+            create_spec(
+                input=fixture_in,
+                out_dir=out4,
+                n_buckets=max(64, NUM_CPUS * 4),
+                salt_threshold=0,
+                segment_threshold=2000,
+                segment_rows=800,
+                wmode="o",
+            )
+        ),
+    )
+
     # flagship over the sf dir's events stream (adapter path)
     from pyreshaper_ray.sources.adapters import read_events_as_transcripts
 

@@ -378,3 +378,52 @@ def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
         Sum("total_cents", alias_name="total_cents"),
         Sum("n_orders", alias_name="n_orders"),
     )
+
+
+def quantile_chars_per_conv(
+    ds_normalized: "ray.data.Dataset", q: float = 0.95
+) -> "ray.data.Dataset":
+    """Exact per-conversation order statistic at quantile ``q``: defined
+    deterministically as sorted[ceil(q*n)-1] so the DuckDB oracle can
+    restate it with list_sort + explicit indexing. Per-group numpy
+    partition — O(n) selection, no full sort."""
+    import math
+
+    def sel(group: pa.Table) -> pa.Table:
+        v = group["char_len"].to_numpy(zero_copy_only=False)
+        k = max(0, math.ceil(q * len(v)) - 1)
+        m = int(np.partition(v, k)[k])
+        return pa.table(
+            {
+                "conv_id": pa.array([group["conv_id"][0].as_py()], pa.string()),
+                "p_char": pa.array([m], pa.int64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(sel, batch_format="pyarrow")
+
+
+def topk_turns_per_conv(
+    ds_normalized: "ray.data.Dataset", k: int = 2
+) -> "ray.data.Dataset":
+    """Top-k LONGEST turns per conversation (the ROW_NUMBER()-window shape):
+    per-group vectorized sort by (char_len desc, turn_idx asc) + head-k —
+    state never crosses conversations, so the shuffle key stays conv_id."""
+
+    def top(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("char_len", "descending"), ("turn_idx", "ascending")],
+        )
+        t = group.take(idx.slice(0, min(k, group.num_rows)))
+        n = t.num_rows
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "char_len": pc.cast(t["char_len"], pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1), pa.int64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(top, batch_format="pyarrow")
