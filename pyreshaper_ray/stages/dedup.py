@@ -140,9 +140,12 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t) for t in batch["text"].to_pylist()]
-        arr = pa.array(
-            [s.astype(np.int64).tolist() for s in sigs], pa.list_(pa.int64())
+        flat = (
+            np.concatenate(sigs).astype(np.int64)
+            if sigs
+            else np.empty(0, dtype=np.int64)
         )
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(flat), self.n_perm)
         return pa.table({"doc_id": batch["doc_id"], "minhash": arr})
 
 
@@ -184,7 +187,13 @@ def minhash_lsh_candidates(
 
     def explode(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sig = np.array(batch["minhash"].to_pylist(), dtype=np.uint64)  # (n, perm)
+        mh = batch["minhash"].combine_chunks()
+        sig = (
+            mh.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .reshape(len(doc), -1)
+        )  # (n, perm) — zero-copy-ish reshape of the fixed-size list buffer
         n = len(doc)
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
         doc_rep = np.tile(doc, bands)
