@@ -245,6 +245,14 @@ def q_knn_lsh(sf_dir: str):
     return knn_lsh(sf_dir, n_queries=5, k=5, n_bits=4)
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN (centroid cells + n_probe nearest-cell scan). Rows-only by
+    design (approximate); recall gate in tests/test_similarity.py."""
+    from pyreshaper_ray.stages.similarity import knn_ivf
+
+    return knn_ivf(sf_dir, n_queries=5, k=5)
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Approximate near-dup pairs (multi-table sign-LSH + in-bucket exact
     cosine). Rows-only by design; recall gate in tests/test_similarity.py."""
@@ -517,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_documents": q_minhash_neardup,
         "knn_cosine_top5": q_knn,
         "knn_lsh_top5": q_knn_lsh,
+        "knn_ivf_top5": q_knn_ivf,
         "embedding_neardup_pairs": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "neardup_groups": q_neardup_groups,

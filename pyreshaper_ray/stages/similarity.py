@@ -400,3 +400,146 @@ def neardup_groups(sf_dir: str, threshold: float = 0.4) -> pa.Table:
             "rep_id": pa.array(reps, pa.int64()),
         }
     )
+
+
+def knn_ivf(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> pa.Table:
+    """IVF (inverted-file) ANN: the corpus is assigned to the nearest of
+    ``n_cells`` centroids (one vectorized matmul per batch against a
+    broadcast centroid matrix), each query probes its ``n_probe`` nearest
+    cells, and the per-cell top-k runs inside ``groupby("cell").map_groups``
+    — per-query work scans ~n_probe/n_cells of the corpus instead of all of
+    it. Centroids are a seed-fixed sample of the corpus itself (normalized),
+    so runs are deterministic. The driver merges only queries × k × n_probe
+    candidate rows.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    # seed-fixed centroid sample: read only the sampled rows
+    meta = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    all_ids = np.sort(np.array(meta["vec_id"].to_pylist(), dtype=np.int64))
+    rng = np.random.default_rng(seed)
+    cent_ids = np.sort(rng.choice(all_ids, size=min(n_cells, len(all_ids)), replace=False))
+    cent_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cent_ids.tolist())],
+    )
+    cmat = _batch_matrix(cent_t)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = 1.0
+    cmat = cmat / cn[:, None]
+    cent_ref = ray.put(cmat)
+
+    # query side: vectors + their probed cells, broadcast once
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qids = np.array(qt["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = _batch_matrix(qt)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    qsims = qmat @ cmat.T
+    probe = min(n_probe, cmat.shape[0])
+    qcells = np.argsort(-qsims, axis=1, kind="stable")[:, :probe]  # (nq, probe)
+    q_ref = ray.put((qids, qcells, qmat))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        c = cached_get(cent_ref)
+        m = _batch_matrix(batch)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        cell = np.argmax((m / n[:, None]) @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cell": pa.array(cell, pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def cell_topk(group: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        g_qids, g_qcells, g_qmat = cached_get(q_ref)
+        cell = int(group["cell"][0].as_py())
+        here = np.flatnonzero((g_qcells == cell).any(axis=1))
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if not len(here):
+            return empty
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(group)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in here:
+            qid = int(g_qids[qi])
+            cand = np.flatnonzero(ids != qid)
+            if not len(cand):
+                continue
+            sims = m[cand] @ g_qmat[qi]
+            order = np.lexsort((ids[cand], -sims))[:k]
+            for i in order:
+                rows_q.append(qid)
+                rows_n.append(int(ids[cand[i]]))
+                rows_s.append(float(sims[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "neighbor_id": pa.array(rows_n, pa.int64()),
+                "sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    cands = assigned.groupby("cell").map_groups(cell_topk, batch_format="pyarrow")
+    from ..util import collect_table
+
+    t = collect_table(
+        cands,
+        pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    )
+    # final per-query top-k over the tiny probed-cell candidate union
+    qcol = t["query_id"].to_numpy(zero_copy_only=False)
+    ncol = t["neighbor_id"].to_numpy(zero_copy_only=False)
+    scol = t["sim"].to_numpy(zero_copy_only=False)
+    rows_q, rows_n = [], []
+    for qid in sorted(set(qcol.tolist())):
+        m = qcol == qid
+        order = np.lexsort((ncol[m], -scol[m]))[:k]
+        idx = np.flatnonzero(m)
+        for i in order:
+            rows_q.append(qid)
+            rows_n.append(int(ncol[idx[i]]))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+        }
+    )

@@ -156,3 +156,35 @@ def test_segmented_resume_skips_everything(ray_session, seg_run):
     spec2 = dataclasses.replace(spec)
     m2 = run_flagship(spec2)
     assert m2.num_rows == 0  # all buckets AND the stitch are committed
+
+
+def test_stitch_resume_recomputes_only_stitch(ray_session, seg_run):
+    """Losing the stitch's manifest record (crash between phase B and
+    stitch) must make a wmode 's' rerun redo ONLY the stitch — bucket
+    outputs untouched, stitched tiers restored bit-identically."""
+    import dataclasses
+    import json
+
+    from pyreshaper_ray.state import manifest as mf
+
+    t, out, spec, metrics = seg_run
+    done = mf.load_completed(out)
+    pseudo = [b for b in done if b >= spec.n_buckets][0]
+    series_path = done[pseudo]["files"]["series"]
+    before = pq.read_table(series_path)
+
+    os.remove(mf.bucket_path(out, pseudo))
+    os.remove(series_path)
+    bucket_mtimes = {
+        b: os.path.getmtime(rec["files"]["1m"])
+        for b, rec in done.items()
+        if b < spec.n_buckets
+    }
+
+    m2 = run_flagship(dataclasses.replace(spec))
+    assert set(m2["bucket"].to_pylist()) == {pseudo}  # only the stitch reran
+    done2 = mf.load_completed(out)
+    for b, mt in bucket_mtimes.items():
+        assert os.path.getmtime(done2[b]["files"]["1m"]) == mt
+    after = pq.read_table(done2[pseudo]["files"]["series"])
+    assert after.equals(before)  # byte-identical re-stitch

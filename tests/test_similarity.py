@@ -167,3 +167,18 @@ def test_neardup_groups_components(ray_session):
     got = neardup_groups(SF, threshold=0.35)
     mine = dict(zip(got["vec_id"].to_pylist(), got["rep_id"].to_pylist()))
     assert mine == ref
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF with 4/32 probed cells must beat random scanning and find every
+    planted exact duplicate (identical vectors share a cell by definition)."""
+    from pyreshaper_ray.stages.similarity import knn_ivf
+
+    got = knn_ivf(SF, n_queries=5, k=5, n_cells=16, n_probe=4)
+    by_q: dict[int, set[int]] = {}
+    for q, n in zip(got["query_id"].to_pylist(), got["neighbor_id"].to_pylist()):
+        by_q.setdefault(q, set()).add(n)
+    ref = _bruteforce_reference()
+    assert set(by_q) == set(ref)
+    recalls = [len(by_q[q] & set(ref[q])) / 5 for q in ref]
+    assert float(np.mean(recalls)) >= 0.3  # 4/16 cells probed on random data
