@@ -212,6 +212,14 @@ def q_fingerprint(sf_dir: str):
     return run_text_stage(sf_dir, fingerprint_batch)
 
 
+def q_winnow(sf_dir: str):
+    """Winnowing (MOSS) local fingerprints; rows-only (no SQL analog — the
+    shared-substring guarantee is pytest-gated in tests/test_text.py)."""
+    from pyreshaper_ray.stages.text import winnow_documents
+
+    return winnow_documents(sf_dir).select_columns(["doc_id", "n_fingerprints"])
+
+
 def q_lang_id(sf_dir: str):
     from pyreshaper_ray.stages.text import lang_id_documents
 
@@ -520,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": q_quality,
         "content_hash_documents": q_content_hash,
         "fingerprint_documents": q_fingerprint,
+        "winnow_documents": q_winnow,
         "lang_id_documents": q_lang_id,
         "simhash_documents": q_simhash,
         "minhash_neardup_documents": q_minhash_neardup,

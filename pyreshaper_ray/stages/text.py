@@ -138,3 +138,63 @@ def run_text_stage(sf_dir: str, fn, columns=("doc_id", "text")) -> "ray.data.Dat
 def lang_id_documents(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+_WINNOW_MOD = np.uint64((1 << 61) - 1)
+
+
+def winnow_batch(
+    batch: pa.Table, k: int = 8, w: int = 6, text_col: str = "text"
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS local-fingerprint scheme): k-gram rolling hashes over
+    utf-8 bytes, then the minimum hash of every w-window is selected
+    (leftmost minimum; consecutive duplicate selections dropped), so any
+    shared substring of length ≥ w+k−1 between two documents is GUARANTEED
+    to share at least one fingerprint. Fully vectorized per document:
+    numpy sliding windows for both the gram hashes and the window minima.
+
+    Output: doc_id, n_fingerprints, fingerprints (list<int64>, sorted
+    distinct) — set intersection over the lists is the copy-detection
+    primitive (no SQL analog → rows-only driver check; the substring
+    guarantee is pytest-gated).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = 1
+    for i in range(k - 2, -1, -1):
+        powers[i] = powers[i + 1] * np.uint64(257)  # wraps mod 2^64 by design
+    doc_ids = batch["doc_id"]
+    fps: list[np.ndarray] = []
+    for t in batch[text_col].to_pylist():
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            fps.append(np.empty(0, dtype=np.int64))
+            continue
+        grams = sliding_window_view(b, k).astype(np.uint64)  # (n-k+1, k)
+        gh = (grams * powers).sum(axis=1, dtype=np.uint64)  # rolling poly hash
+        # splitmix-style finalize so window minima are well distributed
+        gh ^= gh >> np.uint64(30)
+        gh *= np.uint64(0xBF58476D1CE4E5B9)
+        gh ^= gh >> np.uint64(27)
+        if len(gh) < w:
+            sel = np.array([int(gh.argmin())])
+        else:
+            wins = sliding_window_view(gh, w)  # (n-k-w+2, w)
+            sel = np.unique(wins.argmin(axis=1) + np.arange(len(wins)))
+        picked = (gh[sel] >> np.uint64(1)).astype(np.int64)  # int64-safe
+        fps.append(np.unique(picked))
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            "fingerprints": pa.array(
+                [f.tolist() for f in fps], pa.list_(pa.int64())
+            ),
+        }
+    )
+
+
+def winnow_documents(sf_dir: str) -> "ray.data.Dataset":
+    return run_text_stage(sf_dir, winnow_batch)

@@ -65,3 +65,40 @@ def test_lang_id_on_real_sentences():
     out = LangId()(_batch(list(samples.values())))
     preds = out["lang_pred"].to_pylist()
     assert preds == list(samples.keys())
+
+
+def test_winnowing_substring_guarantee(ray_session):
+    """Winnowing's defining property: documents sharing a substring of
+    length >= w+k-1 MUST share a fingerprint; unrelated docs share ~none."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyreshaper_ray.stages.text import winnow_batch
+
+    rng = np.random.default_rng(5)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz ")
+    def rand_text(n):
+        return "".join(rng.choice(alphabet, n))
+
+    shared = rand_text(40)  # >> w+k-1 = 13
+    a = rand_text(300) + shared + rand_text(300)
+    b = rand_text(250) + shared + rand_text(350)
+    c = rand_text(900)  # unrelated
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([a, b, c], pa.string()),
+        }
+    )
+    out = winnow_batch(t)
+    fa, fb, fc = (set(x) for x in out["fingerprints"].to_pylist())
+    assert fa & fb, "shared substring must share a fingerprint"
+    assert len(fa & fc) <= 2  # random 61-bit collisions only
+    # deterministic across calls
+    out2 = winnow_batch(t)
+    assert out["fingerprints"].to_pylist() == out2["fingerprints"].to_pylist()
+    # short docs (< k chars) yield no fingerprints, not errors
+    short = pa.table(
+        {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["hi"], pa.string())}
+    )
+    assert winnow_batch(short)["n_fingerprints"][0].as_py() == 0
