@@ -4,15 +4,21 @@ The end-to-end ``s2srun`` analog (public repo ``scripts/s2srun`` →
 ``reshaper.create_reshaper(spec).convert()``):
 
     read_parquet(input, columns=transcript cols)        # S1, column-pruned
-      → [heavy-conversation scan → bucket overrides]    # WeightBalanced analog
-      → map_batches(normalize + bucket id)              # M-ops, stateless
+      → [heavy-conversation scan (shuffle-free) →       # WeightBalanced analog:
+         pinned buckets + giant-conv segmentation]      #  two weight classes
+      → map_batches(bucket id [+ seg]; derived columns  # M-ops, stateless
+         deferred to the kernel when text ships)        #  (spill slimming)
       → exchange (spec.exchange, default "spill"):      # THE one all-to-all
            map-side hive-partitioned spill write → one task per remaining
            bucket reads ONLY its partition (see _execute_exchange for the
-           "hash" and "groupby" alternatives)
+           "hash" and "groupby" alternatives; wmode 'a' spills only NEW
+           input files and recomputes only their buckets)
       → bucket kernel per task:
            sort+dedup pivot · rollup tiers · cascade ·
            gap-fill · DoD/Gorilla encode · atomic write · manifest commit
+           (+ segment partials for giant conversations)
+      → stitch per giant conversation:                  # pseudo bucket ids
+           merge 1m partials · cascade · gap-fill · stream-encode series
       → metrics rows (one per bucket) → driver reduce   # print_diagnostics
 
 Scale properties: exactly one all-to-all exchange; its payload is the
