@@ -488,6 +488,154 @@ def q_retention_1m(sf_dir: str):
     return _int64_rollup(read_tier(out, "1m"))
 
 
+def q_turn_gaps(sf_dir: str):
+    from pyreshaper_ray.stages.windows import turn_gaps
+
+    return turn_gaps(read_events_as_transcripts(sf_dir))
+
+
+def q_cumsum_chars(sf_dir: str):
+    from pyreshaper_ray.stages.windows import cumulative_chars
+
+    return cumulative_chars(_norm_ds(sf_dir))
+
+
+def _customer_events_existence(sf_dir: str, anti: bool):
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import anti_join, semi_join
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    fn = anti_join if anti else semi_join
+    j = fn(cust, ev, on="c_custkey", right_on="user_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_mktsegment"]).aggregate([("c_custkey", "count")])
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "n_customers": pc.cast(g["c_custkey_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _S
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(_S("n_customers", alias_name="n_customers"))
+    )
+
+
+def q_customers_with_events(sf_dir: str):
+    """Semi join (EXISTS): customers having >=1 event, counted per segment."""
+    return _customer_events_existence(sf_dir, anti=False)
+
+
+def q_customers_without_events(sf_dir: str):
+    """Anti join (NOT EXISTS): customers with no events, per segment."""
+    return _customer_events_existence(sf_dir, anti=True)
+
+
+def q_orders_events_range_7d(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import range_join_events
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return range_join_events(orders, events, window_days=7)
+
+
+def q_rollup_orders_cube(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import rollup_orders_cube
+
+    return rollup_orders_cube(sf_dir)
+
+
+def q_unpivot_rollup_1m(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import unpivot_tier
+    from pyreshaper_ray.stages.rollup import rollup_1m
+
+    return unpivot_tier(rollup_1m(_norm_ds(sf_dir)))
+
+
+def q_top_terms(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import top_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_terms(docs, k=20)
+
+
+def q_hash_sample(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import hash_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return hash_sample(docs)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL sketch count-distinct — deterministic but not SQL-expressible
+    (rows-only driver check; the 3% error gate is tests/test_sketches.py)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import approx_distinct_users
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return approx_distinct_users(ev)
+
+
+def q_value_histogram(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import value_histogram
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(ev, bin_width_cents=500)
+
+
+def q_pivot_roles_wide(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import pivot_roles_wide
+
+    return pivot_roles_wide(read_events_as_transcripts(sf_dir))
+
+
+def q_corr_qty_price(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import corr_components
+
+    return corr_components(sf_dir)
+
+
+def q_approx_value_quantiles(sf_dir: str):
+    """DDSketch quantiles — deterministic, not SQL-expressible (rows-only
+    driver check; the 1% relative-error gate is tests/test_sketches.py)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import approx_value_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+    return approx_value_quantiles(ev)
+
+
 def entry() -> Any:
     """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
     tiers + gap-fill + codecs → partitioned parquet + manifest) on the
@@ -547,6 +695,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_chars_per_conv": q_median_chars,
         "p95_chars_per_conv": q_p95_chars,
         "top2_turns_per_conv": q_top2_turns,
+        "turn_gaps_per_conv": q_turn_gaps,
+        "cumsum_chars_per_conv": q_cumsum_chars,
+        "customers_with_events": q_customers_with_events,
+        "customers_without_events": q_customers_without_events,
+        "orders_events_range_7d": q_orders_events_range_7d,
+        "rollup_orders_cube": q_rollup_orders_cube,
+        "unpivot_rollup_1m": q_unpivot_rollup_1m,
+        "top_terms_documents": q_top_terms,
+        "hash_sample_documents": q_hash_sample,
+        "approx_distinct_users": q_approx_distinct_users,
+        "value_histogram": q_value_histogram,
+        "pivot_roles_wide": q_pivot_roles_wide,
+        "corr_qty_price": q_corr_qty_price,
+        "approx_value_quantiles": q_approx_value_quantiles,
     }
 
 
@@ -824,5 +986,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum,
                    CAST(COUNT(*) AS BIGINT) AS n_turns
             FROM t GROUP BY 1
+        """,
+        "turn_gaps_per_conv": f"""
+            WITH t AS ({_T}),
+            d AS (
+                SELECT conv_id,
+                       epoch_us(ts) - epoch_us(
+                           LAG(ts) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx)) AS g
+                FROM t
+            )
+            SELECT conv_id,
+                   CAST(COUNT(g) AS BIGINT) AS n_gaps,
+                   CAST(SUM(g) AS BIGINT) AS sum_gap_us,
+                   CAST(MAX(g) AS BIGINT) AS max_gap_us
+            FROM d GROUP BY 1
+        """,
+        "cumsum_chars_per_conv": f"""
+            WITH t AS ({_T})
+            SELECT conv_id, turn_idx,
+                   CAST(SUM(LENGTH(text)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                   ) AS BIGINT) AS cum_chars
+            FROM t
+        """,
+        "customers_with_events": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+            GROUP BY 1
+        """,
+        "customers_without_events": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+            GROUP BY 1
+        """,
+        "orders_events_range_7d": """
+            SELECT o.o_orderkey,
+                   CAST(COUNT(e.user_id) AS BIGINT) AS n_events,
+                   MAX(e.value) AS max_value
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY 1
+        """,
+        "rollup_orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "unpivot_rollup_1m": f"""
+            WITH r AS ({_ROLLUP_SQL})
+            SELECT conv_id, window_start, 'turn_count' AS metric,
+                   turn_count AS value FROM r
+            UNION ALL
+            SELECT conv_id, window_start, 'char_sum', char_sum FROM r
+            UNION ALL
+            SELECT conv_id, window_start, 'tool_calls', tool_calls FROM r
+        """,
+        "top_terms_documents": """
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                           AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20
+        """,
+        "hash_sample_documents": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+        """,
+        "value_histogram": """
+            WITH c AS (
+                SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+            )
+            SELECT CAST(FLOOR(cents / 500.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM c GROUP BY 1
+        """,
+        "pivot_roles_wide": f"""
+            WITH t AS ({_T})
+            SELECT conv_id,
+                   CAST(COUNT(*) FILTER (WHERE role = 'view') AS BIGINT) AS n_view,
+                   CAST(COUNT(*) FILTER (WHERE role = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE role = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE role = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE role = 'error') AS BIGINT) AS n_error
+            FROM t GROUP BY 1
+        """,
+        "corr_qty_price": """
+            WITH c AS (
+                SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+                   CAST(SUM(y * y) AS BIGINT) AS sum_y2
+            FROM c
         """,
     }

@@ -427,3 +427,212 @@ def topk_turns_per_conv(
         )
 
     return ds_normalized.groupby("conv_id").map_groups(top, batch_format="pyarrow")
+
+
+def rollup_orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): order counts + exact
+    total cents at three grouping levels — (status, priority), (status),
+    and grand total — with NULL marking the rolled-up dimension, matching
+    SQL ROLLUP output.
+
+    Coarser levels are derived from the FINEST level's partials (sums of
+    sums), so the base table is read and shuffled exactly once; the re-
+    aggregation runs over the tiny finest-level result (|status|×|priority|
+    rows), not over orders. This is the continuous-aggregate-cascade rule
+    (rollup.py::cascade) applied to grouping sets.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_c": to_cents(batch["o_totalprice"]),
+            }
+        )
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("price_c", "sum"), ("price_c", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "total_cents": g["price_c_sum"],
+                "n_orders": pc.cast(g["price_c_count"], pa.int64()),
+            }
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    from ..util import collect_table
+
+    f = collect_table(finest)  # result-sized: |status| × |priority| rows
+    by_status = f.group_by(["o_orderstatus"]).aggregate(
+        [("total_cents", "sum"), ("n_orders", "sum")]
+    )
+    lvl1 = pa.table(
+        {
+            "o_orderstatus": by_status["o_orderstatus"],
+            "o_orderpriority": pa.nulls(by_status.num_rows, pa.string()),
+            "total_cents": by_status["total_cents_sum"],
+            "n_orders": by_status["n_orders_sum"],
+        }
+    )
+    lvl0 = pa.table(
+        {
+            "o_orderstatus": pa.nulls(1, pa.string()),
+            "o_orderpriority": pa.nulls(1, pa.string()),
+            "total_cents": pa.array(
+                [pc.sum(f["total_cents"]).as_py()], pa.int64()
+            ),
+            "n_orders": pa.array([pc.sum(f["n_orders"]).as_py()], pa.int64()),
+        }
+    )
+    out = pa.concat_tables(
+        [f.select(lvl1.column_names).cast(lvl1.schema), lvl1, lvl0]
+    )
+    return ray.data.from_arrow(out)
+
+
+def unpivot_tier(tier_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Melt the wide 1m-tier metric columns into long (metric, value) rows —
+    the UNPIVOT shape. Pure per-batch reshape (concat of column-sliced
+    views), no shuffle; output is 3 rows per input window row.
+    """
+    metrics = ("turn_count", "char_sum", "tool_calls")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "window_start": batch["window_start"],
+                    "metric": pa.array([m] * batch.num_rows, pa.string()),
+                    "value": pc.cast(batch[m], pa.int64()),
+                }
+            )
+            for m in metrics
+        ]
+        return pa.concat_tables(parts)
+
+    return tier_ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def value_histogram(
+    events_ds: "ray.data.Dataset", bin_width_cents: int = 500
+) -> "ray.data.Dataset":
+    """Fixed-width histogram of event values (cents domain): bin id =
+    floor(value_cents / width). Combiner-first — each block reduces to one
+    row per occupied bin, so the exchange moves O(bins), not O(rows).
+
+    Output: bin (BIGINT, floor-division id), n (BIGINT), sum_cents (BIGINT).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+        bins = np.floor_divide(cents, bin_width_cents)
+        t = pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "c": pa.array(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["bin"]).aggregate([("c", "sum"), ("c", "count")])
+        return pa.table(
+            {
+                "bin": g["bin"],
+                "n": pc.cast(g["c_count"], pa.int64()),
+                "sum_cents": g["c_sum"],
+            }
+        )
+
+    p = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("bin").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
+    )
+
+
+def pivot_roles_wide(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Long→wide pivot: per conversation, one column per role with its turn
+    count (the PIVOT / FILTER-aggregate shape). Roles are the event-type
+    vocabulary (fixed, small); the combiner emits the wide row directly so
+    the shuffle carries one fixed-width row per conversation per block.
+    """
+    roles = ("view", "click", "purchase", "signup", "error")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id", "role"]).aggregate([("role", "count")])
+        conv = g["conv_id"]
+        role = g["role"].to_numpy(zero_copy_only=False)
+        n = g["role_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_arr = pc.dictionary_encode(conv.combine_chunks())
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+        ncv = len(dict_arr.dictionary)
+        cols = {"conv_id": dict_arr.dictionary}
+        for r in roles:
+            acc = np.zeros(ncv, dtype=np.int64)
+            m = role == r
+            np.add.at(acc, idx[m], n[m])
+            cols[f"n_{r}"] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    p = ds_transcripts.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return p.groupby("conv_id").aggregate(
+        *[Sum(f"n_{r}", alias_name=f"n_{r}") for r in roles]
+    )
+
+
+def corr_components(sf_dir: str) -> "ray.data.Dataset":
+    """Exact single-pass correlation components for (l_quantity,
+    l_extendedprice) in the integer-cents domain: n, Σx, Σy, Σxy, Σx², Σy²
+    as BIGINTs. All terms are associative integer sums, so the result is
+    bit-exact under any block order — the distributed-correlation shape
+    without float drift (the caller or SQL derives r from the components).
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = to_cents(batch["l_quantity"]).to_numpy(zero_copy_only=False)
+        y = to_cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),  # constant global-agg key
+                "n": pa.array([len(x)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_y": pa.array([int(y.sum())], pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+                "sum_x2": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_y2": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.groupby("g").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_x", alias_name="sum_x"),
+        Sum("sum_y", alias_name="sum_y"),
+        Sum("sum_xy", alias_name="sum_xy"),
+        Sum("sum_x2", alias_name="sum_x2"),
+        Sum("sum_y2", alias_name="sum_y2"),
+    )
+    return agg.select_columns(
+        ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    )

@@ -11,6 +11,14 @@ new engine adds:
 - ``hash_join``: both-sides-large equi-join via ``Dataset.join`` (Ray ≥2.46
   hash-partitions both sides on the key); partition count bounded by CPUs
   because the join aggregators are actors.
+- ``semi_join`` / ``anti_join``: existence filters (EXISTS / NOT EXISTS) —
+  Ray's native ``left_semi`` / ``left_anti`` hash join, so only the probe
+  side's rows ever materialize in the output.
+- ``range_join_events``: time-band range join (non-equi) — both sides
+  hash-co-partitioned on the entity key in ONE shuffle, then a vectorized
+  cumsum + searchsorted kernel resolves each left row's time window against
+  the sorted right side. This is the composition pattern for operators Ray
+  Data lacks natively: union → groupby(key) → per-group numpy kernel.
 """
 
 from __future__ import annotations
@@ -58,6 +66,7 @@ def hash_join(
     on: tuple[str, ...] | str,
     join_type: str = "inner",
     num_partitions: int | None = None,
+    right_on: tuple[str, ...] | str | None = None,
 ) -> "ray.data.Dataset":
     """Large⋈large equi-join: Ray's hash-partitioned ``Dataset.join``.
 
@@ -68,6 +77,8 @@ def hash_join(
 
     if isinstance(on, str):
         on = (on,)
+    if isinstance(right_on, str):
+        right_on = (right_on,)
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)
@@ -76,4 +87,122 @@ def hash_join(
         join_type=join_type,
         num_partitions=num_partitions,
         on=on,
+        right_on=right_on,
     )
+
+
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: tuple[str, ...] | str,
+    num_partitions: int | None = None,
+    right_on: tuple[str, ...] | str | None = None,
+) -> "ray.data.Dataset":
+    """Rows of ``left`` with at least one key match in ``right`` (EXISTS).
+
+    Uses Ray's ``left_semi`` hash join: the build side contributes only key
+    presence, never payload, so the exchange moves ``right``'s key column
+    plus ``left``'s rows — nothing wider. Project ``right`` down to its key
+    column(s) before calling for the minimal exchange.
+    """
+    return hash_join(left, right, on, join_type="left_semi",
+                     num_partitions=num_partitions, right_on=right_on)
+
+
+def anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: tuple[str, ...] | str,
+    num_partitions: int | None = None,
+    right_on: tuple[str, ...] | str | None = None,
+) -> "ray.data.Dataset":
+    """Rows of ``left`` with NO key match in ``right`` (NOT EXISTS)."""
+    return hash_join(left, right, on, join_type="left_anti",
+                     num_partitions=num_partitions, right_on=right_on)
+
+
+def range_join_events(
+    orders: "ray.data.Dataset",
+    events: "ray.data.Dataset",
+    window_days: int = 7,
+) -> "ray.data.Dataset":
+    """Time-band range join: per order, the events of the SAME customer with
+    ``o_orderdate <= ts < o_orderdate + window_days``.
+
+    Non-equi joins have no native Ray Data operator; the scale-safe
+    composition is:
+
+      1. project both sides to a narrow common schema tagged with a side
+         marker (key, is_order, t_us, payload) — only 4 fixed-width columns
+         cross the wire, never text;
+      2. ``union`` + ``groupby(key)`` — ONE hash shuffle co-partitions every
+         order of a customer with every event of that customer;
+      3. per-group vectorized kernel: sort events by time once, prefix-sum,
+         then one ``searchsorted`` pair per window bound resolves ALL of the
+         customer's orders at once (O((e+o) log e), no pair explosion).
+
+    LEFT semantics: orders whose customer has no in-window events emit
+    n_events=0 / null max_value. Aggregates are order-independent (count +
+    max), so the result is deterministic under any shuffle arrival order.
+
+    Output: o_orderkey, n_events (BIGINT), max_value (DOUBLE, null if none).
+    """
+    win_us = window_days * 86_400_000_000
+
+    def order_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["o_custkey"], pa.int64()),
+                "is_order": pa.array(np.ones(b.num_rows, dtype=bool)),
+                "t_us": pc.cast(
+                    pc.cast(b["o_orderdate"], pa.int64()), pa.int64()
+                ),
+                "payload": pc.cast(b["o_orderkey"], pa.float64()),
+            }
+        )
+
+    def event_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["user_id"], pa.int64()),
+                "is_order": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "t_us": pc.cast(pc.cast(b["ts"], pa.int64()), pa.int64()),
+                "payload": pc.cast(b["value"], pa.float64()),
+            }
+        )
+
+    o = orders.map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    e = events.map_batches(event_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        is_o = group["is_order"].to_numpy(zero_copy_only=False)
+        t = group["t_us"].to_numpy(zero_copy_only=False)
+        pay = group["payload"].to_numpy(zero_copy_only=False)
+        ot, okey = t[is_o], pay[is_o].astype(np.int64)
+        et, eval_ = t[~is_o], pay[~is_o]
+        if len(et):
+            order_e = np.argsort(et, kind="stable")
+            et, eval_ = et[order_e], eval_[order_e]
+            lo = np.searchsorted(et, ot, side="left")
+            hi = np.searchsorted(et, ot + win_us, side="left")
+            n = (hi - lo).astype(np.int64)
+            # windowed max over each non-empty [lo, hi) slice; bounded by
+            # orders-per-customer (small), not by event count
+            mx = np.full(len(ot), np.nan)
+            ne = n > 0
+            if ne.any():
+                mx[ne] = np.array(
+                    [eval_[a:b].max() for a, b in zip(lo[ne], hi[ne])]
+                )
+        else:
+            n = np.zeros(len(ot), dtype=np.int64)
+            mx = np.full(len(ot), np.nan)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "max_value": pa.array(mx, pa.float64(), mask=np.isnan(mx)),
+            }
+        )
+
+    return o.union(e).groupby("key").map_groups(resolve, batch_format="pyarrow")

@@ -1,0 +1,259 @@
+"""Mergeable-sketch operators: approximate distinct counting + deterministic
+hash sampling.
+
+At 10^12-turn scale an exact COUNT(DISTINCT) per group is itself a shuffle
+of every distinct key (``distinct_tools_per_window`` does it exactly for
+low-cardinality keys); for high-cardinality keys (users, documents) the
+standard big-data answer is a MERGEABLE SKETCH: each block reduces to a
+fixed-size register array, registers merge by elementwise max, and ONLY
+sketches cross the wire — the shuffle payload is O(groups × 4 KiB)
+regardless of input size.
+
+- ``approx_distinct_users``: HyperLogLog (Flajolet et al. 2007, the public
+  HLL paper) with p=12 (4096 registers, ~1.6 % standard error), splitmix64
+  bit-mixed hashes, linear-counting small-range correction. Deterministic:
+  same input → same registers → same estimate, on any cluster shape.
+- ``hash_sample``: deterministic Bernoulli sampling by md5(doc_id) prefix —
+  the reproducible "sample 1/2^k of the corpus" primitive (same rows on
+  every run/cluster, SQL-restatable, unlike seeded RNG sampling which
+  depends on block layout).
+
+No PyReshaper analog (it has no approximate operators); these are the
+training-data-pipeline additions the engine spec calls for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .dedup import _splitmix64
+
+_P = 12  # HLL precision: m = 2^p registers
+_M = 1 << _P
+
+
+def _clz_rest(h: np.ndarray) -> np.ndarray:
+    """rho = leading-zero count of the low (64-p) bits + 1, vectorized.
+
+    Counts via 6 constant-time binary-search steps on uint64 — no float
+    log2 (which rounds above 2^53) and no per-row Python.
+    """
+    w = (h << np.uint64(_P)).astype(np.uint64)  # drop the register-index bits
+    rho = np.ones(len(w), dtype=np.int64)
+    shift = 32
+    probe = w.copy()
+    while shift >= 1:
+        top = probe >> np.uint64(64 - shift)
+        zero_top = top == 0
+        rho[zero_top] += shift
+        probe = np.where(zero_top, probe << np.uint64(shift), probe)
+        shift //= 2
+    # all-zero w ⇒ every one of the 64 probed bits was zero ⇒ rho capped at
+    # the max meaningful value (64 - p + 1)
+    return np.minimum(rho, 64 - _P + 1)
+
+
+def hll_registers(keys: np.ndarray) -> np.ndarray:
+    """4096-register uint8 HLL sketch of an int64 key array."""
+    h = _splitmix64(keys.astype(np.uint64))
+    idx = (h >> np.uint64(64 - _P)).astype(np.int64)
+    rho = _clz_rest(h)
+    reg = np.zeros(_M, dtype=np.uint8)
+    np.maximum.at(reg, idx, rho.astype(np.uint8))
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> int:
+    """Standard HLL estimator with linear-counting small-range correction."""
+    m = float(_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -reg.astype(np.float64)).sum()
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def approx_distinct_users(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Approximate distinct user_id per event_type.
+
+    Combiner-first: each block emits ONE (event_type, 4096-byte sketch) row
+    per type present; ``groupby(event_type)`` then merges sketches by
+    elementwise max and finalizes the estimate. The exchange never carries
+    user ids — only sketches.
+
+    Output: event_type, approx_users (BIGINT). Deterministic, but not
+    SQL-expressible → rows-only driver check; the error-bound gate
+    (|approx/exact − 1| ≤ 3 %) lives in tests/test_sketches.py.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        etype = batch["event_type"]
+        dict_arr = pc.dictionary_encode(etype.combine_chunks())
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+        types, regs = [], []
+        for j, t in enumerate(dict_arr.dictionary.to_pylist()):
+            types.append(t)
+            regs.append(hll_registers(users[idx == j]).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sketch": pa.array(regs, pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in group["sketch"].to_pylist()]
+        )
+        est = hll_estimate(regs.max(axis=0))
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "approx_users": pa.array([est], pa.int64()),
+            }
+        )
+
+    p = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("event_type").map_groups(merge, batch_format="pyarrow")
+
+
+def hash_sample(
+    ds_docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    keep_below: str = "2000",
+    columns: tuple[str, ...] = ("doc_id", "n_chars"),
+) -> "ray.data.Dataset":
+    """Deterministic Bernoulli sample: keep rows whose md5(CAST(id AS
+    VARCHAR)) 4-hex-char prefix sorts below ``keep_below`` ('2000' ⇒ 1/8).
+
+    md5 is uniform over the prefix, so this is an unbiased fixed-rate sample
+    that is REPRODUCIBLE across runs, engines and cluster shapes — and
+    SQL-restatable (DuckDB ``md5()``), unlike RNG sampling. Embarrassingly
+    parallel: pure per-batch filter, no shuffle.
+    """
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        pref = [
+            hashlib.md5(str(i).encode("ascii")).hexdigest()[:4] for i in ids
+        ]
+        mask = pa.array([p < keep_below for p in pref], pa.bool_())
+        return batch.filter(mask).select(list(columns))
+
+    return ds_docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------ DDSketch
+
+_DD_ALPHA = 0.01  # 1% relative-error guarantee
+_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
+_DD_LOG_GAMMA = np.log(_DD_GAMMA)
+_DD_MIN = 1e-9  # values below this collapse into the zero bucket
+
+
+def dd_bucket_ids(x: np.ndarray) -> np.ndarray:
+    """DDSketch bucket index: ceil(log_gamma(x)) for x > _DD_MIN.
+
+    Public DDSketch scheme (Masson, Rim & Lee, VLDB 2019): exponentially
+    spaced buckets give a uniform RELATIVE error of alpha at every quantile.
+    """
+    return np.ceil(np.log(x) / _DD_LOG_GAMMA).astype(np.int64)
+
+
+def dd_quantile(ids: np.ndarray, counts: np.ndarray, zero_n: int, q: float) -> float:
+    """Quantile from merged (bucket id, count) pairs + the zero-bucket count.
+
+    Returns the bucket midpoint 2*gamma^i/(gamma+1) — within alpha of the
+    true value. Bucket ids must be sorted ascending.
+    """
+    total = int(counts.sum()) + zero_n
+    rank = max(0, min(total - 1, int(np.ceil(q * total)) - 1))
+    if rank < zero_n:
+        return 0.0
+    cum = zero_n + np.cumsum(counts)
+    j = int(np.searchsorted(cum, rank + 1, side="left"))
+    return float(2.0 * np.power(_DD_GAMMA, ids[j]) / (_DD_GAMMA + 1))
+
+
+def approx_value_quantiles(
+    events_ds: "ray.data.Dataset", qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> "ray.data.Dataset":
+    """DDSketch approximate quantiles of event ``value`` per event_type.
+
+    Mergeable like the HLL: each block reduces to its occupied (event_type,
+    bucket, count) rows — a few hundred buckets regardless of row count —
+    then one groupby sums counts per bucket and a per-type finalize walks
+    the cumulative counts. Guarantee: each reported quantile is within
+    ``_DD_ALPHA`` (1 %) RELATIVE error of an exact quantile; the gate in
+    tests/test_sketches.py checks exactly that against numpy.
+
+    Output: event_type, p50, p95, p99 (DOUBLE). Deterministic → rows-only
+    driver check.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        etype = batch["event_type"]
+        dict_arr = pc.dictionary_encode(etype.combine_chunks())
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+        types, buckets, counts = [], [], []
+        for j, t in enumerate(dict_arr.dictionary.to_pylist()):
+            x = v[idx == j]
+            zero = x <= _DD_MIN
+            nz = x[~zero]
+            ids = dd_bucket_ids(nz) if len(nz) else np.empty(0, np.int64)
+            u, c = np.unique(ids, return_counts=True)
+            if zero.any():  # zero bucket rides along as id = INT64_MIN
+                u = np.concatenate(([np.iinfo(np.int64).min], u))
+                c = np.concatenate(([int(zero.sum())], c))
+            types.extend([t] * len(u))
+            buckets.append(u)
+            counts.append(c)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "bucket": pa.array(
+                    np.concatenate(buckets) if buckets else [], pa.int64()
+                ),
+                "n": pa.array(
+                    np.concatenate(counts).astype(np.int64) if counts else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ids = group["bucket"].to_numpy(zero_copy_only=False)
+        ns = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order], ns[order]
+        zmark = np.iinfo(np.int64).min
+        zero_n = int(ns[ids == zmark].sum())
+        nz = ids != zmark
+        cols: dict = {
+            "event_type": pa.array([group["event_type"][0].as_py()], pa.string())
+        }
+        for q in qs:
+            cols[f"p{int(q * 100)}"] = pa.array(
+                [dd_quantile(ids[nz], ns[nz], zero_n, q)], pa.float64()
+            )
+        return pa.table(cols)
+
+    p = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum as _Sum
+
+    merged = p.groupby(["event_type", "bucket"]).aggregate(
+        _Sum("n", alias_name="n")
+    )
+    return merged.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow"
+    )

@@ -198,3 +198,43 @@ def winnow_batch(
 
 def winnow_documents(sf_dir: str) -> "ray.data.Dataset":
     return run_text_stage(sf_dir, winnow_batch)
+
+
+def top_terms(
+    ds_docs: "ray.data.Dataset", k: int = 20, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Global term-frequency top-k (the canonical word count, corpus-wide).
+
+    Combiner-first: each block lowercases + regex-splits its text with Arrow
+    kernels, flattens the list array, and reduces to ONE row per distinct
+    term in the block (Arrow ``group_by``) — so the shuffle moves per-block
+    vocabularies, not tokens. Final ``groupby(term).sum`` + result-sized
+    sort/limit. Tokenization is RE2 ``[^a-z0-9]+`` on the lowercased text,
+    restated verbatim in the DuckDB oracle (both engines are RE2).
+
+    At 100 TB the block vocabulary is Heaps-law-bounded (≪ token count), and
+    hot terms pre-reduce per block, so the exchange is skew-resistant
+    without salting.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"term": flat})
+        g = t.group_by(["term"]).aggregate([("term", "count")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "n": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    p = ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.groupby("term").aggregate(_Sum("n", alias_name="n"))
+    # deterministic tie-break (n desc, term asc); sort input is one row per
+    # distinct term — vocabulary-sized, not corpus-sized
+    return agg.sort(["n", "term"], descending=[True, False]).limit(k)

@@ -1,0 +1,97 @@
+"""Window-function operators (LAG / running-total shapes).
+
+PyReshaper has no relational window functions; the closest analog is its
+per-variable time ordering inside the slice→series convert loop (public repo
+``reshaper.py::convert``). A transcript engine needs the two canonical
+window shapes over per-conversation ordered turns:
+
+- ``turn_gaps``: LAG(ts) — per-conversation inter-turn gap statistics
+  (response-latency analysis over streams).
+- ``cumulative_chars``: SUM(x) OVER (PARTITION BY conv ORDER BY turn) — the
+  running-total shape (context-length growth over a conversation).
+
+Both run as vectorized per-group kernels inside
+``groupby(conv_id).map_groups``: ONE hash shuffle on the partition key, then
+numpy ``diff`` / ``cumsum`` over the turn-sorted group — state never crosses
+conversations, so the operator scales with the number of conversations and
+is skew-bound only by the largest single conversation (the segment-salting
+path in ``pipelines/flagship.py`` covers the degenerate giant-conversation
+case for the flagship; these analytics accept the per-group bound).
+
+Gaps are emitted in integer microseconds (BIGINT) so the DuckDB oracle
+(``epoch_us(ts) - epoch_us(LAG(ts) ...)``) matches bit-for-bit — no
+float interval arithmetic anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _sorted_group(group: pa.Table, key: str = "turn_idx") -> pa.Table:
+    return group.take(pc.sort_indices(group, sort_keys=[(key, "ascending")]))
+
+
+def turn_gaps(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-conversation inter-turn gap stats in microseconds.
+
+    Output: conv_id, n_gaps, sum_gap_us, max_gap_us (all BIGINT; the
+    single-turn conversation emits n_gaps=0 with null sum/max, matching the
+    SQL aggregate-over-empty-window semantics).
+    """
+
+    def gaps(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        ts = (
+            g["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        d = np.diff(ts)
+        n = len(d)
+        return pa.table(
+            {
+                "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
+                "n_gaps": pa.array([n], pa.int64()),
+                "sum_gap_us": pa.array(
+                    [int(d.sum()) if n else None], pa.int64()
+                ),
+                "max_gap_us": pa.array(
+                    [int(d.max()) if n else None], pa.int64()
+                ),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        gaps, batch_format="pyarrow"
+    )
+
+
+def cumulative_chars(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Running char total per conversation ordered by turn_idx — the
+    SUM() OVER (PARTITION BY conv_id ORDER BY turn_idx) shape.
+
+    Output: one row per turn (conv_id, turn_idx, cum_chars BIGINT).
+    ``turn_idx`` is unique within a conversation (adapter contract,
+    ``sources/adapters.py``), so the frame is unambiguous.
+    """
+
+    def cum(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        chars = g["char_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "cum_chars": pa.array(np.cumsum(chars), pa.int64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(
+        cum, batch_format="pyarrow"
+    )

@@ -1,0 +1,124 @@
+"""Sketch-operator gates: HLL error bound + deterministic hash sampling.
+
+``approx_distinct_users`` has no SQL oracle (sketches aren't
+SQL-expressible), so its correctness gate lives here: the estimate must land
+within 3 % of the exact distinct count at every group, and be bit-identical
+across two independent runs (determinism is what makes the rows-only driver
+check meaningful).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_registers_merge_associative():
+    from pyreshaper_ray.stages.sketches import hll_estimate, hll_registers
+
+    keys = np.arange(20_000, dtype=np.int64) * 2654435761 + 7
+    whole = hll_registers(keys)
+    parts = [hll_registers(k) for k in np.array_split(keys, 7)]
+    merged = np.stack(parts).max(axis=0)
+    # merging per-block sketches must equal sketching the whole input
+    assert np.array_equal(whole, merged)
+    est = hll_estimate(whole)
+    assert abs(est / 20_000 - 1) < 0.03
+
+
+def test_hll_small_range_exactish():
+    from pyreshaper_ray.stages.sketches import hll_estimate, hll_registers
+
+    keys = np.arange(50, dtype=np.int64)
+    est = hll_estimate(hll_registers(keys))
+    # linear-counting regime: tiny cardinalities are near-exact
+    assert abs(est - 50) <= 1
+
+
+def test_approx_distinct_users_vs_exact(ray_session):
+    import duckdb
+
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import approx_distinct_users
+
+    ev = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    )
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(ev).take_all()
+    }
+    exact = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"
+        )
+        .fetchall()
+    )
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert abs(got[t] / n - 1) <= 0.03, (t, got[t], n)
+
+    # determinism: a second run returns identical estimates
+    again = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users(ev).take_all()
+    }
+    assert again == got
+
+
+def test_hash_sample_rate_and_subset(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import hash_sample
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    n_total = docs.count()
+    kept = hash_sample(docs).take_all()
+    ids = {r["doc_id"] for r in kept}
+    # 1/8 nominal rate, generous tolerance at fixture size
+    assert 0.03 * n_total <= len(ids) <= 0.30 * n_total
+    # halving the threshold yields a strict subset (nested samples)
+    half = {r["doc_id"] for r in hash_sample(docs, keep_below="1000").take_all()}
+    assert half <= ids
+
+
+def test_ddsketch_relative_error(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import approx_value_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["value", "event_type"]
+    )
+    got = {r["event_type"]: r for r in approx_value_quantiles(ev).take_all()}
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["value", "event_type"])
+    v = t["value"].to_numpy(zero_copy_only=False)
+    et = np.array(t["event_type"].to_pylist())
+    for ty in np.unique(et):
+        x = np.sort(v[et == ty])
+        for q in (0.5, 0.95, 0.99):
+            exact = x[max(0, int(np.ceil(q * len(x))) - 1)]
+            est = got[ty][f"p{int(q * 100)}"]
+            # DDSketch guarantee: 1% relative error (plus rank-vs-value
+            # interpolation slack at tiny group sizes)
+            assert abs(est / exact - 1) <= 0.02, (ty, q, est, exact)
+
+    again = {r["event_type"]: r for r in approx_value_quantiles(ev).take_all()}
+    assert again == got
