@@ -636,6 +636,63 @@ def q_approx_value_quantiles(sf_dir: str):
     return approx_value_quantiles(ev)
 
 
+def q_tfidf_top_term(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import tfidf_top_term
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_term(docs, n_docs=docs.count())
+
+
+def q_bloom_join_urgent(sf_dir: str):
+    """Bloom-pruned hash join: events ⋈ (urgent early orders). The bitmap of
+    the small build side's keys prunes probe rows BEFORE the join shuffle;
+    false positives die in the join, so results equal the plain join."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from pyreshaper_ray.stages.joins import bloom_hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderpriority") == "1-URGENT")
+            & (pads.field("o_orderdate") < pa.scalar(
+                __import__("datetime").datetime(2024, 1, 4)))
+        ),
+    ).select_columns(["o_custkey"])
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    j = bloom_hash_join(events, orders, on="user_id", right_on="o_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate(
+            [("value", "count"), ("value", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["value_count"], pa.int64()),
+                "max_value": g["value_max"],
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Max("max_value", alias_name="max_value")
+        )
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
     tiers + gap-fill + codecs → partitioned parquet + manifest) on the
@@ -709,6 +766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
         "approx_value_quantiles": q_approx_value_quantiles,
+        "tfidf_top_term_documents": q_tfidf_top_term,
+        "bloom_join_urgent": q_bloom_join_urgent,
     }
 
 
@@ -1081,6 +1140,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE role = 'signup') AS BIGINT) AS n_signup,
                    CAST(COUNT(*) FILTER (WHERE role = 'error') AS BIGINT) AS n_error
             FROM t GROUP BY 1
+        """,
+        "tfidf_top_term_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                           AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2
+            ), df AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM toks WHERE term <> '' GROUP BY 1
+            ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * CAST(FLOOR(ln((SELECT n_docs FROM n) / df.df)
+                                          * 1000000 + 0.5) AS BIGINT) AS score
+                FROM tf JOIN df USING (term)
+            ), ranked AS (
+                SELECT doc_id, term, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1
+        """,
+        "bloom_join_urgent": """
+            SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MAX(e.value) AS max_value
+            FROM events e JOIN orders o ON o.o_custkey = e.user_id
+            WHERE o.o_orderpriority = '1-URGENT'
+              AND o.o_orderdate < TIMESTAMP '2024-01-04'
+            GROUP BY 1
         """,
         "corr_qty_price": """
             WITH c AS (

@@ -261,8 +261,9 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    n_trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
     trials = {lo: [], hi: []}
-    for _ in range(2):
+    for _ in range(n_trials):
         for n in (lo, hi):
             trials[n].append(one(n))
             time.sleep(5)

@@ -206,3 +206,95 @@ def range_join_events(
         )
 
     return o.union(e).groupby("key").map_groups(resolve, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- bloom join pruning
+
+_BLOOM_SEEDS = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """k hash positions per key (k × n matrix), splitmix64-style mixing."""
+    from .dedup import _splitmix64
+
+    u = keys.astype(np.uint64)
+    return np.stack(
+        [
+            (_splitmix64(u ^ np.uint64(seed)) % np.uint64(m_bits)).astype(np.int64)
+            for seed in _BLOOM_SEEDS
+        ]
+    )
+
+
+def bloom_from_dataset(
+    ds: "ray.data.Dataset", key: str, m_bits: int = 1 << 23
+) -> np.ndarray:
+    """Bloom bitmap (packed uint64 words) of a key column, built
+    combiner-first: each block sets bits locally and emits ONE packed
+    bitmap row; bitmaps OR-merge (associative), so only fixed-size bitmaps
+    cross the wire — never keys. 2^23 bits / k=4 ≈ 1.5 % false positives at
+    10^6 keys (scale m_bits with the build side; the driver OR-merge is
+    O(blocks × 1 MiB) — tree-reduce it on a real cluster).
+    """
+    n_words = m_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _bloom_positions(k, m_bits).ravel()
+        words = np.zeros(n_words, dtype=np.uint64)
+        np.bitwise_or.at(
+            words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        )
+        return pa.table({"bm": pa.array([words.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for row in parts.iter_rows():
+        acc |= np.frombuffer(row["bm"], dtype=np.uint64)
+    return acc
+
+
+def bloom_prefilter(
+    probe: "ray.data.Dataset", key: str, bloom_words: np.ndarray, m_bits: int = 1 << 23
+) -> "ray.data.Dataset":
+    """Drop probe rows whose key CANNOT be in the build side (definitely-
+    absent by the bloom bitmap) BEFORE the join shuffle. False positives
+    pass through and are eliminated by the join itself — results are
+    identical to the unfiltered join (tests/test_stages gate), only the
+    shuffled byte count changes.
+    """
+    import ray
+
+    ref = ray.put(bloom_words)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        words: np.ndarray = cached_get(ref)
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _bloom_positions(k, m_bits)
+        hit = np.ones(len(k), dtype=bool)
+        for row in pos:
+            bit = (words[row // 64] >> (row % 64).astype(np.uint64)) & np.uint64(1)
+            hit &= bit.astype(bool)
+        return batch.filter(pa.array(hit))
+
+    return probe.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bloom_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    m_bits: int = 1 << 23,
+) -> "ray.data.Dataset":
+    """Inner/semi hash join with bloom-pruned probe side: build a bitmap of
+    the RIGHT side's keys, prefilter LEFT, then the normal hash join. At
+    selectivity s the all-to-all moves ≈ s × |left| instead of |left| —
+    the standard big-join optimization for selective joins.
+    """
+    words = bloom_from_dataset(right, right_on or on, m_bits)
+    pruned = bloom_prefilter(left, on, words, m_bits)
+    return hash_join(pruned, right, on, join_type=join_type, right_on=right_on)

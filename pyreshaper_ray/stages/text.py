@@ -238,3 +238,104 @@ def top_terms(
     # deterministic tie-break (n desc, term asc); sort input is one row per
     # distinct term — vocabulary-sized, not corpus-sized
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_term(ds_docs: "ray.data.Dataset", n_docs: int) -> "ray.data.Dataset":
+    """Most-distinctive term per document by tf-idf — the canonical two-pass
+    corpus statistic:
+
+    pass 1 (distributed): document frequency per term. Documents never span
+    blocks, so per-block ``group_by([doc, term])`` yields COMPLETE per-doc
+    term counts; reducing those to one row per (block, term) with a doc
+    count makes the shuffle vocabulary-sized (Heaps-law-bounded), and a
+    final ``groupby(term).sum`` gives DF.
+
+    pass 2 (broadcast): the (term → idf) table ships once via ``ray.put``
+    (at 100 TB: cap to the top-V vocabulary or switch to a co-partitioned
+    join on term — same trade documented for minhash verify); each batch
+    re-tokenizes, maps terms with one ``pc.index_in``, and takes the
+    per-doc argmax of score with a sort + first-occurrence select.
+
+    Determinism across engines: idf is fixed-point BIGINT micro-nats
+    (``round(ln(n_docs/df) * 1e6)``), so scores are integer
+    ``tf * idf_micro`` and the (score desc, term asc) argmax has no float
+    tie ambiguity — the DuckDB oracle restates it bit-for-bit.
+
+    Output: doc_id, top_term, score (BIGINT micro-nats).
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc = pc.take(batch["doc_id"], parent)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"doc_id": doc, "term": flat}).filter(keep)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        per_doc = batch.group_by(["doc_id", "term"]).aggregate([])
+        g = per_doc.group_by(["term"]).aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "df": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    tok = ds_docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        tok.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(_Sum("df", alias_name="df"))
+    )
+    from ..util import collect_table
+
+    df_t = collect_table(df)  # vocabulary-sized
+    # floor(x + 0.5) in BOTH engines: np.round is half-even but SQL ROUND is
+    # half-away, so neither matches the other at exact .5 boundaries
+    idf_micro = np.floor(
+        np.log(float(n_docs) / df_t["df"].to_numpy(zero_copy_only=False))
+        * 1_000_000
+        + 0.5
+    ).astype(np.int64)
+    vocab = pa.table(
+        {"term": df_t["term"], "idf": pa.array(idf_micro, pa.int64())}
+    ).combine_chunks()
+    ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        v: pa.Table = cached_get(ref)
+        ex = explode(batch)
+        tf = ex.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        pos = pc.index_in(tf["term"], value_set=v["term"])
+        idf = pc.take(v["idf"], pos).to_numpy(zero_copy_only=False)
+        s = tf["term_count"].to_numpy(zero_copy_only=False).astype(np.int64) * idf
+        t = pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "top_term": tf["term"],
+                "score": pa.array(s, pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("top_term", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], doc[1:] != doc[:-1])) if len(doc) else np.array([], bool)
+        return t.filter(pa.array(first))
+
+    return ds_docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -122,3 +122,50 @@ def test_ddsketch_relative_error(ray_session):
 
     again = {r["event_type"]: r for r in approx_value_quantiles(ev).take_all()}
     assert again == got
+
+
+def test_bloom_join_equals_plain_join(ray_session):
+    """Bloom pruning must never change results — only shuffle volume."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import (
+        bloom_from_dataset,
+        bloom_hash_join,
+        bloom_prefilter,
+        hash_join,
+    )
+
+    rng = np.random.default_rng(11)
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rng.integers(0, 10_000, 5_000), pa.int64()),
+                "x": pa.array(np.arange(5_000), pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(0, 400, dtype=np.int64), pa.int64()),
+                "y": pa.array(np.arange(400), pa.int64()),
+            }
+        )
+    )
+    plain = sorted(
+        (r["k"], r["x"], r["y"]) for r in hash_join(left, right, on="k").take_all()
+    )
+    bloomed = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in bloom_hash_join(left, right, on="k").take_all()
+    )
+    assert plain == bloomed and len(plain) > 0
+
+    # pruning actually drops definitely-absent keys (~96% here)
+    words = bloom_from_dataset(right, "k")
+    kept = bloom_prefilter(left, "k", words).count()
+    assert kept < 0.2 * 5_000
+    assert kept >= len({r[0] for r in plain})
