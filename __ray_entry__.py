@@ -693,6 +693,23 @@ def q_bloom_join_urgent(sf_dir: str):
     )
 
 
+def q_revenue_by_region(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import revenue_by_region
+
+    return revenue_by_region(sf_dir)
+
+
+def q_late_events(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import late_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return late_events(ev, watermark_s=1800)
+
+
 def entry() -> Any:
     """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
     tiers + gap-fill + codecs → partitioned parquet + manifest) on the
@@ -768,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_value_quantiles": q_approx_value_quantiles,
         "tfidf_top_term_documents": q_tfidf_top_term,
         "bloom_join_urgent": q_bloom_join_urgent,
+        "revenue_by_region": q_revenue_by_region,
+        "late_events_30m": q_late_events,
     }
 
 
@@ -1174,6 +1193,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderpriority = '1-URGENT'
               AND o.o_orderdate < TIMESTAMP '2024-01-04'
             GROUP BY 1
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_cents_pct,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "late_events_30m": """
+            WITH a AS (
+                SELECT user_id, event_id, ts,
+                       MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS hwm
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(COALESCE(SUM(CASE WHEN ts < hwm - INTERVAL 30 MINUTE
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_late,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM a GROUP BY 1
         """,
         "corr_qty_price": """
             WITH c AS (

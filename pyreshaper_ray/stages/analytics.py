@@ -636,3 +636,68 @@ def corr_components(sf_dir: str) -> "ray.data.Dataset":
     return agg.select_columns(
         ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
     )
+
+
+def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
+    """Star-schema multi-join (TPC-H Q5 shape): lineitem ⋈ supplier ⋈
+    nation ⋈ region, revenue per region in exact cents.
+
+    The three dimension tables are PRE-JOINED ON THE DRIVER (they are
+    result-sized) into one s_suppkey → r_name lookup, broadcast once — so
+    the fact table crosses no shuffle at all: one map-side enrich + the
+    combiner-first aggregate. This is the dimension-collapse rule for star
+    joins: N broadcast joins against one fact scan, never N shuffles.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from .joins import broadcast_enrich
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    dim = (
+        sup.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+        .join(reg, keys="n_regionkey", right_keys="r_regionkey")
+        .select(["s_suppkey", "r_name"])
+        .rename_columns(["l_suppkey", "r_name"])
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    enriched = broadcast_enrich(li, dim, key="l_suppkey", columns=["r_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = to_cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        # discount has 2 decimals; revenue = price*(1-disc) is exact in the
+        # cents×bp integer domain: price_c * (100 - disc_pct) with disc in %
+        disc_pct = to_cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = price * (100 - disc_pct)  # unit: cents × percent
+        t = pa.table(
+            {
+                "r_name": batch["r_name"],
+                "rev": pa.array(rev, pa.int64()),
+                "one": pa.array(np.ones(len(rev), dtype=np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["r_name"]).aggregate([("rev", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "r_name": g["r_name"],
+                "revenue_cents_pct": g["rev_sum"],
+                "n_items": g["one_sum"],
+            }
+        )
+
+    p = enriched.map_batches(partial, batch_format="pyarrow")
+    return p.groupby("r_name").aggregate(
+        Sum("revenue_cents_pct", alias_name="revenue_cents_pct"),
+        Sum("n_items", alias_name="n_items"),
+    )

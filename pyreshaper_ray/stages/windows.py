@@ -95,3 +95,46 @@ def cumulative_chars(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds_normalized.groupby("conv_id").map_groups(
         cum, batch_format="pyarrow"
     )
+
+
+def late_events(events_ds: "ray.data.Dataset", watermark_s: int = 1800) -> "ray.data.Dataset":
+    """Streaming watermark shape: per user stream in ARRIVAL order
+    (event_id), an event is late when its event time trails the stream's
+    running high-water mark by more than ``watermark_s`` — the out-of-order
+    ingestion detector every event-time pipeline needs.
+
+    Vectorized per-group kernel: sort by event_id once, shifted
+    ``np.maximum.accumulate`` gives the prior high-water mark, one compare
+    flags late rows. State stays inside a user's stream → shuffle key is
+    user_id, same partitioning rule as every other per-stream operator.
+
+    Output: user_id, n_late (BIGINT), n_events (BIGINT).
+    """
+    wm_us = watermark_s * 1_000_000
+
+    def flag(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("event_id", "ascending")])
+        )
+        ts = (
+            g["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        n = len(ts)
+        if n > 1:
+            hwm_prev = np.maximum.accumulate(ts)[:-1]
+            late = ts[1:] < hwm_prev - wm_us
+            n_late = int(late.sum())
+        else:
+            n_late = 0
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_late": pa.array([n_late], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(flag, batch_format="pyarrow")
