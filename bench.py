@@ -197,6 +197,15 @@ def run_bench(headline_only: bool = False) -> dict:
         "token_count_documents",
         "minhash_neardup_documents",
         "knn_cosine_top5",
+        "turn_gaps_per_conv",
+        "orders_events_range_7d",
+        "top_terms_documents",
+        "tfidf_top_term_documents",
+        "approx_distinct_users",
+        "approx_value_quantiles",
+        "bloom_join_urgent",
+        "revenue_by_region",
+        "late_events_30m",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
