@@ -710,6 +710,27 @@ def q_late_events(sf_dir: str):
     return late_events(ev, watermark_s=1800)
 
 
+def q_session_windows(sf_dir: str):
+    from pyreshaper_ray.stages.windows import session_windows
+
+    return session_windows(read_events_as_transcripts(sf_dir), gap_s=1800)
+
+
+def q_roles_concat(sf_dir: str):
+    from pyreshaper_ray.stages.windows import roles_concat
+
+    return roles_concat(read_events_as_transcripts(sf_dir))
+
+
+def q_global_median_value(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import global_median_cents
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return global_median_cents(ev)
+
+
 def entry() -> Any:
     """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
     tiers + gap-fill + codecs → partitioned parquet + manifest) on the
@@ -787,6 +808,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_urgent": q_bloom_join_urgent,
         "revenue_by_region": q_revenue_by_region,
         "late_events_30m": q_late_events,
+        "session_windows_30m": q_session_windows,
+        "roles_concat": q_roles_concat,
+        "global_median_value": q_global_median_value,
     }
 
 
@@ -1220,6 +1244,41 @@ def oracle_sql() -> dict[str, str]:
                        AS n_late,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM a GROUP BY 1
+        """,
+        "session_windows_30m": f"""
+            WITH t AS ({_T}),
+            d AS (
+                SELECT conv_id, ts, turn_idx,
+                       CASE WHEN epoch_us(ts) - epoch_us(
+                                LAG(ts) OVER (PARTITION BY conv_id
+                                              ORDER BY ts, turn_idx)
+                            ) > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM t
+            ),
+            s AS (
+                SELECT conv_id, ts,
+                       SUM(brk) OVER (PARTITION BY conv_id
+                                      ORDER BY ts, turn_idx
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM d
+            )
+            SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM s GROUP BY 1, 2
+        """,
+        "roles_concat": f"""
+            WITH t AS ({_T})
+            SELECT conv_id,
+                   string_agg(role, ',' ORDER BY turn_idx) AS role_seq
+            FROM t GROUP BY 1
+        """,
+        "global_median_value": """
+            WITH c AS (
+                SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+            )
+            SELECT c AS median_cents FROM c ORDER BY c
+            LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM c)
         """,
         "corr_qty_price": """
             WITH c AS (

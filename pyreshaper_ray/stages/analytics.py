@@ -701,3 +701,69 @@ def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
         Sum("revenue_cents_pct", alias_name="revenue_cents_pct"),
         Sum("n_items", alias_name="n_items"),
     )
+
+
+def global_median_cents(
+    events_ds: "ray.data.Dataset", rounds: int = 4, bins: int = 1024
+) -> "ray.data.Dataset":
+    """EXACT global order statistic (lower median, sorted[(n-1)//2]) of the
+    integer-cents value domain — WITHOUT a distributed sort.
+
+    Distributed selection by histogram refinement: each round is one
+    combiner-only pass (per-block counts into ``bins`` equal-width integer
+    buckets over the current [lo, hi] range, summed on the driver — a few
+    KiB per block, NO shuffle); the bucket containing the target rank
+    becomes the next round's range. Integer domain ⇒ the range shrinks by
+    ~bins× per round, so 10^12 values over a 2^63 domain need ≤6 passes.
+    This trades log_bins(domain) cheap scans for the all-to-all a
+    ``ds.sort`` would cost — the right trade when the value column is a
+    small slice of a huge corpus.
+
+    Output: one row, median_cents (BIGINT).
+    """
+    import ray
+
+    def count_pass(lo: int, hi: int) -> np.ndarray:
+        width = max(1, (hi - lo + bins) // bins)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+            c = c[(c >= lo) & (c <= hi)]
+            idx = np.minimum((c - lo) // width, bins - 1)
+            counts = np.bincount(idx, minlength=bins).astype(np.int64)
+            return pa.table({"h": pa.array([counts.tobytes()], pa.binary())})
+
+        parts = events_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        acc = np.zeros(bins, dtype=np.int64)
+        for row in parts.iter_rows():
+            acc += np.frombuffer(row["h"], dtype=np.int64)
+        return acc, width
+
+    # bounds + rank from one min/max/count pass
+    from ray.data.aggregate import Count, Max, Min
+
+    def cents_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"c": to_cents(batch["value"])})
+
+    stats = (
+        events_ds.map_batches(cents_col, batch_format="pyarrow")
+        .aggregate(Min("c"), Max("c"), Count())
+    )
+    lo, hi, n = int(stats["min(c)"]), int(stats["max(c)"]), int(stats["count()"])
+    rank = (n - 1) // 2  # 0-based lower median
+    below = 0
+    for _ in range(rounds):
+        counts, width = count_pass(lo, hi)
+        cum = np.cumsum(counts)
+        j = int(np.searchsorted(cum, rank - below + 1, side="left"))
+        if j > 0:
+            below += int(cum[j - 1])
+        lo = lo + j * width
+        hi = min(hi, lo + width - 1)
+        if lo >= hi:
+            break
+    return ray.data.from_arrow(
+        pa.table({"median_cents": pa.array([lo], pa.int64())})
+    )

@@ -138,3 +138,84 @@ def late_events(events_ds: "ray.data.Dataset", watermark_s: int = 1800) -> "ray.
         )
 
     return events_ds.groupby("user_id").map_groups(flag, batch_format="pyarrow")
+
+
+def session_windows(
+    ds_transcripts: "ray.data.Dataset", gap_s: int = 1800
+) -> "ray.data.Dataset":
+    """Session-window assignment (the session analog of tumbling windows):
+    a new session starts when the gap to the previous turn exceeds
+    ``gap_s``; every turn gets a session index, then sessions aggregate.
+
+    Extends ``analytics.sessionize`` (which only counts sessions) to
+    first-class windows: per-group sort + diff + cumsum assigns ids fully
+    vectorized; output one row per session.
+
+    Output: conv_id, session_idx (BIGINT, 0-based), n_turns, start_ts,
+    end_ts.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("turn_idx", "ascending")]
+            )
+        )
+        ts = (
+            g["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        brk = np.concatenate(([0], (np.diff(ts) > gap_us).astype(np.int64)))
+        sid = np.cumsum(brk)
+        t = pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "session_idx": pa.array(sid, pa.int64()),
+                "ts": g["ts"],
+            }
+        )
+        agg = t.group_by(["conv_id", "session_idx"]).aggregate(
+            [("ts", "count"), ("ts", "min"), ("ts", "max")]
+        )
+        return pa.table(
+            {
+                "conv_id": agg["conv_id"],
+                "session_idx": agg["session_idx"],
+                "n_turns": pc.cast(agg["ts_count"], pa.int64()),
+                "start_ts": agg["ts_min"],
+                "end_ts": agg["ts_max"],
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        assign, batch_format="pyarrow"
+    )
+
+
+def roles_concat(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Ordered group-concat (STRING_AGG ... ORDER BY turn_idx): the
+    role sequence of each conversation as one comma-joined string — the
+    collect-ordered-list shape used for sequence mining over streams.
+
+    Output: conv_id, role_seq (string).
+    """
+
+    def cat(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
+                "role_seq": pa.array(
+                    [",".join(g["role"].to_pylist())], pa.string()
+                ),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        cat, batch_format="pyarrow"
+    )

@@ -60,3 +60,24 @@ def test_turn_gaps_single_turn_conv(ray_session):
     }
     assert rows["a"]["n_gaps"] == 0 and rows["a"]["sum_gap_us"] is None
     assert rows["b"]["n_gaps"] == 1 and rows["b"]["sum_gap_us"] == 5_000_000
+
+
+def test_global_median_refinement_edge_cases(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import global_median_cents
+
+    def med_of(vals):
+        t = pa.table({"value": pa.array(vals, pa.float64())})
+        out = global_median_cents(ray.data.from_arrow(t)).take_all()
+        return out[0]["median_cents"]
+
+    # all-equal collapses round 1
+    assert med_of([7.00] * 9) == 700
+    # two clusters: lower median of even count = sorted[(n-1)//2]
+    assert med_of([1.00] * 5 + [100.00] * 5) == 100
+    # adversarial: values straddling bucket boundaries
+    vals = [x / 100 for x in range(1, 2050)]
+    assert med_of(vals) == (len(vals) - 1) // 2 + 1
+    # negative values
+    assert med_of([-5.00, -1.00, 3.00]) == -100
