@@ -303,9 +303,33 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
     if scan_thresholds:
         from ..stages.normalize import find_heavy_conversations
 
-        t0 = time.perf_counter()
-        heavy = find_heavy_conversations(ds, min(scan_thresholds))
-        PHASE_TIMES["heavy_scan"] = time.perf_counter() - t0
+        # the scan is a pure function of the input files + threshold, so its
+        # result is cached next to the outputs keyed by the same
+        # signature the spill fingerprint uses — a wmode-'s' resume or an
+        # identical-input rerun skips the extra input pass entirely
+        import json as _json
+
+        cache_path = os.path.join(spec.out_dir, "_heavy_scan.json")
+        cache_key = repr(
+            ("heavy-v1", spec.input, _input_signature(spec.input), min(scan_thresholds))
+        )
+        heavy = None
+        try:
+            with open(cache_path) as f:
+                cached = _json.load(f)
+            if cached.get("key") == cache_key:
+                heavy = {str(k): int(v) for k, v in cached["heavy"].items()}
+                PHASE_TIMES["heavy_scan"] = 0.0
+        except (OSError, ValueError, KeyError):
+            pass
+        if heavy is None:
+            t0 = time.perf_counter()
+            heavy = find_heavy_conversations(ds, min(scan_thresholds))
+            PHASE_TIMES["heavy_scan"] = time.perf_counter() - t0
+            tmp = cache_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"key": cache_key, "heavy": heavy}, f)
+            os.replace(tmp, cache_path)
         if heavy:
             pinned: dict[str, int] = {}
             seg_base: dict[str, int] = {}

@@ -111,3 +111,36 @@ def test_metrics_only_mode(ray_session, fixture_dir, tmp_path):
     import pyarrow.parquet as pq
 
     assert "text" not in pq.read_schema(spill_files[0]).names
+
+
+def test_heavy_scan_cache_reused_and_invalidated(ray_session, fixture_dir, tmp_path):
+    from pyreshaper_ray.pipelines import flagship
+
+    out = str(tmp_path / "out")
+    base = os.path.join(fixture_dir, "transcripts")
+
+    def run():
+        spec = create_spec(
+            input=base, out_dir=out, n_buckets=4, salt_threshold=50,
+            tiers=("1m",), gapfill=False, encode=False, wmode="o",
+        )
+        return run_flagship(spec)
+
+    m1 = run()
+    assert flagship.PHASE_TIMES["heavy_scan"] > 0
+    cache = os.path.join(out, "_heavy_scan.json")
+    assert os.path.exists(cache)
+    m2 = run()  # identical input: the cached scan short-circuits the pass
+    assert flagship.PHASE_TIMES["heavy_scan"] == 0.0
+    assert int(pc.sum(m1["n_turns"]).as_py()) == int(pc.sum(m2["n_turns"]).as_py())
+
+    # poison the cache key: a mutated signature must force a fresh scan
+    import json
+
+    with open(cache) as f:
+        c = json.load(f)
+    c["key"] = "stale"
+    with open(cache, "w") as f:
+        json.dump(c, f)
+    run()
+    assert flagship.PHASE_TIMES["heavy_scan"] > 0
