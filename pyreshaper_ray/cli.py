@@ -158,6 +158,41 @@ def cmd_retain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export a tier to another sink format — the output-backend-selector
+    analog of PyReshaper's ``ncfmt`` (netcdf/netcdf4/netcdf4c): the engine's
+    products stay Parquet internally; ``export`` re-materializes a tier as
+    csv/json/parquet for downstream consumers, streaming block-by-block
+    (never a driver materialization)."""
+    import ray
+
+    from .pipelines.flagship import read_tier
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        ds = read_tier(args.out, args.tier)
+        if "bucket" in (ds.schema().names or []):
+            ds = ds.drop_columns(["bucket"])
+        writer = {
+            "csv": ds.write_csv,
+            "json": ds.write_json,
+            "parquet": ds.write_parquet,
+        }[args.format]
+        writer(args.dest)
+        print(json.dumps({"tier": args.tier, "format": args.format,
+                          "rows": ds.count(), "dest": args.dest}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyreshaper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -205,6 +240,14 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--now", default=None, help="reference time (ISO); default: now")
     rt.add_argument("--num-cpus", type=int, default=8)
     rt.set_defaults(fn=cmd_retain)
+
+    ex = sub.add_parser("export", help="re-materialize a tier as csv/json/parquet")
+    ex.add_argument("--out", required=True, help="run output directory")
+    ex.add_argument("--tier", default="1m", help="tier to export (1m/1h/1d/turns/series)")
+    ex.add_argument("--format", default="csv", choices=("csv", "json", "parquet"))
+    ex.add_argument("--dest", required=True, help="destination directory")
+    ex.add_argument("--num-cpus", type=int, default=8)
+    ex.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -93,3 +93,40 @@ def test_run_parallel_subprocess(fixture_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["buckets"] <= 2 and summary["n_turns"] > 0
+
+
+def test_cli_export_csv_roundtrip(tmp_path):
+    """export re-materializes a tier; row counts and sums survive the trip."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from pyreshaper_ray.fixtures import write_fixture
+
+    fx = str(tmp_path / "fx")
+    write_fixture(fx, n_conv=40, n_files=2, skew_turns=200)
+    spec = str(tmp_path / "spec.json")
+    out = str(tmp_path / "out")
+    dest = str(tmp_path / "csv")
+    env = None
+    run = lambda *a: subprocess.run(
+        [sys.executable, "-m", "pyreshaper_ray.cli", *a],
+        check=True, capture_output=True, text=True, env=env,
+    )
+    run("make", spec, "--input", f"{fx}/transcripts", "--out", out,
+        "--n-buckets", "4", "--tiers", "1m", "--no-gapfill", "--no-encode")
+    run("run", spec, "--num-cpus", "4")
+    r = run("export", "--out", out, "--tier", "1m", "--format", "csv",
+            "--dest", dest, "--num-cpus", "4")
+    import json as _json
+
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT COUNT(*), SUM(turn_count) FROM read_csv_auto('{dest}/*.csv')"
+    ).fetchone()
+    want = con.execute(
+        f"SELECT COUNT(*), SUM(turn_count) FROM read_parquet('{out}/rollup_1m/**/*.parquet')"
+    ).fetchone()
+    assert got == want and info["rows"] == got[0]
