@@ -731,6 +731,83 @@ def q_global_median_value(sf_dir: str):
     return global_median_cents(ev)
 
 
+def q_rank_convs_in_cohort(sf_dir: str):
+    from pyreshaper_ray.stages.windows import rank_convs_in_cohort
+
+    return rank_convs_in_cohort(_norm_ds(sf_dir))
+
+
+def q_moving_sum_3(sf_dir: str):
+    from pyreshaper_ray.stages.windows import moving_sum_turns
+
+    return moving_sum_turns(_norm_ds(sf_dir), frame=3)
+
+
+def q_first_last_role(sf_dir: str):
+    from pyreshaper_ray.stages.windows import first_last_role
+
+    return first_last_role(read_events_as_transcripts(sf_dir))
+
+
+def q_mode_role(sf_dir: str):
+    from pyreshaper_ray.stages.windows import mode_role_per_conv
+
+    return mode_role_per_conv(read_events_as_transcripts(sf_dir))
+
+
+def q_userdays_both_types(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import user_day_membership
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return user_day_membership(ev, mode="both")
+
+
+def q_userdays_purchase_no_error(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import user_day_membership
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return user_day_membership(ev, mode="a_only")
+
+
+def q_dow_hour_activity(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import dow_hour_activity
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return dow_hour_activity(ev)
+
+
+def q_regex_extract(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import regex_extract_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return regex_extract_counts(docs)
+
+
+def q_stratified_sample(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, strata_col="lang", id_col="doc_id", k=5)
+
+
 def entry() -> Any:
     """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
     tiers + gap-fill + codecs → partitioned parquet + manifest) on the
@@ -811,6 +888,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_30m": q_session_windows,
         "roles_concat": q_roles_concat,
         "global_median_value": q_global_median_value,
+        "rank_convs_in_cohort": q_rank_convs_in_cohort,
+        "moving_sum_3_turns": q_moving_sum_3,
+        "first_last_role_per_conv": q_first_last_role,
+        "mode_role_per_conv": q_mode_role,
+        "userdays_both_types": q_userdays_both_types,
+        "userdays_purchase_no_error": q_userdays_purchase_no_error,
+        "dow_hour_activity": q_dow_hour_activity,
+        "regex_extract_documents": q_regex_extract,
+        "stratified_sample_documents": q_stratified_sample,
     }
 
 
@@ -1279,6 +1365,106 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c AS median_cents FROM c ORDER BY c
             LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM c)
+        """,
+        "rank_convs_in_cohort": f"""
+            WITH t AS ({_T}),
+            s AS (
+                SELECT conv_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum
+                FROM t GROUP BY 1
+            ),
+            c AS (
+                SELECT CASE WHEN CAST(SUBSTR(conv_id, 2) AS BIGINT) % 2 = 0
+                            THEN 'even' ELSE 'odd' END AS cohort,
+                       conv_id, char_sum
+                FROM s
+            )
+            SELECT cohort, conv_id, char_sum,
+                   CAST(RANK() OVER (
+                       PARTITION BY cohort ORDER BY char_sum DESC
+                   ) AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY cohort ORDER BY char_sum DESC
+                   ) AS BIGINT) AS dense_rnk
+            FROM c
+        """,
+        "moving_sum_3_turns": f"""
+            WITH t AS ({_T})
+            SELECT conv_id, turn_idx,
+                   CAST(SUM(LENGTH(text)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS win_chars
+            FROM t
+        """,
+        "first_last_role_per_conv": f"""
+            WITH t AS ({_T})
+            SELECT conv_id,
+                   arg_min(role, turn_idx) AS first_role,
+                   arg_max(role, turn_idx) AS last_role,
+                   arg_min(ts, turn_idx) AS first_ts,
+                   arg_max(ts, turn_idx) AS last_ts
+            FROM t GROUP BY 1
+        """,
+        "mode_role_per_conv": f"""
+            WITH t AS ({_T}),
+            c AS (
+                SELECT conv_id, role, COUNT(*) AS n FROM t GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT conv_id, role, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY conv_id ORDER BY n DESC, role
+                       ) AS rn
+                FROM c
+            )
+            SELECT conv_id, role AS mode_role, CAST(n AS BIGINT) AS n_turns
+            FROM r WHERE rn = 1
+        """,
+        "userdays_both_types": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+                FROM events
+            )
+            SELECT user_id, day FROM e WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id, day FROM e WHERE event_type = 'error'
+        """,
+        "userdays_purchase_no_error": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+                FROM events
+            )
+            SELECT user_id, day FROM e WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id, day FROM e WHERE event_type = 'error'
+        """,
+        "dow_hour_activity": """
+            SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "regex_extract_documents": """
+            WITH m AS (
+                SELECT regexp_extract(text, '([a-z]{6,})', 1) AS tok
+                FROM documents
+                WHERE regexp_matches(text, '[a-z]{6,}')
+            )
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1
+        """,
+        "stratified_sample_documents": """
+            WITH r AS (
+                SELECT lang, doc_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS md5h,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT lang, doc_id, md5h FROM r WHERE rn <= 5
         """,
         "corr_qty_price": """
             WITH c AS (

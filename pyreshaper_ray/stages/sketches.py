@@ -257,3 +257,72 @@ def approx_value_quantiles(
     return merged.groupby("event_type").map_groups(
         finalize, batch_format="pyarrow"
     )
+
+
+def stratified_sample(
+    ds_docs: "ray.data.Dataset",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: the ``k`` rows per stratum whose
+    ``md5(CAST(id AS VARCHAR))`` sorts lowest (ties broken by id) — i.e.
+    ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY md5(id), id) <= k``
+    restated as a reproducible hash order, the per-group analog of
+    ``hash_sample``.
+
+    Combiner-first top-k: each block keeps only its own k smallest
+    (stratum, md5) rows, so the shuffle moves ≤ k rows per (block, stratum),
+    and the final per-stratum selection runs over ≤ k×n_blocks rows per
+    group — never the corpus. Unbiased within a stratum (md5 is uniform),
+    stable across runs, engines and cluster shapes.
+
+    Output: strata_col, id_col, md5h (string).
+    """
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = pa.array(
+            [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in ids],
+            pa.string(),
+        )
+        t = pa.table(
+            {
+                strata_col: batch[strata_col],
+                id_col: batch[id_col],
+                "md5h": h,
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (strata_col, "ascending"),
+                ("md5h", "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        # keep each stratum's first k rows within this block
+        import numpy as np
+
+        strata = t[strata_col].to_pylist()
+        keep = []
+        prev, cnt = None, 0
+        for i, s in enumerate(strata):
+            if s != prev:
+                prev, cnt = s, 0
+            if cnt < k:
+                keep.append(i)
+            cnt += 1
+        return t.take(pa.array(keep, pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("md5h", "ascending"), (id_col, "ascending")],
+        )
+        return group.take(idx[:k])
+
+    p = ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(strata_col).map_groups(final, batch_format="pyarrow")

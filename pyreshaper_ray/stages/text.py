@@ -339,3 +339,42 @@ def tfidf_top_term(ds_docs: "ray.data.Dataset", n_docs: int) -> "ray.data.Datase
         return t.filter(pa.array(first))
 
     return ds_docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regex_extract_counts(
+    ds_docs: "ray.data.Dataset",
+    pattern: str = r"(?P<tok>[a-z]{6,})",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """First-match regex extraction + frequency count — the
+    ``regexp_extract`` shape (log field extraction, URL/domain pulls,
+    id scraping) as a vectorized RE2 kernel.
+
+    ``pc.extract_regex`` pulls the leftmost match's named group per
+    document (null when no match — dropped, mirroring the oracle's
+    ``WHERE regexp_matches``); a per-block combiner reduces to one row per
+    distinct extracted token before the vocabulary-sized shuffle. Both
+    engines run RE2, so leftmost-match semantics agree by construction.
+
+    Output: tok (string), n (BIGINT), one row per distinct extraction.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch[text_col], pattern=pattern)
+        tok = m.combine_chunks().field("tok") if isinstance(
+            m, pa.ChunkedArray
+        ) else m.field("tok")
+        # a non-matching document yields a null struct whose field reads as
+        # null OR "" depending on the pyarrow version — drop both (the
+        # pattern itself can never legitimately match an empty string)
+        tok = tok.drop_null()
+        tok = tok.filter(pc.not_equal(tok, ""))
+        t = pa.table({"tok": tok})
+        g = t.group_by(["tok"]).aggregate([("tok", "count")])
+        return pa.table(
+            {"tok": g["tok"], "n": pc.cast(g["tok_count"], pa.int64())}
+        )
+
+    p = ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("tok").aggregate(_Sum("n", alias_name="n"))

@@ -195,6 +195,163 @@ def session_windows(
     )
 
 
+def rank_convs_in_cohort(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":
+    """RANK() / DENSE_RANK() OVER (PARTITION BY cohort ORDER BY char_sum
+    DESC) — the classic ranked-leaderboard window over per-conversation
+    totals.
+
+    Two stages, both scale-safe: a combiner pre-aggregates turns to one row
+    per conversation (the only pass over raw data), then the rank kernel runs
+    per cohort over conversation-sized rows inside
+    ``groupby(cohort).map_groups`` — ties share a rank (no arbitrary
+    tie-break is needed for RANK semantics), computed vectorized from the
+    sorted runs.
+
+    Output: cohort, conv_id, char_sum, rnk, dense_rnk (BIGINT).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id"]).aggregate([("char_len", "sum")])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "char_sum": pc.cast(g["char_len_sum"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    p = ds_normalized.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = p.groupby("conv_id").aggregate(Sum("char_sum", alias_name="char_sum"))
+
+    def add_cohort(batch: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(batch["conv_id"], 1, 99), pa.int64())
+        cohort = pc.if_else(
+            pc.equal(pc.bit_wise_and(num, 1), 0),
+            pa.scalar("even"),
+            pa.scalar("odd"),
+        )
+        return batch.append_column("cohort", cohort)
+
+    def rank_kernel(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("char_sum", "descending"), ("conv_id", "ascending")],
+        )
+        g = group.take(idx)
+        v = g["char_sum"].to_numpy(zero_copy_only=False)
+        n = len(v)
+        # run starts: first occurrence of each distinct value in desc order
+        change = np.concatenate(([True], v[1:] != v[:-1]))
+        starts = np.flatnonzero(change)
+        run_len = np.diff(np.append(starts, n))
+        rnk = np.repeat(starts + 1, run_len)  # RANK: 1-based first index
+        dense = np.repeat(np.arange(1, len(starts) + 1), run_len)
+        return pa.table(
+            {
+                "cohort": g["cohort"],
+                "conv_id": g["conv_id"],
+                "char_sum": g["char_sum"],
+                "rnk": pa.array(rnk, pa.int64()),
+                "dense_rnk": pa.array(dense, pa.int64()),
+            }
+        )
+
+    withc = totals.map_batches(
+        add_cohort, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return withc.groupby("cohort").map_groups(rank_kernel, batch_format="pyarrow")
+
+
+def moving_sum_turns(
+    ds_normalized: "ray.data.Dataset", frame: int = 3
+) -> "ray.data.Dataset":
+    """SUM(char_len) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS
+    BETWEEN ``frame``-1 PRECEDING AND CURRENT ROW) — the rows-frame moving
+    window, integer-exact (a moving SUM, not AVG, so no float summation
+    order to match). Vectorized as a cumsum difference per sorted group.
+
+    Output: conv_id, turn_idx, win_chars (BIGINT).
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        x = g["char_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.cumsum(x)
+        out = c.copy()
+        if len(x) > frame - 1:
+            out[frame:] = c[frame:] - c[:-frame]
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "win_chars": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def first_last_role(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """FIRST_VALUE / LAST_VALUE by turn order per conversation (the
+    arg-min/arg-max shape: ``arg_min(role, turn_idx)`` in DuckDB terms),
+    plus the stream's time bounds.
+
+    Output: conv_id, first_role, last_role, first_ts, last_ts.
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        return pa.table(
+            {
+                "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
+                "first_role": pa.array([g["role"][0].as_py()], pa.string()),
+                "last_role": pa.array([g["role"][-1].as_py()], pa.string()),
+                "first_ts": pa.array(
+                    [g["ts"][0].as_py()], pa.timestamp("us")
+                ),
+                "last_ts": pa.array([g["ts"][-1].as_py()], pa.timestamp("us")),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def mode_role_per_conv(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Most frequent role per conversation (grouped MODE) with a
+    deterministic tie-break (count DESC, then role ASC) so the result is
+    reproducible across engines — SQL MODE() leaves ties
+    implementation-defined, so the oracle restates it as a ROW_NUMBER pick.
+
+    Output: conv_id, mode_role, n_turns (count of that role, BIGINT).
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        counts = group.group_by(["role"]).aggregate([("role", "count")])
+        idx = pc.sort_indices(
+            counts,
+            sort_keys=[("role_count", "descending"), ("role", "ascending")],
+        )
+        top = counts.take(idx[:1])
+        return pa.table(
+            {
+                "conv_id": pa.array([group["conv_id"][0].as_py()], pa.string()),
+                "mode_role": top["role"],
+                "n_turns": pc.cast(top["role_count"], pa.int64()),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
 def roles_concat(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     """Ordered group-concat (STRING_AGG ... ORDER BY turn_idx): the
     role sequence of each conversation as one comma-joined string — the

@@ -81,3 +81,108 @@ def test_global_median_refinement_edge_cases(ray_session):
     assert med_of(vals) == (len(vals) - 1) // 2 + 1
     # negative values
     assert med_of([-5.00, -1.00, 3.00]) == -100
+
+
+def test_rank_ties_share_rank_and_dense_has_no_gaps(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import rank_convs_in_cohort
+
+    # all-even cohort (u2,u4,u6,u8): totals 50, 50, 30, 10
+    # RANK: 1,1,3,4  DENSE_RANK: 1,1,2,3
+    t = pa.table(
+        {
+            "conv_id": pa.array(
+                ["u2", "u2", "u4", "u6", "u8"], pa.string()
+            ),
+            "char_len": pa.array([20, 30, 50, 30, 10], pa.int32()),
+        }
+    )
+    out = {
+        r["conv_id"]: (r["char_sum"], r["rnk"], r["dense_rnk"])
+        for r in rank_convs_in_cohort(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {
+        "u2": (50, 1, 1),
+        "u4": (50, 1, 1),
+        "u6": (30, 3, 2),
+        "u8": (10, 4, 3),
+    }
+
+
+def test_moving_sum_frame_edges(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import moving_sum_turns
+
+    # frame=3 over [1,2,3,4]: 1, 3, 6, 9; group shorter than frame: [7] -> 7
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 4 + ["b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+            "char_len": pa.array([1, 2, 3, 4, 7], pa.int32()),
+        }
+    )
+    rows = moving_sum_turns(ray.data.from_arrow(t), frame=3).take_all()
+    got = {(r["conv_id"], r["turn_idx"]): r["win_chars"] for r in rows}
+    assert got == {
+        ("a", 0): 1,
+        ("a", 1): 3,
+        ("a", 2): 6,
+        ("a", 3): 9,
+        ("b", 0): 7,
+    }
+
+
+def test_mode_role_tie_breaks_lexicographically(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import mode_role_per_conv
+
+    base = 1_700_000_000_000_000
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4, pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "role": pa.array(["view", "click", "click", "view"], pa.string()),
+            "ts": pa.array(
+                np.array([base + i for i in range(4)], np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    rows = mode_role_per_conv(ray.data.from_arrow(t)).take_all()
+    assert rows[0]["mode_role"] == "click" and rows[0]["n_turns"] == 2
+
+
+def test_user_day_membership_set_semantics(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import user_day_membership
+
+    day_us = 86_400_000_000
+    # user 1 day 0: purchase+error (both); user 1 day 1: purchase only
+    # user 2 day 0: error only (neither set)
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([100, 200, day_us + 5, 300], np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                ["purchase", "error", "purchase", "error"], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    both = {
+        (r["user_id"], r["day"])
+        for r in user_day_membership(ds, mode="both").take_all()
+    }
+    a_only = {
+        (r["user_id"], r["day"])
+        for r in user_day_membership(ds, mode="a_only").take_all()
+    }
+    assert both == {(1, 0)}
+    assert a_only == {(1, 1)}
