@@ -797,6 +797,12 @@ def q_regex_extract(sf_dir: str):
     return regex_extract_counts(docs)
 
 
+def q_ntile_quartiles(sf_dir: str):
+    from pyreshaper_ray.stages.windows import ntile_convs
+
+    return ntile_convs(_norm_ds(sf_dir), k=4)
+
+
 def q_stratified_sample(sf_dir: str):
     import ray.data
 
@@ -896,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "userdays_purchase_no_error": q_userdays_purchase_no_error,
         "dow_hour_activity": q_dow_hour_activity,
         "regex_extract_documents": q_regex_extract,
+        "ntile_quartiles_convs": q_ntile_quartiles,
         "stratified_sample_documents": q_stratified_sample,
     }
 
@@ -1453,6 +1460,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE regexp_matches(text, '[a-z]{6,}')
             )
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1
+        """,
+        "ntile_quartiles_convs": f"""
+            WITH t AS ({_T}),
+            s AS (
+                SELECT conv_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum
+                FROM t GROUP BY 1
+            )
+            SELECT conv_id, char_sum,
+                   CAST(NTILE(4) OVER (ORDER BY char_sum, conv_id)
+                        AS BIGINT) AS tile
+            FROM s
         """,
         "stratified_sample_documents": """
             WITH r AS (

@@ -206,6 +206,12 @@ def run_bench(headline_only: bool = False) -> dict:
         "bloom_join_urgent",
         "revenue_by_region",
         "late_events_30m",
+        "rank_convs_in_cohort",
+        "ntile_quartiles_convs",
+        "userdays_both_types",
+        "dow_hour_activity",
+        "regex_extract_documents",
+        "stratified_sample_documents",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

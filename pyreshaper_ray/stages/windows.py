@@ -376,3 +376,104 @@ def roles_concat(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds_transcripts.groupby("conv_id").map_groups(
         cat, batch_format="pyarrow"
     )
+
+
+def ntile_convs(ds_normalized: "ray.data.Dataset", k: int = 4) -> "ray.data.Dataset":
+    """NTILE(k) OVER (ORDER BY char_sum, conv_id) — equal-height tile
+    assignment over per-conversation totals (the quartile/decile bucketing
+    shape).
+
+    NTILE needs every row's exact global rank under a total order, so one
+    distributed sort is irreducible — but it runs over the combiner-reduced
+    one-row-per-conversation table, never raw turns. The sorted Dataset is
+    materialized ONCE so both rank passes see identical block boundaries:
+    pass 1 reduces each block to (first_key, n_rows); the driver prefix-sums
+    those (block-count-sized, tiny) into per-block rank offsets keyed by the
+    block's first row; pass 2 assigns rank = offset + arange(block) and the
+    SQL NTILE split (first ``n % k`` tiles get one extra row) vectorized.
+
+    The ordering key (char_sum, conv_id) is unique (conv_id is), so tiles
+    are deterministic and the DuckDB oracle matches exactly.
+
+    Output: conv_id, char_sum, tile (BIGINT, 1-based).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id"]).aggregate([("char_len", "sum")])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "char_sum": pc.cast(g["char_len_sum"], pa.int64()),
+            }
+        )
+
+    totals = (
+        ds_normalized.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Sum("char_sum", alias_name="char_sum"))
+    )
+    # one-row-per-conversation table; materialize so both passes below see
+    # the SAME block boundaries (a lazy re-execution may split differently)
+    ordered = totals.sort(["char_sum", "conv_id"]).materialize()
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "char_sum": pa.array([], pa.int64()),
+                    "conv_id": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "char_sum": batch["char_sum"][:1],
+                "conv_id": batch["conv_id"][:1],
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    # batch_size=None ⇒ one batch per BLOCK — the offset bookkeeping below
+    # is keyed by block-first rows, so row-count batching would break it
+    heads = ordered.map_batches(
+        block_head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    heads.sort(key=lambda r: (r["char_sum"], r["conv_id"]))
+    n_total = sum(r["n"] for r in heads)
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for r in heads:
+        offsets[(r["char_sum"], r["conv_id"])] = acc
+        acc += r["n"]
+
+    q, rem = divmod(n_total, k)
+    cut = rem * (q + 1)  # ranks below this sit in the wider tiles
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "char_sum": pa.array([], pa.int64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        first = (batch["char_sum"][0].as_py(), batch["conv_id"][0].as_py())
+        rank = offsets[first] + np.arange(batch.num_rows, dtype=np.int64)
+        tile = np.where(
+            rank < cut,
+            rank // (q + 1),
+            rem + (np.maximum(rank - cut, 0) // max(q, 1)),
+        )
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "char_sum": batch["char_sum"],
+                "tile": pa.array(tile + 1, pa.int64()),
+            }
+        )
+
+    return ordered.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -186,3 +186,21 @@ def test_user_day_membership_set_semantics(ray_session):
     }
     assert both == {(1, 0)}
     assert a_only == {(1, 1)}
+
+
+def test_ntile_uneven_split(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import ntile_convs
+
+    # 10 rows, k=4 -> tiles of 3,3,2,2 (first n%k tiles get the extra row)
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"u{i}" for i in range(10)], pa.string()),
+            "char_len": pa.array(list(range(10, 110, 10)), pa.int32()),
+        }
+    )
+    rows = ntile_convs(ray.data.from_arrow(t), k=4).take_all()
+    by_sum = {r["char_sum"]: r["tile"] for r in rows}
+    want = {10:1, 20:1, 30:1, 40:2, 50:2, 60:2, 70:3, 80:3, 90:4, 100:4}
+    assert by_sum == want
