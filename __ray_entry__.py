@@ -797,6 +797,85 @@ def q_regex_extract(sf_dir: str):
     return regex_extract_counts(docs)
 
 
+def q_label_vector_sums(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import label_vector_sums
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_vector_sums(emb)
+
+
+def q_customer_event_counts_left(sf_dir: str):
+    """LEFT OUTER join: every customer with their event count (0 when the
+    customer never produced an event — the preserved-null side is the point
+    of the query). The fact side is combiner-reduced to one row per user
+    BEFORE the join, so the exchange moves counts, not events."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from pyreshaper_ray.stages.joins import hash_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "n_events": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    joined = hash_join(
+        cust, counts, on="c_custkey", right_on="user_id", join_type="left_outer"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch["n_events"], pa.int64()), 0)
+        return pa.table({"c_custkey": batch["c_custkey"], "n_events": n})
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_power_users(sf_dir: str):
+    """GROUP BY ... HAVING shape: users with >= 70 events."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "n_events": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_events"], 70))
+
+    return counts.map_batches(having, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_ntile_quartiles(sf_dir: str):
     from pyreshaper_ray.stages.windows import ntile_convs
 
@@ -903,6 +982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_activity": q_dow_hour_activity,
         "regex_extract_documents": q_regex_extract,
         "ntile_quartiles_convs": q_ntile_quartiles,
+        "customer_event_counts_left": q_customer_event_counts_left,
+        "power_users_70": q_power_users,
+        "label_vector_sums": q_label_vector_sums,
         "stratified_sample_documents": q_stratified_sample,
     }
 
@@ -1460,6 +1542,29 @@ def oracle_sql() -> dict[str, str]:
                 WHERE regexp_matches(text, '[a-z]{6,}')
             )
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1
+        """,
+        "label_vector_sums": """
+            WITH u AS (
+                SELECT label, UNNEST(embedding) AS e,
+                       UNNEST(range(1, len(embedding) + 1)) AS dim_idx
+                FROM embeddings
+            )
+            SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+                   CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_micro
+            FROM u GROUP BY 1, 2
+        """,
+        "customer_event_counts_left": """
+            SELECT c.c_custkey,
+                   CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+            FROM customer c
+            LEFT JOIN (
+                SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+            ) e ON e.user_id = c.c_custkey
+        """,
+        "power_users_70": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1 HAVING COUNT(*) >= 70
         """,
         "ntile_quartiles_convs": f"""
             WITH t AS ({_T}),

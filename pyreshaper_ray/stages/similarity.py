@@ -543,3 +543,63 @@ def knn_ivf(
             "neighbor_id": pa.array(rows_n, pa.int64()),
         }
     )
+
+
+def label_vector_sums(ds_emb: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-label element-wise vector aggregation (the centroid-numerator /
+    class-prototype shape) over a ``list<float>`` embedding column, exact:
+    every element is rounded to integer micro-units FIRST
+    (``round(e * 1e6)`` — element-wise, so the sum is order-independent
+    int64 math) and summed per (label, dimension).
+
+    Per-block combiner: flatten the list column zero-copy, reshape to
+    (rows, dim), scatter-add into a (n_labels_in_block, dim) accumulator —
+    the block reduces to ≤ labels x dim rows before the one tiny shuffle.
+    FLOOR (not ROUND) quantizes: the float64 product ``e * 1e6`` is
+    IEEE-identical in both engines and FLOOR has no tie semantics, whereas
+    ROUND's half-tie rule differs between numpy (half-to-even) and SQL
+    (half-away-from-zero) on products that round to exact half-integers.
+
+    Output: label (int32 passthrough), dim_idx (BIGINT, 1-based),
+    sum_micro (BIGINT).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if n == 0 or len(flat) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], batch["label"].type),
+                    "dim_idx": pa.array([], pa.int64()),
+                    "sum_micro": pa.array([], pa.int64()),
+                }
+            )
+        dim = len(flat) // n
+        m = np.floor(flat.astype(np.float64) * 1e6).astype(np.int64)
+        m = m.reshape(n, dim)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(acc, inv, m)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq, dim), batch["label"].type
+                ),
+                "dim_idx": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq)),
+                    pa.int64(),
+                ),
+                "sum_micro": pa.array(acc.reshape(-1), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds_emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim_idx"])
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"))
+    )
