@@ -212,6 +212,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "dow_hour_activity",
         "regex_extract_documents",
         "stratified_sample_documents",
+        "label_vector_sums",
+        "customer_event_counts_left",
+        "power_users_70",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
