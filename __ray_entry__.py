@@ -893,6 +893,47 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, strata_col="lang", id_col="doc_id", k=5)
 
 
+def q_monthly_revenue(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import monthly_revenue
+
+    return monthly_revenue(sf_dir)
+
+
+def q_cohort_retention(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import cohort_retention
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
+def q_funnel_signup_purchase(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import funnel_conversion
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_conversion(ev, first_type="signup", then_type="purchase")
+
+
+def q_daily_counts_full_outer(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import daily_counts_full_outer
+
+    return daily_counts_full_outer(sf_dir)
+
+
+def q_gram_matrix(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import gram_matrix
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return gram_matrix(emb)
+
+
 def entry() -> Any:
     """Flagship pipeline (read → normalize → bucket shuffle → pivot + rollup
     tiers + gap-fill + codecs → partitioned parquet + manifest) on the
@@ -986,6 +1027,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_users_70": q_power_users,
         "label_vector_sums": q_label_vector_sums,
         "stratified_sample_documents": q_stratified_sample,
+        "monthly_revenue": q_monthly_revenue,
+        "cohort_retention": q_cohort_retention,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "daily_counts_full_outer": q_daily_counts_full_outer,
+        "gram_matrix_embeddings": q_gram_matrix,
     }
 
 
@@ -1602,5 +1648,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(x * x) AS BIGINT) AS sum_x2,
                    CAST(SUM(y * y) AS BIGINT) AS sum_y2
             FROM c
+        """,
+        "monthly_revenue": """
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+                   CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY 1, 2
+        """,
+        "cohort_retention": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            firsts AS (
+                SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY 1
+            )
+            SELECT f.first_day AS cohort_day,
+                   p.day - f.first_day AS offset_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM pairs p JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "funnel_signup_purchase": """
+            WITH agg AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup'
+                                THEN epoch_us(ts) END) AS a_min,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS b_max
+                FROM events GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST(a_min AS BIGINT) AS first_ts_us,
+                   COALESCE(b_max > a_min, FALSE) AS converted
+            FROM agg WHERE a_min IS NOT NULL
+        """,
+        "daily_counts_full_outer": """
+            WITH o AS (
+                SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1
+            ),
+            e AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT COALESCE(o.day, e.day) AS day,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(e.n_events, 0) AS n_events
+            FROM o FULL OUTER JOIN e ON o.day = e.day
+        """,
+        "gram_matrix_embeddings": """
+            WITH u AS (
+                SELECT vec_id,
+                       UNNEST(embedding) AS e,
+                       UNNEST(range(1, len(embedding) + 1)) AS d
+                FROM embeddings
+            ),
+            m AS (
+                SELECT vec_id, d,
+                       CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS v
+                FROM u
+            )
+            SELECT a.d AS dim_i, b.d AS dim_j,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS sum_prod
+            FROM m a JOIN m b USING (vec_id)
+            GROUP BY 1, 2
         """,
     }

@@ -215,6 +215,11 @@ def run_bench(headline_only: bool = False) -> dict:
         "label_vector_sums",
         "customer_event_counts_left",
         "power_users_70",
+        "monthly_revenue",
+        "cohort_retention",
+        "funnel_signup_purchase",
+        "daily_counts_full_outer",
+        "gram_matrix_embeddings",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -884,3 +884,266 @@ def dow_hour_activity(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
             Sum("sum_cents", alias_name="sum_cents"),
         )
     )
+
+
+def monthly_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Calendar-month rollup of orders: revenue + count per (year, month).
+
+    Calendar windows are NON-uniform (28-31 days), so unlike the fixed-width
+    tier windows (``w1m = ts - ts % 60s``) this uses Arrow's temporal
+    ``pc.year`` / ``pc.month`` kernels — the shape PyReshaper's fixed
+    time-slice loop cannot express. Combiner-first: each block reduces to
+    <= n_distinct_months rows before the one tiny shuffle; sums are exact
+    integer cents.
+
+    Output: year (BIGINT), month (BIGINT), n_orders (BIGINT),
+    revenue_cents (BIGINT).
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+                "month": pc.cast(pc.month(batch["o_orderdate"]), pa.int64()),
+                "cents": to_cents(batch["o_totalprice"]),
+            }
+        )
+        g = t.group_by(["year", "month"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "year": g["year"],
+                "month": g["month"],
+                "n_orders": pc.cast(g["cents_count"], pa.int64()),
+                "revenue_cents": g["cents_sum"],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["year", "month"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+def cohort_retention(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cohort-retention matrix: users grouped by FIRST active day (the
+    cohort), counted on each later day offset they were active.
+
+    The classic product-analytics triangle, restated scale-safe:
+
+    1. per-block combiner reduces raw events to distinct (user, day)
+       pairs (Arrow group_by) — the only stage the full event stream
+       crosses, and it exchanges two int64 columns;
+    2. one groupby finishes the distinct;
+    3. first day per user is a per-block min + groupby Min over the
+       ALREADY-distinct pairs (no second scan of the input);
+    4. a hash join (user -> first_day) tags every pair, offsets are
+       vectorized, and the final groupby is result-sized
+       (cohorts x offsets).
+
+    Days are integer epoch days, so counts are oracle-exact.
+
+    Output: cohort_day (BIGINT), offset_day (BIGINT), n_users (BIGINT).
+    """
+    from .joins import hash_join
+
+    US_PER_DAY = 86_400_000_000
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(pc.cast(batch["ts"], pa.int64()), US_PER_DAY),
+            }
+        )
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g.select(["user_id", "day"])
+
+    pairs = (
+        events_ds.map_batches(
+            pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["user_id", "day"])
+    )
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"], "first_day": g["day_min"]})
+
+    firsts = (
+        pairs.map_batches(
+            first_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("user_id")
+        .aggregate(Min("first_day", alias_name="first_day"))
+    )
+
+    tagged = hash_join(pairs, firsts, on="user_id")
+
+    def offset_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cohort_day": batch["first_day"],
+                "offset_day": pc.subtract(batch["day"], batch["first_day"]),
+            }
+        )
+        g = t.group_by(["cohort_day", "offset_day"]).aggregate(
+            [("offset_day", "count")]
+        )
+        return pa.table(
+            {
+                "cohort_day": g["cohort_day"],
+                "offset_day": g["offset_day"],
+                "n_users": pc.cast(g["offset_day_count"], pa.int64()),
+            }
+        )
+
+    return (
+        tagged.map_batches(
+            offset_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["cohort_day", "offset_day"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def funnel_conversion(
+    events_ds: "ray.data.Dataset",
+    first_type: str = "signup",
+    then_type: str = "purchase",
+) -> "ray.data.Dataset":
+    """Sequential-pattern funnel: users who did ``first_type`` and LATER
+    (strictly greater timestamp) did ``then_type``.
+
+    The order-dependent two-step funnel reduces to per-user extrema — no
+    per-user event sort, no window function: a user converts iff
+    ``max(ts | then_type) > min(ts | first_type)``. Per-block combiner
+    computes both extrema with int64 sentinels (+inf for the min side,
+    -inf for the max side, so Arrow's min/max need no null handling),
+    ONE groupby merges, and the verdict is a vectorized per-batch
+    comparison. Only users who performed ``first_type`` appear.
+
+    Output: user_id (BIGINT), first_ts_us (BIGINT, min first_type ts),
+    converted (BOOL).
+    """
+    SENT_MIN = (1 << 62)
+    SENT_MAX = -(1 << 62)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        is_a = pc.equal(batch["event_type"], first_type)
+        is_b = pc.equal(batch["event_type"], then_type)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "a_ts": pc.if_else(is_a, us, pa.scalar(SENT_MIN, pa.int64())),
+                "b_ts": pc.if_else(is_b, us, pa.scalar(SENT_MAX, pa.int64())),
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate([("a_ts", "min"), ("b_ts", "max")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "a_min": g["a_ts_min"],
+                "b_max": g["b_ts_max"],
+            }
+        )
+
+    merged = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Min("a_min", alias_name="a_min"),
+            Max("b_max", alias_name="b_max"),
+        )
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        has_a = pc.not_equal(batch["a_min"], pa.scalar(SENT_MIN, pa.int64()))
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "first_ts_us": batch["a_min"],
+                "converted": pc.greater(batch["b_max"], batch["a_min"]),
+            }
+        ).filter(has_a)
+        return t
+
+    return merged.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def daily_counts_full_outer(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER join of two per-day aggregates: order count per day vs
+    event count per day, null sides preserved and zero-filled. Exercises
+    the one join type the engine had not yet surfaced; both inputs are
+    combiner-reduced to one row per day BEFORE the join, so the exchange
+    is result-sized regardless of fact-table scale.
+
+    Output: day (BIGINT epoch days), n_orders (BIGINT), n_events (BIGINT).
+    """
+    import ray
+
+    from .joins import hash_join
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_counts(ds, ts_col, out_name):
+        def partial(batch: pa.Table) -> pa.Table:
+            day = pc.divide(pc.cast(batch[ts_col], pa.int64()), US_PER_DAY)
+            g = pa.table({"day": day}).group_by(["day"]).aggregate(
+                [("day", "count")]
+            )
+            return pa.table(
+                {
+                    "day": g["day"],
+                    out_name: pc.cast(g["day_count"], pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("day")
+            .aggregate(Sum(out_name, alias_name=out_name))
+        )
+
+    orders = day_counts(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"]),
+        "o_orderdate",
+        "n_orders",
+    )
+    events = day_counts(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]),
+        "ts",
+        "n_events",
+    )
+    # full_outer keeps unmatched days from BOTH sides; Ray coalesces the
+    # equi-key into one `day` column, so only the payload sides need
+    # zero-filling.
+    joined = hash_join(orders, events, on="day", join_type="full_outer")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch["day"],
+                "n_orders": pc.fill_null(
+                    pc.cast(batch["n_orders"], pa.int64()), 0
+                ),
+                "n_events": pc.fill_null(
+                    pc.cast(batch["n_events"], pa.int64()), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

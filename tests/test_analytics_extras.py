@@ -1,0 +1,163 @@
+"""Hand-computed unit tests for the session-14 operators: calendar-month
+rollup, cohort retention, funnel conversion, full-outer day counts, and the
+distributed Gram matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ts(s: str):
+    return np.datetime64(s, "us").astype("datetime64[us]")
+
+
+def _events(rows):
+    """rows: (user_id, ts_str, event_type)"""
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([_ts(r[1]) for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+
+
+def test_cohort_retention_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import cohort_retention
+
+    # user 1: active day0, day2; user 2: active day0 only (two events same
+    # day -> one distinct user-day); user 3: first seen day2.
+    ev = _events(
+        [
+            (1, "2024-01-01T10:00:00", "view"),
+            (1, "2024-01-03T10:00:00", "view"),
+            (2, "2024-01-01T01:00:00", "view"),
+            (2, "2024-01-01T23:00:00", "click"),
+            (3, "2024-01-03T00:00:00", "view"),
+        ]
+    )
+    out = cohort_retention(ray.data.from_arrow(ev)).to_pandas()
+    got = {
+        (r.cohort_day, r.offset_day): r.n_users for r in out.itertuples()
+    }
+    d0 = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(int))
+    d2 = d0 + 2
+    assert got == {(d0, 0): 2, (d0, 2): 1, (d2, 0): 1}
+
+
+def test_funnel_strict_inequality(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import funnel_conversion
+
+    ev = _events(
+        [
+            # user 1: signup then later purchase -> converted
+            (1, "2024-01-01T00:00:00", "signup"),
+            (1, "2024-01-02T00:00:00", "purchase"),
+            # user 2: purchase BEFORE signup only -> not converted
+            (2, "2024-01-02T00:00:00", "purchase"),
+            (2, "2024-01-03T00:00:00", "signup"),
+            # user 3: purchase at the EXACT signup ts -> strict > fails
+            (3, "2024-01-01T05:00:00", "signup"),
+            (3, "2024-01-01T05:00:00", "purchase"),
+            # user 4: signup only
+            (4, "2024-01-01T00:00:00", "signup"),
+            # user 5: purchase only -> absent from output
+            (5, "2024-01-01T00:00:00", "purchase"),
+        ]
+    )
+    out = (
+        funnel_conversion(ray.data.from_arrow(ev))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert sorted(out.index) == [1, 2, 3, 4]
+    assert bool(out.loc[1, "converted"]) is True
+    assert bool(out.loc[2, "converted"]) is False
+    assert bool(out.loc[3, "converted"]) is False
+    assert bool(out.loc[4, "converted"]) is False
+
+
+def test_daily_counts_full_outer_preserves_both_sides(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import daily_counts_full_outer
+
+    # orders on days A, B; events on days B, C -> full outer keeps A and C.
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                [_ts("2024-01-01"), _ts("2024-01-01"), _ts("2024-01-02")],
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    events = _events(
+        [
+            (1, "2024-01-02T12:00:00", "view"),
+            (2, "2024-01-05T00:00:00", "view"),
+        ]
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    out = daily_counts_full_outer(str(tmp_path)).to_pandas()
+    got = {r.day: (r.n_orders, r.n_events) for r in out.itertuples()}
+    d0 = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(int))
+    assert got == {d0: (2, 0), d0 + 1: (1, 1), d0 + 4: (0, 1)}
+
+
+def test_gram_matrix_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import gram_matrix
+
+    vecs = np.array(
+        [[0.5, -1.25, 2.0], [1.0, 0.0, -0.5]], dtype=np.float32
+    )
+    t = pa.table(
+        {"embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32()))}
+    )
+    out = gram_matrix(ray.data.from_arrow(t)).to_pandas()
+    m = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    want = m.T @ m
+    assert len(out) == 9
+    for r in out.itertuples():
+        assert r.sum_prod == want[r.dim_i - 1, r.dim_j - 1]
+    # symmetry
+    piv = out.pivot(index="dim_i", columns="dim_j", values="sum_prod").values
+    assert (piv == piv.T).all()
+
+
+def test_monthly_revenue_calendar_boundaries(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import monthly_revenue
+
+    orders = pa.table(
+        {
+            "o_orderdate": pa.array(
+                [
+                    _ts("1997-01-31T23:59:59"),
+                    _ts("1997-02-01T00:00:00"),
+                    _ts("1997-02-28T12:00:00"),
+                    _ts("1998-02-01T00:00:00"),
+                ],
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([10.01, 20.02, 0.03, 5.0]),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = monthly_revenue(str(tmp_path)).to_pandas()
+    got = {(r.year, r.month): (r.n_orders, r.revenue_cents) for r in out.itertuples()}
+    assert got == {
+        (1997, 1): (1, 1001),
+        (1997, 2): (2, 2005),
+        (1998, 2): (1, 500),
+    }
