@@ -925,6 +925,23 @@ def q_daily_counts_full_outer(sf_dir: str):
     return daily_counts_full_outer(sf_dir)
 
 
+def q_rolling_7d_user_value(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import rolling_range_sum_user
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return rolling_range_sum_user(ev, window_days=7)
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    from pyreshaper_ray.stages.similarity import kmeans_embeddings
+
+    return kmeans_embeddings(sf_dir, k=8, n_iters=3)
+
+
 def q_gram_matrix(sf_dir: str):
     import ray.data
 
@@ -1032,6 +1049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "daily_counts_full_outer": q_daily_counts_full_outer,
         "gram_matrix_embeddings": q_gram_matrix,
+        "rolling_7d_user_value": q_rolling_7d_user_value,
+        "kmeans_embeddings": q_kmeans_embeddings,
     }
 
 
@@ -1718,5 +1737,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(a.v * b.v) AS BIGINT) AS sum_prod
             FROM m a JOIN m b USING (vec_id)
             GROUP BY 1, 2
+        """,
+        "rolling_7d_user_value": """
+            SELECT user_id, ts,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS win_cents
+            FROM events
         """,
     }

@@ -220,6 +220,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "funnel_signup_purchase",
         "daily_counts_full_outer",
         "gram_matrix_embeddings",
+        "rolling_7d_user_value",
+        "kmeans_embeddings",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

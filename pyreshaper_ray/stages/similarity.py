@@ -654,3 +654,127 @@ def gram_matrix(ds_emb: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["dim_i", "dim_j"])
         .aggregate(Sum("sum_prod", alias_name="sum_prod"))
     )
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, n_iters: int = 5
+) -> "ray.data.Dataset":
+    """Deterministic distributed Lloyd's k-means over the embedding column —
+    the iterative-algorithm shape (SQL-inexpressible; gated by an exact
+    numpy-reference equality test instead of an oracle).
+
+    Determinism under ANY block order / parallelism, the same trick as
+    ``label_vector_sums``: per-assignment centroid accumulation happens in
+    integer micro-units (``floor(e * 1e6)``), so the per-cluster sums are
+    order-independent int64 math; new centroids derive from those exact
+    sums in one float64 division on the driver. Distance argmin breaks
+    ties toward the lowest cluster id.
+
+    Per iteration: ONE streaming pass (map_batches partial -> k x dim-row
+    groupby) — the corpus is never materialized; the driver only ever
+    holds k x dim aggregate rows. Initial centroids are the k
+    smallest-vec_id rows (deterministic, no RNG).
+
+    Returns the assignment Dataset (vec_id BIGINT, cluster BIGINT) after
+    ``n_iters`` iterations; the final centroids are recomputable from it.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import cached_get
+
+    seed_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = pc.sort_indices(seed_t, sort_keys=[("vec_id", "ascending")])
+    seed_t = seed_t.take(order[:k])
+    centroids = _batch_matrix(seed_t)  # (k, dim) float64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign_ids(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # ||x-c||^2 argmin == argmin(-2 x.c + ||c||^2); first-hit tie-break
+        scores = -2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        return np.argmin(scores, axis=1).astype(np.int64)
+
+    dim = centroids.shape[1]
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            cents = cached_get(ref)
+            m = _batch_matrix(batch)
+            if len(m) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim_idx": pa.array([], pa.int64()),
+                        "sum_micro": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            lab = assign_ids(m, cents)
+            mi = np.floor(m * 1e6).astype(np.int64)
+            uniq, inv, counts = np.unique(
+                lab, return_inverse=True, return_counts=True
+            )
+            acc = np.zeros((len(uniq), dim), dtype=np.int64)
+            np.add.at(acc, inv, mi)
+            n_col = np.zeros((len(uniq), dim), dtype=np.int64)
+            n_col[:, 0] = counts
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(uniq, dim), pa.int64()),
+                    "dim_idx": pa.array(
+                        np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+                        pa.int64(),
+                    ),
+                    "sum_micro": pa.array(acc.reshape(-1), pa.int64()),
+                    "n": pa.array(n_col.reshape(-1), pa.int64()),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["cluster", "dim_idx"])
+            .aggregate(
+                Sum("sum_micro", alias_name="sum_micro"),
+                Sum("n", alias_name="n"),
+            )
+            .to_pandas()
+        )
+        new_c = centroids.copy()  # empty clusters keep their centroid
+        counts = np.zeros(k, dtype=np.int64)
+        for c, sub in agg.groupby("cluster"):
+            sub = sub.sort_values("dim_idx")
+            n = int(sub["n"].sum())
+            counts[int(c)] = n
+            if n > 0:
+                new_c[int(c)] = (
+                    sub["sum_micro"].to_numpy().astype(np.float64) / 1e6 / n
+                )
+        centroids = new_c
+
+    ref = ray.put(centroids)
+
+    def final_assign(batch: pa.Table, ref=ref) -> pa.Table:
+        cents = cached_get(ref)
+        m = _batch_matrix(batch)
+        lab = (
+            assign_ids(m, cents)
+            if len(m)
+            else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(lab, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)

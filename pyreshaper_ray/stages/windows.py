@@ -477,3 +477,51 @@ def ntile_convs(ds_normalized: "ray.data.Dataset", k: int = 4) -> "ray.data.Data
     return ordered.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def rolling_range_sum_user(
+    events_ds: "ray.data.Dataset", window_days: int = 7
+) -> "ray.data.Dataset":
+    """SUM(value) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN
+    ``window_days`` PRECEDING AND CURRENT ROW) — the RANGE (time-interval)
+    frame, as opposed to the ROWS frame of ``moving_sum_turns``: the frame
+    holds every event in the trailing time window, however many rows that
+    is, and timestamp PEERS (equal ts) are all included per the SQL
+    standard.
+
+    Per-user kernel inside ``groupby(user_id).map_groups``: sort by ts,
+    one cumsum, then two vectorized ``searchsorted`` calls resolve each
+    row's [ts - window, ts] frame — O(n log n) per user, no per-row loop.
+    Values are exact integer cents.
+
+    Output: user_id (BIGINT), ts (timestamp us), win_cents (BIGINT).
+    """
+    window_us = window_days * 86_400_000_000
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending")])
+        g = group.take(order)
+        us = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(
+                pc.round(pc.multiply(pc.cast(g["value"], pa.float64()), 100.0)),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        csum = np.cumsum(cents)
+        lo = np.searchsorted(us, us - window_us, side="left")
+        hi = np.searchsorted(us, us, side="right")
+        out = csum[hi - 1] - np.where(lo > 0, csum[lo - 1], 0)
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "win_cents": pa.array(out, pa.int64()),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )

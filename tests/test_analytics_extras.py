@@ -161,3 +161,81 @@ def test_monthly_revenue_calendar_boundaries(ray_session, tmp_path):
         (1997, 2): (2, 2005),
         (1998, 2): (1, 500),
     }
+
+
+def test_rolling_range_includes_ts_peers(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import rolling_range_sum_user
+
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "ts": pa.array(
+                np.array(
+                    [
+                        np.datetime64("2024-01-01T00:00:00", "us"),
+                        np.datetime64("2024-01-05T00:00:00", "us"),
+                        np.datetime64("2024-01-05T00:00:00", "us"),  # peer
+                        np.datetime64("2024-01-09T00:00:00", "us"),
+                    ]
+                ),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+        }
+    )
+    out = (
+        rolling_range_sum_user(ray.data.from_arrow(ev), window_days=7)
+        .to_pandas()
+        .sort_values(["ts", "win_cents"])
+        .reset_index(drop=True)
+    )
+    # RANGE frame: both Jan-5 peers see 100+200+400; Jan-9 row's window
+    # [Jan-2, Jan-9] drops the Jan-1 event.
+    assert out["win_cents"].tolist() == [100, 700, 700, 1400]
+
+
+def test_kmeans_matches_numpy_reference(ray_session):
+    """The distributed k-means must equal a single-process numpy
+    implementation of the same algorithm EXACTLY (micro-int sums make the
+    distributed accumulation order-independent)."""
+    from pyreshaper_ray.stages.similarity import kmeans_embeddings
+
+    sf_dir = "/root/testdata/sf0.001"
+    k, iters = 8, 3
+    got = (
+        kmeans_embeddings(sf_dir, k=k, n_iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = np.asarray(t["vec_id"].to_pylist())
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vid, kind="stable")
+    cents = m[order[:k]].copy()
+
+    def assign(m, c):
+        scores = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.argmin(scores, axis=1)
+
+    for _ in range(iters):
+        lab = assign(m, cents)
+        mi = np.floor(m * 1e6).astype(np.int64)
+        for c in range(k):
+            sel = lab == c
+            n = int(sel.sum())
+            if n:
+                cents[c] = mi[sel].sum(axis=0).astype(np.float64) / 1e6 / n
+    lab = assign(m, cents)
+
+    want = {int(v): int(l) for v, l in zip(vid, lab)}
+    assert len(got) == len(vid)
+    for v, c in zip(got["vec_id"], got["cluster"]):
+        assert want[int(v)] == int(c)
+    # sanity: uses more than one cluster
+    assert got["cluster"].nunique() > 1
