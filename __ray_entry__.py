@@ -925,6 +925,30 @@ def q_daily_counts_full_outer(sf_dir: str):
     return daily_counts_full_outer(sf_dir)
 
 
+def q_source_share_ppm(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import source_share_ppm
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return source_share_ppm(docs)
+
+
+def q_orders_above_customer_avg(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import orders_above_customer_avg
+
+    return orders_above_customer_avg(sf_dir)
+
+
+def q_heavy_hitters_terms(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import heavy_hitters_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters_terms(docs, k=10, capacity=256)
+
+
 def q_rolling_7d_user_value(sf_dir: str):
     import ray.data
 
@@ -1051,6 +1075,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix_embeddings": q_gram_matrix,
         "rolling_7d_user_value": q_rolling_7d_user_value,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "source_share_ppm": q_source_share_ppm,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "heavy_hitters_terms": q_heavy_hitters_terms,
     }
 
 
@@ -1745,5 +1772,30 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 7 DAY PRECEDING
                              AND CURRENT ROW) AS BIGINT) AS win_cents
             FROM events
+        """,
+        "source_share_ppm": """
+            WITH c AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1
+            )
+            SELECT source, n_docs,
+                   CAST(n_docs * 1000000 // SUM(n_docs) OVER ()
+                        AS BIGINT) AS share_ppm
+            FROM c
+        """,
+        "orders_above_customer_avg": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+                FROM orders
+            ),
+            a AS (
+                SELECT o_custkey, SUM(price_cents) AS sum_cents,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM o GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_custkey, o.price_cents
+            FROM o JOIN a USING (o_custkey)
+            WHERE o.price_cents * a.n_orders > a.sum_cents
         """,
     }

@@ -222,6 +222,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "gram_matrix_embeddings",
         "rolling_7d_user_value",
         "kmeans_embeddings",
+        "source_share_ppm",
+        "orders_above_customer_avg",
+        "heavy_hitters_terms",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -1147,3 +1147,123 @@ def daily_counts_full_outer(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_share_ppm(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Percent-of-total (RATIO_TO_REPORT window-over-aggregate shape): each
+    document source's share of the corpus, in exact integer parts-per-
+    million (``n * 1_000_000 // total`` — floor division, so no float and
+    no rounding-rule mismatch with SQL).
+
+    One combiner-first groupby produces the per-source counts; the grand
+    total is the sum of that RESULT-SIZED table, computed in a final
+    per-batch map after a single-partition repartition (the result is a
+    handful of rows — this is the one place a full view of the aggregate
+    is required and it is result-sized by construction).
+
+    Output: source (STRING), n_docs (BIGINT), share_ppm (BIGINT).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"]).aggregate([("source", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": pc.cast(g["source_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .repartition(1)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        share = (n * 1_000_000) // total if total else n * 0
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": batch["n_docs"],
+                "share_ppm": pa.array(share, pa.int64()),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def orders_above_customer_avg(sf_dir: str) -> "ray.data.Dataset":
+    """Decorrelated correlated-subquery shape: orders strictly above their
+    OWN customer's average order value.
+
+    The subquery ``(SELECT AVG(o_totalprice) FROM orders o2 WHERE
+    o2.o_custkey = o.o_custkey)`` decorrelates into a per-customer
+    aggregate joined back to the fact table. The comparison stays in
+    EXACT integer math by cross-multiplying instead of dividing:
+    ``price > sum/n  <=>  price_cents * n > sum_cents`` — no float AVG on
+    either side (the oracle uses the same inequality).
+
+    Combiner-first per-customer (sum, count); hash join back; vectorized
+    filter. Output: o_orderkey (BIGINT), o_custkey (BIGINT),
+    price_cents (BIGINT).
+    """
+    import ray
+
+    from .joins import hash_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def with_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "price_cents": to_cents(batch["o_totalprice"]),
+            }
+        )
+
+    orders = ds.map_batches(with_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        )
+        return pa.table(
+            {
+                "cust": g["o_custkey"],
+                "sum_cents": g["price_cents_sum"],
+                "n_orders": pc.cast(g["price_cents_count"], pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cust")
+        .aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    joined = hash_join(orders, per_cust, on="o_custkey", right_on="cust")
+
+    def above(batch: pa.Table) -> pa.Table:
+        lhs = pc.multiply(
+            pc.cast(batch["price_cents"], pa.int64()), batch["n_orders"]
+        )
+        keep = pc.greater(lhs, batch["sum_cents"])
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "price_cents": batch["price_cents"],
+            }
+        ).filter(keep)
+
+    return joined.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)

@@ -326,3 +326,87 @@ def stratified_sample(
 
     p = ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return p.groupby(strata_col).map_groups(final, batch_format="pyarrow")
+
+
+def heavy_hitters_terms(
+    ds_docs: "ray.data.Dataset",
+    k: int = 10,
+    capacity: int = 256,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Misra-Gries / Space-Saving heavy hitters over corpus terms — the
+    mergeable frequent-items sketch (third of the sketch family after
+    HyperLogLog and DDSketch).
+
+    Each block tokenizes with the same RE2 split as ``text.top_terms``,
+    counts exactly within the block, then TRUNCATES to a Misra-Gries
+    summary of ``capacity`` counters: subtract the (capacity+1)-th largest
+    count ``d`` from every counter and drop the non-positive ones. The
+    block's deficit ``d`` rides along as a special row, so after the
+    groupby-sum merge every surviving term carries a LOWER-BOUND count
+    ``est_count`` and the summed deficits give a global error bound
+    ``max_err`` (true_count <= est_count + max_err; MG guarantees
+    sum-of-deficits <= n_tokens / (capacity+1)). The exchange moves at most
+    ``capacity + 1`` rows per block, independent of block vocabulary.
+
+    Output: term (STRING), est_count (BIGINT), max_err (BIGINT) — the k
+    largest estimates. Approximate by nature → rows-only driver entry; the
+    error-bound + planted-heavy-term gates live in tests/test_sketches.py.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    DEFICIT_KEY = "\x00__mg_deficit__"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by(["term"]).aggregate(
+            [("term", "count")]
+        )
+        counts = pc.cast(g["term_count"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        terms = g["term"].to_pylist()
+        if len(counts) > capacity:
+            order = np.argsort(-counts, kind="stable")
+            d = int(counts[order[capacity]])
+            keep_idx = [
+                i for i in order[:capacity] if counts[i] - d > 0
+            ]
+            out_terms = [terms[i] for i in keep_idx] + [DEFICIT_KEY]
+            out_counts = [int(counts[i]) - d for i in keep_idx] + [d]
+        else:
+            out_terms = terms
+            out_counts = [int(c) for c in counts]
+        return pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "n": pa.array(out_counts, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    # result-sized finalize on the driver: split off the deficit row, rank.
+    t = merged.to_pandas()
+    deficit = int(t.loc[t["term"] == DEFICIT_KEY, "n"].sum())
+    t = t[t["term"] != DEFICIT_KEY]
+    t = t.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+    t = t.head(k).reset_index(drop=True)
+    out = pa.table(
+        {
+            "term": pa.array(t["term"].tolist(), pa.string()),
+            "est_count": pa.array(t["n"].tolist(), pa.int64()),
+            "max_err": pa.array([deficit] * len(t), pa.int64()),
+        }
+    )
+    import ray.data as _rd
+
+    return _rd.from_arrow(out)

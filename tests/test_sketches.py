@@ -169,3 +169,35 @@ def test_bloom_join_equals_plain_join(ray_session):
     kept = bloom_prefilter(left, "k", words).count()
     assert kept < 0.2 * 5_000
     assert kept >= len({r[0] for r in plain})
+
+
+def test_heavy_hitters_error_bound(ray_session):
+    """Misra-Gries sketch: every reported count is a lower bound within
+    max_err of the exact count, and the exact top terms surface."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from pyreshaper_ray.stages.sketches import heavy_hitters_terms
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = heavy_hitters_terms(docs, k=10, capacity=256).to_pandas()
+    assert len(out) == 10
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    exact = Counter()
+    for t in texts:
+        exact.update(tok for tok in re.split(r"[^a-z0-9]+", t.lower()) if tok)
+
+    max_err = int(out["max_err"].iloc[0])
+    for r in out.itertuples():
+        assert r.est_count <= exact[r.term] <= r.est_count + max_err
+
+    # the unambiguous exact top-3 terms must all be reported
+    top_exact = [t for t, _ in exact.most_common(3)]
+    assert set(top_exact) <= set(out["term"])
