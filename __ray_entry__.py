@@ -925,6 +925,37 @@ def q_daily_counts_full_outer(sf_dir: str):
     return daily_counts_full_outer(sf_dir)
 
 
+def q_props_k_stats(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import props_k_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_k_stats(ev)
+
+
+def q_skew_join_events_customers(sf_dir: str):
+    """Inner join events⋈customer through the skew-aware hybrid plan: keys
+    above the hot threshold join via broadcast (no shuffle of their rows),
+    the cold tail through the hash join — results identical to a plain
+    join (the oracle checks against the straightforward SQL INNER JOIN)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import skew_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                       hot_threshold=50)
+    return joined.select_columns(["event_id", "user_id", "c_mktsegment"])
+
+
 def q_source_share_ppm(sf_dir: str):
     import ray.data
 
@@ -1078,6 +1109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_share_ppm": q_source_share_ppm,
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "heavy_hitters_terms": q_heavy_hitters_terms,
+        "props_k_stats": q_props_k_stats,
+        "skew_join_events_customers": q_skew_join_events_customers,
     }
 
 
@@ -1797,5 +1830,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.price_cents
             FROM o JOIN a USING (o_custkey)
             WHERE o.price_cents * a.n_orders > a.sum_cents
+        """,
+        "props_k_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events
+                WHERE regexp_matches(props, '"k": (\\d+)')
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM x GROUP BY 1
+        """,
+        "skew_join_events_customers": """
+            SELECT e.event_id, e.user_id, c.c_mktsegment
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
         """,
     }

@@ -225,6 +225,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "source_share_ppm",
         "orders_above_customer_avg",
         "heavy_hitters_terms",
+        "props_k_stats",
+        "skew_join_events_customers",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

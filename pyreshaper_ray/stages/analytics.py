@@ -1267,3 +1267,47 @@ def orders_above_customer_avg(sf_dir: str) -> "ray.data.Dataset":
         ).filter(keep)
 
     return joined.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def props_k_stats(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Semi-structured column handling: extract the integer field ``k``
+    from the JSON ``props`` string with a vectorized RE2 kernel
+    (``pc.extract_regex`` — no per-row json.loads), then a combiner-first
+    aggregate per event_type.
+
+    The pattern is restated verbatim in the DuckDB oracle's
+    ``regexp_extract`` (both engines are RE2), so extraction semantics are
+    bit-identical; rows whose props lack the field drop out of the
+    aggregate on both sides.
+
+    Output: event_type (STRING), n (BIGINT), sum_k (BIGINT),
+    max_k (BIGINT).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k}).filter(
+            pc.is_valid(k)
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "max")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["k_count"], pa.int64()),
+                "sum_k": g["k_sum"],
+                "max_k": g["k_max"],
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )

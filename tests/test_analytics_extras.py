@@ -239,3 +239,54 @@ def test_kmeans_matches_numpy_reference(ray_session):
         assert want[int(v)] == int(c)
     # sanity: uses more than one cluster
     assert got["cluster"].nunique() > 1
+
+
+def test_skew_join_equals_hash_join(ray_session):
+    """The hybrid skew join must return exactly the plain hash join's rows,
+    with the hot path genuinely exercised (threshold below max key freq)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import hash_join, skew_join
+
+    sf = "/root/testdata/sf0.001"
+    ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id", "user_id"])
+    cust = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    plain = (
+        hash_join(ev, cust, on="user_id", right_on="c_custkey")
+        .select_columns(["event_id", "user_id", "c_mktsegment"])
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    # pick a threshold that is exceeded by at least one key
+    freq = plain["user_id"].value_counts()
+    thr = max(2, int(freq.iloc[0]) // 2)
+    assert freq.iloc[0] >= thr, "fixture must exercise the hot path"
+    hybrid = (
+        skew_join(ev, cust, on="user_id", right_on="c_custkey", hot_threshold=thr)
+        .select_columns(["event_id", "user_id", "c_mktsegment"])
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    assert plain.equals(hybrid)
+
+
+def test_props_k_stats_missing_field_rows_drop(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import props_k_stats
+
+    ev = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b", "b"]),
+            "props": pa.array(
+                ['{"k": 3}', '{"x": 9}', '{"k": 10}', "not json"]
+            ),
+        }
+    )
+    out = props_k_stats(ray.data.from_arrow(ev)).to_pandas()
+    got = {r.event_type: (r.n, r.sum_k, r.max_k) for r in out.itertuples()}
+    assert got == {"a": (1, 3, 3), "b": (1, 10, 10)}
