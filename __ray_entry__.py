@@ -925,6 +925,28 @@ def q_daily_counts_full_outer(sf_dir: str):
     return daily_counts_full_outer(sf_dir)
 
 
+def q_event_transitions(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    return event_transitions(ev)
+
+
+def q_funnel_latency(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import funnel_latency
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_latency(ev)
+
+
 def q_props_k_stats(sf_dir: str):
     import ray.data
 
@@ -1111,6 +1133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_terms": q_heavy_hitters_terms,
         "props_k_stats": q_props_k_stats,
         "skew_join_events_customers": q_skew_join_events_customers,
+        "event_transitions": q_event_transitions,
+        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -1847,5 +1871,36 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_events_customers": """
             SELECT e.event_id, e.user_id, c.c_mktsegment
             FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "funnel_latency": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(MIN(epoch_us(ts)) AS BIGINT) AS signup_us
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            ),
+            p AS (
+                SELECT e.user_id,
+                       CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS conv_us
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) > s.signup_us
+                GROUP BY 1
+            )
+            SELECT s.user_id, s.signup_us,
+                   CAST(p.conv_us - s.signup_us AS BIGINT) AS latency_us
+            FROM s JOIN p USING (user_id)
         """,
     }

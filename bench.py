@@ -227,6 +227,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "heavy_hitters_terms",
         "props_k_stats",
         "skew_join_events_customers",
+        "event_transitions",
+        "funnel_latency",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

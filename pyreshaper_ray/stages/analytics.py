@@ -1311,3 +1311,84 @@ def props_k_stats(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+def funnel_latency(
+    events_ds: "ray.data.Dataset",
+    first_type: str = "signup",
+    then_type: str = "purchase",
+) -> "ray.data.Dataset":
+    """Time-to-convert: for every user who did ``first_type`` and later
+    ``then_type``, the microseconds between the FIRST ``first_type`` event
+    and the first ``then_type`` event STRICTLY after it.
+
+    Unlike ``funnel_conversion`` (a pure per-user-extrema reduction), the
+    latency needs the conditional minimum "first B after first A", which is
+    not distributive — so it decomposes into two scale-safe stages: a
+    combiner-first per-user min over A events, a hash join of only the B
+    events against that result-sized table, then a second combiner-first
+    min over the filtered B side. Raw events cross each shuffle once,
+    pre-reduced per block.
+
+    Output: user_id (BIGINT), signup_us (BIGINT), latency_us (BIGINT).
+    """
+    from .joins import hash_join
+
+    def a_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], first_type))
+        g = t.group_by(["user_id"]).aggregate([("ts", "min")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "signup_us": pc.cast(g["ts_min"], pa.int64()),
+            }
+        )
+
+    firsts = (
+        events_ds.map_batches(a_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("signup_us", alias_name="signup_us"))
+    )
+
+    def b_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], then_type))
+        return pa.table(
+            {
+                "b_user": t["user_id"],
+                "b_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    b_events = events_ds.map_batches(
+        b_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(b_events, firsts, on="b_user", right_on="user_id")
+
+    def after_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["b_us"], batch["signup_us"])
+        t = batch.filter(keep)
+        g = t.group_by(["b_user", "signup_us"]).aggregate([("b_us", "min")])
+        return pa.table(
+            {
+                "user_id": g["b_user"],
+                "signup_us": g["signup_us"],
+                "conv_us": g["b_us_min"],
+            }
+        )
+
+    conv = (
+        joined.map_batches(after_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "signup_us"])
+        .aggregate(Min("conv_us", alias_name="conv_us"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "signup_us": batch["signup_us"],
+                "latency_us": pc.subtract(batch["conv_us"], batch["signup_us"]),
+            }
+        )
+
+    return conv.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

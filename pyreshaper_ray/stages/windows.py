@@ -525,3 +525,60 @@ def rolling_range_sum_user(
     return events_ds.groupby("user_id").map_groups(
         kernel, batch_format="pyarrow"
     )
+
+
+def event_transitions(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """First-order event-sequence transitions (Markov-chain counts): per
+    user, order events by (ts, event_id) and count each consecutive
+    (from_type, to_type) pair — the LEAD() window restated as a per-stream
+    kernel, then a tiny global count groupby.
+
+    The per-user kernel is one sort + two array slices (no Python loop);
+    each group reduces to <= |event_types|² rows before the final
+    result-sized aggregate. The (ts, event_id) sort key makes the order —
+    and therefore the counts — deterministic under timestamp ties, and is
+    restated in the oracle's LEAD ... ORDER BY ts, event_id.
+
+    Output: from_type (STRING), to_type (STRING), n (BIGINT).
+    """
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = g["event_type"]
+        if len(et) < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "from_type": et.slice(0, len(et) - 1).combine_chunks(),
+                "to_type": et.slice(1).combine_chunks(),
+            }
+        )
+        agg = t.group_by(["from_type", "to_type"]).aggregate(
+            [("from_type", "count")]
+        )
+        return pa.table(
+            {
+                "from_type": agg["from_type"],
+                "to_type": agg["to_type"],
+                "n": pc.cast(agg["from_type_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -290,3 +290,61 @@ def test_props_k_stats_missing_field_rows_drop(ray_session):
     out = props_k_stats(ray.data.from_arrow(ev)).to_pandas()
     got = {r.event_type: (r.n, r.sum_k, r.max_k) for r in out.itertuples()}
     assert got == {"a": (1, 3, 3), "b": (1, 10, 10)}
+
+
+def test_event_transitions_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import event_transitions
+
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(
+                [
+                    _ts("2024-01-01T00:00:00"),
+                    _ts("2024-01-01T00:01:00"),
+                    _ts("2024-01-01T00:02:00"),
+                    _ts("2024-01-01T00:00:30"),
+                    _ts("2024-01-01T00:00:30"),  # tie -> event_id order
+                    _ts("2024-01-01T00:09:00"),  # single event, no pair
+                ],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["view", "click", "view", "view", "click", "view"]),
+        }
+    )
+    out = event_transitions(ray.data.from_arrow(ev)).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_funnel_latency_first_b_after_first_a(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import funnel_latency
+
+    ev = _events(
+        [
+            # user 1: purchase before signup ignored; first after = +2h
+            (1, "2024-01-01T00:00:00", "purchase"),
+            (1, "2024-01-01T01:00:00", "signup"),
+            (1, "2024-01-01T03:00:00", "purchase"),
+            (1, "2024-01-01T04:00:00", "purchase"),
+            # user 2: purchase exactly AT signup ts -> strict > excludes it
+            (2, "2024-01-01T00:00:00", "signup"),
+            (2, "2024-01-01T00:00:00", "purchase"),
+            (2, "2024-01-01T00:00:05", "purchase"),
+            # user 3: no purchase after signup -> absent
+            (3, "2024-01-01T05:00:00", "signup"),
+        ]
+    )
+    out = (
+        funnel_latency(ray.data.from_arrow(ev))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert sorted(out.index) == [1, 2]
+    assert int(out.loc[1, "latency_us"]) == 2 * 3600 * 1_000_000
+    assert int(out.loc[2, "latency_us"]) == 5 * 1_000_000
