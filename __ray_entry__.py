@@ -925,6 +925,26 @@ def q_daily_counts_full_outer(sf_dir: str):
     return daily_counts_full_outer(sf_dir)
 
 
+def q_rolling_7d_distinct_users(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import rolling_distinct_users
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rolling_distinct_users(ev, window_days=7)
+
+
+def q_centroid_similarity(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import centroid_similarity_components
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return centroid_similarity_components(emb)
+
+
 def q_event_transitions(sf_dir: str):
     import ray.data
 
@@ -1135,6 +1155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_events_customers": q_skew_join_events_customers,
         "event_transitions": q_event_transitions,
         "funnel_latency": q_funnel_latency,
+        "rolling_7d_distinct_users": q_rolling_7d_distinct_users,
+        "centroid_similarity_components": q_centroid_similarity,
     }
 
 
@@ -1902,5 +1924,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.user_id, s.signup_us,
                    CAST(p.conv_us - s.signup_us AS BIGINT) AS latency_us
             FROM s JOIN p USING (user_id)
+        """,
+        "rolling_7d_distinct_users": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            cov AS (
+                SELECT DISTINCT user_id, day + o AS day
+                FROM pairs, range(0, 7) t(o)
+            )
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM cov GROUP BY 1
+        """,
+        "centroid_similarity_components": """
+            WITH u AS (
+                SELECT label, UNNEST(embedding) AS e,
+                       UNNEST(range(1, len(embedding) + 1)) AS dim_idx
+                FROM embeddings
+            ),
+            s AS (
+                SELECT label, dim_idx,
+                       SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+                           AS sm
+                FROM u GROUP BY 1, 2
+            ),
+            n AS (
+                SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                FROM embeddings GROUP BY 1
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   CAST(SUM(CAST(a.sm AS HUGEINT) * b.sm) AS DOUBLE)
+                       AS dot_num,
+                   CAST(SUM(CAST(a.sm AS HUGEINT) * a.sm) AS DOUBLE)
+                       AS norm_a_sq,
+                   CAST(SUM(CAST(b.sm AS HUGEINT) * b.sm) AS DOUBLE)
+                       AS norm_b_sq
+            FROM s a
+            JOIN s b ON a.dim_idx = b.dim_idx AND a.label < b.label
+            JOIN n na ON na.label = a.label
+            JOIN n nb ON nb.label = b.label
+            GROUP BY 1, 2, 3, 4
         """,
     }

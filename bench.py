@@ -229,6 +229,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "skew_join_events_customers",
         "event_transitions",
         "funnel_latency",
+        "rolling_7d_distinct_users",
+        "centroid_similarity_components",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -1392,3 +1392,81 @@ def funnel_latency(
         )
 
     return conv.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rolling_distinct_users(
+    events_ds: "ray.data.Dataset", window_days: int = 7
+) -> "ray.data.Dataset":
+    """Rolling distinct: for every day, how many DISTINCT users were active
+    in the trailing ``window_days`` window — the sliding-window COUNT
+    DISTINCT, which no single groupby can express because distinct sets
+    don't sum.
+
+    Restated as interval coverage so it stays one-pass and exact: reduce to
+    distinct (user, day) pairs (combiner + one groupby — the only stage raw
+    events cross), then each pair COVERS the days [day, day+window-1]; a
+    vectorized repeat/tile expansion (bounded x window blowup of the
+    already-tiny pair set), a second dedup, and a result-sized per-day
+    count give the answer: user u counts for day d iff u was active in
+    [d-window+1, d].
+
+    Output: day (BIGINT epoch days), n_users (BIGINT).
+    """
+    US_PER_DAY = 86_400_000_000
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.divide(pc.cast(batch["ts"], pa.int64()), US_PER_DAY),
+            }
+        )
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g.select(["user_id", "day"])
+
+    pairs = (
+        events_ds.map_batches(
+            pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["user_id", "day"])
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        off = np.arange(window_days, dtype=np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, window_days), pa.int64()),
+                "day": pa.array(
+                    np.repeat(d, window_days) + np.tile(off, len(d)), pa.int64()
+                ),
+            }
+        )
+        # block-local dedup before the second shuffle
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g.select(["user_id", "day"])
+
+    covered = (
+        pairs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["user_id", "day"])
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["day"]).aggregate([("day", "count")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_users": pc.cast(g["day_count"], pa.int64()),
+            }
+        )
+
+    return (
+        covered.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

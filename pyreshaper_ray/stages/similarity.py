@@ -778,3 +778,75 @@ def kmeans_embeddings(
         )
 
     return ds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_similarity_components(ds_emb: "ray.data.Dataset") -> pa.Table:
+    """Pairwise similarity structure BETWEEN per-label centroids: for every
+    label pair (a < b), the exact inner product of the label SUM vectors
+    plus each side's exact squared norm and row count — the components of
+    centroid cosine (cos = dot/(n_a·n_b·|c_a||c_b|) derives from them),
+    kept in integer-exact form end to end.
+
+    Distribution: one ``label_vector_sums`` pass (per-block scatter-add
+    combiner, <= labels x dim rows shuffle) plus a per-block label-count
+    combiner; the pairwise matrix is labels² — result-sized — and is
+    finished on the driver in arbitrary-precision Python ints (the
+    micro-unit products overflow int64 by design), then cast once to
+    float64 exactly like the oracle's HUGEINT -> DOUBLE cast.
+
+    Output: label_a, label_b (INT as input), n_a, n_b (BIGINT),
+    dot_num (DOUBLE, exact-int cast), norm_a_sq, norm_b_sq (DOUBLE,
+    exact-int cast).
+    """
+    from ray.data.aggregate import Sum
+
+    sums = label_vector_sums(ds_emb).to_pandas()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["label"]).group_by(["label"]).aggregate(
+            [("label", "count")]
+        )
+        return pa.table(
+            {
+                "label": g["label"],
+                "n": pc.cast(g["label_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds_emb.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_by_label = dict(zip(counts["label"], counts["n"]))
+
+    vecs: dict[int, list[int]] = {}
+    for lab, sub in sums.groupby("label"):
+        sub = sub.sort_values("dim_idx")
+        vecs[lab] = [int(x) for x in sub["sum_micro"]]
+
+    labels = sorted(vecs)
+    la, lb, na, nb, dot, nasq, nbsq = [], [], [], [], [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            la.append(a)
+            lb.append(b)
+            na.append(int(n_by_label[a]))
+            nb.append(int(n_by_label[b]))
+            dot.append(float(sum(x * y for x, y in zip(va, vb))))
+            nasq.append(float(sum(x * x for x in va)))
+            nbsq.append(float(sum(x * x for x in vb)))
+    label_type = pa.int32()
+    return pa.table(
+        {
+            "label_a": pa.array(la, label_type),
+            "label_b": pa.array(lb, label_type),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "dot_num": pa.array(dot, pa.float64()),
+            "norm_a_sq": pa.array(nasq, pa.float64()),
+            "norm_b_sq": pa.array(nbsq, pa.float64()),
+        }
+    )

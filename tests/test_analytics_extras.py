@@ -348,3 +348,47 @@ def test_funnel_latency_first_b_after_first_a(ray_session):
     assert sorted(out.index) == [1, 2]
     assert int(out.loc[1, "latency_us"]) == 2 * 3600 * 1_000_000
     assert int(out.loc[2, "latency_us"]) == 5 * 1_000_000
+
+
+def test_rolling_distinct_users_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import rolling_distinct_users
+
+    # user 1 active day0 and day1; user 2 active day0 only.
+    ev = _events(
+        [
+            (1, "2024-01-01T08:00:00", "view"),
+            (1, "2024-01-02T08:00:00", "view"),
+            (2, "2024-01-01T09:00:00", "view"),
+        ]
+    )
+    out = rolling_distinct_users(ray.data.from_arrow(ev), window_days=3).to_pandas()
+    d0 = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(int))
+    got = dict(zip(out["day"], out["n_users"]))
+    # day0: both; day1: both (window covers day0); day2: both; day3: only
+    # user1 (active day1, window [day1..day3]).
+    assert got == {d0: 2, d0 + 1: 2, d0 + 2: 2, d0 + 3: 1}
+
+
+def test_centroid_similarity_components_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import centroid_similarity_components
+
+    t = pa.table(
+        {
+            "label": pa.array([0, 0, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [1.0, 2.0], [0.0, 1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = centroid_similarity_components(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # label 0 sum vector (micro): (2e6, 2e6); label 1: (0, 1e6)
+    assert (r.label_a, r.label_b, r.n_a, r.n_b) == (0, 1, 2, 1)
+    assert r.dot_num == float(2_000_000 * 0 + 2_000_000 * 1_000_000)
+    assert r.norm_a_sq == float(2_000_000**2 + 2_000_000**2)
+    assert r.norm_b_sq == float(1_000_000**2)
