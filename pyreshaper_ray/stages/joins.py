@@ -401,12 +401,29 @@ def skew_join(
     if not left_cold.limit(1).take_all():
         return hot_joined
 
+    # Block-coalesce the filtered cold side before the join: Ray's
+    # hash-shuffle join crashes (Acero FieldRef error) when a join
+    # partition's left builder receives no schema-bearing block, which the
+    # hot/cold filter can cause when it empties most read blocks.
+    # repartition() here is a block-level split/coalesce (one linear pass,
+    # no key shuffle), so its cost is small next to the join exchange.
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    left_cold = left_cold.repartition(num_partitions)
+
     cold_joined = hash_join(left_cold, right, on, right_on=right_on,
                             num_partitions=num_partitions)
     # align the broadcast side's column order/set to the hash side's schema
     # so union() sees one schema (Arrow's and Ray's joins may order the
-    # payload columns differently)
-    cold_cols = cold_joined.schema().names
+    # payload columns differently). Derived STATICALLY from the input
+    # schemas — both joins emit left columns then right non-key columns —
+    # because executing the joined dataset under a limit(1) (what
+    # Dataset.schema() does) can finalize join partitions before their
+    # input arrives and crash on a schema-less empty block.
+    cold_cols = list(left.schema().names) + [
+        c for c in right.schema().names if c != right_on
+    ]
 
     def align(batch: pa.Table) -> pa.Table:
         return batch.select(cold_cols)
