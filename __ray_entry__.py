@@ -925,6 +925,23 @@ def q_daily_counts_full_outer(sf_dir: str):
     return daily_counts_full_outer(sf_dir)
 
 
+def q_value_outliers(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import value_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return value_outliers(ev)
+
+
+def q_promo_revenue_ppm(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import promo_revenue_ppm
+
+    return promo_revenue_ppm(sf_dir)
+
+
 def q_rolling_7d_distinct_users(sf_dir: str):
     import ray.data
 
@@ -1157,6 +1174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": q_funnel_latency,
         "rolling_7d_distinct_users": q_rolling_7d_distinct_users,
         "centroid_similarity_components": q_centroid_similarity,
+        "value_outliers": q_value_outliers,
+        "promo_revenue_ppm": q_promo_revenue_ppm,
     }
 
 
@@ -1967,5 +1986,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN n na ON na.label = a.label
             JOIN n nb ON nb.label = b.label
             GROUP BY 1, 2, 3, 4
+        """,
+        "value_outliers": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(value_cents) AS s,
+                       SUM(CAST(value_cents AS HUGEINT) * value_cents) AS q
+                FROM e GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, e.value_cents
+            FROM e JOIN m USING (user_id)
+            WHERE (CAST(m.n AS HUGEINT) * e.value_cents - m.s)
+                  * (CAST(m.n AS HUGEINT) * e.value_cents - m.s)
+                  > 9 * (CAST(m.n AS HUGEINT) * m.q
+                         - CAST(m.s AS HUGEINT) * m.s)
+        """,
+        "promo_revenue_ppm": """
+            WITH r AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       p.p_type LIKE 'PROMO%' AS is_promo
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            )
+            SELECT CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                        AS BIGINT) AS promo_rev,
+                   CAST(SUM(rev) AS BIGINT) AS total_rev,
+                   CAST(CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                             AS HUGEINT) * 1000000
+                        // SUM(rev) AS BIGINT) AS share_ppm
+            FROM r
         """,
     }

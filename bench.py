@@ -231,6 +231,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "funnel_latency",
         "rolling_7d_distinct_users",
         "centroid_similarity_components",
+        "value_outliers",
+        "promo_revenue_ppm",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

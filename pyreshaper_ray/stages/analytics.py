@@ -1470,3 +1470,166 @@ def rolling_distinct_users(
         .groupby("day")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def value_outliers(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-user z-score outliers WITHOUT any float statistics: flag events
+    whose value deviates from their OWN user's mean by more than 3
+    standard deviations, evaluated entirely in integer math.
+
+    z² > 9 rewrites as (n·x − s)² > 9·(n·q − s²) with s = Σx, q = Σx²
+    over the user's events in exact cents — both sides are integers, so
+    the decision is bit-deterministic and the oracle states the identical
+    inequality (in HUGEINT to be overflow-safe; the engine uses python
+    ints inside the kernel for the same reason).
+
+    Two scale-safe stages: a combiner-first per-user (n, s, q) aggregate,
+    then one hash join back to the events and a vectorized filter.
+
+    Output: event_id (BIGINT), user_id (BIGINT), value_cents (BIGINT).
+    """
+    from .joins import hash_join
+
+    def with_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "value_cents": to_cents(batch["value"]),
+            }
+        )
+
+    ev = events_ds.map_batches(with_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    def moments_partial(batch: pa.Table) -> pa.Table:
+        x = batch["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "u": batch["user_id"],
+                "n1": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "s1": pa.array(x, pa.int64()),
+                "q1": pa.array(x * x, pa.int64()),
+            }
+        )
+        g = t.group_by(["u"]).aggregate([("n1", "sum"), ("s1", "sum"), ("q1", "sum")])
+        return pa.table(
+            {
+                "u": g["u"],
+                "n": g["n1_sum"],
+                "s": g["s1_sum"],
+                "q": g["q1_sum"],
+            }
+        )
+
+    moments = (
+        ev.map_batches(moments_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("q", alias_name="q"),
+        )
+    )
+
+    joined = hash_join(ev, moments, on="user_id", right_on="u")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        # object-dtype python ints: (n·x−s)² and 9(nq−s²) can exceed int64
+        # at large n·cents, and the oracle's HUGEINT math must be matched
+        # exactly — this runs on result-bound batches, not the hot path.
+        x = batch["value_cents"].to_numpy(zero_copy_only=False).astype(object)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(object)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(object)
+        q = batch["q"].to_numpy(zero_copy_only=False).astype(object)
+        lhs = (n * x - s) ** 2
+        rhs = 9 * (n * q - s * s)
+        keep = pa.array([bool(a > b) for a, b in zip(lhs, rhs)], pa.bool_())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "value_cents": batch["value_cents"],
+            }
+        ).filter(keep)
+
+    return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def promo_revenue_ppm(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q14 shape (promotion revenue share): the fraction of lineitem
+    revenue coming from parts whose type starts with 'PROMO', as one exact
+    integer parts-per-million row.
+
+    The part dimension collapses on the driver to a boolean per partkey
+    (result-sized), broadcast once; the fact scan then needs NO shuffle at
+    all — a per-block combiner reduces to (promo_revenue, total_revenue)
+    integer pairs in the cents×bp domain and one constant-key groupby sums
+    them. share_ppm = promo·1e6 // total (floor division on both sides).
+
+    Output: promo_rev (BIGINT), total_rev (BIGINT), share_ppm (BIGINT).
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo_keys = part.filter(
+        pc.starts_with(part["p_type"], "PROMO")
+    )["p_partkey"].combine_chunks()
+    ref = ray.put(promo_keys)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        promo = cached_get(ref)
+        price = to_cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = (
+            pc.cast(
+                pc.round(pc.multiply(pc.cast(batch["l_discount"], pa.float64()), 100.0)),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rev = price * (100 - disc)  # cents x bp, exact
+        is_promo = pc.is_in(batch["l_partkey"], value_set=promo).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "promo_rev": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_rev": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(
+            Sum("promo_rev", alias_name="promo_rev"),
+            Sum("total_rev", alias_name="total_rev"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch["promo_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["total_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        share = np.where(t > 0, (p.astype(object) * 1_000_000 // t), 0)
+        return pa.table(
+            {
+                "promo_rev": batch["promo_rev"],
+                "total_rev": batch["total_rev"],
+                "share_ppm": pa.array([int(x) for x in share], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["promo_rev", "total_rev", "share_ppm"])

@@ -392,3 +392,55 @@ def test_centroid_similarity_components_hand(ray_session):
     assert r.dot_num == float(2_000_000 * 0 + 2_000_000 * 1_000_000)
     assert r.norm_a_sq == float(2_000_000**2 + 2_000_000**2)
     assert r.norm_b_sq == float(1_000_000**2)
+
+
+def test_value_outliers_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import value_outliers
+
+    # user 1: seventeen 1.00s and one 100.00 — a single outlier among n-1
+    # identical values has z² = n-1, so n must exceed 10 for z² > 9 (with
+    # exactly ten points the inequality lands precisely ON the boundary
+    # and strict > excludes it — verified against the oracle).
+    # user 2: two identical values -> zero variance, no outliers.
+    rows = [(1, float(1.0)) for _ in range(17)] + [(1, 100.0), (2, 5.0), (2, 5.0)]
+    ev = pa.table(
+        {
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "value": pa.array([r[1] for r in rows]),
+        }
+    )
+    out = value_outliers(ray.data.from_arrow(ev)).to_pandas()
+    assert out["event_id"].tolist() == [17]
+    assert out["value_cents"].tolist() == [10000]
+
+
+def test_promo_revenue_share_hand(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import promo_revenue_ppm
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_type": pa.array(["PROMO BRUSHED", "STANDARD POLISHED"]),
+        }
+    )
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 30.0]),
+            "l_discount": pa.array([0.0, 0.0]),
+        }
+    )
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    out = promo_revenue_ppm(str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert (r.promo_rev, r.total_rev, r.share_ppm) == (
+        1000 * 100,
+        4000 * 100,
+        250_000,
+    )
