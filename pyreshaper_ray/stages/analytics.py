@@ -1535,16 +1535,32 @@ def value_outliers(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     joined = hash_join(ev, moments, on="user_id", right_on="u")
 
     def flag(batch: pa.Table) -> pa.Table:
-        # object-dtype python ints: (n·x−s)² and 9(nq−s²) can exceed int64
-        # at large n·cents, and the oracle's HUGEINT math must be matched
-        # exactly — this runs on result-bound batches, not the hot path.
-        x = batch["value_cents"].to_numpy(zero_copy_only=False).astype(object)
-        n = batch["n"].to_numpy(zero_copy_only=False).astype(object)
-        s = batch["s"].to_numpy(zero_copy_only=False).astype(object)
-        q = batch["q"].to_numpy(zero_copy_only=False).astype(object)
+        # (n·x−s)² and 9(nq−s²) can exceed int64 at large n·cents, and the
+        # oracle's HUGEINT math must be matched exactly. Vectorized float64
+        # decides every row whose two sides differ by more than a few ulps
+        # (products ≤ ~2^100 carry ~1e-16 relative error, so a 1e-9 gap is
+        # decision-safe); only boundary-straddling rows — a vanishing
+        # fraction — re-check in arbitrary-precision python ints.
+        x = batch["value_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = batch["q"].to_numpy(zero_copy_only=False).astype(np.float64)
         lhs = (n * x - s) ** 2
-        rhs = 9 * (n * q - s * s)
-        keep = pa.array([bool(a > b) for a, b in zip(lhs, rhs)], pa.bool_())
+        rhs = 9.0 * (n * q - s * s)
+        gap = np.abs(lhs - rhs)
+        scale = np.maximum(np.abs(lhs), np.abs(rhs)) + 1.0
+        decided = gap > 1e-9 * scale
+        keep_np = lhs > rhs
+        if not decided.all():
+            xi = batch["value_cents"].to_numpy(zero_copy_only=False)
+            ni = batch["n"].to_numpy(zero_copy_only=False)
+            si = batch["s"].to_numpy(zero_copy_only=False)
+            qi = batch["q"].to_numpy(zero_copy_only=False)
+            for i in np.nonzero(~decided)[0]:
+                a = (int(ni[i]) * int(xi[i]) - int(si[i])) ** 2
+                b = 9 * (int(ni[i]) * int(qi[i]) - int(si[i]) ** 2)
+                keep_np[i] = a > b
+        keep = pa.array(keep_np, pa.bool_())
         return pa.table(
             {
                 "event_id": batch["event_id"],
