@@ -925,6 +925,18 @@ def q_daily_counts_full_outer(sf_dir: str):
     return daily_counts_full_outer(sf_dir)
 
 
+def q_monthly_revenue_change(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import monthly_revenue_change
+
+    return monthly_revenue_change(sf_dir)
+
+
+def q_dedup_canonical(sf_dir: str):
+    from pyreshaper_ray.stages.dedup import dedup_canonical
+
+    return dedup_canonical(sf_dir, threshold=0.8)
+
+
 def q_value_outliers(sf_dir: str):
     import ray.data
 
@@ -1176,6 +1188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_similarity_components": q_centroid_similarity,
         "value_outliers": q_value_outliers,
         "promo_revenue_ppm": q_promo_revenue_ppm,
+        "monthly_revenue_change": q_monthly_revenue_change,
+        "dedup_canonical_documents": q_dedup_canonical,
     }
 
 
@@ -2021,5 +2035,24 @@ def oracle_sql() -> dict[str, str]:
                              AS HUGEINT) * 1000000
                         // SUM(rev) AS BIGINT) AS share_ppm
             FROM r
+        """,
+        "monthly_revenue_change": """
+            WITH m AS (
+                SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+                       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS month,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT year, month, revenue_cents,
+                       LAG(revenue_cents) OVER (ORDER BY year, month)
+                           AS prev_cents
+                FROM m
+            )
+            SELECT year, month, revenue_cents, prev_cents,
+                   CAST((revenue_cents - prev_cents) * 1000000
+                        // prev_cents AS BIGINT) AS change_ppm
+            FROM w WHERE prev_cents IS NOT NULL
         """,
     }

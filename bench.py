@@ -233,6 +233,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "centroid_similarity_components",
         "value_outliers",
         "promo_revenue_ppm",
+        "monthly_revenue_change",
+        "dedup_canonical_documents",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -1649,3 +1649,43 @@ def promo_revenue_ppm(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["promo_rev", "total_rev", "share_ppm"])
+
+
+def monthly_revenue_change(sf_dir: str) -> "ray.data.Dataset":
+    """Month-over-month revenue change — the LAG()-over-an-aggregate
+    composition: the distributed calendar-month rollup feeds a result-sized
+    ordered window on the driver (one row per month; at any scale the
+    month count is bounded), emitting the delta and the change rate in
+    exact integer ppm, TRUNCATED toward zero to match SQL's integer
+    division semantics (DuckDB ``//`` truncates; Python ``//`` floors —
+    negative deltas would differ by one ppm otherwise).
+
+    Output: year, month (BIGINT), revenue_cents (BIGINT),
+    prev_cents (BIGINT), change_ppm (BIGINT) — first month omitted (no
+    LAG), like the SQL WHERE prev IS NOT NULL.
+    """
+    import ray
+
+    monthly = monthly_revenue(sf_dir).to_pandas()
+    monthly = monthly.sort_values(["year", "month"]).reset_index(drop=True)
+    cur = monthly["revenue_cents"].to_numpy()
+    prev = np.roll(cur, 1)
+    out = pa.table(
+        {
+            "year": pa.array(monthly["year"][1:].to_numpy(), pa.int64()),
+            "month": pa.array(monthly["month"][1:].to_numpy(), pa.int64()),
+            "revenue_cents": pa.array(cur[1:], pa.int64()),
+            "prev_cents": pa.array(prev[1:], pa.int64()),
+            "change_ppm": pa.array(
+                [
+                    int(
+                        abs(int(c) - int(p)) * 1_000_000 // int(p)
+                        * (1 if int(c) >= int(p) else -1)
+                    )
+                    for c, p in zip(cur[1:], prev[1:])
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -490,3 +490,93 @@ def simhash64(text: str) -> int:
 def simhash_documents(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_canonical(
+    sf_dir: str, threshold: float = 0.8, n_perm: int = 128, bands: int = 32
+) -> pa.Table:
+    """Survivorship for near-duplicate groups: map every document in a
+    near-dup cluster to its CANONICAL survivor — the member with the most
+    characters (ties to the smallest doc_id), the usual "keep the richest
+    copy" training-data rule.
+
+    Pipeline: MinHash-LSH verified pairs (``minhash_dedup`` — fully
+    distributed, no corpus broadcast) → driver union-find over the
+    result-sized pair list → ONE column-pruned filtered scan fetches
+    (doc_id, n_chars) for just the group members (``pc.is_in`` against a
+    broadcast member set) → per-group argmax picks survivors. Only
+    documents belonging to some group are emitted; everything else is its
+    own canonical by definition.
+
+    Output: doc_id (BIGINT), canonical_id (BIGINT), keep (BOOL).
+    Approximate-by-nature upstream (LSH) → rows-only driver entry; planted
+    duplicates gate it in tests/test_dedup.py.
+    """
+    from ..util import collect_table
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    pairs = collect_table(
+        minhash_dedup(sf_dir, threshold=threshold, n_perm=n_perm, bands=bands),
+        pair_schema,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    members = sorted(parent)
+    if not members:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "canonical_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+            }
+        )
+    member_arr = pa.array(members, pa.int64())
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def members_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=member_arr))
+
+    chars_t = collect_table(
+        ds.map_batches(members_only, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+    )
+    n_chars = dict(
+        zip(chars_t["doc_id"].to_pylist(), chars_t["n_chars"].to_pylist())
+    )
+
+    best: dict[int, tuple[int, int]] = {}  # rep -> (-n_chars, doc_id)
+    for d in members:
+        r = find(d)
+        key = (-int(n_chars.get(d, 0)), d)
+        if r not in best or key < best[r]:
+            best[r] = key
+
+    canon = {r: k[1] for r, k in best.items()}
+    out_canon = [canon[find(d)] for d in members]
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "canonical_id": pa.array(out_canon, pa.int64()),
+            "keep": pa.array(
+                [d == c for d, c in zip(members, out_canon)], pa.bool_()
+            ),
+        }
+    )

@@ -93,3 +93,41 @@ def test_minhash_lsh_finds_planted_neardup(ray_session, tmp_path):
     assert all(j >= 0.6 for j in verified["jaccard"])
     # FAR must not pair with BASE
     assert (0, 2) not in pairs and (2, 3) not in pairs
+
+
+def test_dedup_canonical_keeps_longest(ray_session, tmp_path):
+    """Survivorship: within a planted near-dup cluster, the member with
+    the most characters becomes canonical and is the only keeper."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.dedup import dedup_canonical
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field toward the distant river bank every day"
+    )
+    longer = base + " until sunset falls"
+    unrelated = (
+        "completely different content about databases and distributed "
+        "systems with nothing in common with the animal sentence at all"
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array([base, longer, unrelated]),
+            "n_chars": pa.array(
+                [len(base), len(longer), len(unrelated)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        dedup_canonical(str(tmp_path), threshold=0.5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [10, 20]  # unrelated doc not in any group
+    assert int(out.loc[10, "canonical_id"]) == 20
+    assert int(out.loc[20, "canonical_id"]) == 20
+    assert bool(out.loc[20, "keep"]) and not bool(out.loc[10, "keep"])
