@@ -447,7 +447,8 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
                         int(x)
                         for x in pc.unique(
                             pa.concat_tables(
-                                [t for t in (ray.get(r) for r in db.to_arrow_refs())
+                                [t for t in (ray.get(r)
+                                             for r in db.materialize().to_arrow_refs())
                                  if t.num_columns]
                             )["bucket"].combine_chunks()
                         ).to_pylist()

@@ -704,7 +704,7 @@ def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
 
 
 def global_median_cents(
-    events_ds: "ray.data.Dataset", rounds: int = 4, bins: int = 1024
+    events_ds: "ray.data.Dataset", rounds: int | None = None, bins: int = 1024
 ) -> "ray.data.Dataset":
     """EXACT global order statistic (lower median, sorted[(n-1)//2]) of the
     integer-cents value domain — WITHOUT a distributed sort.
@@ -714,7 +714,10 @@ def global_median_cents(
     buckets over the current [lo, hi] range, summed on the driver — a few
     KiB per block, NO shuffle); the bucket containing the target rank
     becomes the next round's range. Integer domain ⇒ the range shrinks by
-    ~bins× per round, so 10^12 values over a 2^63 domain need ≤6 passes.
+    ~bins× per round, so iteration runs until ``lo >= hi`` — naturally
+    bounded by log_bins(range) passes (≤7 for a full 2^63 domain at
+    bins=1024; ``rounds`` is only an optional explicit cap for tests).
+    Empty input returns zero rows instead of crashing.
     This trades log_bins(domain) cheap scans for the all-to-all a
     ``ds.sort`` would cost — the right trade when the value column is a
     small slice of a huge corpus.
@@ -751,10 +754,17 @@ def global_median_cents(
         events_ds.map_batches(cents_col, batch_format="pyarrow")
         .aggregate(Min("c"), Max("c"), Count())
     )
+    if not stats or not stats.get("count()"):
+        return ray.data.from_arrow(
+            pa.table({"median_cents": pa.array([], pa.int64())})
+        )
     lo, hi, n = int(stats["min(c)"]), int(stats["max(c)"]), int(stats["count()"])
     rank = (n - 1) // 2  # 0-based lower median
     below = 0
-    for _ in range(rounds):
+    # each pass shrinks [lo, hi] by ~bins×, so this terminates in
+    # <= ceil(log_bins(hi - lo + 1)) + 1 passes; `rounds` is a test-only cap
+    passes = 0
+    while lo < hi and (rounds is None or passes < rounds):
         counts, width = count_pass(lo, hi)
         cum = np.cumsum(counts)
         j = int(np.searchsorted(cum, rank - below + 1, side="left"))
@@ -762,8 +772,7 @@ def global_median_cents(
             below += int(cum[j - 1])
         lo = lo + j * width
         hi = min(hi, lo + width - 1)
-        if lo >= hi:
-            break
+        passes += 1
     return ray.data.from_arrow(
         pa.table({"median_cents": pa.array([lo], pa.int64())})
     )
@@ -1532,7 +1541,9 @@ def value_outliers(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         )
     )
 
-    joined = hash_join(ev, moments, on="user_id", right_on="u")
+    # left side is a mapped raw read (blocks always schema-bearing): only
+    # the aggregate right side needs the empty-block coalesce guard
+    joined = hash_join(ev, moments, on="user_id", right_on="u", coalesce="right")
 
     def flag(batch: pa.Table) -> pa.Table:
         # (n·x−s)² and 9(nq−s²) can exceed int64 at large n·cents, and the
@@ -1548,8 +1559,13 @@ def value_outliers(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         lhs = (n * x - s) ** 2
         rhs = 9.0 * (n * q - s * s)
         gap = np.abs(lhs - rhs)
-        scale = np.maximum(np.abs(lhs), np.abs(rhs)) + 1.0
-        decided = gap > 1e-9 * scale
+        # float64 rounding error is proportional to the PRE-cancellation
+        # intermediates ((n·x)², s², n·q) — not the cancelled lhs/rhs, which
+        # can be tiny after subtraction while the absolute error stays
+        # ~1e-16 × intermediate.  Scale the undecided band accordingly so a
+        # boundary row always falls through to the exact-int recheck.
+        inter = (n * x) ** 2 + s * s + n * q + 1.0
+        decided = gap > 1e-12 * inter
         keep_np = lhs > rhs
         if not decided.all():
             xi = batch["value_cents"].to_numpy(zero_copy_only=False)

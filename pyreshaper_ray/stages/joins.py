@@ -67,11 +67,24 @@ def hash_join(
     join_type: str = "inner",
     num_partitions: int | None = None,
     right_on: tuple[str, ...] | str | None = None,
+    coalesce: str = "both",
 ) -> "ray.data.Dataset":
     """Large⋈large equi-join: Ray's hash-partitioned ``Dataset.join``.
 
     Partition count defaults to half the CPUs (join aggregators are actors,
     one CPU each; more partitions than CPUs starves downstream operators).
+
+    ``coalesce`` ("both" | "left" | "right" | "none") block-coalesces a side
+    with ``repartition(num_partitions)`` before the join. Ray 2.49's
+    hash-shuffle join crashes (Acero "No match ... FieldRef" / dict-schema
+    blocks) when a side whose upstream is a groupby aggregate or a
+    near-empty filter hands a join partition no schema-bearing block — the
+    crash is parallelism-dependent (reproduced deterministically at 16 CPUs
+    on an aggregate right side; see tests/test_queries). The coalescing
+    repartition is a block-level split/merge (one linear pass, no key
+    shuffle), small next to the join exchange itself; pass "none"/"left"/
+    "right" at call sites where a side is a raw parquet read (blocks are
+    1:1 with read tasks and always schema-bearing) to skip the pass.
     """
     import ray
 
@@ -82,6 +95,10 @@ def hash_join(
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)
+    if coalesce in ("both", "left"):
+        left = left.repartition(num_partitions)
+    if coalesce in ("both", "right"):
+        right = right.repartition(num_partitions)
     return left.join(
         right,
         join_type=join_type,
@@ -97,6 +114,7 @@ def semi_join(
     on: tuple[str, ...] | str,
     num_partitions: int | None = None,
     right_on: tuple[str, ...] | str | None = None,
+    coalesce: str = "both",
 ) -> "ray.data.Dataset":
     """Rows of ``left`` with at least one key match in ``right`` (EXISTS).
 
@@ -106,7 +124,8 @@ def semi_join(
     column(s) before calling for the minimal exchange.
     """
     return hash_join(left, right, on, join_type="left_semi",
-                     num_partitions=num_partitions, right_on=right_on)
+                     num_partitions=num_partitions, right_on=right_on,
+                     coalesce=coalesce)
 
 
 def anti_join(
@@ -115,10 +134,12 @@ def anti_join(
     on: tuple[str, ...] | str,
     num_partitions: int | None = None,
     right_on: tuple[str, ...] | str | None = None,
+    coalesce: str = "both",
 ) -> "ray.data.Dataset":
     """Rows of ``left`` with NO key match in ``right`` (NOT EXISTS)."""
     return hash_join(left, right, on, join_type="left_anti",
-                     num_partitions=num_partitions, right_on=right_on)
+                     num_partitions=num_partitions, right_on=right_on,
+                     coalesce=coalesce)
 
 
 def range_join_events(
@@ -133,8 +154,10 @@ def range_join_events(
     composition is:
 
       1. project both sides to a narrow common schema tagged with a side
-         marker (key, is_order, t_us, payload) — only 4 fixed-width columns
-         cross the wire, never text;
+         marker (key, is_order, t_us, okey, payload) — only 5 fixed-width
+         columns cross the wire, never text; the order key rides a
+         dedicated int64 column (a float64 payload would silently round
+         keys above 2^53);
       2. ``union`` + ``groupby(key)`` — ONE hash shuffle co-partitions every
          order of a customer with every event of that customer;
       3. per-group vectorized kernel: sort events by time once, prefix-sum,
@@ -157,7 +180,10 @@ def range_join_events(
                 "t_us": pc.cast(
                     pc.cast(b["o_orderdate"], pa.int64()), pa.int64()
                 ),
-                "payload": pc.cast(b["o_orderkey"], pa.float64()),
+                "okey": pc.cast(b["o_orderkey"], pa.int64()),
+                "payload": pa.array(
+                    np.zeros(b.num_rows, dtype=np.float64), pa.float64()
+                ),
             }
         )
 
@@ -167,6 +193,7 @@ def range_join_events(
                 "key": pc.cast(b["user_id"], pa.int64()),
                 "is_order": pa.array(np.zeros(b.num_rows, dtype=bool)),
                 "t_us": pc.cast(pc.cast(b["ts"], pa.int64()), pa.int64()),
+                "okey": pa.array(np.zeros(b.num_rows, dtype=np.int64), pa.int64()),
                 "payload": pc.cast(b["value"], pa.float64()),
             }
         )
@@ -178,7 +205,8 @@ def range_join_events(
         is_o = group["is_order"].to_numpy(zero_copy_only=False)
         t = group["t_us"].to_numpy(zero_copy_only=False)
         pay = group["payload"].to_numpy(zero_copy_only=False)
-        ot, okey = t[is_o], pay[is_o].astype(np.int64)
+        ot = t[is_o]
+        okey = group["okey"].to_numpy(zero_copy_only=False)[is_o]
         et, eval_ = t[~is_o], pay[~is_o]
         if len(et):
             order_e = np.argsort(et, kind="stable")
@@ -364,12 +392,15 @@ def skew_join(
     )
 
     # result-sized by assumption: only the hot keys' right rows materialize
+    # (materialize() first: to_arrow_refs() on a lazy dataset runs the plan
+    # twice in Ray 2.49 — internal limit-1 schema fetch, then the real run)
     right_hot_t = (
         right.map_batches(
             lambda b: split(b, True, right_on),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        .materialize()
         .to_arrow_refs()
     )
     right_hot = pa.concat_tables(
@@ -401,17 +432,10 @@ def skew_join(
     if not left_cold.limit(1).take_all():
         return hot_joined
 
-    # Block-coalesce the filtered cold side before the join: Ray's
-    # hash-shuffle join crashes (Acero FieldRef error) when a join
-    # partition's left builder receives no schema-bearing block, which the
-    # hot/cold filter can cause when it empties most read blocks.
-    # repartition() here is a block-level split/coalesce (one linear pass,
-    # no key shuffle), so its cost is small next to the join exchange.
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 2)
-    left_cold = left_cold.repartition(num_partitions)
-
+    # hash_join's coalesce="both" default block-coalesces the filtered cold
+    # side (and the right side) before the join — the guard against the
+    # Acero FieldRef crash that the hot/cold filter used to trip when it
+    # emptied most read blocks.
     cold_joined = hash_join(left_cold, right, on, right_on=right_on,
                             num_partitions=num_partitions)
     # align the broadcast side's column order/set to the hash side's schema

@@ -145,7 +145,9 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     num_cpus = int(ray.cluster_resources().get("CPU", 8))
-    refs = ds.repartition(min(num_cpus, 16)).to_arrow_refs()
+    # materialize() first: to_arrow_refs() on a lazy dataset runs the plan
+    # twice in Ray 2.49 (internal limit-1 schema fetch, then the real run)
+    refs = ds.repartition(min(num_cpus, 16)).materialize().to_arrow_refs()
 
     @ray.remote(num_cpus=1)
     def pair_task(ra, rb):

@@ -244,11 +244,15 @@ def tfidf_top_term(ds_docs: "ray.data.Dataset", n_docs: int) -> "ray.data.Datase
     """Most-distinctive term per document by tf-idf — the canonical two-pass
     corpus statistic:
 
-    pass 1 (distributed): document frequency per term. Documents never span
-    blocks, so per-block ``group_by([doc, term])`` yields COMPLETE per-doc
-    term counts; reducing those to one row per (block, term) with a doc
-    count makes the shuffle vocabulary-sized (Heaps-law-bounded), and a
-    final ``groupby(term).sum`` gives DF.
+    pass 1 (distributed): document frequency per term. Tokenization and the
+    per-block distinct-(doc, term) reduction are FUSED into one
+    ``map_batches`` over the document rows — a document row is atomic
+    within a block, so the per-block (doc, term) sets are globally
+    disjoint and their per-term doc counts sum to exact DF. (A separate
+    explode stage would let Ray's dynamic block splitting scatter one
+    document's token rows across blocks and silently overcount DF.) The
+    shuffle stays vocabulary-sized (Heaps-law-bounded); a final
+    ``groupby(term).sum`` gives DF.
 
     pass 2 (broadcast): the (term → idf) table ships once via ``ray.put``
     (at 100 TB: cap to the top-V vocabulary or switch to a co-partitioned
@@ -279,7 +283,9 @@ def tfidf_top_term(ds_docs: "ray.data.Dataset", n_docs: int) -> "ray.data.Datase
         return pa.table({"doc_id": doc, "term": flat}).filter(keep)
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        per_doc = batch.group_by(["doc_id", "term"]).aggregate([])
+        # fused tokenize + distinct so one document's tokens can never span
+        # blocks (see docstring): exact DF by disjoint per-block doc sets
+        per_doc = explode(batch).group_by(["doc_id", "term"]).aggregate([])
         g = per_doc.group_by(["term"]).aggregate([("doc_id", "count")])
         return pa.table(
             {
@@ -288,9 +294,8 @@ def tfidf_top_term(ds_docs: "ray.data.Dataset", n_docs: int) -> "ray.data.Datase
             }
         )
 
-    tok = ds_docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     df = (
-        tok.map_batches(df_partial, batch_format="pyarrow")
+        ds_docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .aggregate(_Sum("df", alias_name="df"))
     )

@@ -54,10 +54,15 @@ def collect_table(ds, fallback_schema: pa.Schema | None = None) -> pa.Table:
     (e.g. after a sort/groupby whose range got no rows); drop those before
     concatenation so the result keeps the real schema. Only for small
     results — aggregates, per-key summaries, test outputs.
+
+    ``materialize()`` first: calling ``to_arrow_refs()`` on a LAZY dataset
+    in Ray 2.49 executes the plan TWICE (an internal limit-1 schema fetch,
+    then the real run) — measured as a full extra LSH pass in the minhash
+    pipeline. On a materialized dataset both are free.
     """
     import ray
 
-    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [ray.get(r) for r in ds.materialize().to_arrow_refs()]
     tables = [t for t in tables if t.num_columns > 0]
     if not tables:
         return fallback_schema.empty_table() if fallback_schema else pa.table({})

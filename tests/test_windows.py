@@ -81,6 +81,13 @@ def test_global_median_refinement_edge_cases(ray_session):
     assert med_of(vals) == (len(vals) - 1) // 2 + 1
     # negative values
     assert med_of([-5.00, -1.00, 3.00]) == -100
+    # empty input: zero rows, no crash (ADVICE r2)
+    t = pa.table({"value": pa.array([], pa.float64())})
+    assert global_median_cents(ray.data.from_arrow(t)).take_all() == []
+    # wide domain (> bins^4): converges past the old fixed 4-round cap to
+    # the exact order statistic, not a bucket lower bound
+    wide = [0.00, 10_000_000_000_000.00, 20_000_000_000_000.37]
+    assert med_of(wide) == 1_000_000_000_000_000
 
 
 def test_rank_ties_share_rank_and_dense_has_no_gaps(ray_session):
