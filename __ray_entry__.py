@@ -244,6 +244,16 @@ def q_knn(sf_dir: str):
     return knn_bruteforce(sf_dir, n_queries=5, k=5)
 
 
+def q_text_embed_knn(sf_dir: str):
+    """Embedding PRODUCER chain (rows-only): actor-pool text encoder
+    (seed-fixed hashing-trick model loaded per actor in __init__) feeding
+    brute-force cosine top-k over the produced vectors. Semantics gated by
+    tests/test_embed.py (planted near-dup must be the top neighbor)."""
+    from pyreshaper_ray.stages.embed import text_embed_knn
+
+    return text_embed_knn(sf_dir, n_queries=5, k=5)
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate ANN (sign-LSH buckets, per-bucket top-k via map_groups).
     No SQL oracle by design (approximate); the recall-vs-bruteforce gate
@@ -1149,14 +1159,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_ppm": q_promo_revenue_ppm,
         "monthly_revenue_change": q_monthly_revenue_change,
         "dedup_canonical_documents": q_dedup_canonical,
+        # --- new in round 3 (rows-only: model-defined output) ---
+        "text_embed_knn5": q_text_embed_knn,
         # --- round-2 green canaries (regression sentinels in the prefix) ---
         "pivot_turns": q_pivot_turns,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "dedup_exact_documents": q_dedup_exact,
         "asof_last_order": q_asof_last_order,
-        "knn_cosine_top5": q_knn,
         # ---------------- round-2 green tail (50+) ----------------
+        "knn_cosine_top5": q_knn,
         "pivot_turns_exclude": q_pivot_turns_exclude,
         "retention_1m": q_retention_1m,
         "rollup_1h_cascade": q_rollup_1h,

@@ -215,63 +215,43 @@ def sliding_rollup(
 
 
 def asof_last_order(sf_dir: str) -> "ray.data.Dataset":
-    """As-of join (broadcast small side): for every event, the latest
-    order date of the same customer with o_orderdate ≤ ts. The per-customer
-    sorted order-date arrays are broadcast once; each batch resolves with
-    one searchsorted per customer present in the batch.
+    """As-of join, fully distributed: for every event, the latest order
+    date of the same customer with o_orderdate ≤ ts (null when none).
 
-    At large-large scale this becomes per-bucket ``pd.merge_asof`` on
-    co-partitioned, ts-sorted sides (same bucket exchange as the flagship).
+    Built on ``joins.asof_join_last`` — ONE union + groupby(key) hash
+    exchange co-partitions each customer's events with their orders, and a
+    per-group sorted ``searchsorted`` kernel resolves all of a customer's
+    events at once. Both sides stream as facts; nothing is read or indexed
+    on the driver (the round-2 version built a per-customer dict LUT from
+    a driver-side ``pq.read_table`` — a scale-killer once orders is also a
+    fact table).
     """
-    import pyarrow.parquet as pq
-
     import ray
 
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
-    )
-    df = orders.to_pandas().sort_values(["o_custkey", "o_orderdate"])
-    lut = {
-        int(k): g["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
-        for k, g in df.groupby("o_custkey")
-    }
-    ref = ray.put(lut)
+    from .joins import asof_join_last
 
-    def match(batch: pa.Table) -> pa.Table:
-        from ..util import cached_get
-
-        orders_by_cust: dict[int, np.ndarray] = cached_get(ref)
-        users = batch["user_id"].to_numpy(zero_copy_only=False)
-        ts = (
-            batch["ts"]
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .astype(np.int64)
-        )
-        out = np.full(len(users), np.iinfo(np.int64).min, dtype=np.int64)
-        have = np.zeros(len(users), dtype=bool)
-        for u in np.unique(users):
-            dates = orders_by_cust.get(int(u))
-            if dates is None:
-                continue
-            m = users == u
-            pos = np.searchsorted(dates, ts[m], side="right") - 1
-            ok = pos >= 0
-            vals = np.where(ok, dates[np.maximum(pos, 0)], 0)
-            idx = np.flatnonzero(m)
-            out[idx[ok]] = vals[ok]
-            have[idx[ok]] = True
-        return pa.table(
-            {
-                "event_id": batch["event_id"],
-                "last_order_ts": pa.array(out, pa.timestamp("us"), mask=~have),
-            }
-        )
-
-    ds = ray.data.read_parquet(
+    events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    out = asof_join_last(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        left_id="event_id",
+        right_on="o_custkey",
+        right_ts="o_orderdate",
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["lid"], "last_order_ts": b["asof_ts"]}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":

@@ -680,8 +680,11 @@ def dedup_canonical(
     copy" training-data rule.
 
     Pipeline: MinHash-LSH verified pairs (``minhash_dedup`` — fully
-    distributed, no corpus broadcast) → driver union-find over the
-    result-sized pair list → ONE column-pruned filtered scan fetches
+    distributed, no corpus broadcast) → driver BOUNDED union-find over the
+    result-sized pair list (the LSH star-pair cap keeps it linear even on
+    an all-duplicates corpus; a violated bound raises loudly instead of
+    OOMing the driver — ``util.bounded_union_find``) → ONE column-pruned
+    filtered scan fetches
     (doc_id, n_chars) for just the group members (``pc.is_in`` against a
     broadcast member set) → per-group argmax picks survivors. Only
     documents belonging to some group are emitted; everything else is its
@@ -691,7 +694,7 @@ def dedup_canonical(
     Approximate-by-nature upstream (LSH) → rows-only driver entry; planted
     duplicates gate it in tests/test_dedup.py.
     """
-    from ..util import collect_table
+    from ..util import bounded_union_find, collect_table
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     pairs = collect_table(
@@ -699,21 +702,10 @@ def dedup_canonical(
         pair_schema,
     )
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
-        for v in (a, b):
-            parent.setdefault(v, v)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    parent = bounded_union_find(
+        pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist(),
+        what="dedup_canonical verified-pair list",
+    )
 
     members = sorted(parent)
     if not members:
@@ -743,13 +735,13 @@ def dedup_canonical(
 
     best: dict[int, tuple[int, int]] = {}  # rep -> (-n_chars, doc_id)
     for d in members:
-        r = find(d)
+        r = parent[d]
         key = (-int(n_chars.get(d, 0)), d)
         if r not in best or key < best[r]:
             best[r] = key
 
     canon = {r: k[1] for r, k in best.items()}
-    out_canon = [canon[find(d)] for d in members]
+    out_canon = [canon[parent[d]] for d in members]
     return pa.table(
         {
             "doc_id": pa.array(members, pa.int64()),

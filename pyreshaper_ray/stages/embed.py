@@ -1,0 +1,173 @@
+"""Text-embedding PRODUCER stage (VERDICT r2 gap: every ANN operator
+consumed precomputed embeddings.parquet; a training-data pipeline needs the
+stage that *makes* the vectors).
+
+``TextEmbedStage`` is the canonical actor-pool ``map_batches`` encoder
+shape: the "model" loads ONCE per actor in ``__init__`` — here a
+seed-fixed feature-hashing projection (the hashing-trick encoder:
+bag-of-hashed-tokens counts × a fixed random projection matrix), exactly
+where a real sentence-encoder checkpoint would load. Swapping in a real
+model is a constructor change, not a pipeline change: the batch signature
+(string column in, ``list<float32>`` out), the actor-pool sizing, and the
+downstream ANN consumers are identical.
+
+The encoder is deterministic (seed-fixed matrix, vectorized CRC-32
+tokenizer shared with the dedup stages), so produced vectors are stable
+across runs/processes — required for the rows-only driver query and the
+chained produce→ANN test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .dedup import _token_hashes_column
+
+
+class TextEmbedStage:
+    """text → L2-normalized ``list<float32>`` embedding, one row per doc.
+
+    dim: output dimensionality. vocab_bins: hashed-token feature bins.
+    State (the ``vocab_bins × dim`` projection) is built once per actor.
+    """
+
+    def __init__(
+        self,
+        dim: int = 32,
+        vocab_bins: int = 1024,
+        seed: int = 42,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((vocab_bins, dim)).astype(np.float32)
+        self.vocab_bins = vocab_bins
+        self.dim = dim
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, counts = _token_hashes_column(batch[self.text_col])
+        n_docs = batch.num_rows
+        emb = np.zeros((n_docs, self.dim), dtype=np.float32)
+        if th.shape[0]:
+            # sum of projected token rows per doc: tokens arrive doc-ordered,
+            # so a segmented reduceat replaces any scatter/loop
+            rows = self.proj[(th % np.uint64(self.vocab_bins)).astype(np.int64)]
+            nz = counts > 0
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz].astype(
+                np.int64
+            )
+            emb[nz] = np.add.reduceat(rows, starts, axis=0)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(norms == 0, 1.0, norms)  # zero-token docs stay 0
+        flat = emb.reshape(-1)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float32()), self.dim
+        )
+        return pa.table({self.id_col: batch[self.id_col], "embedding": arr})
+
+
+def embed_documents(
+    sf_dir: str, dim: int = 32, batch_size: int = 1024, concurrency: int = 2
+) -> "ray.data.Dataset":
+    """documents.parquet → (doc_id, embedding) via the actor-pool encoder."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        TextEmbedStage,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def knn_over_embeddings(
+    emb_ds: "ray.data.Dataset",
+    n_queries: int = 5,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Brute-force cosine top-k of the ``n_queries`` lowest-id vectors over a
+    PRODUCED embedding Dataset — the chained produce→ANN consumer.
+
+    Same distributed shape as ``similarity.knn_bruteforce``: the query
+    matrix broadcasts once (``ray.put``), every batch computes one matmul +
+    per-block top-k partial rows, and the driver merges only
+    ``blocks × n_queries × k`` candidate rows. Vectors are L2-normalized at
+    production, so cosine is a plain dot product.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    q_ds = emb_ds.filter(expr=f"{id_col} < {n_queries}")
+    q_t = collect_table(
+        q_ds, pa.schema([(id_col, pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    )
+    qids = q_t[id_col].to_numpy(zero_copy_only=False)
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_t["embedding"].to_pylist()]
+    )
+    ref = ray.put((qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        q_ids, q_m = cached_get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        col = batch["embedding"].combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids), -1)
+        )
+        sims = mat @ q_m.T  # (n, q)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(q_ids):
+            s = sims[:, j]
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            top = cand[np.argsort(-s[cand], kind="stable")[: k]]
+            out_q.extend([int(qid)] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "nid": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = collect_table(
+        emb_ds.map_batches(partial_topk, batch_format="pyarrow"),
+        pa.schema([("qid", pa.int64()), ("nid", pa.int64()), ("sim", pa.float64())]),
+    )
+    # final merge: blocks × q × k rows — result-sized
+    df = parts.to_pandas().sort_values(
+        ["qid", "sim", "nid"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("qid").cumcount() + 1
+    df = df[df["rank"] <= k].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def text_embed_knn(sf_dir: str, n_queries: int = 5, k: int = 5) -> pa.Table:
+    """End-to-end produce→consume chain: encode documents with the
+    actor-pool embedding stage, then cosine top-k over the produced
+    vectors. Deterministic (seed-fixed model) but model-defined, so the
+    driver entry is rows-only; tests/test_embed.py gates the semantics
+    (planted near-identical texts must be mutual nearest neighbors)."""
+    return knn_over_embeddings(
+        embed_documents(sf_dir), n_queries=n_queries, k=k
+    )

@@ -236,6 +236,84 @@ def range_join_events(
     return o.union(e).groupby("key").map_groups(resolve, batch_format="pyarrow")
 
 
+def asof_join_last(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    left_ts: str,
+    left_id: str,
+    right_on: str | None = None,
+    right_ts: str | None = None,
+) -> "ray.data.Dataset":
+    """Distributed large-large AS-OF join: for every left row, the LATEST
+    right timestamp of the same key with ``right_ts <= left_ts`` (null when
+    none). LEFT semantics — every left row emits exactly one output row.
+
+    Both sides may be FACT tables: neither is ever read or indexed on the
+    driver. The composition is the same as ``range_join_events`` — project
+    each side to a narrow tagged schema (key, is_left, t_us, lid), ONE
+    ``union`` + ``groupby(key)`` hash exchange co-partitions a key's rows,
+    and a per-group kernel sorts the right side's timestamps once and
+    resolves ALL the key's left rows with a single ``searchsorted``
+    (O((l+r) log r) per key, no pair explosion). This replaces the round-2
+    driver-side ``pq.read_table`` + per-customer dict LUT, which only
+    worked while the right side was dim-sized.
+
+    Output: (left_id, asof_ts: timestamp[us] nullable).
+    """
+    right_on = right_on or on
+    right_ts = right_ts or left_ts
+
+    def left_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b[on], pa.int64()),
+                "is_left": pa.array(np.ones(b.num_rows, dtype=bool)),
+                "t_us": pc.cast(pc.cast(b[left_ts], pa.int64()), pa.int64()),
+                "lid": pc.cast(b[left_id], pa.int64()),
+            }
+        )
+
+    def right_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b[right_on], pa.int64()),
+                "is_left": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "t_us": pc.cast(pc.cast(b[right_ts], pa.int64()), pa.int64()),
+                "lid": pa.array(np.zeros(b.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    l_ = left.map_batches(left_side, batch_format="pyarrow", zero_copy_batch=True)
+    r_ = right.map_batches(right_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    OUT_SCHEMA = pa.schema([("lid", pa.int64()), ("asof_ts", pa.timestamp("us"))])
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        is_l = group["is_left"].to_numpy(zero_copy_only=False)
+        t = group["t_us"].to_numpy(zero_copy_only=False)
+        lt = t[is_l]
+        lid = group["lid"].to_numpy(zero_copy_only=False)[is_l]
+        rt = np.sort(t[~is_l])
+        out = np.zeros(len(lt), dtype=np.int64)
+        if len(rt):
+            pos = np.searchsorted(rt, lt, side="right") - 1
+            have = pos >= 0
+            out[have] = rt[pos[have]]
+        else:
+            have = np.zeros(len(lt), dtype=bool)
+        return pa.table(
+            {
+                "lid": pa.array(lid, pa.int64()),
+                "asof_ts": pa.array(out, pa.timestamp("us"), mask=~have),
+            }
+        )
+
+    return l_.union(r_).groupby("key").map_groups(resolve, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- bloom join pruning
 
 _BLOOM_SEEDS = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93)

@@ -46,25 +46,64 @@ def _decode_image_pil(payload: bytes) -> tuple[int, int, int]:
         return (im.width, im.height, len(payload))
 
 
+def _decode_image_headers(payload: bytes) -> tuple[int, int, int]:
+    """REAL image container-header parse, stdlib only — the audio stage's
+    ``wave`` analog, so the real-backend path has a live genuine-bytes test
+    even in this PIL-less container (tests/test_multimodal.py). Reads the
+    (width, height) fields of PNG (big-endian IHDR), BMP (little-endian
+    BITMAPINFOHEADER / BITMAPCOREHEADER, negative height = top-down rows),
+    and GIF (little-endian logical screen descriptor). Raises ValueError on
+    anything else — pixel decoding belongs to the pil backend."""
+    n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+            n,
+        )
+    if payload[:2] == b"BM" and n >= 26:
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size >= 40:  # BITMAPINFOHEADER and successors
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        else:  # BITMAPCOREHEADER (OS/2): uint16 fields
+            w = int.from_bytes(payload[18:20], "little")
+            h = int.from_bytes(payload[20:22], "little")
+        return (w, h, n)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+            n,
+        )
+    raise ValueError("unsupported image container (expected PNG/BMP/GIF)")
+
+
 class ImageDecodeStage:
     """Actor-pool stage: decode binary image payloads → typed metadata + a
     fixed-size feature stub. State (decoder handles, model weights) is
     created once per actor in __init__.
 
     ``backend``: "stub" (deterministic fake — the oracle-checkable default in
-    this container), "pil" (real decode; raises ImportError with a clear
-    message when PIL is absent), or "auto" (pil if available, else stub).
+    this container), "pil" (full decode; raises ImportError with a clear
+    message when PIL is absent), "headers" (REAL stdlib PNG/BMP/GIF header
+    parse — no external libs, live-tested with genuine bytes here), or
+    "auto" (pil if available, else headers).
     """
 
     def __init__(self, feature_dim: int = 8, backend: str = "stub") -> None:
         if backend == "auto":
-            backend = "pil" if PIL_AVAILABLE else "stub"
+            backend = "pil" if PIL_AVAILABLE else "headers"
         if backend == "pil" and not PIL_AVAILABLE:
             raise ImportError(
                 "backend='pil' requested but PIL is not installed; "
-                "use backend='stub' or install Pillow"
+                "use backend='headers'/'stub' or install Pillow"
             )
-        self._decode = _decode_image_pil if backend == "pil" else _decode_image_stub
+        self._decode = {
+            "pil": _decode_image_pil,
+            "headers": _decode_image_headers,
+            "stub": _decode_image_stub,
+        }[backend]
         self.backend = backend
         self.feature_dim = feature_dim
 

@@ -370,32 +370,21 @@ def neardup_groups(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     vec_id) — the "keep one per duplicate cluster" primitive.
 
     Pair generation is the distributed block-pair grid (``neardup_pairs``);
-    the component closure runs driver-side union-find over the PAIR LIST,
-    which is result-sized (≪ corpus) by construction — the same
-    small-output rule every aggregate here follows. Only vectors that
-    appear in at least one pair are emitted.
+    the component closure runs driver-side bounded union-find over the PAIR
+    LIST, which is result-sized (≪ corpus) by construction — and the bound
+    makes a violated assumption a loud error, not a driver OOM (see
+    ``util.bounded_union_find`` for the distributed alternative).
     """
-    from ..util import collect_table
+    from ..util import bounded_union_find, collect_table
 
     schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
     pairs = collect_table(neardup_pairs(sf_dir, threshold=threshold), schema)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist()):
-        for v in (a, b):
-            parent.setdefault(v, v)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    parent = bounded_union_find(
+        pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist(),
+        what="neardup_groups pair list",
+    )
     ids = sorted(parent)
-    reps = [find(v) for v in ids]
+    reps = [parent[v] for v in ids]
     return pa.table(
         {
             "vec_id": pa.array(ids, pa.int64()),

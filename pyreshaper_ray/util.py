@@ -47,6 +47,52 @@ def cached_get(ref):
     return _BROADCAST_CACHE[key]
 
 
+def bounded_union_find(
+    a_ids, b_ids, max_pairs: int = 10_000_000, what: str = "pair list"
+) -> dict[int, int]:
+    """Driver-side union-find over an edge list, with an EXPLICIT size bound.
+
+    The near-dup group closures (dedup_canonical, neardup_groups) assume the
+    verified pair list is result-sized; the LSH star-pair cap keeps it
+    linear in the duplicate count even on an all-duplicates corpus (gated by
+    tests/test_dedup.py::test_dup_heavy_corpus_pairs_stay_linear). This
+    bound turns a violated assumption into a loud, actionable error instead
+    of an OOM-killed driver. At cluster scale, raise ``max_pairs`` or swap
+    the closure for the distributed alternating-doubling (pointer-jumping)
+    iteration: groupby(node).min(neighbor rep) repeated O(log diameter)
+    times — the pair list then never leaves the object store.
+
+    Returns the parent map after full path compression: parent[x] is x's
+    component representative (min id in the component).
+    """
+    n = len(a_ids)
+    if n > max_pairs:
+        raise RuntimeError(
+            f"{what} has {n} edges (> max_pairs={max_pairs}); the driver "
+            "closure assumes a result-sized pair list. Raise max_pairs or "
+            "use the distributed pointer-jumping closure (see "
+            "bounded_union_find docstring)."
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(a_ids, b_ids):
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    for v in list(parent):
+        parent[v] = find(v)
+    return parent
+
+
 def collect_table(ds, fallback_schema: pa.Schema | None = None) -> pa.Table:
     """Materialize a (small, result-sized) Dataset as one Arrow table.
 

@@ -444,3 +444,91 @@ def test_promo_revenue_share_hand(ray_session, tmp_path):
         4000 * 100,
         250_000,
     )
+
+
+def test_asof_join_last_semantics(ray_session):
+    """Distributed as-of join edge cases: key with no right rows, right rows
+    all AFTER the left row, an exact timestamp tie (inclusive), several left
+    rows per key."""
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import asof_join_last
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [
+                    _ts("2024-01-01T00:00:10"),
+                    _ts("2024-01-01T00:00:05"),
+                    _ts("2024-01-01T00:00:07"),
+                    _ts("2024-01-01T00:00:04"),
+                ],
+                pa.timestamp("us"),
+            ),
+            "id": pa.array([100, 101, 102, 103], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 3], pa.int64()),
+            "rts": pa.array(
+                [
+                    _ts("2024-01-01T00:00:05"),
+                    _ts("2024-01-01T00:00:08"),
+                    _ts("2024-01-01T00:00:09"),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = asof_join_last(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        left_ts="ts",
+        left_id="id",
+        right_on="k",
+        right_ts="rts",
+    ).take_all()
+    by_id = {r["lid"]: r["asof_ts"] for r in out}
+    assert len(by_id) == 4
+    assert by_id[100] == _ts("2024-01-01T00:00:08").astype("datetime64[us]").item()
+    # exact tie: right_ts == left_ts counts (<=)
+    assert by_id[101] == _ts("2024-01-01T00:00:05").astype("datetime64[us]").item()
+    assert by_id[102] is None  # key 2 has no right rows
+    assert by_id[103] is None  # key 3's only right row is later
+
+
+def test_asof_last_order_at_16_cpus():
+    """The Ray hash/sort exchanges have parallelism-dependent empty-block
+    edges (see hash_join docstring); run the full as-of query in a FRESH
+    16-CPU Ray process and value-check it against DuckDB."""
+    import subprocess
+    import sys
+
+    script = r"""
+import ray, sys
+sys.path.insert(0, "/root/repo")
+ray.init(address="local", num_cpus=16, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+import __ray_entry__ as e
+import duckdb
+sfd = "/root/testdata/sf0.001"
+df = e.q_asof_last_order(sfd).to_pandas().sort_values("event_id").reset_index(drop=True)
+con = duckdb.connect()
+for t in ("events", "orders"):
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfd}/{t}.parquet')")
+o = con.execute(e.oracle_sql()["asof_last_order"]).df().sort_values("event_id").reset_index(drop=True)
+assert len(df) == len(o) and len(df) > 0
+assert (df["event_id"].to_numpy() == o["event_id"].to_numpy()).all()
+assert (df["last_order_ts"].isna() == o["last_order_ts"].isna()).all()
+assert (df["last_order_ts"].dropna().to_numpy() == o["last_order_ts"].dropna().to_numpy()).all()
+ray.shutdown()
+print("OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout

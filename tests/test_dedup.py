@@ -131,3 +131,50 @@ def test_dedup_canonical_keeps_longest(ray_session, tmp_path):
     assert int(out.loc[10, "canonical_id"]) == 20
     assert int(out.loc[20, "canonical_id"]) == 20
     assert bool(out.loc[20, "keep"]) and not bool(out.loc[10, "keep"])
+
+
+def test_dup_heavy_corpus_pairs_stay_linear(ray_session, tmp_path):
+    """Adversarial all-duplicates corpus: N near-identical documents used to
+    be an O(N²) pair blowup risk for the driver closure. The LSH star-pair
+    cap keeps the VERIFIED pair list linear in N, the bounded union-find
+    accepts it, and every copy lands in one canonical cluster."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.dedup import dedup_canonical, minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field toward the distant river bank every day"
+    )
+    n = 600  # all-pairs would be ~180k pairs; bucket size n > max_bucket
+    # (256) trips the star cap, so the pair list stays linear
+    texts = [base for _ in range(n)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    pairs = minhash_dedup(str(tmp_path), threshold=0.5).to_pandas()
+    # linear, not quadratic: the star cap bounds pairs per degenerate bucket
+    assert 0 < len(pairs) < 20 * n
+
+    out = dedup_canonical(str(tmp_path), threshold=0.5).to_pandas()
+    assert len(out) == n  # every copy is a member of some group
+    assert out["canonical_id"].nunique() == 1  # one cluster
+    assert int(out["keep"].sum()) == 1
+
+
+def test_bounded_union_find_raises_on_oversized_pair_list():
+    import pytest as _pytest
+
+    from pyreshaper_ray.util import bounded_union_find
+
+    with _pytest.raises(RuntimeError, match="max_pairs"):
+        bounded_union_find([1, 2, 3], [4, 5, 6], max_pairs=2)
+    # under the bound: full compression to min-id representatives
+    parent = bounded_union_find([1, 2], [2, 3])
+    assert parent == {1: 1, 2: 1, 3: 1}
