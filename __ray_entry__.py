@@ -244,6 +244,26 @@ def q_knn(sf_dir: str):
     return knn_bruteforce(sf_dir, n_queries=5, k=5)
 
 
+def q_neardup_groups_distributed(sf_dir: str):
+    """Connected components over the exact near-dup pair graph via the
+    DISTRIBUTED propagate + pointer-jump closure (stages/graph.py) instead
+    of the driver union-find — same output and recursive-CTE oracle as
+    ``neardup_groups``, but the edge list and label table never leave the
+    object store (the 10^12-doc path)."""
+    from pyreshaper_ray.stages.graph import components_distributed
+    from pyreshaper_ray.stages.similarity import neardup_pairs
+
+    pairs = neardup_pairs(sf_dir, threshold=0.4)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"a": b["vec_a"], "b": b["vec_b"]}),
+        batch_format="pyarrow",
+    )
+    return components_distributed(edges).map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "rep_id": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_text_embed_knn(sf_dir: str):
     """Embedding PRODUCER chain (rows-only): actor-pool text encoder
     (seed-fixed hashing-trick model loaded per actor in __init__) feeding
@@ -1159,15 +1179,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_ppm": q_promo_revenue_ppm,
         "monthly_revenue_change": q_monthly_revenue_change,
         "dedup_canonical_documents": q_dedup_canonical,
-        # --- new in round 3 (rows-only: model-defined output) ---
+        # --- new in round 3 ---
         "text_embed_knn5": q_text_embed_knn,
+        "neardup_groups_distributed": q_neardup_groups_distributed,
         # --- round-2 green canaries (regression sentinels in the prefix) ---
-        "pivot_turns": q_pivot_turns,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "dedup_exact_documents": q_dedup_exact,
         "asof_last_order": q_asof_last_order,
         # ---------------- round-2 green tail (50+) ----------------
+        "pivot_turns": q_pivot_turns,
         "knn_cosine_top5": q_knn,
         "pivot_turns_exclude": q_pivot_turns_exclude,
         "retention_1m": q_retention_1m,
@@ -1236,7 +1257,7 @@ def _rollup_sql(unit: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pivot_turns": _T,
         "pivot_turns_exclude": f"SELECT * FROM ({_T}) WHERE role <> 'view'",
         "flagship_rollup_1m": _ROLLUP_SQL,
@@ -2079,3 +2100,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE prev_cents IS NOT NULL
         """,
     }
+    # the distributed propagate+pointer-jump closure computes the SAME
+    # relation as the driver union-find version — one oracle serves both
+    out["neardup_groups_distributed"] = out["neardup_groups"]
+    return out

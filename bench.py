@@ -235,6 +235,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "promo_revenue_ppm",
         "monthly_revenue_change",
         "dedup_canonical_documents",
+        "asof_last_order",
+        "simhash_documents",
+        "text_embed_knn5",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

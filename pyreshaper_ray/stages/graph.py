@@ -1,0 +1,246 @@
+"""Distributed connected components (min-label propagation + pointer
+jumping) — the cluster-scale alternative to the driver-side
+``util.bounded_union_find`` the near-dup group closures default to.
+
+At 10^12 docs a dup-heavy corpus can make even a star-capped pair list too
+big for one machine; this operator keeps the edge list and the label table
+in the object store end to end. Each round is built from the repo's
+standard composition (union → groupby(key) → vectorized per-group kernel —
+no driver materialization, no per-key Python):
+
+- **propagate**: every node takes the min label among itself and its
+  neighbors (handles arbitrary graphs);
+- **jump** (pointer doubling): every node re-reads the label OF its label
+  (label[x] ← label[label[x]]), collapsing chains geometrically so a path
+  of length L converges in O(log L) rounds instead of O(L).
+
+Alternating the two is the classic O(log n)-round components scheme
+(Shiloach–Vishkin flavor). Convergence is a result-sized changed-count
+aggregate per round; labels converge to the component's MIN node id — the
+same representative ``bounded_union_find`` picks (equality-tested in
+tests/test_graph.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+_MSG_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _first_of_run(t: pa.Table, key_col: str) -> np.ndarray:
+    """Per row: index of the first row sharing its key (t sorted by key)."""
+    key = t[key_col].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    run_id = np.cumsum(np.r_[False, key[1:] != key[:-1]])
+    return starts[run_id]
+
+
+def _initial_labels(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One (node, label=node) row per distinct endpoint: per-block distinct
+    (combiner) → groupby distinct — a vocabulary-sized exchange."""
+    from ray.data.aggregate import Count
+
+    def nodes_partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b["a"].to_numpy(zero_copy_only=False),
+                    b["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    distinct = (
+        edges.map_batches(nodes_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+    )
+    return distinct.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "label": pc.cast(b["node"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _propagate(
+    labels: "ray.data.Dataset", edges: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """labels'[x] = min(labels[x], min over x's neighbors' labels).
+
+    One union + groupby(key) stamps each key's label onto its edge rows
+    (emitting (neighbor, my_label) messages), one groupby(node).min folds
+    the messages. Every edge endpoint has a label row by construction
+    (labels start as the endpoint set and the node set never shrinks).
+    """
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"],
+                "other": pa.nulls(b.num_rows, pa.int64()),
+                "label": b["label"],
+            }
+        )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks()
+        bb = b["b"].combine_chunks()
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, bb]),
+                "other": pa.concat_arrays([bb, a]),
+                "label": pa.nulls(2 * b.num_rows, pa.int64()),
+            }
+        )
+
+    lab = labels.map_batches(label_rows, batch_format="pyarrow")
+    edg = edges.map_batches(edge_rows, batch_format="pyarrow")
+
+    def stamp(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _MSG_SCHEMA.empty_table()
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("key", "ascending"), ("label", "ascending")],
+            null_placement="at_end",
+        )
+        t = group.take(idx)
+        first_idx = _first_of_run(t, "key")
+        # label column holds nulls (edge rows) → numpy float64 w/ NaN; the
+        # first row of every key-run is the key's label row (non-null label
+        # sorts before null), so my_label is finite everywhere
+        lab_np = t["label"].to_numpy(zero_copy_only=False)
+        my_label = lab_np[first_idx]
+        is_edge = t["other"].is_valid().to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        other = t["other"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([key[~is_edge], other[is_edge]]).astype(np.int64)
+        label = np.concatenate(
+            [lab_np[~is_edge], my_label[is_edge]]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "label": pa.array(label, pa.int64()),
+            }
+        )
+
+    msgs = lab.union(edg).groupby("key").map_groups(stamp, batch_format="pyarrow")
+
+    from ray.data.aggregate import Min
+
+    return msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+
+
+def _jump(labels: "ray.data.Dataset") -> "ray.data.Dataset":
+    """labels'[x] = labels[labels[x]] (pointer doubling), via the same
+    union + groupby(key) composition: each node queries the label table at
+    key = its current label. Label values are always node ids present in
+    the table (they start as node ids and only ever take mins over node
+    ids), so every query key has a label row."""
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"],
+                "who": pa.nulls(b.num_rows, pa.int64()),
+                "label": b["label"],
+            }
+        )
+
+    def query_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["label"],
+                "who": b["node"],
+                "label": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    lab = labels.map_batches(label_rows, batch_format="pyarrow")
+    qry = labels.map_batches(query_rows, batch_format="pyarrow")
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return _LABEL_SCHEMA.empty_table()
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("key", "ascending"), ("label", "ascending")],
+            null_placement="at_end",
+        )
+        t = group.take(idx)
+        first_idx = _first_of_run(t, "key")
+        lab_np = t["label"].to_numpy(zero_copy_only=False)
+        grand = lab_np[first_idx]
+        is_query = t["who"].is_valid().to_numpy(zero_copy_only=False)
+        who = t["who"].to_numpy(zero_copy_only=False)[is_query].astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(who, pa.int64()),
+                "label": pa.array(grand[is_query].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return lab.union(qry).groupby("key").map_groups(resolve, batch_format="pyarrow")
+
+
+def _count_changed(old: "ray.data.Dataset", new: "ray.data.Dataset") -> int:
+    """Rows whose label differs between two label tables — via union +
+    per-partition count of nodes with >1 distinct label (no join)."""
+    from ray.data.aggregate import Sum
+
+    def diff_group(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return pa.table({"changed": pa.array([], pa.int64())})
+        t = group.group_by(["node"]).aggregate([("label", "count_distinct")])
+        n = int(
+            pc.sum(
+                pc.cast(pc.greater(t["label_count_distinct"], 1), pa.int64())
+            ).as_py()
+            or 0
+        )
+        return pa.table({"changed": pa.array([n], pa.int64())})
+
+    parts = old.union(new).groupby("node").map_groups(
+        diff_group, batch_format="pyarrow"
+    )
+    res = parts.aggregate(Sum("changed", alias_name="changed"))
+    return int(res.get("changed") or 0) if res else 0
+
+
+def components_distributed(
+    edges: "ray.data.Dataset", max_rounds: int = 64
+) -> "ray.data.Dataset":
+    """Connected components over an edge Dataset (columns ``a``, ``b``):
+    returns (node, label) with label = the component's min node id.
+
+    Fully distributed — per round: one propagate exchange, one jump
+    exchange, one changed-count exchange; the only driver-side value is the
+    per-round changed COUNT. O(log n) rounds by propagate+jump alternation;
+    ``max_rounds`` is a safety cap (2^64 ≫ any real component diameter).
+    """
+    import ray
+
+    # pin the label table's block count per round: each groupby emits one
+    # block per sort partition, so without the coalesce the block count (and
+    # the next round's sort fan-out) compounds round over round — measured
+    # as exponential per-round wall growth (1.8s → 17.5s by round 6)
+    n_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    labels = _initial_labels(edges).repartition(n_blocks).materialize()
+    for _ in range(max_rounds):
+        new_labels = (
+            _jump(_propagate(labels, edges)).repartition(n_blocks).materialize()
+        )
+        changed = _count_changed(labels, new_labels)
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
