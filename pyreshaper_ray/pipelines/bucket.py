@@ -413,6 +413,19 @@ def make_bucket_writer(spec_dict: dict):
 
     out_dir = spec_dict["out_dir"]
 
+    # GLOBAL attributes stamped into every tier file as Parquet KV metadata
+    # (M6's "globals" half — PyReshaper copies NetCDF global attrs into
+    # every output; see manifest.atomic_write_parquet). Built once per
+    # writer; per-file keys (tier, bucket) are added at write time.
+    from .. import __version__ as _engine_version
+
+    _global_attrs = {
+        "pyreshaper_ray.engine_version": _engine_version,
+        "pyreshaper_ray.input": str(spec_dict.get("input", "")),
+        "pyreshaper_ray.n_buckets": str(spec_dict.get("n_buckets", "")),
+        "pyreshaper_ray.include_turns": str(spec_dict.get("include_turns", True)),
+    }
+
     def write_bucket(group: pa.Table) -> pa.Table:
         from ..util import tune_worker_threads
 
@@ -427,7 +440,15 @@ def make_bucket_writer(spec_dict: dict):
             path = os.path.join(out_dir, sub, f"bucket={bucket:05d}", "part-000.parquet")
             if name == "turns":
                 table = table.drop_columns(["bucket"])
-            atomic_write_parquet(table, path)
+            atomic_write_parquet(
+                table,
+                path,
+                kv_meta={
+                    **_global_attrs,
+                    "pyreshaper_ray.tier": name,
+                    "pyreshaper_ray.bucket": str(bucket),
+                },
+            )
             files[name] = path
         if salt is not None:
             write_salt_partials(out_dir, bucket, salt)

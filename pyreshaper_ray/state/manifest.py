@@ -89,14 +89,41 @@ def clear(out_dir: str) -> None:
         os.remove(run_meta_path(out_dir))
 
 
-def atomic_write_parquet(table, final_path: str) -> None:
-    """Write a parquet file so readers never observe partial output."""
+def atomic_write_parquet(table, final_path: str, kv_meta: dict | None = None) -> None:
+    """Write a parquet file so readers never observe partial output.
+
+    ``kv_meta``: GLOBAL attributes carried as Parquet file key-value
+    metadata — PyReshaper copies NetCDF global attributes verbatim into
+    every output (public repo ``reshaper.py::convert`` attr loops /
+    ``setncattr``); the Parquet analog is schema-level KV metadata, read
+    back with ``read_global_attrs``. Values are stringified; existing table
+    metadata is preserved (new keys win on collision)."""
     import pyarrow.parquet as pq
 
+    if kv_meta:
+        merged = dict(table.schema.metadata or {})
+        merged.update(
+            {str(k).encode(): str(v).encode() for k, v in kv_meta.items()}
+        )
+        table = table.replace_schema_metadata(merged)
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
     tmp = final_path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, final_path)
+
+
+def read_global_attrs(path: str) -> dict[str, str]:
+    """Global attributes of one output file (Parquet KV metadata) — footer
+    read only, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_schema(path).metadata or {}
+    out = {}
+    for k, v in md.items():
+        key = k.decode("utf-8", "replace")
+        if key != "pandas":  # drop pandas' internal blob
+            out[key] = v.decode("utf-8", "replace")
+    return out
 
 
 class SectionTimer:

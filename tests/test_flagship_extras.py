@@ -144,3 +144,34 @@ def test_heavy_scan_cache_reused_and_invalidated(ray_session, fixture_dir, tmp_p
         json.dump(c, f)
     run()
     assert flagship.PHASE_TIMES["heavy_scan"] > 0
+
+
+def test_tier_files_carry_global_attrs(ray_session, fixture_dir, tmp_path):
+    """M6's "globals" half: every tier file carries the run's global
+    attributes as Parquet KV metadata (PyReshaper copies NetCDF global
+    attrs into every output), readable from the footer alone."""
+    import glob
+
+    from pyreshaper_ray import __version__
+    from pyreshaper_ray.state.manifest import read_global_attrs
+
+    out = str(tmp_path / "out")
+    spec = create_spec(
+        input=os.path.join(fixture_dir, "transcripts"),
+        out_dir=out,
+        n_buckets=3,
+        tiers=("1m", "1h"),
+        gapfill=False,
+        encode=False,
+    )
+    run_flagship(spec)
+    files = sorted(glob.glob(os.path.join(out, "**", "part-000.parquet"), recursive=True))
+    assert files
+    seen_tiers = set()
+    for f in files:
+        attrs = read_global_attrs(f)
+        assert attrs["pyreshaper_ray.engine_version"] == __version__
+        assert attrs["pyreshaper_ray.n_buckets"] == "3"
+        assert "pyreshaper_ray.tier" in attrs and "pyreshaper_ray.bucket" in attrs
+        seen_tiers.add(attrs["pyreshaper_ray.tier"])
+    assert {"rollup_1m", "rollup_1h"} <= seen_tiers or len(seen_tiers) >= 2
