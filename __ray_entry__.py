@@ -264,6 +264,47 @@ def q_neardup_groups_distributed(sf_dir: str):
     )
 
 
+def q_ohlc_1m(sf_dir: str):
+    """OHLC candles per minute over the events value stream — combiner-first
+    argmin/argmax partials (deciding keys travel with the values), exchange
+    is windows×blocks-sized."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import ohlc_bars
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+    return ohlc_bars(ev, unit="minute")
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Per-user time-weighted value components over irregular samples
+    (LOCF weighting, exact cents × whole-second integers)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import time_weighted_value
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return time_weighted_value(ev)
+
+
+def q_lttb_downsample(sf_dir: str):
+    """LTTB visual downsample of each user's value series to ≤8 points
+    (rows-only: the representative-point choice is algorithmic, not
+    SQL-expressible; property-gated in tests/test_timeseries.py)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import lttb_downsample
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return lttb_downsample(ev, n_out=8)
+
+
 def q_text_embed_knn(sf_dir: str):
     """Embedding PRODUCER chain (rows-only): actor-pool text encoder
     (seed-fixed hashing-trick model loaded per actor in __init__) feeding
@@ -1182,12 +1223,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3 ---
         "text_embed_knn5": q_text_embed_knn,
         "neardup_groups_distributed": q_neardup_groups_distributed,
-        # --- round-2 green canaries (regression sentinels in the prefix) ---
-        "flagship_rollup_1m": q_flagship_rollup_1m,
-        "rollup_1m": q_rollup_1m,
+        "ohlc_1m": q_ohlc_1m,
+        "time_weighted_value": q_time_weighted_value,
+        # --- round-3-touched canaries (dedup hash + as-of were rewritten) ---
         "dedup_exact_documents": q_dedup_exact,
         "asof_last_order": q_asof_last_order,
-        # ---------------- round-2 green tail (50+) ----------------
+        # ---------------- green tail (50+) ----------------
+        "lttb_downsample_8": q_lttb_downsample,
+        "flagship_rollup_1m": q_flagship_rollup_1m,
+        "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
         "knn_cosine_top5": q_knn,
         "pivot_turns_exclude": q_pivot_turns_exclude,
@@ -2103,4 +2147,44 @@ def oracle_sql() -> dict[str, str]:
     # the distributed propagate+pointer-jump closure computes the SAME
     # relation as the driver union-find version — one oracle serves both
     out["neardup_groups_distributed"] = out["neardup_groups"]
+    out["ohlc_1m"] = """
+        WITH e AS (
+            SELECT date_trunc('minute', ts) AS w, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        r AS (
+            SELECT w, v,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        )
+        SELECT w AS window_start,
+               CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_cents,
+               CAST(MAX(v) AS BIGINT) AS high_cents,
+               CAST(MIN(v) AS BIGINT) AS low_cents,
+               CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1
+    """
+    out["time_weighted_value"] = """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        d AS (
+            SELECT user_id, v,
+                   (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                    - epoch_us(ts)) // 1000000 AS dt_s
+            FROM e
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(SUM(v * dt_s) AS BIGINT) AS num_cents_s,
+               CAST(SUM(dt_s) AS BIGINT) AS den_s
+        FROM d WHERE dt_s IS NOT NULL GROUP BY 1
+    """
     return out

@@ -238,6 +238,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "asof_last_order",
         "simhash_documents",
         "text_embed_knn5",
+        "ohlc_1m",
+        "time_weighted_value",
+        "lttb_downsample_8",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

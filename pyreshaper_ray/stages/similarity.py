@@ -136,8 +136,13 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
     block pair (i ≤ j) compares the two blocks with a single matmul. Exact
     all-pairs is inherently O(n²) flops, but per-task memory is two blocks
     and no worker ever holds the full matrix — the round-1 full-corpus
-    broadcast is gone. For the approximate scale path (near-linear work) use
-    ``neardup_lsh`` below.
+    broadcast is gone.
+
+    **Role at scale: the VERIFICATION/ORACLE KERNEL, not the production
+    path.** O(blocks²) tasks are fine for test corpora and for verifying a
+    sample, but the 100-TB near-dup path is ``neardup_lsh`` below
+    (hyperplane-bucketed, near-linear work, planted-recall gated) — chain
+    its candidate pairs into exact per-pair cosine if exactness is needed.
     """
     import ray
 

@@ -1,0 +1,291 @@
+"""Timeseries-native operators beyond the rollup tiers: OHLC bars,
+time-weighted averages over irregular samples, and LTTB downsampling.
+
+These are the downsample/summarize shapes a time-series store layers on the
+raw series (the north_rule generalizes PyReshaper's slice→series pivot into
+exactly this kind of rollup + downsample engine):
+
+- ``ohlc_bars``: open/high/low/close per tumbling window, COMBINER-FIRST —
+  each block reduces to one candidate row per (block, window) (argmin/argmax
+  partials are mergeable once the deciding keys travel with the values), so
+  the exchange is windows×blocks-sized, never event-sized.
+- ``time_weighted_value``: per-entity time-weighted value sum over
+  irregular samples (value held until the next observation) — exact integer
+  (cents × whole seconds) numerator/denominator so the DuckDB oracle matches
+  bit-for-bit. One groupby(user) co-partition exchange.
+- ``lttb_downsample``: Largest-Triangle-Three-Buckets representative-point
+  selection per series (Steinarsson 2013, the standard visual-fidelity
+  downsampler) — per-series inside ``groupby(key).map_groups``; the
+  sequential bucket walk is O(n) per series with vectorized per-bucket
+  areas. Algorithmic point choice → rows-only driver entry, property-gated
+  in tests (endpoints kept, exact count, points ⊆ input, deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .analytics import to_cents
+
+_US_PER_S = 1_000_000
+
+
+def ohlc_bars(events_ds: "ray.data.Dataset", unit: str = "minute") -> "ray.data.Dataset":
+    """OHLC candles of ``value`` (exact cents) per tumbling window.
+
+    open = value at min (ts, event_id) in the window, close = at max —
+    the event id is the deterministic tie-break, carried through the
+    combiner so ties merge identically everywhere.
+
+    Output: window_start, open_cents, high_cents, low_cents, close_cents,
+    n_events (BIGINTs).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit=unit)
+        t = pa.table(
+            {
+                "w": w,
+                "ts_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+                "eid": pc.cast(batch["event_id"], pa.int64()),
+                "v": to_cents(batch["value"]),
+            }
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("w", "ascending"), ("ts_us", "ascending"), ("eid", "ascending")]
+        )
+        t = t.take(idx)
+        wk = t["w"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
+        ends = np.r_[starts[1:], len(wk)] - 1
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ts_us = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "w": pa.array(wk[starts], pa.timestamp("us")),
+                "open_ts": pa.array(ts_us[starts], pa.int64()),
+                "open_id": pa.array(eid[starts], pa.int64()),
+                "open_v": pa.array(v[starts], pa.int64()),
+                "close_ts": pa.array(ts_us[ends], pa.int64()),
+                "close_id": pa.array(eid[ends], pa.int64()),
+                "close_v": pa.array(v[ends], pa.int64()),
+                "vmin": pa.array(np.minimum.reduceat(v, starts), pa.int64()),
+                "vmax": pa.array(np.maximum.reduceat(v, starts), pa.int64()),
+                "n": pa.array(np.diff(np.r_[starts, len(wk)]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("window_start", pa.timestamp("us")),
+            ("open_cents", pa.int64()),
+            ("high_cents", pa.int64()),
+            ("low_cents", pa.int64()),
+            ("close_cents", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    # final merge groups by a COARSE bucket of the window key (hash
+    # partitioning keeps each window's partials together) so the kernel
+    # stays one vectorized run-merge over MANY windows — per-window
+    # map_groups would cost one Python call per window
+    _P = 256
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.cast(b["w"], pa.int64()), pa.int64())
+        return b.append_column(
+            "kb",
+            pc.bit_wise_and(
+                pc.divide(wk, pa.scalar(60_000_000, pa.int64())),
+                pa.scalar(_P - 1, pa.int64()),
+            ),
+        )
+
+    def merge_block(block: pa.Table) -> pa.Table:
+        if block.num_columns == 0 or block.num_rows == 0:
+            return OUT.empty_table()
+        # open: first row under (w, open_ts, open_id) order
+        idx = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("w", "ascending"),
+                ("open_ts", "ascending"),
+                ("open_id", "ascending"),
+            ],
+        )
+        t = block.take(idx)
+        wk = t["w"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
+        bounds = np.r_[starts, len(wk)]
+        open_v = t["open_v"].to_numpy(zero_copy_only=False)[starts]
+        vmin = np.minimum.reduceat(t["vmin"].to_numpy(zero_copy_only=False), starts)
+        vmax = np.maximum.reduceat(t["vmax"].to_numpy(zero_copy_only=False), starts)
+        n = np.add.reduceat(t["n"].to_numpy(zero_copy_only=False), starts)
+        # close: last row under (w, close_ts, close_id) order
+        idx2 = pc.sort_indices(
+            block,
+            sort_keys=[
+                ("w", "ascending"),
+                ("close_ts", "ascending"),
+                ("close_id", "ascending"),
+            ],
+        )
+        t2 = block.take(idx2)
+        close_v = t2["close_v"].to_numpy(zero_copy_only=False)[bounds[1:] - 1]
+        return pa.table(
+            {
+                "window_start": pa.array(wk[starts], pa.timestamp("us")),
+                "open_cents": pa.array(open_v, pa.int64()),
+                "high_cents": pa.array(vmax, pa.int64()),
+                "low_cents": pa.array(vmin, pa.int64()),
+                "close_cents": pa.array(close_v, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+            }
+        )
+
+    p = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    p = p.map_batches(add_kb, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("kb").map_groups(merge_block, batch_format="pyarrow")
+
+
+def time_weighted_value(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-user time-weighted value components over irregular samples: each
+    observation's value holds until the user's next observation
+    (last-observation-carried-forward weighting; the final observation has
+    no interval and contributes nothing — SQL's LEAD-IS-NULL row).
+
+    Exact integers: durations floor to whole seconds, values are cents, so
+    numerator Σ v·Δt and denominator Σ Δt match the oracle bit-for-bit.
+    Users with a single event emit nothing (no interval exists).
+
+    Output: user_id, num_cents_s (Σ value_cents × Δt_s), den_s (Σ Δt_s).
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+                "eid": pc.cast(batch["event_id"], pa.int64()),
+                "v": to_cents(batch["value"]),
+            }
+        )
+
+    OUT = pa.schema(
+        [("user_id", pa.int64()), ("num_cents_s", pa.int64()), ("den_s", pa.int64())]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows < 2:
+            return OUT.empty_table()
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts_us", "ascending"), ("eid", "ascending")]
+        )
+        t = group.take(idx)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        dt_s = (ts[1:] - ts[:-1]) // _US_PER_S
+        return pa.table(
+            {
+                "user_id": t["user_id"][:1],
+                "num_cents_s": pa.array([int((v[:-1] * dt_s).sum())], pa.int64()),
+                "den_s": pa.array([int(dt_s.sum())], pa.int64()),
+            }
+        )
+
+    p = events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def lttb_select(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices of the LTTB-selected points of one series (x ascending).
+
+    Largest-Triangle-Three-Buckets: keep the first and last points; split
+    the interior into n_out−2 buckets; in each bucket keep the point whose
+    triangle with the PREVIOUS selected point and the NEXT bucket's mean is
+    largest (ties → first such point). Deterministic.
+    """
+    n = len(x)
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    if n_out <= 2:
+        return np.array([0, n - 1], dtype=np.int64)
+    # interior bucket boundaries over points 1 .. n-2
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    a = 0  # previously selected index
+    xf = x.astype(np.float64)
+    yf = y.astype(np.float64)
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = edges[i + 1], (n if i == n_out - 3 else edges[i + 2])
+        bx, by = xf[nlo:nhi].mean(), yf[nlo:nhi].mean()
+        area = np.abs(
+            (xf[a] - bx) * (yf[lo:hi] - yf[a]) - (xf[a] - xf[lo:hi]) * (by - yf[a])
+        )
+        a = lo + int(np.argmax(area))
+        out[i + 1] = a
+    out[-1] = n - 1
+    return out
+
+
+def lttb_downsample(
+    events_ds: "ray.data.Dataset", n_out: int = 8
+) -> "ray.data.Dataset":
+    """Per-user LTTB downsample of the (ts, value_cents) series to at most
+    ``n_out`` visually-representative points — the standard downsampler for
+    rendering long series (Steinarsson 2013). One groupby(user)
+    co-partition exchange; the per-series walk is O(n).
+
+    Output: user_id, point_idx (0..k-1), ts, value_cents.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+                "eid": pc.cast(batch["event_id"], pa.int64()),
+                "v": to_cents(batch["value"]),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("point_idx", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value_cents", pa.int64()),
+        ]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts_us", "ascending"), ("eid", "ascending")]
+        )
+        t = group.take(idx)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        sel = lttb_select(ts, v, n_out)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(sel), t["user_id"][0].as_py()), pa.int64()
+                ),
+                "point_idx": pa.array(np.arange(len(sel)), pa.int64()),
+                "ts": pa.array(ts[sel], pa.timestamp("us")),
+                "value_cents": pa.array(v[sel], pa.int64()),
+            }
+        )
+
+    p = events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

@@ -1,0 +1,107 @@
+"""Timeseries operators (stages/timeseries.py): OHLC combiner merge
+semantics, time-weighted integers, and LTTB downsampling properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _events(rows):
+    """rows: (event_id, user_id, ts_str, value)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[2], "us") for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_ohlc_open_close_tie_breaks(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import ohlc_bars
+
+    # window 10:00: two events at the SAME opening timestamp (tie broken by
+    # event_id) and a same-ts tie at the close
+    ev = _events(
+        [
+            (5, 1, "2024-01-01T10:00:01", 3.00),   # open ts tie, higher id
+            (2, 1, "2024-01-01T10:00:01", 7.00),   # open = 700 (lower id)
+            (3, 1, "2024-01-01T10:00:30", 1.00),   # low
+            (9, 1, "2024-01-01T10:00:59", 4.00),   # close = 400 (higher id)
+            (8, 1, "2024-01-01T10:00:59", 9.00),   # high
+            (1, 1, "2024-01-01T10:01:05", 5.00),   # next window
+        ]
+    )
+    # split across blocks so the combiner merge path is exercised
+    ds = ray.data.from_arrow(ev).repartition(3)
+    out = {r["window_start"]: r for r in ohlc_bars(ds).take_all()}
+    w = np.datetime64("2024-01-01T10:00:00", "us").item()
+    bar = out[w]
+    assert bar["open_cents"] == 700
+    assert bar["close_cents"] == 400
+    assert bar["high_cents"] == 900
+    assert bar["low_cents"] == 100
+    assert bar["n_events"] == 5
+    w2 = np.datetime64("2024-01-01T10:01:00", "us").item()
+    assert out[w2]["open_cents"] == out[w2]["close_cents"] == 500
+
+
+def test_time_weighted_value_integers(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import time_weighted_value
+
+    ev = _events(
+        [
+            (1, 1, "2024-01-01T00:00:00", 2.00),  # holds 10 s at 200c
+            (2, 1, "2024-01-01T00:00:10", 4.00),  # holds 5 s at 400c
+            (3, 1, "2024-01-01T00:00:15", 1.00),  # last: no interval
+            (4, 2, "2024-01-01T00:00:00", 9.99),  # single event: no row
+        ]
+    )
+    out = time_weighted_value(ray.data.from_arrow(ev).repartition(2)).take_all()
+    rows = {r["user_id"]: r for r in out}
+    assert set(rows) == {1}
+    assert rows[1]["num_cents_s"] == 200 * 10 + 400 * 5
+    assert rows[1]["den_s"] == 15
+
+
+def test_lttb_properties(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import lttb_downsample, lttb_select
+
+    # kernel properties on a synthetic series with one extreme spike
+    rng = np.random.default_rng(3)
+    x = np.arange(100, dtype=np.int64) * 1_000_000
+    y = rng.integers(0, 50, size=100).astype(np.int64)
+    y[37] = 10_000  # the spike LTTB must keep
+    sel = lttb_select(x, y, 10)
+    assert len(sel) == 10
+    assert sel[0] == 0 and sel[-1] == 99
+    assert (np.diff(sel) > 0).all()  # strictly increasing → points ⊆ input
+    assert 37 in sel
+    assert np.array_equal(sel, lttb_select(x, y, 10))  # deterministic
+    # short series pass through unchanged
+    assert np.array_equal(lttb_select(x[:4], y[:4], 10), np.arange(4))
+
+    # end-to-end per-user via Ray
+    rows = [(i, 1, f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}", float(i % 7)) for i in range(40)]
+    rows += [(100 + i, 2, f"2024-01-01T01:00:{i:02d}", 1.0) for i in range(3)]
+    out = lttb_downsample(
+        ray.data.from_arrow(_events(rows)).repartition(2), n_out=6
+    ).take_all()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 6
+    assert len(by_user[2]) == 3  # shorter than n_out → all points kept
+    pts = sorted(by_user[1], key=lambda r: r["point_idx"])
+    assert pts[0]["ts"] == np.datetime64("2024-01-01T00:00:00", "us").item()
+    assert pts[-1]["ts"] == np.datetime64("2024-01-01T00:00:39", "us").item()
