@@ -315,6 +315,76 @@ def q_text_embed_knn(sf_dir: str):
     return text_embed_knn(sf_dir, n_queries=5, k=5)
 
 
+def q_conv_trend(sf_dir: str):
+    """Per-conversation least-squares trend components (char_len vs
+    turn_idx) as exact integer sufficient statistics — combiner-first, one
+    partial row per (block, conv) crosses the exchange."""
+    from pyreshaper_ray.stages.analytics import conv_trend_components
+
+    return conv_trend_components(_norm_ds(sf_dir))
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Last-write-wins compaction: newest event per user under
+    (ts DESC, event_id DESC) — per-block argmax partials, coarse-bucket
+    merge; only candidate rows cross the exchange."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import latest_event_per_user
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return latest_event_per_user(ev)
+
+
+def q_rolling_minmax(sf_dir: str):
+    """Rolling MIN/MAX(char_len) over a 3-turn frame per conversation —
+    integer-exact shifted-extrema kernel inside groupby(conv).map_groups."""
+    from pyreshaper_ray.stages.windows import rolling_minmax_turns
+
+    return rolling_minmax_turns(_norm_ds(sf_dir), frame=3)
+
+
+def q_ngram_jaccard_neighbors(sf_dir: str):
+    """Exact char-3-gram Jaccard (ppm) for deterministic neighbor pairs
+    (doc_id, doc_id+1) — the n-gram-Jaccard dedup verification kernel run
+    distributed with a SQL-replayable pair rule."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import ngram_jaccard_neighbors
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_neighbors(ds, k=3)
+
+
+def q_trending_terms(sf_dir: str):
+    """Top-3 terms per day over the transcript stream — windowed word
+    count, combiner-first (window, term) partials, result-sized per-window
+    top-k."""
+    from pyreshaper_ray.stages.text import trending_terms
+
+    return trending_terms(_norm_ds(sf_dir), k=3, unit="day")
+
+
+def q_partition_fingerprint(sf_dir: str):
+    """Anti-entropy table checksum: per-partition XOR of 60-bit md5 row
+    digests + row count (replica/migration verification at constant
+    exchange size)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import partition_fingerprint
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return partition_fingerprint(ev)
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate ANN (sign-LSH buckets, per-bucket top-k via map_groups).
     No SQL oracle by design (approximate); the recall-vs-bruteforce gate
@@ -1221,14 +1291,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_change": q_monthly_revenue_change,
         "dedup_canonical_documents": q_dedup_canonical,
         # --- new in round 3 ---
-        "text_embed_knn5": q_text_embed_knn,
         "neardup_groups_distributed": q_neardup_groups_distributed,
         "ohlc_1m": q_ohlc_1m,
         "time_weighted_value": q_time_weighted_value,
+        "latest_event_per_user": q_latest_event_per_user,
         # --- round-3-touched canaries (dedup hash + as-of were rewritten) ---
         "dedup_exact_documents": q_dedup_exact,
         "asof_last_order": q_asof_last_order,
-        # ---------------- green tail (50+) ----------------
+        # ---------------- tail (51+): new-but-oracled first, so they are
+        # next in line if the driver's prefix ever widens ----------------
+        "conv_trend": q_conv_trend,
+        "rolling_minmax_3_turns": q_rolling_minmax,
+        "ngram_jaccard_neighbors": q_ngram_jaccard_neighbors,
+        "trending_terms_daily": q_trending_terms,
+        "partition_fingerprint": q_partition_fingerprint,
+        "text_embed_knn5": q_text_embed_knn,
         "lttb_downsample_8": q_lttb_downsample,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
@@ -2186,5 +2263,86 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v * dt_s) AS BIGINT) AS num_cents_s,
                CAST(SUM(dt_s) AS BIGINT) AS den_s
         FROM d WHERE dt_s IS NOT NULL GROUP BY 1
+    """
+    out["latest_event_per_user"] = """
+        SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+               CAST(event_id AS BIGINT) AS event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    """
+    out["conv_trend"] = f"""
+        WITH t AS ({_T})
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(turn_idx) AS BIGINT) AS sum_x,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_y,
+               CAST(SUM(turn_idx * LENGTH(text)) AS BIGINT) AS sum_xy,
+               CAST(SUM(turn_idx * turn_idx) AS BIGINT) AS sum_x2
+        FROM t GROUP BY 1
+    """
+    out["rolling_minmax_3_turns"] = f"""
+        WITH t AS ({_T})
+        SELECT conv_id, turn_idx,
+               CAST(MIN(LENGTH(text)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS roll_min,
+               CAST(MAX(LENGTH(text)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS roll_max
+        FROM t
+    """
+    out["ngram_jaccard_neighbors"] = """
+        WITH sh AS (
+            SELECT DISTINCT d.doc_id,
+                   substring(d.text, CAST(g.i AS INT), 3) AS s
+            FROM documents d,
+                 LATERAL (SELECT UNNEST(range(1, length(d.text) - 1)) AS i) g
+            WHERE length(d.text) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, COUNT(*) AS ni
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.s = a.s
+            GROUP BY 1
+        )
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+               CAST((COALESCE(i.ni, 0) * 1000000)
+                    // (sa.n + sb.n - COALESCE(i.ni, 0)) AS BIGINT)
+                   AS jaccard_ppm
+        FROM sizes sa
+        JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+        LEFT JOIN inter i ON i.doc_a = sa.doc_id
+    """
+    out["trending_terms_daily"] = f"""
+        WITH t AS ({_T}),
+        tok AS (
+            SELECT date_trunc('day', ts) AS day,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM t
+        ),
+        c AS (
+            SELECT day, term, COUNT(*) AS n
+            FROM tok WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT day, term, CAST(n AS BIGINT) AS n
+        FROM c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY day
+                                   ORDER BY n DESC, term ASC) <= 3
+    """
+    out["partition_fingerprint"] = """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               BIT_XOR(CAST(('0x' || SUBSTRING(md5(CONCAT_WS('|',
+                   CAST(event_id AS VARCHAR),
+                   CAST(epoch_us(ts) AS VARCHAR),
+                   CAST(user_id AS VARCHAR),
+                   CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+               )), 1, 15)) AS BIGINT)) AS fp
+        FROM events GROUP BY 1
     """
     return out

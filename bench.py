@@ -241,6 +241,12 @@ def run_bench(headline_only: bool = False) -> dict:
         "ohlc_1m",
         "time_weighted_value",
         "lttb_downsample_8",
+        "latest_event_per_user",
+        "conv_trend",
+        "rolling_minmax_3_turns",
+        "ngram_jaccard_neighbors",
+        "trending_terms_daily",
+        "partition_fingerprint",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

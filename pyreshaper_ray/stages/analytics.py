@@ -618,6 +618,200 @@ def corr_components(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def conv_trend_components(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-conversation least-squares trend (char_len vs turn_idx) as exact
+    integer sufficient statistics: n, Σx, Σy, Σxy, Σx² per conv_id. The
+    slope/intercept/r² are derivable by the consumer; keeping the output in
+    the associative-integer domain makes the distributed result bit-exact
+    under any block order (the same components rule as
+    ``corr_components``). Fully combiner-first: Arrow ``group_by`` partials
+    per block, then one Sum-merge groupby — one row per (block, conv)
+    crosses the exchange, never a turn row.
+
+    Output: conv_id, n, sum_x, sum_y, sum_xy, sum_x2 (BIGINTs).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch["turn_idx"], pa.int64())
+        y = pc.cast(batch["char_len"], pa.int64())
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "one": pa.array(np.ones(len(x), dtype=np.int64)),
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "x2": pc.multiply(x, x),
+            }
+        )
+        g = t.group_by(["conv_id"]).aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"), ("xy", "sum"), ("x2", "sum")]
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n": pc.cast(g["one_sum"], pa.int64()),
+                "sum_x": g["x_sum"],
+                "sum_y": g["y_sum"],
+                "sum_xy": g["xy_sum"],
+                "sum_x2": g["x2_sum"],
+            }
+        )
+
+    p = ds_normalized.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.groupby("conv_id").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_x", alias_name="sum_x"),
+        Sum("sum_y", alias_name="sum_y"),
+        Sum("sum_xy", alias_name="sum_xy"),
+        Sum("sum_x2", alias_name="sum_x2"),
+    )
+    return agg.select_columns(["conv_id", "n", "sum_x", "sum_y", "sum_xy", "sum_x2"])
+
+
+def latest_event_per_user(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Last-write-wins compaction: keep each user's newest event under the
+    deterministic order (ts DESC, event_id DESC) — the upsert/SCD-compact
+    shape an ingest pipeline runs before serving a keyed table.
+
+    Combiner-first argmax: each block reduces to one candidate row per
+    (block, user) in a vectorized sort + run-boundary take, so only
+    candidates cross the exchange (at 100 TB the exchange is
+    users × blocks-sized, never event-sized). The final merge groups by a
+    coarse hash bucket of the key — hash partitioning co-locates each
+    user's candidates while the kernel stays one vectorized run-merge over
+    many users (the same coarse-bucket rule as ``ohlc_bars``).
+
+    Output: user_id, ts, event_id, event_type, value_cents.
+    """
+
+    def first_per_user(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "descending"),
+                ("event_id", "descending"),
+            ],
+        )
+        t = t.take(idx)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return t.take(pa.array(starts, pa.int64()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "ts": batch["ts"],
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "event_type": batch["event_type"],
+                "value_cents": to_cents(batch["value"]),
+            }
+        )
+        t = first_per_user(t)
+        return t.append_column(
+            "kb", pc.bit_wise_and(t["user_id"], pa.scalar(255, pa.int64()))
+        )
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value_cents", pa.int64()),
+        ]
+    )
+
+    def merge(block: pa.Table) -> pa.Table:
+        if block.num_columns == 0 or block.num_rows == 0:
+            return OUT.empty_table()
+        return first_per_user(block.drop_columns(["kb"]))
+
+    p = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("kb").map_groups(merge, batch_format="pyarrow")
+
+
+def partition_fingerprint(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Order-insensitive partition checksum (anti-entropy / table-diff):
+    per event_type partition, XOR over rows of the first 60 bits of
+    md5(canonical row string) plus the row count. Verifying a replica or a
+    migrated copy of a 100-TB table then costs one tiny row per partition —
+    recompute both sides, compare (n_rows, fp).
+
+    XOR is associative/commutative, so per-block partials merge exactly
+    under any block order — the combiner-first rule with a constant-size
+    exchange (one row per (block, partition)). md5 — not the repo's
+    vectorized crc/xxhash family — because the oracle must replay the hash
+    in SQL; the per-row digest is C-speed and inherent to a content
+    checksum.
+
+    Output: event_type, n_rows, fp (BIGINTs).
+    """
+    import hashlib
+
+    def row_fps(t: pa.Table) -> np.ndarray:
+        s = pc.binary_join_element_wise(
+            pc.cast(t["event_id"], pa.string()),
+            pc.cast(pc.cast(t["ts"], pa.int64()), pa.string()),
+            pc.cast(t["user_id"], pa.string()),
+            pc.cast(t["value_cents"], pa.string()),
+            "|",
+        )
+        return np.array(
+            [
+                int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                for x in s.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "ts": batch["ts"],
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "value_cents": to_cents(batch["value"]),
+            }
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending")]))
+        fp = row_fps(t)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        return pa.table(
+            {
+                "event_type": pa.array(et[starts], pa.string()),
+                "n_rows": pa.array(
+                    np.diff(np.r_[starts, len(et)]).astype(np.int64), pa.int64()
+                ),
+                "fp": pa.array(np.bitwise_xor.reduceat(fp, starts), pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [("event_type", pa.string()), ("n_rows", pa.int64()), ("fp", pa.int64())]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        n = group["n_rows"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": group["event_type"][:1],
+                "n_rows": pa.array([int(n.sum())], pa.int64()),
+                "fp": pa.array([int(np.bitwise_xor.reduce(fp))], pa.int64()),
+            }
+        )
+
+    p = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("event_type").map_groups(merge, batch_format="pyarrow")
+
+
 def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
     """Star-schema multi-join (TPC-H Q5 shape): lineitem ⋈ supplier ⋈
     nation ⋈ region, revenue per region in exact cents.

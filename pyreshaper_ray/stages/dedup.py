@@ -611,6 +611,67 @@ def minhash_dedup(
     return verify_pairs(cands, ds, threshold=threshold)
 
 
+def ngram_jaccard_neighbors(
+    ds_docs: "ray.data.Dataset", k: int = 3
+) -> "ray.data.Dataset":
+    """Exact character-``k``-gram Jaccard for the deterministic neighbor
+    pairs (doc_id, doc_id+1), both sides ≥ ``k`` chars — the n-gram-Jaccard
+    dedup family's verification kernel run distributed, with a
+    SQL-expressible pair rule so the oracle can replay it.
+
+    Shape: each doc flat-maps into ≤2 (pair_id, member) rows, one hash
+    groupby co-locates each pair, and the per-pair kernel intersects true
+    k-gram SETS (no hashing, so the ppm ratio is exact). The exchange here
+    is 2× corpus text BY CONSTRUCTION — every doc is in two pairs; when the
+    pair list is LSH-candidate-sized instead, use ``verify_pairs``, which
+    prefilters to members before any exchange.
+
+    Output: doc_a, doc_b, jaccard_ppm (floor(10⁶·|∩|/|∪|), BIGINT).
+    """
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(batch["text"])
+        t = pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "text": batch["text"]}
+        ).filter(pc.greater_equal(ln, k))
+        left = t.append_column("pair_id", t["doc_id"])
+        right = t.append_column(
+            "pair_id", pc.subtract(t["doc_id"], pa.scalar(1, pa.int64()))
+        )
+        return pa.concat_tables([left, right])
+
+    OUT = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_ppm", pa.int64())]
+    )
+
+    def per_pair(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows != 2:
+            return OUT.empty_table()
+        ids = group["doc_id"].to_pylist()
+        texts = group["text"].to_pylist()
+        lo = int(ids[0] <= ids[1])  # index of the larger id
+        a, b = (1 - lo, lo)
+        if ids[b] != ids[a] + 1:
+            return OUT.empty_table()
+        sa = {texts[a][i : i + k] for i in range(len(texts[a]) - k + 1)}
+        sb = {texts[b][i : i + k] for i in range(len(texts[b]) - k + 1)}
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        return pa.table(
+            {
+                "doc_a": pa.array([ids[a]], pa.int64()),
+                "doc_b": pa.array([ids[b]], pa.int64()),
+                "jaccard_ppm": pa.array(
+                    [(inter * 1_000_000) // union if union else 1_000_000],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    p = ds_docs.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("pair_id").map_groups(per_pair, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------------- simhash
 
 

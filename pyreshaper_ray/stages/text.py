@@ -240,6 +240,67 @@ def top_terms(
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def trending_terms(
+    ds_transcripts: "ray.data.Dataset", k: int = 3, unit: str = "day"
+) -> "ray.data.Dataset":
+    """Top-``k`` terms per tumbling time window (trending terms) — the
+    windowed variant of ``top_terms``, the shape a corpus monitor runs
+    daily over incoming text.
+
+    Combiner-first: each block reduces to one row per distinct
+    (window, term) (Arrow ``group_by``; the window key rides
+    ``list_parent_indices`` from row to token), the final groupby sums the
+    per-block counts, and the per-window top-k is a result-sized
+    ``map_groups`` sort with the deterministic (n DESC, term ASC)
+    tie-break. Tokenization is RE2 ``[^a-z0-9]+`` on lowercased text,
+    restated verbatim in the oracle.
+
+    Output: day, term, n (BIGINT).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        day = pc.floor_temporal(batch["ts"], unit=unit)
+        if isinstance(day, pa.ChunkedArray):
+            day = day.combine_chunks()
+        flat = pc.list_flatten(toks)
+        day_rep = day.take(pc.list_parent_indices(toks))
+        t = pa.table({"day": day_rep, "term": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = t.group_by(["day", "term"]).aggregate([("term", "count")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "term": g["term"],
+                "n": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [("day", pa.timestamp("us")), ("term", pa.string()), ("n", pa.int64())]
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        idx = pc.sort_indices(
+            group, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )
+        return group.take(idx[:k])
+
+    p = ds_transcripts.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = p.groupby(["day", "term"]).aggregate(_Sum("n", alias_name="n"))
+    return agg.groupby("day").map_groups(topk, batch_format="pyarrow")
+
+
 def tfidf_top_term(ds_docs: "ray.data.Dataset", n_docs: int) -> "ray.data.Dataset":
     """Most-distinctive term per document by tf-idf — the canonical two-pass
     corpus statistic:

@@ -296,6 +296,43 @@ def moving_sum_turns(
     )
 
 
+def rolling_minmax_turns(
+    ds_normalized: "ray.data.Dataset", frame: int = 3
+) -> "ray.data.Dataset":
+    """MIN/MAX(char_len) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS
+    BETWEEN ``frame``-1 PRECEDING AND CURRENT ROW) — the rolling-extrema
+    frame window, integer-exact. Vectorized as ``frame``-1 shifted
+    elementwise min/max passes per sorted group (O(frame·n); for large
+    frames swap in a monotonic-deque kernel — same partitioning, same
+    output contract).
+
+    Output: conv_id, turn_idx, roll_min, roll_max (BIGINT).
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        x = g["char_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = x.copy()
+        mx = x.copy()
+        for s in range(1, frame):
+            if s >= len(x):
+                break
+            np.minimum(mn[s:], x[:-s], out=mn[s:])
+            np.maximum(mx[s:], x[:-s], out=mx[s:])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "roll_min": pa.array(mn, pa.int64()),
+                "roll_max": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
 def first_last_role(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     """FIRST_VALUE / LAST_VALUE by turn order per conversation (the
     arg-min/arg-max shape: ``arg_min(role, turn_idx)`` in DuckDB terms),

@@ -532,3 +532,107 @@ print("OK")
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_conv_trend_components_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import conv_trend_components
+
+    # conv a: (x,y) = (0,10),(1,20),(2,40) -> n=3 Σx=3 Σy=70 Σxy=100 Σx²=5
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+            "char_len": pa.array([10, 20, 40, 7], pa.int32()),
+        }
+    )
+    rows = {
+        r["conv_id"]: r
+        for r in conv_trend_components(ray.data.from_arrow(t)).take_all()
+    }
+    a = rows["a"]
+    assert (a["n"], a["sum_x"], a["sum_y"], a["sum_xy"], a["sum_x2"]) == (
+        3, 3, 70, 100, 5,
+    )
+    b = rows["b"]
+    assert (b["n"], b["sum_x"], b["sum_y"], b["sum_xy"], b["sum_x2"]) == (
+        1, 0, 7, 0, 0,
+    )
+
+
+def test_latest_event_per_user_tiebreak(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import latest_event_per_user
+
+    base = 1_700_000_000_000_000
+    # user 1: two events at the SAME ts -> higher event_id wins;
+    # user 2: later ts wins regardless of event_id order
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([base, base, base + 5, base + 9], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([11, 12, 99, 3], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "d"]),
+            "value": pa.array([1.25, 2.50, 3.75, 4.00], pa.float64()),
+        }
+    )
+    rows = {
+        r["user_id"]: r
+        for r in latest_event_per_user(ray.data.from_arrow(t)).take_all()
+    }
+    assert len(rows) == 2
+    assert (rows[1]["event_id"], rows[1]["event_type"], rows[1]["value_cents"]) == (
+        12, "b", 250,
+    )
+    assert (rows[2]["event_id"], rows[2]["event_type"], rows[2]["value_cents"]) == (
+        3, "d", 400,
+    )
+
+
+def test_partition_fingerprint_block_invariance(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import partition_fingerprint
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (i, base + i * 7, i % 3, "ab"[i % 2], float(i) + 0.25) for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype=np.int64), pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+    def expected():
+        out = {}
+        for eid, ts, uid, et, v in rows:
+            cents = round(v * 100)
+            s = f"{eid}|{ts}|{uid}|{cents}"
+            fp = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            n, x = out.get(et, (0, 0))
+            out[et] = (n + 1, x ^ fp)
+        return out
+
+    want = expected()
+    # 1 block vs 8 blocks must agree exactly (XOR merge is order-free)
+    for nblocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        got = {
+            r["event_type"]: (r["n_rows"], r["fp"])
+            for r in partition_fingerprint(ds).take_all()
+        }
+        assert got == want, nblocks

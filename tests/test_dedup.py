@@ -178,3 +178,23 @@ def test_bounded_union_find_raises_on_oversized_pair_list():
     # under the bound: full compression to min-id representatives
     parent = bounded_union_find([1, 2], [2, 3])
     assert parent == {1: 1, 2: 1, 3: 1}
+
+
+def test_ngram_jaccard_neighbors_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import ngram_jaccard_neighbors
+
+    # docs 0/1 identical -> 1e6 ppm; 1/2 disjoint trigrams -> 0 ppm;
+    # doc 3 is shorter than k -> pairs (2,3) and (3,4) are skipped
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["abcd", "abcd", "wxyz", "zz", "abcd"]),
+        }
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in ngram_jaccard_neighbors(ray.data.from_arrow(t), k=3).take_all()
+    }
+    assert rows == {(0, 1): 1_000_000, (1, 2): 0}

@@ -102,3 +102,36 @@ def test_winnowing_substring_guarantee(ray_session):
         {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["hi"], pa.string())}
     )
     assert winnow_batch(short)["n_fingerprints"][0].as_py() == 0
+
+
+def test_trending_terms_per_day_topk(ray_session):
+    import numpy as np
+    import ray.data
+
+    from pyreshaper_ray.stages.text import trending_terms
+
+    us = 1_000_000
+    d1 = (1_700_006_400 // 86_400) * 86_400 * us  # a UTC midnight
+    d2 = d1 + 86_400 * us
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.array([d1 + 5, d1 + 9, d2 + 1, d2 + 2], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+            # day1: aa x3, bb x2, cc x1 -> top3 aa,bb,cc
+            # day2: zz x2, aa x2 (tie -> aa first), yy x1
+            "text": pa.array(
+                ["aa bb aa. cc", "aa, bb", "zz aa yy", "aa zz"]
+            ),
+        }
+    )
+    rows = trending_terms(ray.data.from_arrow(t), k=3, unit="day").take_all()
+    got = [(r["ts"] if "ts" in r else r["day"], r["term"], r["n"]) for r in rows]
+    by_day = {}
+    for day, term, n in got:
+        by_day.setdefault(day, []).append((term, n))
+    days = sorted(by_day)
+    assert [t_ for t_, _ in by_day[days[0]]] == ["aa", "bb", "cc"]
+    assert by_day[days[0]] == [("aa", 3), ("bb", 2), ("cc", 1)]
+    assert by_day[days[1]] == [("aa", 2), ("zz", 2), ("yy", 1)]

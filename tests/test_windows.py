@@ -141,6 +141,30 @@ def test_moving_sum_frame_edges(ray_session):
     }
 
 
+def test_rolling_minmax_frame_edges(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import rolling_minmax_turns
+
+    # frame=3 over [5,1,4,2]: min 5,1,1,1 / max 5,5,5,4; short group: [7]
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 4 + ["b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+            "char_len": pa.array([5, 1, 4, 2, 7], pa.int32()),
+        }
+    )
+    rows = rolling_minmax_turns(ray.data.from_arrow(t), frame=3).take_all()
+    got = {(r["conv_id"], r["turn_idx"]): (r["roll_min"], r["roll_max"]) for r in rows}
+    assert got == {
+        ("a", 0): (5, 5),
+        ("a", 1): (1, 5),
+        ("a", 2): (1, 5),
+        ("a", 3): (1, 4),
+        ("b", 0): (7, 7),
+    }
+
+
 def test_mode_role_tie_breaks_lexicographically(ray_session):
     import ray.data
 
