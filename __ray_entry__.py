@@ -385,6 +385,92 @@ def q_partition_fingerprint(sf_dir: str):
     return partition_fingerprint(ev)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """CDC diff between two deterministic synthetic snapshots of events
+    (old = ids % 89 ≠ 0; new = ids % 97 ≠ 0 with a +1.00 value bump where
+    id % 101 = 0) — added/removed/changed per key; each side reduces to
+    (key, digest) before the exchange."""
+    import numpy as np
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import snapshot_diff
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def old_side(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(eid % 89 != 0))
+
+    def new_side(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(eid % 97 != 0))
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bumped = v + (eid % 101 == 0).astype(np.float64)
+        return b.set_column(
+            b.schema.get_field_index("value"), "value", pa.array(bumped)
+        )
+
+    old = ev.map_batches(old_side, batch_format="pyarrow", zero_copy_batch=True)
+    new = ev.map_batches(new_side, batch_format="pyarrow", zero_copy_batch=True)
+    return snapshot_diff(old, new)
+
+
+def q_debounce_events(sf_dir: str):
+    """Debounce the event stream per (user, type): keep first-of-key or
+    events > 10 min after the key's previous event (LAG semantics)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import debounce_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return debounce_events(ev, gap_s=600)
+
+
+def q_clean_text(sf_dir: str):
+    """Whitespace-normalization hygiene pass (Arrow RE2 kernels, byte-exact
+    vs the oracle's identical pattern)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import clean_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return clean_text(ds)
+
+
+def q_redact_pii(sf_dir: str):
+    """PII redaction (emails then phones) with per-doc audit counts —
+    vectorized RE2 substitution, byte-exact vs the oracle."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import redact_pii
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return redact_pii(ds)
+
+
+def q_user_gap_stats(sf_dir: str):
+    """Per-user inter-event gap distribution (integer whole-second
+    sufficient statistics, deterministic (ts, event_id) order)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import user_gap_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return user_gap_stats(ev)
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate ANN (sign-LSH buckets, per-bucket top-k via map_groups).
     No SQL oracle by design (approximate); the recall-vs-bruteforce gate
@@ -1305,6 +1391,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neighbors": q_ngram_jaccard_neighbors,
         "trending_terms_daily": q_trending_terms,
         "partition_fingerprint": q_partition_fingerprint,
+        "snapshot_diff_events": q_snapshot_diff,
+        "debounce_events_10m": q_debounce_events,
+        "clean_text_documents": q_clean_text,
+        "redact_pii_documents": q_redact_pii,
+        "user_gap_stats": q_user_gap_stats,
         "text_embed_knn5": q_text_embed_knn,
         "lttb_downsample_8": q_lttb_downsample,
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2344,5 +2435,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
                )), 1, 15)) AS BIGINT)) AS fp
         FROM events GROUP BY 1
+    """
+    out["snapshot_diff_events"] = """
+        WITH a AS (
+            SELECT event_id,
+                   SUBSTRING(md5(CONCAT_WS('|',
+                       CAST(event_id AS VARCHAR),
+                       CAST(epoch_us(ts) AS VARCHAR),
+                       CAST(user_id AS VARCHAR),
+                       CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+                   )), 1, 15) AS h
+            FROM events WHERE event_id % 89 <> 0
+        ),
+        b AS (
+            SELECT event_id,
+                   SUBSTRING(md5(CONCAT_WS('|',
+                       CAST(event_id AS VARCHAR),
+                       CAST(epoch_us(ts) AS VARCHAR),
+                       CAST(user_id AS VARCHAR),
+                       CAST(CAST(ROUND(value * 100) AS BIGINT)
+                            + CASE WHEN event_id % 101 = 0
+                                   THEN 100 ELSE 0 END AS VARCHAR)
+                   )), 1, 15) AS h
+            FROM events WHERE event_id % 97 <> 0
+        )
+        SELECT CAST(COALESCE(a.event_id, b.event_id) AS BIGINT) AS event_id,
+               CASE WHEN a.event_id IS NULL THEN 'added'
+                    WHEN b.event_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+        WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.h <> b.h
+    """
+    out["debounce_events_10m"] = """
+        SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type, ts
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap
+            FROM events
+        )
+        WHERE gap IS NULL OR gap > 600000000
+    """
+    out["clean_text_documents"] = r"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean,
+               CAST(LENGTH(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                    AS BIGINT) AS n_chars_clean
+        FROM documents
+    """
+    out["redact_pii_documents"] = r"""
+        WITH e AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1
+            FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               regexp_replace(t1, '\b\d{3}[- ]\d{3}[- ]\d{4}\b',
+                              '[PHONE]', 'g') AS red_text,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t1,
+                   '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT) AS n_phones
+        FROM e
+    """
+    out["user_gap_stats"] = """
+        WITH g AS (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)))
+                       // 1000000 AS gap_s
+            FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS sumsq_gap_s,
+               CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM g WHERE gap_s IS NOT NULL GROUP BY 1
     """
     return out

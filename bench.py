@@ -247,6 +247,11 @@ def run_bench(headline_only: bool = False) -> dict:
         "ngram_jaccard_neighbors",
         "trending_terms_daily",
         "partition_fingerprint",
+        "snapshot_diff_events",
+        "debounce_events_10m",
+        "clean_text_documents",
+        "redact_pii_documents",
+        "user_gap_stats",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

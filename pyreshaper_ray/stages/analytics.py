@@ -733,6 +733,27 @@ def latest_event_per_user(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return p.groupby("kb").map_groups(merge, batch_format="pyarrow")
 
 
+def row_fps(t: pa.Table) -> np.ndarray:
+    """60-bit md5 digest of the canonical event row string
+    ``event_id|epoch_us|user_id|value_cents`` — the row identity both
+    fingerprint ops (``partition_fingerprint``, ``snapshot_diff``) and
+    their SQL oracles share. String assembly is one Arrow kernel; the
+    per-row digest is C-speed and inherent to a content checksum."""
+    import hashlib
+
+    s = pc.binary_join_element_wise(
+        pc.cast(t["event_id"], pa.string()),
+        pc.cast(pc.cast(t["ts"], pa.int64()), pa.string()),
+        pc.cast(t["user_id"], pa.string()),
+        pc.cast(t["value_cents"], pa.string()),
+        "|",
+    )
+    return np.array(
+        [int(hashlib.md5(x.encode()).hexdigest()[:15], 16) for x in s.to_pylist()],
+        dtype=np.int64,
+    )
+
+
 def partition_fingerprint(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Order-insensitive partition checksum (anti-entropy / table-diff):
     per event_type partition, XOR over rows of the first 60 bits of
@@ -749,23 +770,6 @@ def partition_fingerprint(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     Output: event_type, n_rows, fp (BIGINTs).
     """
-    import hashlib
-
-    def row_fps(t: pa.Table) -> np.ndarray:
-        s = pc.binary_join_element_wise(
-            pc.cast(t["event_id"], pa.string()),
-            pc.cast(pc.cast(t["ts"], pa.int64()), pa.string()),
-            pc.cast(t["user_id"], pa.string()),
-            pc.cast(t["value_cents"], pa.string()),
-            "|",
-        )
-        return np.array(
-            [
-                int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
-                for x in s.to_pylist()
-            ],
-            dtype=np.int64,
-        )
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -810,6 +814,85 @@ def partition_fingerprint(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     p = events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return p.groupby("event_type").map_groups(merge, batch_format="pyarrow")
+
+
+def snapshot_diff(
+    ds_old: "ray.data.Dataset", ds_new: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Change-data-capture diff of two snapshots of a keyed event table:
+    which keys were added, removed, or changed between them (identical rows
+    are omitted). The table-migration/replication audit op — at 100 TB each
+    side reduces to (key, 60-bit row digest) rows BEFORE the exchange, so
+    the shuffle moves 16-byte rows, never payloads (the same slim-exchange
+    rule as exact dedup).
+
+    Shape: tag each side, union, one hash groupby on a coarse bucket of the
+    key, then a vectorized run-merge per bucket — singleton key runs decide
+    added/removed by their tag, two-row runs compare digests. No join
+    operator needed, so the Ray 2.49 empty-block join edge can't bite.
+
+    Output: event_id, change ∈ {'added','removed','changed'}.
+    """
+
+    def tagged(side: int):
+        def prep(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "event_id": pc.cast(batch["event_id"], pa.int64()),
+                    "ts": batch["ts"],
+                    "user_id": pc.cast(batch["user_id"], pa.int64()),
+                    "value_cents": to_cents(batch["value"]),
+                }
+            )
+            fp = row_fps(t)
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "h": pa.array(fp, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(fp), side, dtype=np.int64), pa.int64()
+                    ),
+                    "kb": pa.array(eid & 1023, pa.int64()),
+                }
+            )
+
+        return prep
+
+    OUT = pa.schema([("event_id", pa.int64()), ("change", pa.string())])
+
+    def merge(block: pa.Table) -> pa.Table:
+        if block.num_columns == 0 or block.num_rows == 0:
+            return OUT.empty_table()
+        idx = pc.sort_indices(
+            block, sort_keys=[("event_id", "ascending"), ("side", "ascending")]
+        )
+        t = block.take(idx)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, eid[1:] != eid[:-1]])
+        lens = np.diff(np.r_[starts, len(eid)])
+        out_id, out_chg = [], []
+        singles = starts[lens == 1]
+        out_id.append(eid[singles])
+        out_chg.extend(
+            "removed" if s == 0 else "added" for s in side[singles]
+        )
+        pairs = starts[lens == 2]
+        diff = pairs[h[pairs] != h[pairs + 1]]
+        out_id.append(eid[diff])
+        out_chg.extend(["changed"] * len(diff))
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "change": pa.array(out_chg, pa.string()),
+            }
+        )
+
+    a = ds_old.map_batches(tagged(0), batch_format="pyarrow", zero_copy_batch=True)
+    b = ds_new.map_batches(tagged(1), batch_format="pyarrow", zero_copy_batch=True)
+    return a.union(b).groupby("kb").map_groups(merge, batch_format="pyarrow")
 
 
 def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":

@@ -240,6 +240,62 @@ def top_terms(
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def clean_text(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Whitespace normalization — the first hygiene pass of a training-data
+    text pipeline: collapse every whitespace run to a single space and trim
+    the ends. Pure Arrow RE2 kernels per block (zero Python per row), and
+    the oracle restates the same RE2 pattern, so outputs are byte-exact.
+
+    Output: doc_id, clean (STRING), n_chars_clean (BIGINT).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        c = pc.replace_substring_regex(batch["text"], pattern=r"\s+", replacement=" ")
+        c = pc.utf8_trim_whitespace(c)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "clean": c,
+                "n_chars_clean": pc.cast(pc.utf8_length(c), pa.int64()),
+            }
+        )
+
+    return ds_docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def redact_pii(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """PII redaction (emails, NANP-style phone numbers) — the
+    privacy-hygiene stage a corpus runs before training. Vectorized RE2
+    substitution per block; counts come from the same patterns so the
+    redaction is auditable. Both patterns are restated verbatim in the
+    DuckDB oracle (both engines are RE2, leftmost-continue global
+    substitution), so text and counts are byte-exact.
+
+    Output: doc_id, red_text, n_emails, n_phones.
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        n_email = pc.count_substring_regex(txt, pattern=_EMAIL_RE)
+        red = pc.replace_substring_regex(txt, pattern=_EMAIL_RE, replacement="[EMAIL]")
+        n_phone = pc.count_substring_regex(red, pattern=_PHONE_RE)
+        red = pc.replace_substring_regex(red, pattern=_PHONE_RE, replacement="[PHONE]")
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "red_text": red,
+                "n_emails": pc.cast(n_email, pa.int64()),
+                "n_phones": pc.cast(n_phone, pa.int64()),
+            }
+        )
+
+    return ds_docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def trending_terms(
     ds_transcripts: "ray.data.Dataset", k: int = 3, unit: str = "day"
 ) -> "ray.data.Dataset":

@@ -564,6 +564,88 @@ def rolling_range_sum_user(
     )
 
 
+def debounce_events(
+    events_ds: "ray.data.Dataset", gap_s: int = 600
+) -> "ray.data.Dataset":
+    """Debounce/throttle an event stream: keep an event iff it is the first
+    for its (user_id, event_type) key or arrives more than ``gap_s``
+    seconds after the key's PREVIOUS event (LAG semantics — each event
+    compares to its immediate predecessor, so the filter is a pure window
+    expression, SQL-replayable; a "previous KEPT" throttle would be a
+    stateful scan with no SQL analog).
+
+    One hash groupby on the composite key, then a vectorized sorted-diff
+    kernel per group — the ingest-hygiene stage that strips
+    double-fires/retries before counts are computed downstream.
+
+    Output: event_id, user_id, event_type, ts.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        return g.filter(pa.array(keep)).select(
+            ["event_id", "user_id", "event_type", "ts"]
+        )
+
+    return events_ds.groupby(["user_id", "event_type"]).map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def user_gap_stats(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Inter-event gap distribution per user (burstiness analysis): count,
+    sum, sum-of-squares, min and max of whole-second gaps between
+    consecutive events under the deterministic (ts, event_id) order.
+
+    All outputs are associative integer stats (gaps floor to whole seconds
+    BEFORE squaring so Σgap² stays far inside int64), one hash groupby on
+    the user key, vectorized diff kernel per group. Single-event users emit
+    nothing (no gap exists).
+
+    Output: user_id, n_gaps, sum_gap_s, sumsq_gap_s, min_gap_s, max_gap_s.
+    """
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("sum_gap_s", pa.int64()),
+            ("sumsq_gap_s", pa.int64()),
+            ("min_gap_s", pa.int64()),
+            ("max_gap_s", pa.int64()),
+        ]
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows < 2:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gap_s = (ts[1:] - ts[:-1]) // 1_000_000
+        return pa.table(
+            {
+                "user_id": pc.cast(g["user_id"][:1], pa.int64()),
+                "n_gaps": pa.array([len(gap_s)], pa.int64()),
+                "sum_gap_s": pa.array([int(gap_s.sum())], pa.int64()),
+                "sumsq_gap_s": pa.array([int((gap_s * gap_s).sum())], pa.int64()),
+                "min_gap_s": pa.array([int(gap_s.min())], pa.int64()),
+                "max_gap_s": pa.array([int(gap_s.max())], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")
+
+
 def event_transitions(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """First-order event-sequence transitions (Markov-chain counts): per
     user, order events by (ts, event_id) and count each consecutive

@@ -636,3 +636,38 @@ def test_partition_fingerprint_block_invariance(ray_session):
             for r in partition_fingerprint(ds).take_all()
         }
         assert got == want, nblocks
+
+
+def test_snapshot_diff_three_change_types(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import snapshot_diff
+
+    base = 1_700_000_000_000_000
+
+    def snap(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([base + r[0] for r in rows], dtype=np.int64),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([7] * len(rows), pa.int64()),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        )
+
+    # key 1 identical, key 2 changed value, key 3 only in old (removed),
+    # key 4 only in new (added)
+    old = snap([(1, 1.00), (2, 2.00), (3, 3.00)])
+    new = snap([(1, 1.00), (2, 2.50), (4, 4.00)])
+    for nblocks in (1, 4):
+        got = {
+            r["event_id"]: r["change"]
+            for r in snapshot_diff(
+                ray.data.from_arrow(old).repartition(nblocks),
+                ray.data.from_arrow(new).repartition(nblocks),
+            ).take_all()
+        }
+        assert got == {2: "changed", 3: "removed", 4: "added"}, nblocks

@@ -135,3 +135,45 @@ def test_trending_terms_per_day_topk(ray_session):
     assert [t_ for t_, _ in by_day[days[0]]] == ["aa", "bb", "cc"]
     assert by_day[days[0]] == [("aa", 3), ("bb", 2), ("cc", 1)]
     assert by_day[days[1]] == [("aa", 2), ("zz", 2), ("yy", 1)]
+
+
+def test_clean_text_collapses_and_trims(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import clean_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["  a\t\tb\n\nc  ", "x"]),
+        }
+    )
+    rows = {r["doc_id"]: r for r in clean_text(ray.data.from_arrow(t)).take_all()}
+    assert rows[1]["clean"] == "a b c" and rows[1]["n_chars_clean"] == 5
+    assert rows[2]["clean"] == "x"
+
+
+def test_redact_pii_planted(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import redact_pii
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail me at jo.doe+x@ex-ample.co.uk or call 415-555-1234.",
+                    "two mails a@b.io c@d.org, phone 555 123 4567 ok",
+                    "nothing here",
+                ]
+            ),
+        }
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(ray.data.from_arrow(t)).take_all()}
+    assert rows[1]["red_text"] == "mail me at [EMAIL] or call [PHONE]."
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert rows[2]["red_text"] == "two mails [EMAIL] [EMAIL], phone [PHONE] ok"
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (2, 1)
+    assert rows[3]["red_text"] == "nothing here"
+    assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (0, 0)

@@ -235,3 +235,63 @@ def test_ntile_uneven_split(ray_session):
     by_sum = {r["char_sum"]: r["tile"] for r in rows}
     want = {10:1, 20:1, 30:1, 40:2, 50:2, 60:2, 70:3, 80:3, 90:4, 100:4}
     assert by_sum == want
+
+
+def test_debounce_keeps_first_and_spaced(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import debounce_events
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    # user 1 click: t=0 (keep), t=300s (drop), t=1000s (keep: 700s after prev)
+    # user 1 view: t=5 (keep, different key)
+    # user 2 click: same ts twice -> tie dropped
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "click", "view", "click", "click"]
+            ),
+            "ts": pa.array(
+                np.array(
+                    [base, base + 300 * us, base + 1000 * us, base + 5, base, base],
+                    dtype=np.int64,
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in debounce_events(ray.data.from_arrow(t), gap_s=600).take_all()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_user_gap_stats_singletons_emit_nothing(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import user_gap_stats
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    # user 1: gaps 2s and 5s -> n=2 sum=7 sumsq=29 min=2 max=5
+    # user 2: single event -> no row
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                np.array(
+                    [base, base + 2 * us, base + 7 * us, base], dtype=np.int64
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    rows = {r["user_id"]: r for r in user_gap_stats(ray.data.from_arrow(t)).take_all()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r["n_gaps"], r["sum_gap_s"], r["sumsq_gap_s"], r["min_gap_s"], r["max_gap_s"]) == (2, 7, 29, 2, 5)
