@@ -471,6 +471,47 @@ def q_user_gap_stats(sf_dir: str):
     return user_gap_stats(ev)
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension moment stats over the embedding column (floor-milli
+    integer quantization, bit-exact under any block order)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import embedding_dim_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return embedding_dim_stats(ds)
+
+
+def q_sample_per_source(sf_dir: str):
+    """Deterministic 5-per-stratum sample of documents by md5(doc_id) order
+    — combiner-first per-group top-k, k×strata×blocks exchange."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import sample_per_stratum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return sample_per_stratum(ds, k=5).select_columns(
+        ["source", "doc_id", "n_chars"]
+    )
+
+
+def q_event_trigrams(sf_dir: str):
+    """Global (a, b, c) event-type trigram counts over per-user ordered
+    streams — sequence mining one step past the Markov transitions."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import event_trigrams
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return event_trigrams(ev)
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate ANN (sign-LSH buckets, per-bucket top-k via map_groups).
     No SQL oracle by design (approximate); the recall-vs-bruteforce gate
@@ -1396,6 +1437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text_documents": q_clean_text,
         "redact_pii_documents": q_redact_pii,
         "user_gap_stats": q_user_gap_stats,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "sample_per_source_5": q_sample_per_source,
+        "event_trigrams": q_event_trigrams,
         "text_embed_knn5": q_text_embed_knn,
         "lttb_downsample_8": q_lttb_downsample,
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2517,5 +2561,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
                CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
         FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    """
+    out["embedding_dim_stats"] = """
+        WITH q AS (
+            SELECT CAST(g.i AS BIGINT) - 1 AS dim,
+                   CAST(FLOOR(CAST(list_extract(e.embedding, CAST(g.i AS INT))
+                       AS DOUBLE) * 1000) AS BIGINT) AS qv
+            FROM embeddings e,
+                 LATERAL (SELECT UNNEST(range(1, 65)) AS i) g
+        )
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv) AS BIGINT) AS sum_q,
+               CAST(SUM(qv * qv) AS BIGINT) AS sumsq_q,
+               CAST(MIN(qv) AS BIGINT) AS min_q,
+               CAST(MAX(qv) AS BIGINT) AS max_q
+        FROM q GROUP BY 1
+    """
+    out["sample_per_source_5"] = """
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= 5
+    """
+    out["event_trigrams"] = """
+        WITH s AS (
+            SELECT event_type AS a,
+                   LEAD(event_type, 1) OVER w AS b,
+                   LEAD(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE c IS NOT NULL GROUP BY 1, 2, 3
     """
     return out

@@ -252,6 +252,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "clean_text_documents",
         "redact_pii_documents",
         "user_gap_stats",
+        "embedding_dim_stats",
+        "sample_per_source_5",
+        "event_trigrams",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

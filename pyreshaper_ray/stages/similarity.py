@@ -652,6 +652,66 @@ def gram_matrix(ds_emb: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def embedding_dim_stats(ds_emb: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-dimension moment statistics of the embedding column — the
+    feature-standardization precompute (mean/std per dim derive from the
+    components in one float division at the consumer).
+
+    Same exactness rule as ``gram_matrix``: quantize FIRST to integer
+    milli-units (``floor(e * 1000)``), then every partial is associative
+    int64 math and the distributed result is bit-exact under any block
+    order. Each block reduces to ``dim`` rows before the exchange.
+    Overflow headroom: q² <= ~1.2e6, so Σq² holds ~7.6e12 rows per dim.
+
+    Output: dim (BIGINT, 0-based), n, sum_q, sumsq_q, min_q, max_q.
+    """
+    OUT = pa.schema(
+        [
+            ("dim", pa.int64()),
+            ("n", pa.int64()),
+            ("sum_q", pa.int64()),
+            ("sumsq_q", pa.int64()),
+            ("min_q", pa.int64()),
+            ("max_q", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if n == 0 or len(flat) == 0:
+            return OUT.empty_table()
+        dim = len(flat) // n
+        q = np.floor(flat.astype(np.float64) * 1000.0).astype(np.int64)
+        q = q.reshape(n, dim)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(dim, n, dtype=np.int64), pa.int64()),
+                "sum_q": pa.array(q.sum(axis=0), pa.int64()),
+                "sumsq_q": pa.array((q * q).sum(axis=0), pa.int64()),
+                "min_q": pa.array(q.min(axis=0), pa.int64()),
+                "max_q": pa.array(q.max(axis=0), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds_emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("sumsq_q", alias_name="sumsq_q"),
+            Min("min_q", alias_name="min_q"),
+            Max("max_q", alias_name="max_q"),
+        )
+    )
+    return agg.select_columns(["dim", "n", "sum_q", "sumsq_q", "min_q", "max_q"])
+
+
 def kmeans_embeddings(
     sf_dir: str, k: int = 8, n_iters: int = 5
 ) -> "ray.data.Dataset":

@@ -152,6 +152,65 @@ def hash_sample(
     return ds_docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_per_stratum(
+    ds_docs: "ray.data.Dataset",
+    k: int = 5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    columns: tuple[str, ...] = ("doc_id", "n_chars"),
+) -> "ray.data.Dataset":
+    """Deterministic fixed-size sample of ``k`` rows PER STRATUM: order each
+    stratum by md5(id) (uniform ⇒ unbiased, reproducible across runs,
+    engines and cluster shapes — ``hash_sample``'s rule applied per group)
+    and keep the first ``k``, tie-broken by id.
+
+    Combiner-first top-k: each block reduces to <= k candidate rows per
+    (block, stratum) BEFORE the exchange, then one groupby(stratum) merge
+    re-applies the same order — so the shuffle carries k x strata x blocks
+    rows, never the corpus, and the result equals a global sort's.
+
+    Output: stratum_col + ``columns``.
+    """
+    import hashlib
+
+    out_cols = [stratum_col, *columns]
+
+    def ranked(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = pa.array(
+            [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in ids],
+            pa.string(),
+        )
+        t = batch.select(out_cols).append_column("h", h)
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                (stratum_col, "ascending"),
+                ("h", "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        s = t[stratum_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[starts[1:], len(s)]
+        keep = np.concatenate(
+            [np.arange(a, min(a + k, b)) for a, b in zip(starts, ends)]
+        )
+        return t.take(pa.array(keep, pa.int64()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return group
+        idx = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), (id_col, "ascending")]
+        )
+        return group.take(idx[:k]).select(out_cols)
+
+    p = ds_docs.map_batches(ranked, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(stratum_col).map_groups(merge, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ DDSketch
 
 _DD_ALPHA = 0.01  # 1% relative-error guarantee

@@ -599,6 +599,63 @@ def debounce_events(
     )
 
 
+def event_trigrams(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Second-order event-sequence mining: count each consecutive
+    (a, b, c) event-type TRIPLE per user stream under the deterministic
+    (ts, event_id) order, summed globally — ``event_transitions`` extended
+    one step (the "what path led here" question funnels can't answer).
+
+    Per-user kernel = one sort + three array slices + an Arrow group_by;
+    each group reduces to <= |types|³ rows before the result-sized final
+    aggregate.
+
+    Output: a, b, c (STRING), n (BIGINT).
+    """
+    OUT = pa.schema(
+        [
+            ("a", pa.string()),
+            ("b", pa.string()),
+            ("c", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def triples(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = g["event_type"]
+        if len(et) < 3:
+            return OUT.empty_table()
+        t = pa.table(
+            {
+                "a": et.slice(0, len(et) - 2).combine_chunks(),
+                "b": et.slice(1, len(et) - 2).combine_chunks(),
+                "c": et.slice(2).combine_chunks(),
+            }
+        )
+        agg = t.group_by(["a", "b", "c"]).aggregate([("a", "count")])
+        return pa.table(
+            {
+                "a": agg["a"],
+                "b": agg["b"],
+                "c": agg["c"],
+                "n": pc.cast(agg["a_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(triples, batch_format="pyarrow")
+        .groupby(["a", "b", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def user_gap_stats(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Inter-event gap distribution per user (burstiness analysis): count,
     sum, sum-of-squares, min and max of whole-second gaps between

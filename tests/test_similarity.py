@@ -182,3 +182,32 @@ def test_knn_ivf_recall(ray_session):
     assert set(by_q) == set(ref)
     recalls = [len(by_q[q] & set(ref[q])) / 5 for q in ref]
     assert float(np.mean(recalls)) >= 0.3  # 4/16 cells probed on random data
+
+
+def test_embedding_dim_stats_floor_and_merge(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import embedding_dim_stats
+
+    # dim0: [0.0015, -0.0015, 1.0] -> q = [1, -2, 1000]
+    # dim1: [0.5, 0.25, -1.0]     -> q = [500, 250, -1000]
+    vecs = [[0.0015, 0.5], [-0.0015, 0.25], [1.0, -1.0]]
+    t = pa.table(
+        {"embedding": pa.array(vecs, pa.list_(pa.float32()))}
+    )
+    for nblocks in (1, 3):
+        rows = {
+            r["dim"]: r
+            for r in embedding_dim_stats(
+                ray.data.from_arrow(t).repartition(nblocks)
+            ).take_all()
+        }
+        d0, d1 = rows[0], rows[1]
+        assert (d0["n"], d0["sum_q"], d0["sumsq_q"], d0["min_q"], d0["max_q"]) == (
+            3, 999, 1000005, -2, 1000,
+        ), nblocks
+        assert (d1["n"], d1["sum_q"], d1["min_q"], d1["max_q"]) == (
+            3, -250, -1000, 500,
+        ), nblocks

@@ -201,3 +201,36 @@ def test_heavy_hitters_error_bound(ray_session):
     # the unambiguous exact top-3 terms must all be reported
     top_exact = [t for t, _ in exact.most_common(3)]
     assert set(top_exact) <= set(out["term"])
+
+
+def test_sample_per_stratum_block_invariant(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import sample_per_stratum
+
+    # stratum 'a': 20 docs -> expect the 3 with smallest md5(id);
+    # stratum 'b': 2 docs (< k) -> both kept
+    ids = list(range(100, 120)) + [900, 901]
+    src = ["a"] * 20 + ["b"] * 2
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(src, pa.string()),
+            "n_chars": pa.array([i * 3 for i in ids], pa.int64()),
+        }
+    )
+    a_sorted = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(100, 120)
+    )
+    want_a = sorted(i for _, i in a_sorted[:3])
+    for nblocks in (1, 5):
+        got = {}
+        for r in sample_per_stratum(
+            ray.data.from_arrow(t).repartition(nblocks), k=3
+        ).take_all():
+            got.setdefault(r["source"], []).append(r["doc_id"])
+        assert sorted(got["a"]) == want_a, nblocks
+        assert sorted(got["b"]) == [900, 901], nblocks

@@ -295,3 +295,29 @@ def test_user_gap_stats_singletons_emit_nothing(ray_session):
     assert set(rows) == {1}
     r = rows[1]
     assert (r["n_gaps"], r["sum_gap_s"], r["sumsq_gap_s"], r["min_gap_s"], r["max_gap_s"]) == (2, 7, 29, 2, 5)
+
+
+def test_event_trigrams_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import event_trigrams
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    # user 1: A B A B -> (A,B,A), (B,A,B); user 2: only 2 events -> none
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["A", "B", "A", "B", "A", "B"]),
+            "ts": pa.array(
+                np.array([base + i * us for i in range(6)], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    rows = {
+        (r["a"], r["b"], r["c"]): r["n"]
+        for r in event_trigrams(ray.data.from_arrow(t)).take_all()
+    }
+    assert rows == {("A", "B", "A"): 1, ("B", "A", "B"): 1}
