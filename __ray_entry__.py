@@ -512,6 +512,36 @@ def q_event_trigrams(sf_dir: str):
     return event_trigrams(ev)
 
 
+def q_value_mad_outliers(sf_dir: str):
+    """Robust MAD outliers over event values — two shuffle-free
+    histogram-refinement medians (value, then |dev|) + one broadcast-scalar
+    filter pass, all in exact integer cents."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import value_mad_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return value_mad_outliers(ev, k=5)
+
+
+def q_drop_repeated_turns(sf_dir: str):
+    """Consecutive-duplicate turn compaction per conversation (LAG text
+    comparison) — the retry scrub, emitting kept keys only."""
+    from pyreshaper_ray.stages.windows import drop_repeated_turns
+
+    return drop_repeated_turns(_norm_ds(sf_dir))
+
+
+def q_q3_unshipped(sf_dir: str):
+    """TPC-H Q3 shape: top-10 open-revenue orders (segment semi-join,
+    pruned orders⋈lineitem hash join, combiner-first revenue)."""
+    from pyreshaper_ray.stages.analytics import q3_unshipped_revenue
+
+    return q3_unshipped_revenue(sf_dir)
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate ANN (sign-LSH buckets, per-bucket top-k via map_groups).
     No SQL oracle by design (approximate); the recall-vs-bruteforce gate
@@ -1440,6 +1470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "sample_per_source_5": q_sample_per_source,
         "event_trigrams": q_event_trigrams,
+        "value_mad_outliers": q_value_mad_outliers,
+        "drop_repeated_turns": q_drop_repeated_turns,
+        "q3_unshipped_revenue": q_q3_unshipped,
         "text_embed_knn5": q_text_embed_knn,
         "lttb_downsample_8": q_lttb_downsample,
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2597,5 +2630,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
         FROM s WHERE c IS NOT NULL GROUP BY 1, 2, 3
+    """
+    out["value_mad_outliers"] = """
+        WITH c AS (
+            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        m AS (SELECT quantile_disc(v, 0.5) AS med FROM c),
+        d AS (SELECT c.event_id, c.v, ABS(c.v - m.med) AS dev FROM c, m),
+        md AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+        SELECT CAST(d.event_id AS BIGINT) AS event_id,
+               CAST(d.v AS BIGINT) AS value_cents,
+               CAST(d.dev AS BIGINT) AS dev
+        FROM d, md WHERE d.dev > 5 * md.mad
+    """
+    out["drop_repeated_turns"] = f"""
+        WITH t AS ({_T})
+        SELECT conv_id, turn_idx FROM (
+            SELECT conv_id, turn_idx, text,
+                   LAG(text) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev
+            FROM t
+        )
+        WHERE prev IS NULL OR text <> prev
+    """
+    out["q3_unshipped_revenue"] = """
+        WITH r AS (
+            SELECT l.l_orderkey AS orderkey, o.o_orderdate AS orderdate,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                       AS revenue_u
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2
+        )
+        SELECT CAST(orderkey AS BIGINT) AS orderkey, orderdate,
+               CAST(revenue_u AS BIGINT) AS revenue_u
+        FROM r ORDER BY revenue_u DESC, orderkey ASC LIMIT 10
     """
     return out

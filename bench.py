@@ -255,6 +255,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "embedding_dim_stats",
         "sample_per_source_5",
         "event_trigrams",
+        "value_mad_outliers",
+        "drop_repeated_turns",
+        "q3_unshipped_revenue",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -1035,6 +1035,192 @@ def global_median_cents(
     )
 
 
+def _hist_select_median(
+    events_ds: "ray.data.Dataset", to_ints, bins: int = 1024
+) -> int | None:
+    """Lower median (sorted[(n-1)//2]) of ``to_ints(batch) -> int64 array``
+    by the same shuffle-free histogram refinement as
+    ``global_median_cents``, generalized over a derived integer column so
+    second-pass statistics (e.g. MAD deviations) reuse it. Returns None on
+    an empty column. Every pass is combiner-only: a few KiB of bucket
+    counts per block, no exchange."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+
+    def col(batch: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array(to_ints(batch), pa.int64())})
+
+    stats = events_ds.map_batches(col, batch_format="pyarrow").aggregate(
+        Min("c"), Max("c"), Count()
+    )
+    if not stats or not stats.get("count()"):
+        return None
+    lo, hi, n = int(stats["min(c)"]), int(stats["max(c)"]), int(stats["count()"])
+    rank = (n - 1) // 2
+    below = 0
+    while lo < hi:
+        width = max(1, (hi - lo + bins) // bins)
+
+        def partial(batch: pa.Table, lo=lo, hi=hi, width=width) -> pa.Table:
+            c = to_ints(batch)
+            c = c[(c >= lo) & (c <= hi)]
+            idx = np.minimum((c - lo) // width, bins - 1)
+            counts = np.bincount(idx, minlength=bins).astype(np.int64)
+            return pa.table({"h": pa.array([counts.tobytes()], pa.binary())})
+
+        acc = np.zeros(bins, dtype=np.int64)
+        for row in events_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_rows():
+            acc += np.frombuffer(row["h"], dtype=np.int64)
+        cum = np.cumsum(acc)
+        j = int(np.searchsorted(cum, rank - below + 1, side="left"))
+        if j > 0:
+            below += int(cum[j - 1])
+        lo = lo + j * width
+        hi = min(hi, lo + width - 1)
+    return lo
+
+
+def value_mad_outliers(
+    events_ds: "ray.data.Dataset", k: int = 5
+) -> "ray.data.Dataset":
+    """Robust outliers by median absolute deviation: flag events whose
+    |value − median| exceeds ``k`` × MAD — the z-score detector's
+    heavy-tail-safe sibling (one wild value cannot move the thresholds,
+    unlike mean/stddev).
+
+    Entirely in the exact integer-cents domain: two shuffle-free
+    histogram-refinement selections (median of cents, then median of
+    absolute deviations — each a few combiner-only passes, KiB per block),
+    then one broadcast-scalar filter pass. No sort, no exchange anywhere.
+
+    Output: event_id, value_cents, dev (BIGINTs) for flagged rows.
+    """
+    import ray
+
+    def cents(batch: pa.Table) -> np.ndarray:
+        return to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+
+    med = _hist_select_median(events_ds, cents)
+    OUT = pa.schema(
+        [("event_id", pa.int64()), ("value_cents", pa.int64()), ("dev", pa.int64())]
+    )
+    if med is None:
+        return ray.data.from_arrow(OUT.empty_table())
+
+    def devs(batch: pa.Table) -> np.ndarray:
+        return np.abs(cents(batch) - med)
+
+    mad = _hist_select_median(events_ds, devs)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        c = cents(batch)
+        d = np.abs(c - med)
+        keep = d > k * mad
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "value_cents": pa.array(c[keep], pa.int64()),
+                "dev": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    return events_ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q3_unshipped_revenue(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q3 shape: top-10 orders by open revenue — customers in one
+    segment, ordered before the cutoff, shipped after it.
+
+    Scale plan: the segment filter makes customers a key-only semi-join
+    build side (never payload); orders⋈lineitem is the one large-large
+    hash exchange, both sides filter-pruned BEFORE it; revenue aggregates
+    combiner-first per (orderkey, orderdate) inside map_batches so the
+    final groupby moves one row per key per block; the sort input is
+    group-sized, the limit result-sized. Revenue in exact integer units
+    cents × (100 − discount%), ``promo_revenue_ppm``'s rule.
+
+    Output: orderkey, orderdate, revenue_u (BIGINTs).
+    """
+    import ray
+
+    from .joins import hash_join, semi_join
+
+    cutoff_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def orders_pred(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b["o_orderdate"], pa.int64()), pa.int64())
+        return b.filter(pc.less(ts, pa.scalar(cutoff_us, pa.int64())))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
+    orders = semi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def line_pred(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b["l_shipdate"], pa.int64()), pa.int64())
+        b = b.filter(pc.greater(ts, pa.scalar(cutoff_us, pa.int64())))
+        ext = to_cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = to_cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = ext * (100 - disc)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(
+        line,
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "o_orderdate"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "orderkey": pc.cast(g["l_orderkey"], pa.int64()),
+                "orderdate": g["o_orderdate"],
+                "revenue_u": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["orderkey", "orderdate"])
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+    return (
+        agg.sort(["revenue_u", "orderkey"], descending=[True, False])
+        .limit(10)
+        .select_columns(["orderkey", "orderdate", "revenue_u"])
+    )
+
+
 def user_day_membership(
     events_ds: "ray.data.Dataset",
     type_a: str = "purchase",

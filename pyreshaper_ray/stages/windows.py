@@ -599,6 +599,35 @@ def debounce_events(
     )
 
 
+def drop_repeated_turns(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Consecutive-duplicate compaction per conversation: keep a turn iff
+    its text differs from the immediately preceding turn's (LAG semantics)
+    — the retry/double-send scrub a transcript corpus runs before token
+    counting, the text analog of ``debounce_events``.
+
+    One hash groupby on the stream key; the per-group kernel compares
+    adjacent Arrow string slices (vectorized, no Python per row). Emits the
+    kept keys only — re-attach text downstream if needed, so the exchange
+    after the scrub is key-sized.
+
+    Output: conv_id, turn_idx.
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        txt = g["text"].combine_chunks()
+        if len(txt) <= 1:
+            keep = pa.array([True] * len(txt))
+        else:
+            neq = pc.not_equal(txt.slice(1), txt.slice(0, len(txt) - 1))
+            keep = pa.array(np.r_[True, neq.to_numpy(zero_copy_only=False)])
+        return g.filter(keep).select(["conv_id", "turn_idx"])
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
 def event_trigrams(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Second-order event-sequence mining: count each consecutive
     (a, b, c) event-type TRIPLE per user stream under the deterministic

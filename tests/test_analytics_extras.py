@@ -671,3 +671,27 @@ def test_snapshot_diff_three_change_types(ray_session):
             ).take_all()
         }
         assert got == {2: "changed", 3: "removed", 4: "added"}, nblocks
+
+
+def test_value_mad_outliers_robust_to_wild_value(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import value_mad_outliers
+
+    # values: nine near 10.00, one wild 10000.00
+    # median=10.00=1000c; devs: nine <= 3c, wild 999000c; MAD = 1c (lower
+    # median of [0,0,0,1,1,2,2,3,3,999000] -> 1); k=5 -> threshold 5c
+    vals = [10.00, 10.01, 9.99, 10.02, 9.98, 10.03, 9.97, 10.00, 10.01, 10000.00]
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(10)), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    rows = value_mad_outliers(ray.data.from_arrow(t), k=5).take_all()
+    assert [(r["event_id"], r["value_cents"]) for r in rows] == [(9, 1000000)]
+    # empty input: no crash, no rows
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+    )
+    assert value_mad_outliers(ray.data.from_arrow(empty)).take_all() == []

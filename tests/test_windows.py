@@ -321,3 +321,23 @@ def test_event_trigrams_hand(ray_session):
         for r in event_trigrams(ray.data.from_arrow(t)).take_all()
     }
     assert rows == {("A", "B", "A"): 1, ("B", "A", "B"): 1}
+
+
+def test_drop_repeated_turns_lag_semantics(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import drop_repeated_turns
+
+    # conv a: x, x (drop), y, x (keep again: only CONSECUTIVE dups drop)
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 4 + ["b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+            "text": pa.array(["x", "x", "y", "x", "z"]),
+        }
+    )
+    kept = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in drop_repeated_turns(ray.data.from_arrow(t)).take_all()
+    )
+    assert kept == [("a", 0), ("a", 2), ("a", 3), ("b", 0)]
