@@ -542,6 +542,29 @@ def q_q3_unshipped(sf_dir: str):
     return q3_unshipped_revenue(sf_dir)
 
 
+def q_p95_chars_1h(sf_dir: str):
+    """Exact p95 of char_len per 1-hour window — coarse-bucket vectorized
+    multi-window selection (full multiset co-location is inherent to an
+    exact quantile; DDSketch is the approximate path)."""
+    from pyreshaper_ray.stages.analytics import windowed_quantile_chars
+
+    return windowed_quantile_chars(_norm_ds(sf_dir), q=0.95, unit="hour")
+
+
+def q_top_users_by_active_days(sf_dir: str):
+    """Top-10 users by COUNT(DISTINCT active day) — distinct-pair
+    combiner, pair-key groupby, per-user count; shuffles move distinct
+    pairs, never events."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import top_users_by_active_days
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return top_users_by_active_days(ev, k=10)
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate ANN (sign-LSH buckets, per-bucket top-k via map_groups).
     No SQL oracle by design (approximate); the recall-vs-bruteforce gate
@@ -1473,6 +1496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_outliers": q_value_mad_outliers,
         "drop_repeated_turns": q_drop_repeated_turns,
         "q3_unshipped_revenue": q_q3_unshipped,
+        "p95_chars_1h": q_p95_chars_1h,
+        "top_users_by_active_days": q_top_users_by_active_days,
         "text_embed_knn5": q_text_embed_knn,
         "lttb_downsample_8": q_lttb_downsample,
         "flagship_rollup_1m": q_flagship_rollup_1m,
@@ -2671,5 +2696,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(orderkey AS BIGINT) AS orderkey, orderdate,
                CAST(revenue_u AS BIGINT) AS revenue_u
         FROM r ORDER BY revenue_u DESC, orderkey ASC LIMIT 10
+    """
+    out["p95_chars_1h"] = f"""
+        WITH t AS ({_T}),
+        s AS (
+            SELECT date_trunc('hour', ts) AS w,
+                   list_sort(list(LENGTH(text))) AS l,
+                   COUNT(*) AS n
+            FROM t GROUP BY 1
+        )
+        SELECT w AS window_start,
+               CAST(l[GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)] AS BIGINT)
+                   AS p_chars,
+               CAST(n AS BIGINT) AS n_turns
+        FROM s
+    """
+    out["top_users_by_active_days"] = """
+        WITH d AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1 ORDER BY n_days DESC, user_id ASC LIMIT 10
     """
     return out

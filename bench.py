@@ -258,6 +258,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "value_mad_outliers",
         "drop_repeated_turns",
         "q3_unshipped_revenue",
+        "p95_chars_1h",
+        "top_users_by_active_days",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -383,6 +383,126 @@ def quantile_chars_per_conv(
     return ds_normalized.groupby("conv_id").map_groups(sel, batch_format="pyarrow")
 
 
+def windowed_quantile_chars(
+    ds_normalized: "ray.data.Dataset", q: float = 0.95, unit: str = "hour"
+) -> "ray.data.Dataset":
+    """Exact order statistic at quantile ``q`` of char_len per tumbling
+    time window — the per-WINDOW percentile band a latency/size monitor
+    plots (``quantile_chars_per_conv``'s sorted[ceil(q·n)-1] rule, keyed by
+    window instead of stream).
+
+    An exact quantile cannot pre-reduce (the full per-window multiset must
+    co-locate — use the DDSketch path when approximate is acceptable), so
+    the exchange carries (window, value) pairs; the merge groups by a
+    COARSE bucket of the window key and selects for MANY windows in one
+    vectorized lexsort pass — no per-window Python call (the ``ohlc_bars``
+    coarse-bucket rule).
+
+    Output: window_start, p_chars, n_turns (BIGINTs).
+    """
+    import math
+
+    _P = 256
+    unit_us = {"minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000}[
+        unit
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit=unit)
+        wk = pc.cast(pc.cast(w, pa.int64()), pa.int64())
+        return pa.table(
+            {
+                "w": wk,
+                "v": pc.cast(batch["char_len"], pa.int64()),
+                "kb": pc.bit_wise_and(
+                    pc.divide(wk, pa.scalar(unit_us, pa.int64())),
+                    pa.scalar(_P - 1, pa.int64()),
+                ),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("window_start", pa.timestamp("us")),
+            ("p_chars", pa.int64()),
+            ("n_turns", pa.int64()),
+        ]
+    )
+
+    def merge(block: pa.Table) -> pa.Table:
+        if block.num_columns == 0 or block.num_rows == 0:
+            return OUT.empty_table()
+        w = block["w"].to_numpy(zero_copy_only=False)
+        v = block["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, w))
+        w, v = w[order], v[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        n = np.diff(np.r_[starts, len(w)])
+        k = np.maximum(np.ceil(q * n).astype(np.int64) - 1, 0)
+        return pa.table(
+            {
+                "window_start": pa.array(w[starts], pa.timestamp("us")),
+                "p_chars": pa.array(v[starts + k], pa.int64()),
+                "n_turns": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    p = ds_normalized.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("kb").map_groups(merge, batch_format="pyarrow")
+
+
+def top_users_by_active_days(
+    events_ds: "ray.data.Dataset", k: int = 10
+) -> "ray.data.Dataset":
+    """Engagement leaderboard: top-``k`` users by COUNT(DISTINCT active
+    day). Two pre-reduced exchanges: per-block distinct (user, day) pairs
+    (Arrow ``group_by``), a pair-key groupby that leaves one row per
+    distinct pair, then a per-user count — so the shuffles move distinct
+    pairs (bounded by users × days), never events. Result-sized sort with
+    the (n DESC, user ASC) tie-break.
+
+    Output: user_id, n_days (BIGINTs).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.int64()),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"user_id": pc.cast(batch["user_id"], pa.int64()), "day": day}
+        )
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g
+
+    distinct = (
+        events_ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(Count())
+    )
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "n_days": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        distinct.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_days", alias_name="n_days"))
+    )
+    return (
+        agg.sort(["n_days", "user_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["user_id", "n_days"])
+    )
+
+
 def topk_turns_per_conv(
     ds_normalized: "ray.data.Dataset", k: int = 2
 ) -> "ray.data.Dataset":

@@ -695,3 +695,57 @@ def test_value_mad_outliers_robust_to_wild_value(ray_session):
         {"event_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
     )
     assert value_mad_outliers(ray.data.from_arrow(empty)).take_all() == []
+
+
+def test_windowed_quantile_chars_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import windowed_quantile_chars
+
+    us = 1_000_000
+    h0 = (1_700_000_000 // 3600) * 3600 * us  # an exact hour boundary
+    h1 = h0 + 3600 * us
+    # hour0: [10,20,30,40] -> ceil(.95*4)-1 = 3 -> 40; hour1: [7] -> 7
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.array([h0, h0 + 1, h0 + 2, h0 + 3, h1 + 5], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+            "char_len": pa.array([40, 10, 30, 20, 7], pa.int32()),
+        }
+    )
+    for nblocks in (1, 3):
+        rows = {
+            r["window_start"]: (r["p_chars"], r["n_turns"])
+            for r in windowed_quantile_chars(
+                ray.data.from_arrow(t).repartition(nblocks), q=0.95, unit="hour"
+            ).take_all()
+        }
+        vals = sorted(rows.items())
+        assert vals[0][1] == (40, 4), nblocks
+        assert vals[1][1] == (7, 1), nblocks
+
+
+def test_top_users_by_active_days_distinct(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import top_users_by_active_days
+
+    day = 86_400_000_000
+    # user 1: 3 events on 2 distinct days; user 2: 1 day; user 3: 3 days
+    ts = [0, 5, day + 1, 0, 0, day, 2 * day]
+    uid = [1, 1, 1, 2, 3, 3, 3]
+    t = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(np.array(ts, dtype=np.int64), pa.timestamp("us")),
+        }
+    )
+    rows = [
+        (r["user_id"], r["n_days"])
+        for r in top_users_by_active_days(
+            ray.data.from_arrow(t).repartition(3), k=10
+        ).take_all()
+    ]
+    assert rows == [(3, 3), (1, 2), (2, 1)]
