@@ -1417,6 +1417,55 @@ def entry() -> Any:
     return read_tier(out, "1m")
 
 
+def q_rollup_1w(sf_dir: str):
+    """Weekly retention tier — cascaded 1m→1h→1d→1w, never from raw turns
+    (continuous-aggregate contract, SURVEY.md §2.5)."""
+    from pyreshaper_ray.stages.rollup import cascade, rollup_1m
+
+    d = cascade(cascade(rollup_1m(_norm_ds(sf_dir)), "1h"), "1d")
+    return _int64_rollup(cascade(d, "1w"))
+
+
+def q_ewma_chars(sf_dir: str):
+    from pyreshaper_ray.stages.windows import ewma_chars
+
+    return ewma_chars(_norm_ds(sf_dir))
+
+
+def q_q10_returned(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q10_returned_revenue
+
+    return q10_returned_revenue(sf_dir)
+
+
+def q_event_type_overlap(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import event_type_user_overlap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return event_type_user_overlap(ds)
+
+
+def q_scd2_value_history(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import scd2_value_history
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return scd2_value_history(ds)
+
+
+def q_concurrent_convs(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import concurrent_convs
+
+    return concurrent_convs(read_events_as_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
     # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
@@ -1500,6 +1549,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_active_days": q_top_users_by_active_days,
         "text_embed_knn5": q_text_embed_knn,
         "lttb_downsample_8": q_lttb_downsample,
+        "rollup_1w_cascade": q_rollup_1w,
+        "ewma_chars_8": q_ewma_chars,
+        "q10_returned_top20": q_q10_returned,
+        "event_type_user_overlap": q_event_type_overlap,
+        "scd2_value_history": q_scd2_value_history,
+        "concurrent_convs_at_start": q_concurrent_convs,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -2718,5 +2773,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(COUNT(*) AS BIGINT) AS n_days
         FROM d GROUP BY 1 ORDER BY n_days DESC, user_id ASC LIMIT 10
+    """
+    out["rollup_1w_cascade"] = _rollup_sql("week")
+    # dyadic truncated EWMA (alpha=1/2, K=8, zero-padded): every term and
+    # partial sum is exactly representable in float64, so the engine's numpy
+    # shifted-add kernel matches this expression bit-for-bit
+    out["ewma_chars_8"] = f"""
+        WITH t AS ({_T})
+        SELECT conv_id, turn_idx,
+               0.5        * LENGTH(text)
+             + 0.25       * COALESCE(LAG(LENGTH(text), 1) OVER w, 0)
+             + 0.125      * COALESCE(LAG(LENGTH(text), 2) OVER w, 0)
+             + 0.0625     * COALESCE(LAG(LENGTH(text), 3) OVER w, 0)
+             + 0.03125    * COALESCE(LAG(LENGTH(text), 4) OVER w, 0)
+             + 0.015625   * COALESCE(LAG(LENGTH(text), 5) OVER w, 0)
+             + 0.0078125  * COALESCE(LAG(LENGTH(text), 6) OVER w, 0)
+             + 0.00390625 * COALESCE(LAG(LENGTH(text), 7) OVER w, 0) AS ewma
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    """
+    out["q10_returned_top20"] = """
+        SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_u
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2
+        ORDER BY revenue_u DESC, custkey ASC LIMIT 20
+    """
+    out["event_type_user_overlap"] = """
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+        p AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_both
+            FROM du a JOIN du b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               CAST(n_both AS DOUBLE) / (ca.n + cb.n - n_both) AS jaccard
+        FROM p
+        JOIN c ca ON ca.event_type = type_a
+        JOIN c cb ON cb.event_type = type_b
+        ORDER BY type_a, type_b
+    """
+    out["scd2_value_history"] = """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events
+    """
+    out["concurrent_convs_at_start"] = f"""
+        WITH t AS ({_T}),
+        spans AS (SELECT conv_id, MIN(ts) AS s, MAX(ts) AS e FROM t GROUP BY 1)
+        SELECT a.conv_id, CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM spans a JOIN spans b ON b.s <= a.s AND a.s <= b.e
+        GROUP BY 1
     """
     return out

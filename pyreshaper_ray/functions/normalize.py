@@ -19,8 +19,15 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-WINDOW_UNITS = {"1m": "minute", "1h": "hour", "1d": "day"}
-WINDOW_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
+WINDOW_UNITS = {"1m": "minute", "1h": "hour", "1d": "day", "1w": "week"}
+WINDOW_US = {
+    "1m": 60_000_000,
+    "1h": 3_600_000_000,
+    "1d": 86_400_000_000,
+    # ISO weeks (Monday-start): pyarrow floor_temporal(unit="week") and
+    # DuckDB date_trunc('week', ts) agree on the boundary
+    "1w": 604_800_000_000,
+}
 
 
 def floor_window(ts: pa.ChunkedArray | pa.Array, tier: str) -> pa.Array:

@@ -2268,3 +2268,328 @@ def monthly_revenue_change(sf_dir: str) -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out)
+
+
+def q10_returned_revenue(
+    sf_dir: str, start: str = "1995-01-01", end: str = "1996-01-01", k: int = 20
+) -> "ray.data.Dataset":
+    """TPC-H Q10 shape: top-``k`` customers by revenue lost to returned
+    items ordered inside [``start``, ``end``).
+
+    Scale plan mirrors ``q3_unshipped_revenue``: both fact sides are
+    filter-pruned BEFORE the one large-large hash exchange
+    (lineitem[returnflag='R'] ⋈ orders[date window]); revenue pre-reduces
+    per custkey inside map_batches so the final groupby moves one row per
+    customer per block; the customer name attaches via a broadcast dim
+    lookup AFTER aggregation (result-sized left side, no second shuffle).
+    Revenue in exact integer units cents × (100 − discount%).
+
+    Output: custkey (BIGINT), c_name (VARCHAR), revenue_u (BIGINT).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import broadcast_enrich, hash_join
+
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    def orders_pred(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b["o_orderdate"], pa.int64()), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(lo, pa.int64())),
+            pc.less(ts, pa.scalar(hi, pa.int64())),
+        )
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_pred(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        ext = to_cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = to_cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "rev": pa.array(ext * (100 - disc), pa.int64()),
+            }
+        )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(line_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_custkey"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "custkey": pc.cast(g["o_custkey"], pa.int64()),
+                "revenue_u": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+    top = agg.sort(["revenue_u", "custkey"], descending=[True, False]).limit(k)
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename_columns(["custkey", "c_name"])
+    return broadcast_enrich(top, names, key="custkey").select_columns(
+        ["custkey", "c_name", "revenue_u"]
+    )
+
+
+def event_type_user_overlap(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Pairwise Jaccard similarity of the USER SETS behind each event type —
+    the audience-overlap / set-similarity matrix (which behaviors share
+    users?).
+
+    Scale plan: (1) per-block distinct (event_type, user_id) combiner, so
+    the one hash exchange moves distinct pairs, not raw events; (2) a
+    per-user map_groups emits its type-pair co-occurrence rows PLUS a
+    (t, t) self row per type — pair cardinality is #types² per user, tiny
+    because the type vocabulary is small (the operator contract; for
+    unbounded vocabularies swap in MinHash over user sets); (3) one final
+    type-pair groupby over pre-counted partials. Jaccard is a single
+    integer÷integer float64 division — deterministic.
+
+    Output (a < b only): type_a, type_b, n_both, n_a, n_b (BIGINTs),
+    jaccard (DOUBLE).
+    """
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        return g.select(["event_type", "user_id"])
+
+    du = (
+        events_ds.map_batches(
+            distinct_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type", "user_id"])
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        types = sorted(set(group["event_type"].to_pylist()))
+        ta, tb = [], []
+        for i, a in enumerate(types):
+            for b_ in types[i:]:  # includes the (t, t) self row
+                ta.append(a)
+                tb.append(b_)
+        return pa.table(
+            {
+                "type_a": pa.array(ta, pa.string()),
+                "type_b": pa.array(tb, pa.string()),
+                "n": pa.array([1] * len(ta), pa.int64()),
+            }
+        )
+
+    counts = (
+        du.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # finalize on the driver: the pair matrix is #types² rows — result-sized
+    from ..util import collect_table
+
+    t = collect_table(counts)
+    singles = {
+        a: n
+        for a, b, n in zip(
+            t["type_a"].to_pylist(), t["type_b"].to_pylist(), t["n"].to_pylist()
+        )
+        if a == b
+    }
+    rows = [
+        (a, b, n, singles[a], singles[b], n / (singles[a] + singles[b] - n))
+        for a, b, n in zip(
+            t["type_a"].to_pylist(), t["type_b"].to_pylist(), t["n"].to_pylist()
+        )
+        if a < b
+    ]
+    rows.sort()
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_both": pa.array([r[2] for r in rows], pa.int64()),
+            "n_a": pa.array([r[3] for r in rows], pa.int64()),
+            "n_b": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+def scd2_value_history(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Slowly-changing-dimension (type 2) history build from an event
+    stream: each user's value-bearing events become validity intervals
+    [valid_from, valid_to) where valid_to is the NEXT event's ts (null on
+    the open current row) — the CDC-to-warehouse history shape.
+
+    Per-user map_groups (sort by ts, event_id; one shifted take) — stream
+    state never crosses users, so the operator scales with users and is
+    skew-bound only by the busiest stream. Values carried as exact cents.
+
+    Output: user_id (BIGINT), value_cents (BIGINT), valid_from,
+    valid_to (timestamps, valid_to null on each user's last row).
+    """
+
+    def intervals(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = g["ts"].combine_chunks()
+        nxt = pa.concat_arrays([ts.slice(1), pa.array([None], ts.type)])
+        return pa.table(
+            {
+                "user_id": pc.cast(g["user_id"], pa.int64()),
+                "value_cents": to_cents(g["value"]),
+                "valid_from": ts,
+                "valid_to": nxt,
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(
+        intervals, batch_format="pyarrow"
+    )
+
+
+def concurrent_convs(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset | pa.Table":
+    """For every conversation: how many conversations (itself included)
+    were ACTIVE at its start instant, where a conversation is active on its
+    closed span [min ts, max ts] — the interval-overlap / concurrency-census
+    operator (peak-load analysis over streams).
+
+    A naive oracle is the O(n²) interval self-join; the engine runs the
+    classic sweep-line instead, distributed in three scale-safe passes:
+
+      1. spans: combiner-first per-conversation MIN/MAX(ts) (the only pass
+         over raw turns — everything after is conversation-sized);
+      2. each span emits three tagged boundary rows — (s, kind 0, +1) start,
+         (s, kind 1, 0) query, (e, kind 2, −1) end — and ONE distributed
+         sort by (ts, kind, conv_id) orders them so that at a tied instant
+         starts land before queries before ends (closed-span semantics:
+         b.s == a.s counts, b.e == a.s still counts);
+      3. the global running sum of weights is reconstructed without any
+         driver-side row scan by the block-offset technique
+         (``windows.ntile_convs``): per-block (first_key, n, weight_sum)
+         heads — block-count-sized — prefix-sum on the driver, then a
+         second vectorized pass adds offset + in-block cumsum and keeps the
+         kind-1 rows.
+
+    Output: conv_id, n_active (BIGINT) — one row per conversation.
+    """
+
+    def span_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["conv_id"]).aggregate([("ts", "min"), ("ts", "max")])
+        return pa.table(
+            {"conv_id": g["conv_id"], "s": g["ts_min"], "e": g["ts_max"]}
+        )
+
+    spans = (
+        ds_transcripts.map_batches(
+            span_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("conv_id")
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        conv = b["conv_id"].combine_chunks()
+        s = b["s"].combine_chunks()
+        e = b["e"].combine_chunks()
+        n = b.num_rows
+        ones = np.ones(n, dtype=np.int64)
+        parts = []
+        for ts_col, kind, w in ((s, 0, ones), (s, 1, ones * 0), (e, 2, -ones)):
+            parts.append(
+                pa.table(
+                    {
+                        "ts": ts_col,
+                        "kind": pa.array(np.full(n, kind, dtype=np.int64)),
+                        "conv_id": conv,
+                        "w": pa.array(w, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ordered = (
+        spans.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["ts", "kind", "conv_id"])
+        .materialize()
+    )
+
+    def head(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "kind": pa.array([], pa.int64()),
+                    "conv_id": pa.array([], pa.string()),
+                    "wsum": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "ts": b["ts"][:1],
+                "kind": b["kind"][:1],
+                "conv_id": b["conv_id"][:1],
+                "wsum": pa.array(
+                    [int(pc.sum(b["w"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    # batch_size=None ⇒ one batch per BLOCK (offset bookkeeping is keyed by
+    # block-first rows)
+    heads = ordered.map_batches(
+        head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    heads.sort(key=lambda r: (r["ts"], r["kind"], r["conv_id"]))
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for r in heads:
+        offsets[(r["ts"], r["kind"], r["conv_id"])] = acc
+        acc += r["wsum"]
+
+    def running(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_active": pa.array([], pa.int64()),
+                }
+            )
+        first = (
+            b["ts"][0].as_py(),
+            b["kind"][0].as_py(),
+            b["conv_id"][0].as_py(),
+        )
+        w = b["w"].to_numpy(zero_copy_only=False)
+        run = offsets[first] + np.cumsum(w)
+        keep = b["kind"].to_numpy(zero_copy_only=False) == 1
+        return pa.table(
+            {
+                "conv_id": b["conv_id"].filter(pa.array(keep)),
+                "n_active": pa.array(run[keep], pa.int64()),
+            }
+        )
+
+    return ordered.map_batches(
+        running, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -787,3 +787,49 @@ def event_transitions(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def ewma_chars(ds_normalized: "ray.data.Dataset", k: int = 8) -> "ray.data.Dataset":
+    """Truncated EWMA of char_len per conversation — the time-series
+    smoothing kernel (alpha = 1/2, K = ``k`` lags, zero-padded before the
+    first turn):
+
+        ewma_i = Σ_{j=0..K-1}  2^-(j+1) · char_len_{i-j}
+
+    Frame ordering is (ts, turn_idx) within the conversation. The dyadic
+    weights make every term and every partial sum EXACTLY representable in
+    float64 (char_len is a small integer, 2^-(j+1) a power of two), so the
+    result is bit-identical to the DuckDB oracle regardless of summation
+    order — the same integer-domain determinism rule the rollup tiers use,
+    extended to fixed-point floats. A renormalized (divide-by-weight-sum)
+    EWMA would lose that exactness; the zero-padding contract keeps it.
+
+    Scale shape: one groupby(conv_id).map_groups — conversation-local,
+    no cross-group state; the kernel is K shifted vectorized adds (O(K·n)).
+
+    Output: conv_id, turn_idx, ewma (DOUBLE).
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("turn_idx", "ascending")]
+            )
+        )
+        x = g["char_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.zeros(len(x), dtype=np.float64)
+        for j in range(k):
+            w = 2.0 ** -(j + 1)
+            if j == 0:
+                out += w * x
+            elif j < len(x):
+                out[j:] += w * x[:-j]
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "ewma": pa.array(out, pa.float64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(kernel, batch_format="pyarrow")

@@ -1,0 +1,190 @@
+"""Round-3 batch: sweep-line concurrency, SCD2 history, EWMA exactness,
+user-set overlap, weekly tier — behaviors the sf corpus can't isolate
+(crafted overlaps, tie instants, single-event streams)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+US = 1_000_000
+BASE = 1_700_000_000 * US
+
+
+def _transcripts(rows):
+    """rows: list of (conv_id, turn_idx, ts_us)."""
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "ts": pa.array(
+                np.array([r[2] for r in rows], dtype=np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_concurrent_convs_sweepline(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import concurrent_convs
+
+    # spans: a=[0, 100], b=[50, 150], c=[150, 200], d=[300, 300]
+    # at a.start (0): only a active -> 1
+    # at b.start (50): a, b -> 2
+    # at c.start (150): b ends AT 150 (closed span, still active), c -> 2
+    # at d.start (300): only d (point span) -> 1
+    rows = [
+        ("a", 0, 0), ("a", 1, 100 * US),
+        ("b", 0, 50 * US), ("b", 1, 150 * US),
+        ("c", 0, 150 * US), ("c", 1, 200 * US),
+        ("d", 0, 300 * US),
+    ]
+    out = {
+        r["conv_id"]: r["n_active"]
+        for r in concurrent_convs(ray.data.from_arrow(_transcripts(rows)))
+        .take_all()
+    }
+    assert out == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_concurrent_convs_tied_starts(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import concurrent_convs
+
+    # three conversations all starting at the same instant: each sees all 3
+    rows = [
+        ("x", 0, 0), ("x", 1, 10 * US),
+        ("y", 0, 0), ("y", 1, 20 * US),
+        ("z", 0, 0),
+    ]
+    out = {
+        r["conv_id"]: r["n_active"]
+        for r in concurrent_convs(ray.data.from_arrow(_transcripts(rows)))
+        .take_all()
+    }
+    assert out == {"x": 3, "y": 3, "z": 3}
+
+
+def test_scd2_intervals_and_open_row(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import scd2_value_history
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "event_id": pa.array([2, 1, 3, 1], pa.int64()),
+            # event 1 and 2 share user 7's first ts -> event_id breaks the tie
+            "ts": pa.array(
+                np.array([BASE, BASE, BASE + 60 * US, BASE], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([2.0, 1.0, 3.0, 9.5], pa.float64()),
+        }
+    )
+    rows = scd2_value_history(ray.data.from_arrow(t)).take_all()
+    u7 = sorted(
+        [r for r in rows if r["user_id"] == 7],
+        key=lambda r: (r["valid_from"], r["value_cents"]),
+    )
+    # ordered by (ts, event_id): values 1.0, 2.0, 3.0
+    assert [r["value_cents"] for r in u7] == [100, 200, 300]
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[2]["valid_to"] is None  # open current row
+    (u9,) = [r for r in rows if r["user_id"] == 9]
+    assert u9["value_cents"] == 950 and u9["valid_to"] is None
+
+
+def test_ewma_dyadic_exactness(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import ewma_chars
+
+    # 10 turns, char_len = 1..10 via text of that many chars
+    n = 10
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * n, pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * US + BASE, pa.timestamp("us")
+            ),
+            "char_len": pa.array(range(1, n + 1), pa.int32()),
+        }
+    )
+    out = {
+        r["turn_idx"]: r["ewma"]
+        for r in ewma_chars(ray.data.from_arrow(t), k=8).take_all()
+    }
+    # closed-form check at a few indices (weights 2^-(j+1), zero-padded)
+    def ref(i):
+        return sum(
+            2.0 ** -(j + 1) * (i - j + 1) for j in range(8) if i - j >= 0
+        )
+
+    for i in (0, 3, 9):
+        assert out[i] == ref(i)  # EXACT equality — dyadic weights
+
+
+def test_event_type_overlap_jaccard(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import event_type_user_overlap
+
+    # users: 1 -> {p, q}, 2 -> {p}, 3 -> {q}, 4 -> {p, q}  (dup events too)
+    t = pa.table(
+        {
+            "event_type": pa.array(
+                ["p", "q", "p", "q", "p", "q", "p"], pa.string()
+            ),
+            "user_id": pa.array([1, 1, 2, 3, 4, 4, 4], pa.int64()),
+        }
+    )
+    rows = event_type_user_overlap(ray.data.from_arrow(t)).to_pylist()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["type_a"], r["type_b"]) == ("p", "q")
+    assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["jaccard"] == 2 / 4
+
+
+def test_weekly_tier_cascade_boundaries(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.rollup import cascade, rollup_1m
+
+    # two turns on Wed Jan 3 2024 and one on Tue Jan 9 -> weeks of Jan 1 / Jan 8
+    ts = np.array(
+        ["2024-01-03T05:00:00", "2024-01-03T23:59:00", "2024-01-09T00:00:01"],
+        dtype="datetime64[us]",
+    )
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 3, pa.string()),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "ts": pa.array(ts),
+            "char_len": pa.array([10, 20, 30], pa.int32()),
+            "tok_est": pa.array([3, 5, 8], pa.int64()),
+            "is_tool": pa.array([False, True, False]),
+            "w1m": pa.array(ts),  # already minute-aligned
+        }
+    )
+    tier = cascade(
+        cascade(cascade(rollup_1m(ray.data.from_arrow(t)), "1h"), "1d"), "1w"
+    )
+    rows = sorted(tier.take_all(), key=lambda r: r["window_start"])
+    assert [str(r["window_start"]) for r in rows] == [
+        "2024-01-01 00:00:00",
+        "2024-01-08 00:00:00",
+    ]
+    assert rows[0]["turn_count"] == 2 and rows[0]["char_sum"] == 30
+    assert rows[0]["char_min"] == 10 and rows[0]["char_max"] == 20
+    assert rows[0]["tool_calls"] == 1
+    assert rows[1]["turn_count"] == 1 and rows[1]["char_sum"] == 30
