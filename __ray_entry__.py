@@ -1466,6 +1466,77 @@ def q_concurrent_convs(sf_dir: str):
     return concurrent_convs(read_events_as_transcripts(sf_dir))
 
 
+def _events_value_ds(sf_dir: str, cols: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def q_value_deciles(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import value_deciles
+
+    return value_deciles(_events_value_ds(sf_dir, ["value"]))
+
+
+def q_winsorized_value_stats(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import winsorized_value_stats
+
+    return winsorized_value_stats(
+        _events_value_ds(sf_dir, ["event_type", "value"])
+    )
+
+
+def q_role_runs(sf_dir: str):
+    from pyreshaper_ray.stages.windows import role_runs
+
+    return role_runs(read_events_as_transcripts(sf_dir))
+
+
+def q_longest_streak(sf_dir: str):
+    from pyreshaper_ray.stages.windows import longest_streak_days
+
+    return longest_streak_days(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_median_value_per_type(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import median_value_per_type
+
+    return median_value_per_type(
+        _events_value_ds(sf_dir, ["event_type", "value"])
+    )
+
+
+def q_wau_by_week(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import wau_by_week
+
+    return wau_by_week(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_doc_len_histogram(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import doc_len_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return doc_len_histogram(ds)
+
+
+def q_tier_consistency(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import tier_consistency_check
+    from pyreshaper_ray.util import collect_table
+
+    # the healthy result is EMPTY — collect with an explicit schema so the
+    # zero-row frame still carries (conv_id, window_start) columns
+    return collect_table(
+        tier_consistency_check(_norm_ds(sf_dir)),
+        fallback_schema=pa.schema(
+            [("conv_id", pa.string()), ("window_start", pa.timestamp("us"))]
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
     # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
@@ -1555,6 +1626,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_user_overlap": q_event_type_overlap,
         "scd2_value_history": q_scd2_value_history,
         "concurrent_convs_at_start": q_concurrent_convs,
+        "value_deciles": q_value_deciles,
+        "winsorized_value_stats": q_winsorized_value_stats,
+        "role_runs": q_role_runs,
+        "longest_streak_days": q_longest_streak,
+        "median_value_per_type": q_median_value_per_type,
+        "wau_by_week": q_wau_by_week,
+        "doc_len_histogram": q_doc_len_histogram,
+        "tier_consistency_1h": q_tier_consistency,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -2839,5 +2918,113 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.conv_id, CAST(COUNT(*) AS BIGINT) AS n_active
         FROM spans a JOIN spans b ON b.s <= a.s AND a.s <= b.e
         GROUP BY 1
+    """
+    # rank convention: 1-based sorted index ceil(d*n/10) (clamped to >= 1)
+    out["value_deciles"] = """
+        WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        b AS (SELECT list_sort(list(c)) AS l, COUNT(*) AS n FROM v)
+        SELECT CAST(d AS BIGINT) AS decile,
+               l[GREATEST(CAST(CEIL(d * n / 10.0) AS BIGINT), 1)] AS value_cents
+        FROM b, (SELECT UNNEST(range(1, 10)) AS d)
+    """
+    out["winsorized_value_stats"] = """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        b AS (SELECT list_sort(list(c)) AS l, COUNT(*) AS n FROM v),
+        lim AS (SELECT l[GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1)] AS lo,
+                       l[GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)] AS hi
+                FROM b)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(LEAST(GREATEST(c, lo), hi)) AS BIGINT) AS wsum_cents
+        FROM v, lim GROUP BY 1
+    """
+    out["role_runs"] = f"""
+        WITH t AS ({_T}),
+        x AS (
+            SELECT conv_id, role,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS rn,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id, role
+                                      ORDER BY turn_idx) AS rr
+            FROM t
+        ),
+        g AS (
+            SELECT conv_id, role, rn - rr AS grp,
+                   COUNT(*) AS run_len, MIN(rn) AS first_rn
+            FROM x GROUP BY 1, 2, 3
+        )
+        SELECT conv_id,
+               ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY first_rn)
+                   AS run_idx,
+               role,
+               CAST(run_len AS BIGINT) AS run_len
+        FROM g
+    """
+    out["median_value_per_type"] = """
+        WITH v AS (SELECT event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        s AS (SELECT event_type, list_sort(list(c)) AS l, COUNT(*) AS n
+              FROM v GROUP BY 1)
+        SELECT event_type,
+               l[CAST(CEIL(n / 2.0) AS BIGINT)] AS median_cents
+        FROM s
+    """
+    out["wau_by_week"] = """
+        WITH d AS (
+            SELECT DISTINCT date_trunc('week', ts) AS week_start, user_id
+            FROM events
+        )
+        SELECT CAST(week_start AS TIMESTAMP) AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS wau
+        FROM d GROUP BY 1
+    """
+    out["doc_len_histogram"] = """
+        SELECT source,
+               CAST(LENGTH(text) // 100 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    """
+    # continuous-aggregate invariant: hourly-from-raw EXCEPT hourly-from-
+    # minutely is empty iff the cascade preserves every metric — the SQL
+    # restatement of the engine's signed-union residue audit
+    out["tier_consistency_1h"] = f"""
+        WITH t AS ({_T}),
+        a AS (
+            SELECT conv_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n, SUM(LENGTH(text)) AS s
+            FROM t GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT conv_id, date_trunc('minute', ts) AS wm,
+                   date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n, SUM(LENGTH(text)) AS s
+            FROM t GROUP BY 1, 2, 3
+        ),
+        b AS (
+            SELECT conv_id, window_start, SUM(n) AS n, SUM(s) AS s
+            FROM m GROUP BY 1, 2
+        )
+        SELECT conv_id, window_start
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """
+    out["longest_streak_days"] = """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        x AS (
+            SELECT user_id, day,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+            FROM d
+        ),
+        g AS (
+            SELECT user_id, COUNT(*) AS cnt
+            FROM x GROUP BY user_id, day - CAST(rn AS INTEGER)
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(MAX(cnt) AS BIGINT) AS longest_streak
+        FROM g GROUP BY 1
     """
     return out

@@ -260,6 +260,20 @@ def run_bench(headline_only: bool = False) -> dict:
         "q3_unshipped_revenue",
         "p95_chars_1h",
         "top_users_by_active_days",
+        "rollup_1w_cascade",
+        "ewma_chars_8",
+        "q10_returned_top20",
+        "event_type_user_overlap",
+        "scd2_value_history",
+        "concurrent_convs_at_start",
+        "value_deciles",
+        "winsorized_value_stats",
+        "role_runs",
+        "longest_streak_days",
+        "median_value_per_type",
+        "wau_by_week",
+        "doc_len_histogram",
+        "tier_consistency_1h",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -2593,3 +2593,376 @@ def concurrent_convs(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset | 
     return ordered.map_batches(
         running, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def _hist_select_ranks(
+    events_like_ds: "ray.data.Dataset",
+    to_ints,
+    ranks: list[int],
+    bins: int = 1024,
+) -> list[int] | None:
+    """EXACT values at several 0-based global ranks of an integer-derived
+    column — the multi-quantile generalization of ``_hist_select_median``,
+    still WITHOUT a distributed sort.
+
+    All requested ranks share each refinement pass: one ``map_batches``
+    histograms every still-active bracket (≤ len(ranks) bincounts per
+    block, a few KiB each, combiner-only — no exchange), the driver sums
+    them and narrows each rank's bracket independently. Total cost is
+    log_bins(range) scans REGARDLESS of how many quantiles are asked for —
+    the right trade vs one all-to-all sort when the value column is a thin
+    slice of a huge corpus (the deciles of 10^12 rows cost ~4 counting
+    passes, not a 10^12-row shuffle).
+
+    Returns the rank values in input order, or None on an empty column.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    def col(batch: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array(to_ints(batch), pa.int64())})
+
+    stats = events_like_ds.map_batches(col, batch_format="pyarrow").aggregate(
+        Min("c"), Max("c"), Count()
+    )
+    if not stats or not stats.get("count()"):
+        return None
+    glo, ghi = int(stats["min(c)"]), int(stats["max(c)"])
+    # per-rank state: [lo, hi, rows_below_lo]
+    state = [[glo, ghi, 0] for _ in ranks]
+
+    while any(lo < hi for lo, hi, _ in state):
+        brackets = sorted({(lo, hi) for lo, hi, _ in state if lo < hi})
+        widths = [max(1, (hi - lo + bins) // bins) for lo, hi in brackets]
+
+        def partial(
+            batch: pa.Table, brackets=brackets, widths=widths
+        ) -> pa.Table:
+            c = to_ints(batch)
+            hists = []
+            for (lo, hi), width in zip(brackets, widths):
+                cc = c[(c >= lo) & (c <= hi)]
+                idx = np.minimum((cc - lo) // width, bins - 1)
+                hists.append(np.bincount(idx, minlength=bins).astype(np.int64))
+            return pa.table(
+                {"h": pa.array([np.concatenate(hists).tobytes()], pa.binary())}
+            )
+
+        acc = np.zeros(bins * len(brackets), dtype=np.int64)
+        for row in events_like_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_rows():
+            acc += np.frombuffer(row["h"], dtype=np.int64)
+
+        cums = {
+            br: np.cumsum(acc[i * bins : (i + 1) * bins])
+            for i, br in enumerate(brackets)
+        }
+        for k, (lo, hi, below) in enumerate(state):
+            if lo >= hi:
+                continue
+            cum = cums[(lo, hi)]
+            width = widths[brackets.index((lo, hi))]
+            j = int(np.searchsorted(cum, ranks[k] - below + 1, side="left"))
+            if j > 0:
+                state[k][2] = below + int(cum[j - 1])
+            state[k][0] = lo + j * width
+            state[k][1] = min(hi, state[k][0] + width - 1)
+    return [lo for lo, _, _ in state]
+
+
+def value_deciles(events_ds: "ray.data.Dataset") -> pa.Table:
+    """EXACT global deciles (d = 1..9) of the integer-cents value domain by
+    shared-pass histogram selection (``_hist_select_ranks``) — all nine
+    order statistics cost the same ~log_bins(range) combiner-only scans a
+    single median does; no sort, no shuffle. Complements the mergeable
+    DDSketch (``approx_value_quantiles``) as the exact path.
+
+    Rank convention matches the list_sort oracle: 1-based index
+    ceil(d·n/10), i.e. 0-based rank ceil(d·n/10) − 1.
+
+    Output: decile (BIGINT 1..9), value_cents (BIGINT).
+    """
+    import math
+
+    # NOTE: ray 2.49's bare Count() aggregate returns 0 on single-column
+    # datasets; Dataset.count() is the reliable row count
+    n = events_ds.count()
+    if n == 0:
+        return pa.table(
+            {
+                "decile": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    ranks = [max(math.ceil(d * n / 10), 1) - 1 for d in range(1, 10)]
+
+    def to_ints(batch: pa.Table) -> np.ndarray:
+        return to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+
+    vals = _hist_select_ranks(events_ds, to_ints, ranks)
+    return pa.table(
+        {
+            "decile": pa.array(list(range(1, 10)), pa.int64()),
+            "value_cents": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def winsorized_value_stats(
+    events_ds: "ray.data.Dataset", p_lo: float = 0.05, p_hi: float = 0.95
+) -> "ray.data.Dataset":
+    """Winsorized per-type value statistics — every value clipped into the
+    EXACT global [p05, p95] band before aggregation (the outlier-robust
+    hygiene pass training-data value columns need).
+
+    Two shared histogram-selection passes find both clip bounds (no sort),
+    then one combiner-first pass clips vectorized and pre-aggregates per
+    event_type; the final groupby moves one row per type per block.
+
+    Output: event_type, n (BIGINT), wsum_cents (BIGINT).
+    """
+    import math
+
+    n = events_ds.count()
+    if n == 0:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "wsum_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ranks = [
+        max(math.ceil(p_lo * n), 1) - 1,
+        max(math.ceil(p_hi * n), 1) - 1,
+    ]
+
+    def to_ints(batch: pa.Table) -> np.ndarray:
+        return to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+
+    lo_v, hi_v = _hist_select_ranks(events_ds, to_ints, ranks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.clip(to_ints(batch), lo_v, hi_v)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "w": pa.array(c, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("w", "count"), ("w", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["w_count"], pa.int64()),
+                "wsum_cents": pc.cast(g["w_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("wsum_cents", alias_name="wsum_cents")
+        )
+    )
+
+
+def median_value_per_type(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """EXACT lower median of value-cents PER event_type — the grouped
+    order-statistic (group cardinality is small; each group's median is a
+    single ``np.partition`` selection inside ``map_groups``, so the only
+    exchange is the groupby hash shuffle of (type, cents) pairs).
+
+    For huge single groups, swap the kernel for ``_hist_select_ranks``
+    filtered to the group — same contract, no per-group materialization.
+
+    Output: event_type, median_cents (BIGINT).
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch["event_type"], "c": to_cents(batch["value"])}
+        )
+
+    def med(group: pa.Table) -> pa.Table:
+        c = group["c"].to_numpy(zero_copy_only=False)
+        k = (len(c) - 1) // 2  # 0-based lower median
+        v = int(np.partition(c, k)[k])
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "median_cents": pa.array([v], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(med, batch_format="pyarrow")
+    )
+
+
+def wau_by_week(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Weekly active users — distinct user count per ISO week (the
+    retention-adjacent engagement series the weekly tier feeds).
+
+    Per-block distinct (week, user) combiner shrinks the exchange to
+    active cells; the final distinct + count is one groupby.
+
+    Output: week_start (timestamp), wau (BIGINT).
+    """
+    from ray.data.aggregate import Count
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        w = pc.cast(pc.floor_temporal(b["ts"], unit="week"), pa.timestamp("us"))
+        t = pa.table(
+            {"week_start": w, "user_id": pc.cast(b["user_id"], pa.int64())}
+        )
+        return t.group_by(["week_start", "user_id"]).aggregate([])
+
+    distinct = (
+        events_ds.map_batches(
+            distinct_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["week_start", "user_id"])
+        .count()
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["week_start"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "week_start": g["week_start"],
+                "wau": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    return (
+        distinct.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("week_start")
+        .aggregate(Sum("wau", alias_name="wau"))
+    )
+
+
+def doc_len_histogram(
+    docs_ds: "ray.data.Dataset", bucket_chars: int = 100
+) -> "ray.data.Dataset":
+    """Document-length histogram per source — equi-width integer buckets
+    (``len // bucket_chars``), the corpus-profiling pass any training-data
+    intake runs first. Combiner-first: per-block (source, bucket) counts,
+    one vocabulary-sized final groupby.
+
+    Output: source, bucket (BIGINT), n (BIGINT).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(b["text"]), pa.int64())
+        bucket = pc.divide(ln, pa.scalar(bucket_chars, pa.int64()))
+        t = pa.table({"source": b["source"], "bucket": bucket})
+        g = t.group_by(["source", "bucket"]).aggregate([("bucket", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "bucket": g["bucket"],
+                "n": pc.cast(g["bucket_count"], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def tier_consistency_check(
+    ds_normalized: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Continuous-aggregate INVARIANT audit: the cascaded 1h tier
+    (1m → 1h) must equal the 1h rollup computed directly from raw turns —
+    per (conv_id, window_start), every metric. Emits the violating keys;
+    a healthy engine returns ZERO rows (PyReshaper's reshapertests
+    equivalence idea turned into a first-class distributed operator).
+
+    Runs as a signed union: cascade rows carry weight +1, direct rows −1,
+    one groupby sums every metric — a mismatch leaves a nonzero residue.
+    No join, no driver compare; the exchange moves two tier-sized inputs.
+
+    Output: conv_id, window_start — EMPTY on a consistent engine.
+    """
+    from .rollup import cascade, rollup_1m, rollup_block
+
+    casc = cascade(rollup_1m(ds_normalized), "1h")
+
+    def hourly_direct(b: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(b["ts"], unit="hour")
+        return rollup_block(b.append_column("w1h", h), "w1h")
+
+    direct = (
+        ds_normalized.map_batches(
+            hourly_direct, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["conv_id", "window_start"])
+        .aggregate(
+            Sum("turn_count", alias_name="turn_count"),
+            Sum("char_sum", alias_name="char_sum"),
+            Min("char_min", alias_name="char_min"),
+            Max("char_max", alias_name="char_max"),
+            Sum("tok_est_sum", alias_name="tok_est_sum"),
+            Sum("tool_calls", alias_name="tool_calls"),
+        )
+    )
+
+    metric_cols = [
+        "turn_count",
+        "char_sum",
+        "char_min",
+        "char_max",
+        "tok_est_sum",
+        "tool_calls",
+    ]
+
+    def signed(sign: int):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {
+                "conv_id": b["conv_id"],
+                "window_start": b["window_start"],
+            }
+            for c in metric_cols:
+                v = pc.cast(b[c], pa.int64())
+                cols[c] = pc.multiply(v, pa.scalar(sign, pa.int64()))
+            return pa.table(cols)
+
+        return fn
+
+    both = casc.map_batches(signed(1), batch_format="pyarrow").union(
+        direct.map_batches(signed(-1), batch_format="pyarrow")
+    )
+    residue = both.groupby(["conv_id", "window_start"]).aggregate(
+        *[Sum(c, alias_name=c) for c in metric_cols]
+    )
+
+    def violations(b: pa.Table) -> pa.Table:
+        bad = np.zeros(b.num_rows, dtype=bool)
+        for c in metric_cols:
+            bad |= b[c].to_numpy(zero_copy_only=False) != 0
+        keep = pa.array(bad)
+        return pa.table(
+            {
+                "conv_id": b["conv_id"].filter(keep),
+                "window_start": b["window_start"].filter(keep),
+            }
+        )
+
+    return residue.map_batches(
+        violations, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -833,3 +833,91 @@ def ewma_chars(ds_normalized: "ray.data.Dataset", k: int = 8) -> "ray.data.Datas
         )
 
     return ds_normalized.groupby("conv_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def role_runs(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Run-length encoding of each conversation's role sequence — collapse
+    consecutive equal roles (ordered by turn_idx) into runs. The
+    gaps-and-islands shape, and the discrete analog of the engine's
+    value-compression codecs (a run is an RLE token).
+
+    Per-conversation vectorized kernel (one sort + one shifted compare +
+    ``np.flatnonzero`` bounds); state never crosses conversations.
+
+    Output: conv_id, run_idx (BIGINT, 1-based), role, run_len (BIGINT).
+    """
+
+    def runs(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        n = len(roles)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(roles[1:] != roles[:-1]) + 1)
+        )
+        lens = np.diff(np.concatenate((starts, [n])))
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [g["conv_id"][0].as_py()] * len(starts), pa.string()
+                ),
+                "run_idx": pa.array(
+                    np.arange(1, len(starts) + 1, dtype=np.int64), pa.int64()
+                ),
+                "role": pa.array(roles[starts], pa.string()),
+                "run_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        runs, batch_format="pyarrow"
+    )
+
+
+def longest_streak_days(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Longest run of CONSECUTIVE active days per user — the engagement
+    streak (gaps-and-islands over the calendar).
+
+    Per-block distinct (user, day) combiner shrinks the exchange to active
+    cells; the per-user kernel dedups residual cross-block days
+    (``np.unique``), then one diff over day ordinals finds the longest
+    consecutive run.
+
+    Output: user_id (BIGINT), longest_streak (BIGINT).
+    """
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us")
+        )
+        t = pa.table({"user_id": pc.cast(b["user_id"], pa.int64()), "day": days})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def streak(group: pa.Table) -> pa.Table:
+        d = (
+            group["day"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        d = np.unique(d)
+        if len(d) == 1:
+            best = 1
+        else:
+            # split where the day gap exceeds 1; the longest piece wins
+            brk = np.flatnonzero(np.diff(d) != 1)
+            bounds = np.concatenate(([0], brk + 1, [len(d)]))
+            best = int(np.max(np.diff(bounds)))
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "longest_streak": pa.array([best], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(
+            distinct_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("user_id")
+        .map_groups(streak, batch_format="pyarrow")
+    )

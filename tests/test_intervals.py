@@ -188,3 +188,152 @@ def test_weekly_tier_cascade_boundaries(ray_session):
     assert rows[0]["char_min"] == 10 and rows[0]["char_max"] == 20
     assert rows[0]["tool_calls"] == 1
     assert rows[1]["turn_count"] == 1 and rows[1]["char_sum"] == 30
+
+
+def test_value_deciles_exact(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import value_deciles
+
+    # values 0.01 .. 1.00 -> cents 1..100; decile d -> rank d*10 -> d*10 cents
+    t = pa.table({"value": pa.array([i / 100 for i in range(1, 101)])})
+    out = {
+        r["decile"]: r["value_cents"]
+        for r in value_deciles(ray.data.from_arrow(t)).to_pylist()
+    }
+    assert out == {d: d * 10 for d in range(1, 10)}
+
+
+def test_winsorized_clip_bounds(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import winsorized_value_stats
+
+    vals = np.arange(1, 101)  # cents 1..100 -> p05 = 5, p95 = 95
+    t = pa.table(
+        {
+            "event_type": pa.array(["e"] * 100, pa.string()),
+            "value": pa.array(vals / 100),
+        }
+    )
+    rows = winsorized_value_stats(ray.data.from_arrow(t)).take_all()
+    assert len(rows) == 1
+    want = int(np.clip(vals, 5, 95).sum())
+    assert rows[0]["n"] == 100 and rows[0]["wsum_cents"] == want
+
+
+def test_role_runs_rle(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import role_runs
+
+    roles = ["a", "a", "b", "a", "a", "a", "c"]
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 7, pa.string()),
+            "turn_idx": pa.array(range(7), pa.int32()),
+            "role": pa.array(roles, pa.string()),
+        }
+    )
+    rows = sorted(
+        role_runs(ray.data.from_arrow(t)).take_all(), key=lambda r: r["run_idx"]
+    )
+    assert [(r["run_idx"], r["role"], r["run_len"]) for r in rows] == [
+        (1, "a", 2),
+        (2, "b", 1),
+        (3, "a", 3),
+        (4, "c", 1),
+    ]
+
+
+def test_longest_streak_gap(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import longest_streak_days
+
+    day = 86_400 * US
+    # user 1: days 0,1,2, 5,6 (dup events on day 1) -> streak 3
+    # user 2: single day -> 1
+    ts = [0, day, day + 5, 2 * day, 5 * day, 6 * day, 10 * day]
+    uid = [1, 1, 1, 1, 1, 1, 2]
+    t = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(
+                np.array(ts, dtype=np.int64) + BASE, pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        r["user_id"]: r["longest_streak"]
+        for r in longest_streak_days(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {1: 3, 2: 1}
+
+
+def test_median_value_per_type_lower(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import median_value_per_type
+
+    # even-count group -> LOWER median (index (n-1)//2 of the sorted values)
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+            "value": pa.array([0.04, 0.01, 0.03, 0.02, 9.99]),
+        }
+    )
+    out = {
+        r["event_type"]: r["median_cents"]
+        for r in median_value_per_type(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {"a": 2, "b": 999}
+
+
+def test_wau_distinct_and_week_alignment(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import wau_by_week
+
+    ts = np.array(
+        # Wed Jan 3 + Fri Jan 5 (same week, user 1 twice + user 2),
+        # Tue Jan 9 (next week, user 1)
+        ["2024-01-03T10:00:00", "2024-01-05T10:00:00",
+         "2024-01-05T11:00:00", "2024-01-09T00:00:00"],
+        dtype="datetime64[us]",
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    out = {
+        str(r["week_start"]): r["wau"]
+        for r in wau_by_week(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {"2024-01-01 00:00:00": 2, "2024-01-08 00:00:00": 1}
+
+
+def test_tier_consistency_empty_on_healthy(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import tier_consistency_check
+
+    n = 50
+    ts = np.arange(n, dtype=np.int64) * 90 * US + BASE  # crosses minutes+hours
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c%d" % (i % 3) for i in range(n)], pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "char_len": pa.array([(i * 7) % 50 + 1 for i in range(n)], pa.int32()),
+            "tok_est": pa.array([(i % 13) + 1 for i in range(n)], pa.int64()),
+            "is_tool": pa.array([i % 4 == 0 for i in range(n)]),
+            "w1m": pa.array(
+                (ts // (60 * US)) * (60 * US), pa.timestamp("us")
+            ),
+        }
+    )
+    out = tier_consistency_check(ray.data.from_arrow(t)).take_all()
+    assert out == []
