@@ -1523,6 +1523,64 @@ def q_doc_len_histogram(sf_dir: str):
     return doc_len_histogram(ds)
 
 
+def q_tier_upsert_late(sf_dir: str):
+    """Late-data merge audit: split turns deterministically (turn_idx
+    parity) into an 'on-time' and a 'late' batch, roll each up
+    independently, merge the two tier tables — the result must equal the
+    single-pass 1m rollup bit-for-bit (oracle: the plain rollup SQL)."""
+    import pyarrow.compute as _pc
+
+    from pyreshaper_ray.stages.rollup import merge_tiers, rollup_1m
+
+    ds = _norm_ds(sf_dir)
+    even = ds.map_batches(
+        lambda b: b.filter(
+            _pc.equal(_pc.bit_wise_and(_pc.cast(b["turn_idx"], pa.int64()), 1), 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    odd = ds.map_batches(
+        lambda b: b.filter(
+            _pc.equal(_pc.bit_wise_and(_pc.cast(b["turn_idx"], pa.int64()), 1), 1)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _int64_rollup(merge_tiers(rollup_1m(even), rollup_1m(odd)))
+
+
+def q_orphan_lineitems(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import referential_orphans
+
+    child = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    parent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    return referential_orphans(child, parent, on="l_orderkey", right_on="o_orderkey")
+
+
+def q_corpus_intake(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import corpus_intake_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return corpus_intake_counts(ds)
+
+
+def q_percent_rank_convs(sf_dir: str):
+    from pyreshaper_ray.stages.windows import percent_rank_convs
+
+    return percent_rank_convs(_norm_ds(sf_dir))
+
+
 def q_tier_consistency(sf_dir: str):
     from pyreshaper_ray.stages.analytics import tier_consistency_check
     from pyreshaper_ray.util import collect_table
@@ -1634,6 +1692,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_by_week": q_wau_by_week,
         "doc_len_histogram": q_doc_len_histogram,
         "tier_consistency_1h": q_tier_consistency,
+        "tier_upsert_late": q_tier_upsert_late,
+        "orphan_lineitems": q_orphan_lineitems,
+        "corpus_intake_counts": q_corpus_intake,
+        "percent_rank_convs": q_percent_rank_convs,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -2960,6 +3022,50 @@ def oracle_sql() -> dict[str, str]:
                role,
                CAST(run_len AS BIGINT) AS run_len
         FROM g
+    """
+    # the merged late+on-time tier must equal the single-pass rollup
+    out["tier_upsert_late"] = _ROLLUP_SQL
+    out["corpus_intake_counts"] = r"""
+        WITH q AS (
+            SELECT doc_id, source, text,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   LEN(regexp_extract_all(text, '\S+')) AS n_words,
+                   LEN(regexp_extract_all(LOWER(text),
+                       '\b(the|a|and|of|to|in|is)\b')) AS n_stop
+            FROM documents
+        ),
+        k AS (SELECT * FROM q
+              WHERE n_chars >= 50 AND n_words >= 10 AND n_stop >= 1),
+        d AS (SELECT * FROM k
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM d GROUP BY 1
+    """
+    out["percent_rank_convs"] = f"""
+        WITH t AS ({_T}),
+        s AS (
+            SELECT conv_id, CAST(SUM(LENGTH(text)) AS BIGINT) AS char_sum
+            FROM t GROUP BY 1
+        ),
+        c AS (
+            SELECT CASE WHEN CAST(SUBSTR(conv_id, 2) AS BIGINT) % 2 = 0
+                        THEN 'even' ELSE 'odd' END AS cohort,
+                   conv_id, char_sum
+            FROM s
+        )
+        SELECT cohort, conv_id, char_sum,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM c WINDOW w AS (PARTITION BY cohort ORDER BY char_sum)
+    """
+    out["orphan_lineitems"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        )
     """
     out["median_value_per_type"] = """
         WITH v AS (SELECT event_type,

@@ -274,6 +274,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "wau_by_week",
         "doc_len_histogram",
         "tier_consistency_1h",
+        "tier_upsert_late",
+        "orphan_lineitems",
+        "corpus_intake_counts",
+        "percent_rank_convs",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

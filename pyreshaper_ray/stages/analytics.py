@@ -2966,3 +2966,26 @@ def tier_consistency_check(
     return residue.map_batches(
         violations, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def referential_orphans(
+    child_ds: "ray.data.Dataset",
+    parent_ds: "ray.data.Dataset",
+    on: str,
+    right_on: str,
+) -> pa.Table:
+    """Referential-integrity audit: COUNT of child rows whose key has no
+    parent (the FK orphan scan every warehouse intake runs). The anti-join
+    exchange moves only key columns; the count is combiner-reduced.
+
+    Output: one row, n_orphans (BIGINT).
+    """
+    from .joins import anti_join
+
+    orphans = anti_join(
+        child_ds.select_columns([on]),
+        parent_ds.select_columns([right_on]),
+        on=on,
+        right_on=right_on,
+    )
+    return pa.table({"n_orphans": pa.array([orphans.count()], pa.int64())})

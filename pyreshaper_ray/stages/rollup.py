@@ -157,3 +157,22 @@ def cascade(tier_ds: "ray.data.Dataset", to_tier: str) -> "ray.data.Dataset":
     )
     out = combined.groupby(["conv_id", "window_start"]).aggregate(*_FINAL_AGGS())
     return out.map_batches(_cast_canonical, batch_format="pyarrow")
+
+
+def merge_tiers(*tier_dss: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Merge independently-computed rollup tables of the SAME tier — the
+    late-data / backfill / multi-region path: a tier computed from on-time
+    rows and a tier computed later from stragglers combine into exactly the
+    tier a single full pass would have produced, because every tier metric
+    is mergeable (sum of sums, min of mins, max of maxs) and integer-domain.
+
+    One union (no data movement — block concatenation) + one keyed groupby.
+    This is what makes the retention cascade INCREMENTAL at 100 TB: late
+    partitions re-roll only their own turns and merge, never re-reading the
+    corpus.
+    """
+    u = tier_dss[0]
+    for d in tier_dss[1:]:
+        u = u.union(d)
+    out = u.groupby(["conv_id", "window_start"]).aggregate(*_FINAL_AGGS())
+    return out.map_batches(_cast_canonical, batch_format="pyarrow")

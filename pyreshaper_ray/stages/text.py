@@ -500,3 +500,93 @@ def regex_extract_counts(
 
     p = ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return p.groupby("tok").aggregate(_Sum("n", alias_name="n"))
+
+
+def corpus_intake_counts(
+    docs_ds: "ray.data.Dataset",
+    min_chars: int = 50,
+    min_words: int = 10,
+    min_stopwords: int = 1,
+) -> "ray.data.Dataset":
+    """The composed LLM-corpus INTAKE pipeline as one operator — quality
+    gate → exact dedup (keep lowest doc_id per identical text) → per-source
+    acceptance census. Each stage reuses the engine's primitives
+    (``quality_batch`` signals, ``dedup.add_content_hash``); this operator
+    exists to prove they COMPOSE into the end-to-end cleaning job a
+    training-data pipeline runs first, under one oracle.
+
+    Scale shape: the quality gate is vectorized and drops rows before any
+    exchange; the dedup groupby shuffles (hash, doc_id, source, n_chars) —
+    never text; the survivor census is a vocabulary-sized final groupby.
+
+    Output: source, n_docs_kept (BIGINT), chars_kept (BIGINT).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import add_content_hash
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(
+            pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+        )
+        n_stop = pc.cast(
+            pc.count_substring_regex(
+                pc.utf8_lower(text), pattern=STOPWORD_REGEX
+            ),
+            pa.int64(),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_chars, min_chars),
+                pc.greater_equal(n_words, min_words),
+            ),
+            pc.greater_equal(n_stop, min_stopwords),
+        )
+        kept = batch.append_column("n_chars_q", n_chars).filter(keep)
+        hashed = add_content_hash(kept)
+        return pa.table(
+            {
+                "content_hash": hashed["content_hash"],
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "source": kept["source"],
+                "n_chars_q": kept["n_chars_q"],
+            }
+        )
+
+    gated = docs_ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_per_hash(group: pa.Table) -> pa.Table:
+        i = int(pc.index(group["doc_id"], pc.min(group["doc_id"]).as_py()).as_py())
+        return pa.table(
+            {
+                "source": group["source"][i : i + 1],
+                "n_chars_q": group["n_chars_q"][i : i + 1],
+            }
+        )
+
+    survivors = gated.groupby("content_hash").map_groups(
+        first_per_hash, batch_format="pyarrow"
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate(
+            [("n_chars_q", "count"), ("n_chars_q", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs_kept": pc.cast(g["n_chars_q_count"], pa.int64()),
+                "chars_kept": pc.cast(g["n_chars_q_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        survivors.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs_kept", alias_name="n_docs_kept"),
+            Sum("chars_kept", alias_name="chars_kept"),
+        )
+    )

@@ -921,3 +921,75 @@ def longest_streak_days(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("user_id")
         .map_groups(streak, batch_format="pyarrow")
     )
+
+
+def percent_rank_convs(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":
+    """PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY cohort ORDER BY
+    char_sum) — the normalized-rank pair completing the window-function
+    family (RANK/DENSE_RANK/NTILE already exist).
+
+    Same two-stage shape as ``rank_convs_in_cohort``: a combiner reduces
+    turns to one row per conversation, the kernel runs per cohort. Both
+    outputs are a SINGLE integer÷integer float64 division per row
+    ((rank−1)/(n−1), peers_through/n) — bit-exact vs the SQL oracle.
+
+    Output: cohort, conv_id, char_sum, pct_rank, cume (DOUBLE).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id"]).aggregate([("char_len", "sum")])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "char_sum": pc.cast(g["char_len_sum"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds_normalized.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("conv_id")
+        .aggregate(Sum("char_sum", alias_name="char_sum"))
+    )
+
+    def add_cohort(batch: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(batch["conv_id"], 1, 99), pa.int64())
+        cohort = pc.if_else(
+            pc.equal(pc.bit_wise_and(num, 1), 0),
+            pa.scalar("even"),
+            pa.scalar("odd"),
+        )
+        return batch.append_column("cohort", cohort)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("char_sum", "ascending"), ("conv_id", "ascending")],
+        )
+        g = group.take(idx)
+        v = g["char_sum"].to_numpy(zero_copy_only=False)
+        n = len(v)
+        change = np.concatenate(([True], v[1:] != v[:-1]))
+        starts = np.flatnonzero(change)
+        run_len = np.diff(np.append(starts, n))
+        rnk = np.repeat(starts, run_len)  # 0-based RANK-1 (ties share)
+        pct = rnk / (n - 1) if n > 1 else np.zeros(n)
+        peers_through = np.repeat(starts + run_len, run_len)  # rows <= value
+        cume = peers_through / n
+        return pa.table(
+            {
+                "cohort": g["cohort"],
+                "conv_id": g["conv_id"],
+                "char_sum": g["char_sum"],
+                "pct_rank": pa.array(pct, pa.float64()),
+                "cume": pa.array(cume, pa.float64()),
+            }
+        )
+
+    withc = totals.map_batches(
+        add_cohort, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return withc.groupby("cohort").map_groups(kernel, batch_format="pyarrow")

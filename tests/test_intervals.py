@@ -337,3 +337,81 @@ def test_tier_consistency_empty_on_healthy(ray_session):
     )
     out = tier_consistency_check(ray.data.from_arrow(t)).take_all()
     assert out == []
+
+
+def test_merge_tiers_equals_single_pass(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.rollup import merge_tiers, rollup_1m
+
+    n = 40
+    ts = np.arange(n, dtype=np.int64) * 37 * US + BASE
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c%d" % (i % 2) for i in range(n)], pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "char_len": pa.array([(i * 3) % 20 + 1 for i in range(n)], pa.int32()),
+            "tok_est": pa.array([(i % 5) + 1 for i in range(n)], pa.int64()),
+            "is_tool": pa.array([i % 3 == 0 for i in range(n)]),
+            "w1m": pa.array((ts // (60 * US)) * (60 * US), pa.timestamp("us")),
+        }
+    )
+    full = rollup_1m(ray.data.from_arrow(t))
+    merged = merge_tiers(
+        rollup_1m(ray.data.from_arrow(t.slice(0, 25))),
+        rollup_1m(ray.data.from_arrow(t.slice(25))),
+    )
+
+    def key(rows):
+        return sorted(
+            (tuple(sorted(r.items())) for r in rows), key=lambda x: str(x)
+        )
+
+    assert key(full.take_all()) == key(merged.take_all())
+
+
+def test_corpus_intake_gate_and_dedup(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import corpus_intake_counts
+
+    good = "the quick brown fox jumps over a lazy dog again and again ok"
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+            "source": pa.array(["s1", "s1", "s2", "s2"], pa.string()),
+            # doc 3 and 1 identical (dup -> doc 1 kept, s1);
+            # doc 2 passes; doc 4 too short
+            "text": pa.array([good, good, good + " more", "tiny"], pa.string()),
+        }
+    )
+    rows = {
+        r["source"]: (r["n_docs_kept"], r["chars_kept"])
+        for r in corpus_intake_counts(ray.data.from_arrow(t)).take_all()
+    }
+    assert rows == {
+        "s1": (1, len(good)),
+        "s2": (1, len(good) + 5),
+    }
+
+
+def test_percent_rank_ties(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import percent_rank_convs
+
+    # conv u2, u4, u6 (even cohort): char sums 1, 1, 3 -> pct 0, 0, 1;
+    # cume 2/3, 2/3, 1
+    t = pa.table(
+        {
+            "conv_id": pa.array(["u2", "u4", "u6", "u6", "u6"], pa.string()),
+            "char_len": pa.array([1, 1, 1, 1, 1], pa.int32()),
+        }
+    )
+    rows = {
+        r["conv_id"]: (r["pct_rank"], r["cume"])
+        for r in percent_rank_convs(ray.data.from_arrow(t)).take_all()
+    }
+    assert rows["u2"] == (0.0, 2 / 3)
+    assert rows["u4"] == (0.0, 2 / 3)
+    assert rows["u6"] == (1.0, 1.0)
