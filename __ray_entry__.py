@@ -1564,6 +1564,45 @@ def q_orphan_lineitems(sf_dir: str):
     return referential_orphans(child, parent, on="l_orderkey", right_on="o_orderkey")
 
 
+def q_calendarize_spans(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import calendarize_spans
+
+    return calendarize_spans(read_events_as_transcripts(sf_dir))
+
+
+def q_cusum_shift(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import cusum_shift_users
+
+    return cusum_shift_users(
+        _events_value_ds(sf_dir, ["user_id", "event_id", "ts", "value"])
+    )
+
+
+def q_pivot_turns_ipc(sf_dir: str):
+    """Backend-selector parity: the events stream exported once to Arrow
+    IPC, read back through format='ipc', pivoted — must equal the parquet
+    pivot (oracle: the same _T adapter SQL)."""
+    import tempfile
+
+    import pyarrow.ipc
+
+    from pyreshaper_ray.sources.transcripts import read_transcripts
+    from pyreshaper_ray.stages.pivot import pivot_turns
+    from pyreshaper_ray.util import collect_table
+
+    ds = read_events_as_transcripts(sf_dir)
+    src = collect_table(ds)  # fixture-export step, not the operator
+    d = tempfile.mkdtemp(prefix="pyreshaper_ipc_")
+    path = f"{d}/transcripts.arrow"
+    with pa.ipc.new_file(path, src.schema) as w:
+        w.write_table(src)
+    from pyreshaper_ray.stages.normalize import normalize_dataset
+
+    return pivot_turns(
+        normalize_dataset(read_transcripts(path, format="ipc"))
+    ).select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
 def q_corpus_intake(sf_dir: str):
     import ray.data
 
@@ -1696,6 +1735,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_lineitems": q_orphan_lineitems,
         "corpus_intake_counts": q_corpus_intake,
         "percent_rank_convs": q_percent_rank_convs,
+        "calendarize_spans": q_calendarize_spans,
+        "cusum_shift_users": q_cusum_shift,
+        "pivot_turns_ipc": q_pivot_turns_ipc,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -3043,6 +3085,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_chars) AS BIGINT) AS chars_kept
         FROM d GROUP BY 1
     """
+    out["calendarize_spans"] = f"""
+        WITH t AS ({_T}),
+        spans AS (SELECT conv_id, MIN(ts) AS s, MAX(ts) AS e FROM t GROUP BY 1),
+        days AS (
+            SELECT conv_id, s, e,
+                   UNNEST(generate_series(date_trunc('day', s),
+                                          date_trunc('day', e),
+                                          INTERVAL 1 DAY)) AS day
+            FROM spans
+        )
+        SELECT conv_id,
+               CAST(day AS TIMESTAMP) AS day,
+               CAST(epoch_us(LEAST(e, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY))
+                    - epoch_us(GREATEST(s, CAST(day AS TIMESTAMP))) AS BIGINT)
+                   AS active_us
+        FROM days
+    """
+    # cusum_shift_users: recursive max has no SQL analog -> rows-only
+    out["pivot_turns_ipc"] = _T
     out["percent_rank_convs"] = f"""
         WITH t AS ({_T}),
         s AS (

@@ -278,6 +278,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "orphan_lineitems",
         "corpus_intake_counts",
         "percent_rank_convs",
+        "calendarize_spans",
+        "cusum_shift_users",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -90,6 +90,26 @@ def read_transcripts(path: str | list[str], format: str = "parquet") -> "ray.dat
         ds = ray.data.read_csv(path)
     elif format == "json":
         ds = ray.data.read_json(path)
+    elif format in ("ipc", "feather", "arrow"):
+        # Ray 2.49 has no Arrow-IPC reader; one binary file per read task →
+        # blocks stay 1:1 with files and the parse is a zero-copy
+        # ``pa.ipc`` open inside map_batches (file format first, stream
+        # format fallback — covers both feather v2 and raw streams)
+        files = ray.data.read_binary_files(path)
+
+        def parse_ipc(batch: pa.Table) -> pa.Table:
+            tables = []
+            for buf in batch["bytes"].to_pylist():
+                reader_buf = pa.BufferReader(buf)
+                try:
+                    t = pa.ipc.open_file(reader_buf).read_all()
+                except pa.ArrowInvalid:
+                    reader_buf.seek(0)
+                    t = pa.ipc.open_stream(reader_buf).read_all()
+                tables.append(t.select(list(TRANSCRIPT_SCHEMA.names)))
+            return pa.concat_tables(tables)
+
+        ds = files.map_batches(parse_ipc, batch_format="pyarrow")
     else:
         raise ValueError(f"unknown transcript format: {format!r}")
     if format != "parquet":

@@ -2989,3 +2989,108 @@ def referential_orphans(
         right_on=right_on,
     )
     return pa.table({"n_orphans": pa.array([orphans.count()], pa.int64())})
+
+
+def calendarize_spans(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Split each conversation's active span across the calendar days it
+    touches, attributing microseconds per day — the calendarization /
+    proration operator (billing, capacity, SLA attribution).
+
+    Spans reduce combiner-first (per-conversation MIN/MAX over raw turns);
+    the day-splitting kernel is vectorized with ``np.repeat`` over per-span
+    day counts — no per-day Python loop — and runs in plain map_batches
+    (each span expands independently; no grouping needed after the span
+    reduce). Integer-microsecond arithmetic end to end.
+
+    Output: conv_id, day (timestamp, midnight), active_us (BIGINT; a
+    point span contributes one day with 0).
+    """
+    DAY_US = 86_400_000_000
+
+    def span_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["conv_id"]).aggregate([("ts", "min"), ("ts", "max")])
+        return pa.table(
+            {"conv_id": g["conv_id"], "s": g["ts_min"], "e": g["ts_max"]}
+        )
+
+    spans = (
+        ds_transcripts.map_batches(
+            span_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("conv_id")
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        e = b["e"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        d0 = (s // DAY_US) * DAY_US
+        d1 = (e // DAY_US) * DAY_US
+        n_days = ((d1 - d0) // DAY_US + 1).astype(np.int64)
+        total = int(n_days.sum())
+        conv_idx = np.repeat(np.arange(len(s)), n_days)
+        # offset of each emitted day within its span: 0..n_days-1
+        day_off = np.arange(total) - np.repeat(
+            np.cumsum(n_days) - n_days, n_days
+        )
+        day = d0[conv_idx] + day_off * DAY_US
+        lo = np.maximum(s[conv_idx], day)
+        hi = np.minimum(e[conv_idx], day + DAY_US)
+        conv = b["conv_id"].combine_chunks() if isinstance(
+            b["conv_id"], pa.ChunkedArray
+        ) else b["conv_id"]
+        return pa.table(
+            {
+                "conv_id": conv.take(pa.array(conv_idx, pa.int64())),
+                "day": pa.array(day, pa.timestamp("us")),
+                "active_us": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return spans.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cusum_shift_users(
+    events_ds: "ray.data.Dataset", k_cents: int = 0, h_cents: int = 50_000
+) -> "ray.data.Dataset":
+    """One-sided CUSUM level-shift detector per user value stream:
+    s_i = max(0, s_{i-1} + (x_i − median_ref − k)), alarm when s_i > h.
+    The classic sequential change-point test, run per stream with the
+    user's own first-half median as the reference level (self-calibrating,
+    deterministic, integer cents end-to-end).
+
+    Recursive state is stream-local → groupby(user).map_groups, the same
+    partitioning rule as every stateful stream operator. The recursion
+    VECTORIZES via the prefix-min identity
+    s_i = c_i − min(0, min_{j≤i} c_j) with c = cumsum(x − ref − k), so the
+    kernel is cumsum + minimum.accumulate — no per-element Python. No SQL
+    analog (recursive max) → rows-only driver check; pytest plants a shift
+    and cross-checks the identity against the textbook recursion.
+
+    Output: user_id (BIGINT), alarm_idx (BIGINT, 0-based event index of the
+    first alarm, -1 if none), max_cusum (BIGINT).
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        x = to_cents(g["value"]).to_numpy(zero_copy_only=False)
+        half = x[: max(1, len(x) // 2)]
+        kth = (len(half) - 1) // 2
+        ref = int(np.partition(half, kth)[kth])  # first-half lower median
+        c = np.cumsum(x - ref - k_cents)
+        s = c - np.minimum(np.minimum.accumulate(c), 0)
+        over = s > h_cents
+        alarm = int(np.argmax(over)) if over.any() else -1
+        return pa.table(
+            {
+                "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+                "alarm_idx": pa.array([alarm], pa.int64()),
+                "max_cusum": pa.array([int(s.max()) if len(s) else 0], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")

@@ -415,3 +415,87 @@ def test_percent_rank_ties(ray_session):
     assert rows["u2"] == (0.0, 2 / 3)
     assert rows["u4"] == (0.0, 2 / 3)
     assert rows["u6"] == (1.0, 1.0)
+
+
+def test_calendarize_spans_boundaries(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import calendarize_spans
+
+    day = 86_400 * US
+    # conv a: 23:00 day0 -> 01:00 day2 (spans 3 days); conv b: point span
+    rows = [
+        ("a", 0, 23 * 3600 * US),
+        ("a", 1, 2 * day + 3600 * US),
+        ("b", 0, 12 * 3600 * US),
+    ]
+    t = _transcripts(rows)
+    out = {
+        (r["conv_id"], str(r["day"])): r["active_us"]
+        for r in calendarize_spans(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {
+        ("a", "1970-01-01 00:00:00"): 3600 * US,          # 23:00 -> 24:00
+        ("a", "1970-01-02 00:00:00"): day,                 # full day
+        ("a", "1970-01-03 00:00:00"): 3600 * US,           # 00:00 -> 01:00
+        ("b", "1970-01-01 00:00:00"): 0,                   # point span
+    }
+
+
+def test_cusum_planted_shift_and_identity(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import cusum_shift_users
+
+    # user 1: flat 10.00 for 10 events, then jumps to 60.00 -> alarm soon
+    # after index 10 with h=100.00; user 2: flat, never alarms
+    vals1 = [10.0] * 10 + [60.0] * 5
+    vals2 = [10.0] * 15
+    n = len(vals1)
+    t = pa.table(
+        {
+            "user_id": pa.array([1] * n + [2] * n, pa.int64()),
+            "event_id": pa.array(list(range(n)) * 2, pa.int64()),
+            "ts": pa.array(
+                np.concatenate([np.arange(n)] * 2) * US + BASE,
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(vals1 + vals2),
+        }
+    )
+    out = {
+        r["user_id"]: (r["alarm_idx"], r["max_cusum"])
+        for r in cusum_shift_users(
+            ray.data.from_arrow(t), h_cents=10_000
+        ).take_all()
+    }
+    # textbook recursion cross-check for user 1 (ref = 1000 cents)
+    s, alarm, peak = 0, -1, 0
+    for i, v in enumerate(vals1):
+        s = max(0, s + int(round(v * 100)) - 1000)
+        peak = max(peak, s)
+        if alarm < 0 and s > 10_000:
+            alarm = i
+    assert out[1] == (alarm, peak)
+    assert out[2] == (-1, 0)
+
+
+def test_ipc_backend_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from pyreshaper_ray.sources.transcripts import read_transcripts
+
+    t = _transcripts([("a", 0, 0), ("a", 1, US), ("b", 0, 2 * US)])
+    t = t.append_column("role", pa.array(["u", "a", "u"], pa.string()))
+    t = t.append_column("text", pa.array(["hi", "yo", "ok"], pa.string()))
+    t = t.append_column("tool", pa.array(["", "", ""], pa.string()))
+    p = str(tmp_path / "x.arrow")
+    with pa.ipc.new_file(p, t.schema) as w:
+        w.write_table(t)
+    got = read_transcripts(p, format="ipc")
+    rows = sorted(
+        got.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"])
+    )
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows] == [
+        ("a", 0, "hi"), ("a", 1, "yo"), ("b", 0, "ok")
+    ]
