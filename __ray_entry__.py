@@ -1564,6 +1564,36 @@ def q_orphan_lineitems(sf_dir: str):
     return referential_orphans(child, parent, on="l_orderkey", right_on="o_orderkey")
 
 
+def q_daily_dashboard(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import daily_dashboard
+
+    return daily_dashboard(
+        _events_value_ds(sf_dir, ["ts", "event_type", "user_id", "value"])
+    )
+
+
+def q_wau_retention(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import wau_retention
+
+    return wau_retention(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_ship_latency(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import ship_latency_by_priority
+
+    return ship_latency_by_priority(sf_dir)
+
+
+def q_benford(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import benford_first_digit
+
+    return benford_first_digit(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    )
+
+
 def q_calendarize_spans(sf_dir: str):
     from pyreshaper_ray.stages.analytics import calendarize_spans
 
@@ -1738,6 +1768,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calendarize_spans": q_calendarize_spans,
         "cusum_shift_users": q_cusum_shift,
         "pivot_turns_ipc": q_pivot_turns_ipc,
+        "daily_dashboard": q_daily_dashboard,
+        "wau_retention": q_wau_retention,
+        "ship_latency_by_priority": q_ship_latency,
+        "benford_first_digit": q_benford,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -3084,6 +3118,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
                CAST(SUM(n_chars) AS BIGINT) AS chars_kept
         FROM d GROUP BY 1
+    """
+    out["daily_dashboard"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """
+    out["wau_retention"] = """
+        WITH c AS (
+            SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
+                   user_id
+            FROM events
+        )
+        SELECT a.w AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS wau,
+               CAST(SUM(CASE WHEN b.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN b.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS ret_ppm
+        FROM c a
+        LEFT JOIN c b
+          ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAY
+        GROUP BY 1
+    """
+    out["ship_latency_by_priority"] = """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate))
+                    AS BIGINT) AS sum_days,
+               CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                    AS BIGINT) AS max_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """
+    out["benford_first_digit"] = """
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
     """
     out["calendarize_spans"] = f"""
         WITH t AS ({_T}),

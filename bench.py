@@ -280,6 +280,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "percent_rank_convs",
         "calendarize_spans",
         "cusum_shift_users",
+        "daily_dashboard",
+        "wau_retention",
+        "ship_latency_by_priority",
+        "benford_first_digit",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -3094,3 +3094,237 @@ def cusum_shift_users(
         )
 
     return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def daily_dashboard(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The daily ops dashboard cell: per (day, event_type) — event count,
+    exact cents volume, and DISTINCT user count, in one operator.
+
+    Additive measures reduce combiner-first; the distinct-user measure runs
+    its own per-block-distinct → global-distinct → count pipeline (distinct
+    is NOT additive, so it cannot share the first combiner); the two
+    result-sized cell tables meet in one small hash join keyed on the cell.
+
+    Output: day (timestamp), event_type, n_events, value_cents, n_users
+    (BIGINTs).
+    """
+    from .joins import hash_join
+
+    def add_parts(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))
+        t = pa.table(
+            {
+                "day": day,
+                "event_type": b["event_type"],
+                "c": to_cents(b["value"]),
+            }
+        )
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [("c", "count"), ("c", "sum")]
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "event_type": g["event_type"],
+                "n_events": pc.cast(g["c_count"], pa.int64()),
+                "value_cents": pc.cast(g["c_sum"], pa.int64()),
+            }
+        )
+
+    adds = (
+        events_ds.map_batches(add_parts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))
+        t = pa.table(
+            {
+                "day": day,
+                "event_type": b["event_type"],
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+            }
+        )
+        return t.group_by(["day", "event_type", "user_id"]).aggregate([])
+
+    cells = (
+        events_ds.map_batches(
+            distinct_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["day", "event_type", "user_id"])
+        .count()
+    )
+
+    def count_users(b: pa.Table) -> pa.Table:
+        g = b.group_by(["day", "event_type"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "event_type": g["event_type"],
+                "n_users": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    users = (
+        cells.map_batches(count_users, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    j = hash_join(adds, users, on=("day", "event_type"))
+    return j.select_columns(
+        ["day", "event_type", "n_events", "value_cents", "n_users"]
+    )
+
+
+def wau_retention(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Week-over-week retention: per week — active users, how many of them
+    are also active the NEXT week, and the retained share in integer ppm
+    (the engagement metric the weekly retention tier exists to feed).
+
+    Distinct (week, user) cells reduce combiner-first; each user's sorted
+    week set answers its own retention lookups inside one map_groups (a
+    ``np.isin`` against the user's own weeks — stream-local, no self-join
+    exchange); the final per-week groupby is calendar-sized.
+
+    Output: week_start (timestamp), wau, retained, ret_ppm (BIGINTs).
+    """
+    WEEK_US = 604_800_000_000
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        w = pc.cast(pc.floor_temporal(b["ts"], unit="week"), pa.timestamp("us"))
+        t = pa.table(
+            {"user_id": pc.cast(b["user_id"], pa.int64()), "w": w}
+        )
+        return t.group_by(["user_id", "w"]).aggregate([])
+
+    cells = (
+        events_ds.map_batches(
+            distinct_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["user_id", "w"])
+        .count()
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        w = np.unique(
+            group["w"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        ret = np.isin(w + WEEK_US, w).astype(np.int64)
+        return pa.table(
+            {
+                "week_start": pa.array(w, pa.timestamp("us")),
+                "one": pa.array(np.ones(len(w), dtype=np.int64)),
+                "ret": pa.array(ret, pa.int64()),
+            }
+        )
+
+    per_week = (
+        cells.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("week_start")
+        .aggregate(
+            Sum("one", alias_name="wau"), Sum("ret", alias_name="retained")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        wau = b["wau"].to_numpy(zero_copy_only=False)
+        ret = b["retained"].to_numpy(zero_copy_only=False)
+        ppm = ret * 1_000_000 // np.maximum(wau, 1)
+        return pa.table(
+            {
+                "week_start": b["week_start"],
+                "wau": b["wau"],
+                "retained": b["retained"],
+                "ret_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return per_week.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ship_latency_by_priority(sf_dir: str) -> "ray.data.Dataset":
+    """Order-to-ship latency profile per order priority — exact integer-day
+    sums so AVG derives at read time. One large-large hash join (both sides
+    column-pruned), per-priority combiner after it.
+
+    Output: o_orderpriority, n_lines, sum_days, max_days (BIGINTs).
+    """
+    import ray
+
+    from .joins import hash_join
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        order = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "days": pa.array(ship - order, pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [("days", "count"), ("days", "sum"), ("days", "max")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n_lines": pc.cast(g["days_count"], pa.int64()),
+                "sum_days": pc.cast(g["days_sum"], pa.int64()),
+                "max_days": pc.cast(g["days_max"], pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("sum_days", alias_name="sum_days"),
+            Max("max_days", alias_name="max_days"),
+        )
+    )
+
+
+def benford_first_digit(orders_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Benford first-digit census over order totals (integer cents) — the
+    classic fraud/data-quality screen. The digit extracts EXACTLY via
+    decimal string slicing (no float log near power-of-ten boundaries);
+    per-block 9-bucket combiner, digit-sized final groupby.
+
+    Output: digit (BIGINT 1..9), n (BIGINT).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = to_cents(b["o_totalprice"])
+        d = pc.cast(
+            pc.utf8_slice_codeunits(pc.cast(c, pa.string()), 0, 1), pa.int64()
+        )
+        g = pa.table({"digit": d}).group_by(["digit"]).aggregate(
+            [("digit", "count")]
+        )
+        return pa.table(
+            {
+                "digit": g["digit"],
+                "n": pc.cast(g["digit_count"], pa.int64()),
+            }
+        )
+
+    return (
+        orders_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+    )

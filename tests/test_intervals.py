@@ -499,3 +499,45 @@ def test_ipc_backend_roundtrip(ray_session, tmp_path):
     assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in rows] == [
         ("a", 0, "hi"), ("a", 1, "yo"), ("b", 0, "ok")
     ]
+
+
+def test_wau_retention_week_pairs(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import wau_retention
+
+    # weeks: 2024-01-01 (u1, u2), 2024-01-08 (u1), 2024-01-15 (u3)
+    ts = np.array(
+        ["2024-01-02T00:00:00", "2024-01-03T00:00:00", "2024-01-04T00:00:00",
+         "2024-01-10T00:00:00", "2024-01-16T00:00:00"],
+        dtype="datetime64[us]",
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 1, 3], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    out = {
+        str(r["week_start"]): (r["wau"], r["retained"], r["ret_ppm"])
+        for r in wau_retention(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {
+        "2024-01-01 00:00:00": (2, 1, 500000),
+        "2024-01-08 00:00:00": (1, 0, 0),
+        "2024-01-15 00:00:00": (1, 0, 0),
+    }
+
+
+def test_benford_exact_digits(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import benford_first_digit
+
+    # cents: 100, 999, 1000, 95 -> digits 1, 9, 1, 9
+    t = pa.table({"o_totalprice": pa.array([1.00, 9.99, 10.00, 0.95])})
+    out = {
+        r["digit"]: r["n"]
+        for r in benford_first_digit(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {1: 2, 9: 2}
