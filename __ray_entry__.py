@@ -1564,6 +1564,22 @@ def q_orphan_lineitems(sf_dir: str):
     return referential_orphans(child, parent, on="l_orderkey", right_on="o_orderkey")
 
 
+def q_term_pairs(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import term_pair_cooccurrence
+
+    return term_pair_cooccurrence(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
+def q_ddsketch_p95_daily(sf_dir: str):
+    from pyreshaper_ray.stages.sketches import ddsketch_p95_daily
+
+    return ddsketch_p95_daily(_events_value_ds(sf_dir, ["ts", "value"]))
+
+
 def q_daily_dashboard(sf_dir: str):
     from pyreshaper_ray.stages.analytics import daily_dashboard
 
@@ -1772,6 +1788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_retention": q_wau_retention,
         "ship_latency_by_priority": q_ship_latency,
         "benford_first_digit": q_benford,
+        "term_pair_cooccurrence": q_term_pairs,
+        "ddsketch_p95_daily": q_ddsketch_p95_daily,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -3118,6 +3136,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
                CAST(SUM(n_chars) AS BIGINT) AS chars_kept
         FROM d GROUP BY 1
+    """
+    # ddsketch_p95_daily: sketch answer, not the exact quantile -> rows-only
+    out["term_pair_cooccurrence"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        ),
+        d AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+        capped AS (
+            SELECT doc_id, term FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY term) <= 64
+        ),
+        p AS (
+            SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n
+            FROM capped a
+            JOIN capped b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2
+        )
+        SELECT term_a, term_b, CAST(n AS BIGINT) AS n
+        FROM p ORDER BY n DESC, term_a ASC, term_b ASC LIMIT 20
     """
     out["daily_dashboard"] = """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

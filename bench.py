@@ -284,6 +284,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "wau_retention",
         "ship_latency_by_priority",
         "benford_first_digit",
+        "term_pair_cooccurrence",
+        "ddsketch_p95_daily",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -590,3 +590,62 @@ def corpus_intake_counts(
             Sum("chars_kept", alias_name="chars_kept"),
         )
     )
+
+
+def term_pair_cooccurrence(
+    ds_docs: "ray.data.Dataset", k: int = 20, max_doc_terms: int = 64
+) -> "ray.data.Dataset":
+    """Top-``k`` co-occurring term PAIRS across documents — the
+    market-basket / frequent-itemset (size 2) miner over the corpus
+    vocabulary. A pair counts once per document containing both terms.
+
+    Scale shape: per-document DISTINCT terms (Arrow split + np.unique)
+    capped at ``max_doc_terms`` lexicographically-first terms — the cap
+    bounds the quadratic pair expansion at ``max_doc_terms``²/2 rows per
+    document (documented contract; raise for long-doc corpora) — then a
+    per-block (pair) combiner, one pair-keyed groupby, result-sized
+    sort+limit. Tokenization is the engine-wide RE2 ``[^a-z0-9]+`` rule,
+    restated verbatim in the oracle.
+
+    Output: term_a, term_b (term_a < term_b), n (BIGINT).
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        ta_all, tb_all = [], []
+        for lst in toks.to_pylist():
+            terms = sorted({t for t in lst if t})[:max_doc_terms]
+            m = len(terms)
+            for i in range(m):
+                a = terms[i]
+                for jj in range(i + 1, m):
+                    ta_all.append(a)
+                    tb_all.append(terms[jj])
+        t = pa.table(
+            {
+                "term_a": pa.array(ta_all, pa.string()),
+                "term_b": pa.array(tb_all, pa.string()),
+            }
+        )
+        g = t.group_by(["term_a", "term_b"]).aggregate([("term_a", "count")])
+        return pa.table(
+            {
+                "term_a": g["term_a"],
+                "term_b": g["term_b"],
+                "n": pc.cast(g["term_a_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds_docs.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return (
+        counts.sort(["n", "term_a", "term_b"], descending=[True, False, False])
+        .limit(k)
+        .select_columns(["term_a", "term_b", "n"])
+    )

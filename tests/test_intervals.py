@@ -541,3 +541,56 @@ def test_benford_exact_digits(ray_session):
         for r in benford_first_digit(ray.data.from_arrow(t)).take_all()
     }
     assert out == {1: 2, 9: 2}
+
+
+def test_term_pairs_per_doc_once(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import term_pair_cooccurrence
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "alpha beta alpha",   # pair (alpha, beta) once
+                    "beta alpha gamma",   # (alpha,beta) (alpha,gamma) (beta,gamma)
+                    "alpha only alpha",   # (alpha, only)
+                ],
+                pa.string(),
+            )
+        }
+    )
+    rows = term_pair_cooccurrence(ray.data.from_arrow(t), k=10).take_all()
+    d = {(r["term_a"], r["term_b"]): r["n"] for r in rows}
+    assert d[("alpha", "beta")] == 2
+    assert d[("alpha", "gamma")] == 1
+    assert d[("beta", "gamma")] == 1
+    assert d[("alpha", "only")] == 1
+
+
+def test_ddsketch_daily_p95_error_bound(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import ddsketch_p95_daily
+
+    rng = np.random.default_rng(7)
+    day = 86_400 * US
+    vals0 = rng.uniform(1, 1000, 2000)
+    vals1 = rng.uniform(10, 50, 1500)
+    ts = np.concatenate(
+        [np.full(2000, BASE), np.full(1500, BASE + day)]
+    ) + np.concatenate([np.arange(2000), np.arange(1500)]) * US
+    t = pa.table(
+        {
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "value": pa.array(np.concatenate([vals0, vals1])),
+        }
+    )
+    out = sorted(
+        ddsketch_p95_daily(ray.data.from_arrow(t)).take_all(),
+        key=lambda r: r["day"],
+    )
+    assert [r["n"] for r in out] == [2000, 1500]
+    for r, vals in zip(out, (vals0, vals1)):
+        exact = np.quantile(vals, 0.95)
+        assert abs(r["p95"] - exact) <= 0.03 * exact  # 1% sketch + rank slack
