@@ -3103,12 +3103,13 @@ def daily_dashboard(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     Additive measures reduce combiner-first; the distinct-user measure runs
     its own per-block-distinct → global-distinct → count pipeline (distinct
     is NOT additive, so it cannot share the first combiner); the two
-    result-sized cell tables meet in one small hash join keyed on the cell.
+    result-sized cell tables meet in one zero-padded UNION + cell-keyed
+    groupby-sum — cheaper than a hash join and immune to Ray 2.49's
+    empty-block join crash on degenerate (e.g. fully filtered) inputs.
 
     Output: day (timestamp), event_type, n_events, value_cents, n_users
     (BIGINTs).
     """
-    from .joins import hash_join
 
     def add_parts(b: pa.Table) -> pa.Table:
         day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))
@@ -3174,9 +3175,32 @@ def daily_dashboard(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["day", "event_type"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
-    j = hash_join(adds, users, on=("day", "event_type"))
-    return j.select_columns(
-        ["day", "event_type", "n_events", "value_cents", "n_users"]
+
+    def pad_adds(b: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        return b.select(
+            ["day", "event_type", "n_events", "value_cents"]
+        ).append_column("n_users", zero)
+
+    def pad_users(b: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "day": b["day"],
+                "event_type": b["event_type"],
+                "n_events": zero,
+                "value_cents": zero,
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        )
+
+    both = adds.map_batches(pad_adds, batch_format="pyarrow").union(
+        users.map_batches(pad_users, batch_format="pyarrow")
+    )
+    return both.groupby(["day", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"),
+        Sum("n_users", alias_name="n_users"),
     )
 
 

@@ -594,3 +594,52 @@ def test_ddsketch_daily_p95_error_bound(ray_session):
     for r, vals in zip(out, (vals0, vals1)):
         exact = np.quantile(vals, 0.95)
         assert abs(r["p95"] - exact) <= 0.03 * exact  # 1% sketch + rank slack
+
+
+def test_empty_inputs_no_crash(ray_session):
+    """Round-3 ops on EMPTY inputs: no crashes, zero rows (the degenerate
+    partition every 100-TB run contains somewhere)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import (
+        calendarize_spans,
+        concurrent_convs,
+        daily_dashboard,
+        scd2_value_history,
+        value_deciles,
+        wau_retention,
+        winsorized_value_stats,
+    )
+    from pyreshaper_ray.stages.windows import ewma_chars, role_runs
+
+    empty_events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    )
+    empty_turns = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "role": pa.array([], pa.string()),
+                "char_len": pa.array([], pa.int32()),
+            }
+        )
+    )
+    assert value_deciles(empty_events).num_rows == 0
+    assert winsorized_value_stats(empty_events).count() == 0
+    assert daily_dashboard(empty_events).count() == 0
+    assert wau_retention(empty_events).count() == 0
+    assert scd2_value_history(empty_events).count() == 0
+    assert calendarize_spans(empty_turns).count() == 0
+    assert concurrent_convs(empty_turns).count() == 0
+    assert ewma_chars(empty_turns).count() == 0
+    assert role_runs(empty_turns).count() == 0
