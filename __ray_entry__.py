@@ -1564,6 +1564,28 @@ def q_orphan_lineitems(sf_dir: str):
     return referential_orphans(child, parent, on="l_orderkey", right_on="o_orderkey")
 
 
+def q_vocab_size(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import vocab_size
+
+    return vocab_size(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
+def q_length_percentile(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import length_percentile_docs
+
+    return length_percentile_docs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
 def q_term_pairs(sf_dir: str):
     import ray.data
 
@@ -1790,6 +1812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_first_digit": q_benford,
         "term_pair_cooccurrence": q_term_pairs,
         "ddsketch_p95_daily": q_ddsketch_p95_daily,
+        "vocab_size_documents": q_vocab_size,
+        "length_percentile_documents": q_length_percentile,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -3138,6 +3162,22 @@ def oracle_sql() -> dict[str, str]:
         FROM d GROUP BY 1
     """
     # ddsketch_p95_daily: sketch answer, not the exact quantile -> rows-only
+    out["vocab_size_documents"] = """
+        SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        )
+        WHERE term <> ''
+    """
+    out["length_percentile_documents"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST((RANK() OVER (ORDER BY LENGTH(text)) - 1) * 1000000
+                    // COUNT(*) OVER () AS BIGINT) AS pct_ppm
+        FROM documents
+    """
     out["term_pair_cooccurrence"] = """
         WITH tok AS (
             SELECT doc_id,

@@ -286,6 +286,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "benford_first_digit",
         "term_pair_cooccurrence",
         "ddsketch_p95_daily",
+        "vocab_size_documents",
+        "length_percentile_documents",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

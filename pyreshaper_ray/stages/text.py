@@ -649,3 +649,86 @@ def term_pair_cooccurrence(
         .limit(k)
         .select_columns(["term_a", "term_b", "n"])
     )
+
+
+def vocab_size(ds_docs: "ray.data.Dataset") -> pa.Table:
+    """EXACT corpus vocabulary size (distinct terms) — the Heaps-law
+    denominator every tokenizer budget starts from. Per-block distinct
+    terms (Arrow split + group_by) shrink the exchange to block
+    vocabularies; the global distinct is one groupby; the count is the
+    result. Output: one row, n_terms (BIGINT)."""
+
+    def block_vocab(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"term": flat}).group_by(["term"]).aggregate([])
+
+    distinct = (
+        ds_docs.map_batches(block_vocab, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .count()
+    )
+    return pa.table({"n_terms": pa.array([distinct.count()], pa.int64())})
+
+
+def length_percentile_docs(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Each document's length PERCENTILE within the corpus, in integer ppm:
+    ppm = 1e6 · (#docs strictly shorter) // n — i.e. (RANK() − 1)·1e6 // n.
+
+    Global rank WITHOUT a distributed sort: document lengths live in a
+    small integer domain, so a per-block length histogram (combiner-only,
+    a few KiB) reduces to one global histogram; its cumulative counts
+    broadcast back and each block resolves its own ranks by lookup. The
+    corpus is touched exactly twice, no exchange moves rows — the
+    small-domain complement of ``windows.ntile_convs``'s sort-based ranks.
+
+    Output: doc_id (BIGINT), n_chars (BIGINT), pct_ppm (BIGINT).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def hist_block(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        g = pa.table({"len": ln}).group_by(["len"]).aggregate([("len", "count")])
+        return pa.table(
+            {"len": g["len"], "n": pc.cast(g["len_count"], pa.int64())}
+        )
+
+    hist = (
+        ds_docs.map_batches(hist_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("len")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    from ..util import collect_table
+
+    h = collect_table(hist)  # domain-sized (distinct lengths), tiny
+    lens = h["len"].to_numpy(zero_copy_only=False)
+    ns = h["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lens)
+    lens, ns = lens[order], ns[order]
+    below = np.concatenate(([0], np.cumsum(ns)[:-1]))  # docs strictly shorter
+    total = int(ns.sum())
+    ref = ray.put((lens, below, total))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        lens_b, below_b, total_b = cached_get(ref)
+        ln = pc.cast(pc.utf8_length(batch["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(lens_b, ln)
+        ppm = below_b[idx] * 1_000_000 // total_b
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pa.array(ln, pa.int64()),
+                "pct_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return ds_docs.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True)

@@ -643,3 +643,33 @@ def test_empty_inputs_no_crash(ray_session):
     assert concurrent_convs(empty_turns).count() == 0
     assert ewma_chars(empty_turns).count() == 0
     assert role_runs(empty_turns).count() == 0
+
+
+def test_length_percentile_histogram_ranks(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import length_percentile_docs
+
+    texts = ["a", "bb", "bb", "dddd"]  # lens 1,2,2,4 -> below: 0,1,1,3
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r["pct_ppm"]
+        for r in length_percentile_docs(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {1: 0, 2: 250000, 3: 250000, 4: 750000}
+
+
+def test_vocab_size_distinct(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import vocab_size
+
+    t = pa.table(
+        {"text": pa.array(["a b c", "b c d!", "D?"], pa.string())}
+    )
+    assert vocab_size(ray.data.from_arrow(t))["n_terms"][0].as_py() == 4
