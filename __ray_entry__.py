@@ -1564,6 +1564,30 @@ def q_orphan_lineitems(sf_dir: str):
     return referential_orphans(child, parent, on="l_orderkey", right_on="o_orderkey")
 
 
+def q_dewma_chars(sf_dir: str):
+    from pyreshaper_ray.stages.windows import dewma_chars
+
+    return dewma_chars(_norm_ds(sf_dir))
+
+
+def q_posting_stats(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import posting_stats
+
+    return posting_stats(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+def q_skew_census(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import skew_census
+
+    return skew_census(_events_value_ds(sf_dir, ["user_id"]))
+
+
 def q_vocab_size(sf_dir: str):
     import ray.data
 
@@ -1814,6 +1838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_p95_daily": q_ddsketch_p95_daily,
         "vocab_size_documents": q_vocab_size,
         "length_percentile_documents": q_length_percentile,
+        "dewma_chars_8": q_dewma_chars,
+        "posting_stats_documents": q_posting_stats,
+        "skew_census_events": q_skew_census,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -3162,6 +3189,47 @@ def oracle_sql() -> dict[str, str]:
         FROM d GROUP BY 1
     """
     # ddsketch_p95_daily: sketch answer, not the exact quantile -> rows-only
+    _EWMA_TERMS = """0.5        * {c}
+             + 0.25       * COALESCE(LAG({c}, 1) OVER {w}, 0)
+             + 0.125      * COALESCE(LAG({c}, 2) OVER {w}, 0)
+             + 0.0625     * COALESCE(LAG({c}, 3) OVER {w}, 0)
+             + 0.03125    * COALESCE(LAG({c}, 4) OVER {w}, 0)
+             + 0.015625   * COALESCE(LAG({c}, 5) OVER {w}, 0)
+             + 0.0078125  * COALESCE(LAG({c}, 6) OVER {w}, 0)
+             + 0.00390625 * COALESCE(LAG({c}, 7) OVER {w}, 0)"""
+    out["dewma_chars_8"] = f"""
+        WITH t AS ({_T}),
+        e AS (
+            SELECT conv_id, turn_idx, ts,
+                   {_EWMA_TERMS.format(c="LENGTH(text)", w="w")} AS ewma
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        )
+        SELECT conv_id, turn_idx,
+               {_EWMA_TERMS.format(c="ewma", w="w2")} AS dewma
+        FROM e WINDOW w2 AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+    """
+    out["posting_stats_documents"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        ),
+        d AS (SELECT DISTINCT term, doc_id FROM tok WHERE term <> '')
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM d GROUP BY 1
+    """
+    out["skew_census_events"] = """
+        WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(n) AS BIGINT) AS top1_n,
+               CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS top1_share_ppm
+        FROM c
+    """
     out["vocab_size_documents"] = """
         SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
         FROM (

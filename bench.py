@@ -288,6 +288,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "ddsketch_p95_daily",
         "vocab_size_documents",
         "length_percentile_documents",
+        "dewma_chars_8",
+        "posting_stats_documents",
+        "skew_census_events",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -3352,3 +3352,51 @@ def benford_first_digit(orders_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("digit")
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def skew_census(
+    events_ds: "ray.data.Dataset", key_col: str = "user_id"
+) -> pa.Table:
+    """Key-skew profile of a column: total rows, distinct keys, and the
+    hottest key's row count/share (integer ppm) — the census that decides
+    whether a downstream exchange needs salting (the engine's
+    salt_threshold / skew-join hot-key machinery consumes exactly this
+    signal; here it is exposed as a first-class profiling operator).
+
+    Per-block (key, count) combiner → one key-keyed groupby → a
+    three-number driver finalize over the key-count table (distinct-key
+    sized, never row sized).
+
+    Output: one row — n_rows, n_distinct, top1_n, top1_share_ppm (BIGINTs).
+    """
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by([key_col]).aggregate([(key_col, "count")])
+        return pa.table(
+            {
+                "k": g[key_col],
+                "n": pc.cast(g[f"{key_col}_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    n_distinct = counts.count()
+    agg = counts.aggregate(_Sum("n"), _Max("n"))
+    n_rows = int(agg["sum(n)"] or 0) if agg else 0
+    top1 = int(agg["max(n)"] or 0) if agg else 0
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_distinct": pa.array([n_distinct], pa.int64()),
+            "top1_n": pa.array([top1], pa.int64()),
+            "top1_share_ppm": pa.array(
+                [top1 * 1_000_000 // max(n_rows, 1)], pa.int64()
+            ),
+        }
+    )

@@ -732,3 +732,54 @@ def length_percentile_docs(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return ds_docs.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def posting_stats(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Inverted-index build profile: per term — document frequency and the
+    posting-list key range (min/max doc_id). The census a search-index
+    shard planner reads before building real postings.
+
+    Fused per-block distinct-(term, doc) reduction (one document's tokens
+    never span blocks inside the kernel) → one term-keyed groupby merging
+    (df, min, max) — the same DF-safe shape as ``tfidf_top_term``.
+
+    Output: term, df, min_doc, max_doc (BIGINTs).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        doc = pc.cast(batch["doc_id"], pa.int64()).combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        docs_rep = doc.take(
+            pa.array(np.repeat(np.arange(len(counts)), counts), pa.int64())
+        )
+        t = pa.table({"term": flat, "doc_id": docs_rep}).filter(
+            pc.not_equal(flat, "")
+        )
+        # distinct (term, doc) inside the block, then per-term partials
+        d = t.group_by(["term", "doc_id"]).aggregate([])
+        g = d.group_by(["term"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min"), ("doc_id", "max")]
+        )
+        return pa.table(
+            {
+                "term": g["term"],
+                "df": pc.cast(g["doc_id_count"], pa.int64()),
+                "min_doc": g["doc_id_min"],
+                "max_doc": g["doc_id_max"],
+            }
+        )
+
+    return (
+        ds_docs.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Min("min_doc", alias_name="min_doc"),
+            Max("max_doc", alias_name="max_doc"),
+        )
+    )

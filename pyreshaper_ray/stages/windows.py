@@ -993,3 +993,42 @@ def percent_rank_convs(ds_normalized: "ray.data.Dataset") -> "ray.data.Dataset":
         add_cohort, batch_format="pyarrow", zero_copy_batch=True
     )
     return withc.groupby("cohort").map_groups(kernel, batch_format="pyarrow")
+
+
+def dewma_chars(ds_normalized: "ray.data.Dataset", k: int = 8) -> "ray.data.Dataset":
+    """Double EWMA (trend smoothing): the truncated dyadic EWMA applied to
+    its own output — Holt's linear method's smoothing stage, kept in the
+    exactly-representable domain (weights 2^-(j+1) twice ⇒ every value is a
+    dyadic rational with denominator 2^16, still exact in float64, so the
+    nested-window SQL oracle matches bit-for-bit).
+
+    Output: conv_id, turn_idx, dewma (DOUBLE).
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("turn_idx", "ascending")]
+            )
+        )
+        x = g["char_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        def smooth(v: np.ndarray) -> np.ndarray:
+            out = np.zeros(len(v), dtype=np.float64)
+            for j in range(k):
+                w = 2.0 ** -(j + 1)
+                if j == 0:
+                    out += w * v
+                elif j < len(v):
+                    out[j:] += w * v[:-j]
+            return out
+
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "dewma": pa.array(smooth(smooth(x)), pa.float64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(kernel, batch_format="pyarrow")

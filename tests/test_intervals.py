@@ -673,3 +673,68 @@ def test_vocab_size_distinct(ray_session):
         {"text": pa.array(["a b c", "b c d!", "D?"], pa.string())}
     )
     assert vocab_size(ray.data.from_arrow(t))["n_terms"][0].as_py() == 4
+
+
+def test_dewma_double_smooth_exact(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import dewma_chars
+
+    n = 12
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * n, pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * US + BASE, pa.timestamp("us")
+            ),
+            "char_len": pa.array(range(1, n + 1), pa.int32()),
+        }
+    )
+    out = {
+        r["turn_idx"]: r["dewma"]
+        for r in dewma_chars(ray.data.from_arrow(t), k=8).take_all()
+    }
+
+    def smooth(v):
+        return [
+            sum(2.0 ** -(j + 1) * v[i - j] for j in range(8) if i - j >= 0)
+            for i in range(len(v))
+        ]
+
+    ref = smooth(smooth(list(range(1, n + 1))))
+    for i in (0, 5, 11):
+        assert out[i] == ref[i]
+
+
+def test_skew_census_hot_key(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import skew_census
+
+    t = pa.table({"user_id": pa.array([1] * 7 + [2, 3, 4], pa.int64())})
+    r = skew_census(ray.data.from_arrow(t)).to_pylist()[0]
+    assert r == {
+        "n_rows": 10,
+        "n_distinct": 4,
+        "top1_n": 7,
+        "top1_share_ppm": 700000,
+    }
+
+
+def test_posting_stats_df_and_range(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import posting_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array(["cat dog cat", "dog!", "CAT"], pa.string()),
+        }
+    )
+    out = {
+        r["term"]: (r["df"], r["min_doc"], r["max_doc"])
+        for r in posting_stats(ray.data.from_arrow(t)).take_all()
+    }
+    assert out == {"cat": (2, 10, 30), "dog": (2, 10, 20)}
