@@ -73,15 +73,9 @@ def cmd_run(args: argparse.Namespace) -> int:
             else ([spec.input] if isinstance(spec.input, str) else spec.input)
         )
         t = pa.concat_tables([pq.read_table(p) for p in paths])
-        out = oracle_full(t)
-        names = {
-            "turns": "turns",
-            "rollup_1m": "rollup_1m",
-            "rollup_1h": "rollup_1h",
-            "rollup_1d": "rollup_1d",
-            "gapfill_1m": "gapfill_1m",
-            "series": "series",
-        }
+        out = oracle_full(t, tiers=spec.tiers)
+        names = {"turns": "turns", "gapfill_1m": "gapfill_1m", "series": "series"}
+        names.update({f"rollup_{tier}": f"rollup_{tier}" for tier in spec.tiers})
         for key, sub in names.items():
             atomic_write_parquet(
                 out[key], os.path.join(spec.out_dir, sub, "serial", "part-000.parquet")

@@ -81,8 +81,15 @@ def oracle_cascade(tier: pa.Table, to_tier: str) -> pa.Table:
     Exact because sums/counts compose (sum-of-sums) and min/max nest.
     """
     df = tier.to_pandas()
-    unit = {"1h": "h", "1d": "D"}[to_tier]
-    df["window_start"] = df["window_start"].dt.floor(unit)
+    if to_tier == "1w":
+        # ISO Monday-start weeks (pandas floor() has no week unit;
+        # W-SUN periods start on Monday — matches Arrow floor_temporal)
+        df["window_start"] = (
+            df["window_start"].dt.to_period("W-SUN").dt.start_time
+        )
+    else:
+        unit = {"1h": "h", "1d": "D"}[to_tier]
+        df["window_start"] = df["window_start"].dt.floor(unit)
     g = df.groupby(["conv_id", "window_start"], sort=True)
     out = g.agg(
         turn_count=("turn_count", "sum"),
@@ -174,18 +181,20 @@ def oracle_encode_series(pivoted_normalized: pa.Table) -> pa.Table:
     )
 
 
-def oracle_full(t: pa.Table) -> dict[str, pa.Table]:
+def oracle_full(
+    t: pa.Table, tiers: tuple[str, ...] = ("1m", "1h", "1d")
+) -> dict[str, pa.Table]:
     """Run the whole flagship pipeline single-process. Returns all tiers."""
     norm = oracle_normalize(t)
     pivoted = oracle_pivot(norm)
     t1m = oracle_rollup_1m(pivoted)
-    t1h = oracle_cascade(t1m, "1h")
-    t1d = oracle_cascade(t1h, "1d")
-    return {
-        "turns": pivoted,
-        "rollup_1m": t1m,
-        "rollup_1h": t1h,
-        "rollup_1d": t1d,
-        "gapfill_1m": oracle_gapfill(t1m),
-        "series": oracle_encode_series(pivoted),
-    }
+    out = {"turns": pivoted, "rollup_1m": t1m}
+    prev = t1m
+    for tier in tiers:
+        if tier == "1m":
+            continue
+        prev = oracle_cascade(prev, tier)
+        out[f"rollup_{tier}"] = prev
+    out["gapfill_1m"] = oracle_gapfill(t1m)
+    out["series"] = oracle_encode_series(pivoted)
+    return out

@@ -33,6 +33,7 @@ TIER_DIRS = {
     "1m": "rollup_1m",
     "1h": "rollup_1h",
     "1d": "rollup_1d",
+    "1w": "rollup_1w",
     "gapfill_1m": "gapfill_1m",
 }
 

@@ -24,7 +24,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
-VALID_TIERS = ("1m", "1h", "1d")
+VALID_TIERS = ("1m", "1h", "1d", "1w")
 VALID_WMODES = ("s", "o", "a")  # skip-if-done / overwrite / append
 # 'a' (append): new input files are ingested into EXISTING tiers by
 # recomputing only the buckets their rows hash into (manifest- and
@@ -39,7 +39,7 @@ class JobSpec:
     input: str | list[str]
     out_dir: str
     n_buckets: int = 64
-    tiers: tuple[str, ...] = VALID_TIERS
+    tiers: tuple[str, ...] = ("1m", "1h", "1d")  # "1w" is opt-in
     include_turns: bool = True  # False = rollups/series only: text never
     # enters the exchange (the 'project text away from metric paths early'
     # scale lever — the spill shrinks ~5x)

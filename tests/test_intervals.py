@@ -738,3 +738,49 @@ def test_posting_stats_df_and_range(ray_session):
         for r in posting_stats(ray.data.from_arrow(t)).take_all()
     }
     assert out == {"cat": (2, 10, 30), "dog": (2, 10, 20)}
+
+
+def test_flagship_1w_tier_bit_exact(ray_session, tmp_path):
+    """Flagship with the weekly tier enabled: the distributed rollup_1w
+    product is bit-for-bit the oracle's 1d tier cascaded to ISO weeks."""
+    import glob
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.fixtures import write_fixture
+    from pyreshaper_ray.oracle import oracle_cascade, oracle_full
+    from pyreshaper_ray.pipelines.flagship import read_tier, run_flagship
+    from pyreshaper_ray.pipelines.spec import create_spec
+
+    fx = str(tmp_path / "fx")
+    paths = write_fixture(fx, n_conv=40, n_files=3, skew_turns=120)
+    t = pa.concat_tables([pq.read_table(p) for p in paths])
+    want = oracle_cascade(oracle_full(t)["rollup_1d"], "1w")
+
+    out = str(tmp_path / "out")
+    spec = create_spec(
+        input=os.path.join(fx, "transcripts"),
+        out_dir=out,
+        n_buckets=5,
+        wmode="o",
+        tiers=("1m", "1h", "1d", "1w"),
+    )
+    run_flagship(spec)
+    import ray
+
+    refs = read_tier(out, "1w").to_arrow_refs()
+    got = pa.concat_tables(
+        [x for x in (ray.get(r) for r in refs) if x.num_columns]
+    ).select(want.column_names)
+
+    def canon(tbl):
+        return tbl.take(
+            _pc.sort_indices(
+                tbl,
+                sort_keys=[("conv_id", "ascending"), ("window_start", "ascending")],
+            )
+        )
+
+    assert canon(got).cast(want.schema).equals(canon(want))
