@@ -1588,6 +1588,18 @@ def q_skew_census(sf_dir: str):
     return skew_census(_events_value_ds(sf_dir, ["user_id"]))
 
 
+def q_q5_local_supplier(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(sf_dir)
+
+
+def q_q18_large_volume(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q18_large_volume_customers
+
+    return q18_large_volume_customers(sf_dir)
+
+
 def q_vocab_size(sf_dir: str):
     import ray.data
 
@@ -1841,6 +1853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dewma_chars_8": q_dewma_chars,
         "posting_stats_documents": q_posting_stats,
         "skew_census_events": q_skew_census,
+        "q5_local_supplier_volume": q_q5_local_supplier,
+        "q18_large_volume_customers": q_q18_large_volume,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "pivot_turns": q_pivot_turns,
@@ -3229,6 +3243,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(n) AS BIGINT) AS top1_n,
                CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS top1_share_ppm
         FROM c
+    """
+    out["q5_local_supplier_volume"] = """
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_u
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE s.s_nationkey = c.c_nationkey
+          AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        ORDER BY revenue_u DESC, n_name ASC
+    """
+    out["q18_large_volume_customers"] = """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_u
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+        )
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+               CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderdate,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_u,
+               big.sum_qty_u
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY totalprice_u DESC, o_orderkey ASC LIMIT 100
     """
     out["vocab_size_documents"] = """
         SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms

@@ -3400,3 +3400,234 @@ def skew_census(
             ),
         }
     )
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> "ray.data.Dataset":
+    """TPC-H Q5 shape: per-nation revenue from lineitems whose CUSTOMER and
+    SUPPLIER sit in the same nation, nation inside ``region``, order date in
+    [``start``, ``end``).
+
+    Scale plan: the ONLY large-large exchange is lineitem ⋈ orders on
+    orderkey, with both fact sides filter-pruned first (orders by the date
+    window; lineitem down to 3 fixed-width columns).  The three dimension
+    hops (custkey→nation, suppkey→nation, nation∈region) never shuffle:
+    customer and supplier key→nationkey maps are broadcast once via
+    ``ray.put`` as SORTED int64 arrays and resolved per batch with
+    ``np.searchsorted`` (two binary-search gathers per batch, no Python
+    rows); the region's nation set is a tiny in-closure mask.  The same-
+    nation predicate then reduces each joined batch to (nationkey, rev)
+    partials, so the final groupby moves ≤ |nations| rows per block.
+    Revenue is exact integer units cents × (100 − discount%), the
+    bit-exact-under-any-combine-order rule every money path here uses.
+
+    Output: n_name (VARCHAR), revenue_u (BIGINT), ordered revenue desc.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import hash_join
+
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    reg_key = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=reg_key.combine_chunks()))
+    nation_keys = np.sort(nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    nation_names = {
+        int(k): v
+        for k, v in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+        )
+    }
+
+    def _sorted_lut(path: str, key: str, val: str) -> "ray.ObjectRef":
+        t = pq.read_table(path, columns=[key, val])
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return ray.put((k[order], v[order]))
+
+    cust_ref = _sorted_lut(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    supp_ref = _sorted_lut(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+
+    def orders_pred(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(lo, pa.int64())),
+            pc.less(ts, pa.scalar(hi, pa.int64())),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        ).filter(keep)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_pred(b: pa.Table) -> pa.Table:
+        ext = to_cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = to_cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                "rev": pa.array(ext * (100 - disc), pa.int64()),
+            }
+        )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"nationkey": pa.array([], pa.int64()), "revenue_u": pa.array([], pa.int64())}
+            )
+        ck, cn = cached_get(cust_ref)
+        sk, sn = cached_get(supp_ref)
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        cnat = cn[np.searchsorted(ck, cust)]
+        snat = sn[np.searchsorted(sk, supp)]
+        keep = (cnat == snat) & np.isin(cnat, nation_keys)
+        t = pa.table(
+            {
+                "nationkey": pa.array(cnat[keep], pa.int64()),
+                "rev": pa.array(
+                    b["rev"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["nationkey"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "nationkey": g["nationkey"],
+                "revenue_u": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+
+    def name_it(b: pa.Table) -> pa.Table:
+        names = [
+            nation_names[int(k)] for k in b["nationkey"].to_pylist()
+        ]  # ≤ |nations| rows — result-sized
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_u": pc.cast(b["revenue_u"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(name_it, batch_format="pyarrow").sort(
+        ["revenue_u", "n_name"], descending=[True, False]
+    )
+
+
+def q18_large_volume_customers(
+    sf_dir: str, qty_threshold: int = 250, k: int = 100
+) -> "ray.data.Dataset":
+    """TPC-H Q18 shape: top-``k`` orders whose total lineitem quantity
+    exceeds ``qty_threshold``, with their customer names.
+
+    Scale plan: lineitem pre-reduces per orderkey inside map_batches
+    (combiner), so the one groupby exchange moves ≤ one row per orderkey
+    per block; the HAVING filter then shrinks the survivor set to
+    result-size.  Orders attach via a hash join on the (already tiny)
+    survivor side; the customer name attaches via a broadcast dim lookup
+    AFTER the top-k, so only ``k`` rows are enriched.  Quantities and
+    totalprice carry as exact integer hundredths (qty_u = qty×100).
+
+    Output: c_custkey, c_name, o_orderkey, o_orderdate, totalprice_u,
+    sum_qty_u — ordered totalprice_u desc, o_orderkey asc, limit ``k``.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import broadcast_enrich, hash_join
+
+    thr_u = int(qty_threshold) * 100
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "qty_u": to_cents(b["l_quantity"]),
+            }
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("qty_u", "sum")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "qty_u": pc.cast(g["qty_u_sum"], pa.int64())}
+        )
+
+    per_order = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(line_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_u", alias_name="sum_qty_u"))
+        .filter(expr=f"sum_qty_u > {thr_u}")
+    )
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+                "totalprice_u": to_cents(b["o_totalprice"]),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(orders_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey")
+    top = j.sort(
+        ["totalprice_u", "l_orderkey"], descending=[True, False]
+    ).limit(k)
+
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename_columns(["o_custkey", "c_name"])
+    out = broadcast_enrich(top, names, key="o_custkey")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "c_name": b["c_name"],
+                "o_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+                "totalprice_u": pc.cast(b["totalprice_u"], pa.int64()),
+                "sum_qty_u": pc.cast(b["sum_qty_u"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")

@@ -749,3 +749,140 @@ def test_top_users_by_active_days_distinct(ray_session):
         ).take_all()
     ]
     assert rows == [(3, 3), (1, 2), (2, 1)]
+
+
+def test_q5_local_supplier_volume_hand(ray_session, tmp_path):
+    """Q5 semantics: revenue counted only when customer and supplier share a
+    nation, the nation is in the target region, and the order date is in
+    the window; excluded rows cover each predicate independently."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q5_local_supplier_volume
+
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["ASIA", "EUROPE"]),
+            }
+        ),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([10, 11, 20], pa.int32()),
+                "n_name": pa.array(["JAPAN", "INDIA", "FRANCE"]),
+                "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_nationkey": pa.array([10, 11, 20], pa.int32()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([5, 6, 7], pa.int64()),
+                "s_nationkey": pa.array([10, 11, 20], pa.int32()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    ts = pa.array(
+        [
+            np.datetime64("1996-06-01", "us"),
+            np.datetime64("1996-06-01", "us"),
+            np.datetime64("1995-06-01", "us"),  # outside window
+            np.datetime64("1996-06-01", "us"),
+        ],
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102, 103], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1, 3], pa.int64()),
+                "o_orderdate": ts,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # 100: JAPAN cust + JAPAN supp -> counted (10.00 * (100-5))
+                # 100 again, different-nation supp -> excluded
+                # 101: INDIA cust + INDIA supp -> counted (20.00 * 100)
+                # 102: date-excluded order
+                # 103: FRANCE (EUROPE) same-nation -> region-excluded
+                "l_orderkey": pa.array([100, 100, 101, 102, 103], pa.int64()),
+                "l_suppkey": pa.array([5, 6, 6, 5, 7], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 99.0, 20.0, 50.0, 70.0]),
+                "l_discount": pa.array([0.05, 0.0, 0.0, 0.0, 0.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q5_local_supplier_volume(str(tmp_path)).to_pandas()
+    got = list(zip(out.n_name, out.revenue_u))
+    assert got == [("INDIA", 2000 * 100), ("JAPAN", 1000 * 95)]
+
+
+def test_q18_large_volume_customers_hand(ray_session, tmp_path):
+    """Q18 semantics: only orders whose summed quantity exceeds the
+    threshold survive; strict inequality at the boundary; output ordered by
+    totalprice desc with the customer name attached."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q18_large_volume_customers
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["alice", "bob"]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    ts = pa.array([np.datetime64("1996-01-01", "us")] * 3, pa.timestamp("us"))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1], pa.int64()),
+                "o_orderdate": ts,
+                "o_totalprice": pa.array([500.0, 900.0, 100.0]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # 100: 150+151 = 301 > 300 -> in; 101: exactly 300 -> out
+                # (strict >); 102: 299 -> out
+                "l_orderkey": pa.array([100, 100, 101, 102], pa.int64()),
+                "l_quantity": pa.array([150.0, 151.0, 300.0, 299.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q18_large_volume_customers(str(tmp_path), qty_threshold=300).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.c_custkey, r.c_name, r.o_orderkey, r.totalprice_u, r.sum_qty_u) == (
+        1,
+        "alice",
+        100,
+        50000,
+        30100,
+    )
