@@ -1738,6 +1738,24 @@ def q_tier_consistency(sf_dir: str):
     )
 
 
+def q_acf_minute_counts(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import acf_minute_counts
+
+    return acf_minute_counts(read_events_as_transcripts(sf_dir), lags=(1, 2, 3))
+
+
+def q_hour_dod_delta(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import hour_dod_delta
+
+    return hour_dod_delta(read_events_as_transcripts(sf_dir))
+
+
+def q_role_simpson(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import role_simpson_per_conv
+
+    return role_simpson_per_conv(read_events_as_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
     # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
@@ -1747,6 +1765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix, and parks the long green tail at the end.
     return {
         # --- 44 driver-unchecked as of CORRECTNESS_r02 (oracle these first) ---
+        "acf_minute_counts": q_acf_minute_counts,
+        "hour_dod_delta": q_hour_dod_delta,
+        "role_simpson_per_conv": q_role_simpson,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3467,5 +3488,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(MAX(cnt) AS BIGINT) AS longest_streak
         FROM g GROUP BY 1
+    """
+    # ACF of the dense zero-filled minute-count series: integer Pearson
+    # components per lag (see stages/timeseries.acf_minute_counts).
+    out["acf_minute_counts"] = f"""
+        WITH t AS ({_T}),
+        c AS (SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n
+              FROM t GROUP BY 1),
+        grid AS (
+            SELECT UNNEST(generate_series((SELECT MIN(m) FROM c),
+                                          (SELECT MAX(m) FROM c),
+                                          INTERVAL 1 MINUTE)) AS m
+        ),
+        dense AS (
+            SELECT grid.m, COALESCE(c.n, 0) AS n
+            FROM grid LEFT JOIN c ON grid.m = c.m
+        ),
+        lags AS (SELECT UNNEST([1, 2, 3]) AS lag),
+        pairs AS (
+            SELECT l.lag, a.n AS x, b.n AS y
+            FROM lags l
+            JOIN dense a ON TRUE
+            JOIN dense b ON b.m = a.m + l.lag * INTERVAL 1 MINUTE
+        )
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+               CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+               CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        FROM pairs GROUP BY 1
+    """
+    out["hour_dod_delta"] = f"""
+        WITH t AS ({_T}),
+        c AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+              FROM t GROUP BY 1)
+        SELECT a.hour,
+               CAST(a.n AS BIGINT) AS n,
+               CAST(b.n AS BIGINT) AS prev_n,
+               CAST(a.n - b.n AS BIGINT) AS delta
+        FROM c a JOIN c b ON b.hour = a.hour - INTERVAL 24 HOUR
+    """
+    out["role_simpson_per_conv"] = f"""
+        WITH t AS ({_T}),
+        rc AS (SELECT conv_id, role, COUNT(*) AS c FROM t GROUP BY 1, 2)
+        SELECT conv_id,
+               CAST(SUM(c) AS BIGINT) AS n_turns,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        FROM rc GROUP BY 1
     """
     return out

@@ -3631,3 +3631,56 @@ def q18_large_volume_customers(
         )
 
     return out.map_batches(shape, batch_format="pyarrow")
+
+
+def role_simpson_per_conv(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Role-diversity (Simpson concentration) components per conversation:
+    n_turns = Σc and sum_c2 = Σc² over the conversation's per-role turn
+    counts c. Simpson's diversity index is 1 − sum_c2/n_turns² — the caller
+    derives the float; the engine ships only EXACT int64 components so the
+    oracle matches bit-for-bit (same convention as ``corr_components``).
+
+    Shape: per-block Arrow ``group_by(conv_id, role)`` partials (block
+    reduces to its distinct pairs), one ``groupby(conv_id, role)`` exchange
+    over the pre-reduced rows for exact per-pair counts, square in a
+    map_batches, then a second pre-reduced ``groupby(conv_id)`` for the
+    components — both exchanges move (conv × role)-domain rows, never turns.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"conv_id": batch["conv_id"], "role": batch["role"]})
+            .group_by(["conv_id", "role"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "role": g["role"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    pair_counts = (
+        ds_transcripts.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["conv_id", "role"])
+        .sum("c")
+    )
+
+    def square(batch: pa.Table) -> pa.Table:
+        c = batch["sum(c)"]
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "c": c,
+                "c2": pc.multiply_checked(c, c),
+            }
+        )
+
+    return (
+        pair_counts.map_batches(square, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("c", alias_name="n_turns"), Sum("c2", alias_name="sum_c2"))
+    )

@@ -289,3 +289,157 @@ def lttb_downsample(
 
     p = events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return p.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def _minute_counts_dense(ds_transcripts: "ray.data.Dataset") -> np.ndarray:
+    """Dense zero-filled minute-grid turn counts for the whole corpus.
+
+    Per-block partial counts (Arrow ``group_by`` over the minute key) reduce
+    each block to at most minutes-domain rows, the global ``groupby(minute)``
+    exchange therefore moves one row per (block, minute) — never one per
+    turn — and the final collect is domain-sized (one row per minute of
+    corpus span), the documented result-sized finalize. At 10^12 turns the
+    grid for a year of data is ~526k rows: driver-trivial.
+    """
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(batch["ts"], unit="minute")
+        g = pa.table({"minute": m}).group_by("minute").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "minute": g["minute"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds_transcripts.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("minute")
+        .sum("n")
+    )
+    t = collect_table(counts)
+    if t.num_rows == 0:
+        return np.zeros(0, np.int64)
+    mins = (
+        t["minute"].to_numpy(zero_copy_only=False).astype("datetime64[m]").astype(np.int64)
+    )
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = mins.min(), mins.max()
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[mins - lo] = n
+    return dense
+
+
+def acf_minute_counts(
+    ds_transcripts: "ray.data.Dataset", lags: tuple[int, ...] = (1, 2, 3)
+) -> pa.Table:
+    """Autocorrelation COMPONENTS of the corpus-wide per-minute turn-count
+    series at the given lags — the seasonality probe a rollup store runs
+    before choosing retention tiers.
+
+    The series is the dense zero-filled minute grid between the corpus'
+    first and last active minute (missing minutes count 0, same convention
+    as the gap-fill tier). For lag k, pairs are (x_t, x_{t+k}) over the
+    grid; the output carries the EXACT integer Pearson components (n, Σx,
+    Σy, Σxy, Σx², Σy²) per lag, so the result is bit-exact under any block
+    order and the caller/SQL derives r — the same integer-components
+    convention as ``corr_components``.
+    """
+    dense = _minute_counts_dense(ds_transcripts)
+    rows = []
+    for k in lags:
+        if len(dense) > k:
+            x = dense[:-k]
+            y = dense[k:]
+        else:
+            x = y = np.zeros(0, np.int64)
+        rows.append(
+            (
+                k,
+                len(x),
+                int(x.sum()),
+                int(y.sum()),
+                int((x * y).sum()),
+                int((x * x).sum()),
+                int((y * y).sum()),
+            )
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "lag": pa.array(cols[0], pa.int64()),
+            "n": pa.array(cols[1], pa.int64()),
+            "sum_x": pa.array(cols[2], pa.int64()),
+            "sum_y": pa.array(cols[3], pa.int64()),
+            "sum_xy": pa.array(cols[4], pa.int64()),
+            "sum_x2": pa.array(cols[5], pa.int64()),
+            "sum_y2": pa.array(cols[6], pa.int64()),
+        }
+    )
+
+
+def hour_dod_delta(ds_transcripts: "ray.data.Dataset") -> pa.Table:
+    """Day-over-day hourly anomaly table: each hour's turn count next to the
+    count of the SAME hour one day earlier, plus the exact delta — the
+    seasonal-naive residual every ops dashboard alerts on.
+
+    Combiner-first hourly counts (per-block Arrow ``group_by``, then one
+    domain-sized ``groupby(hour)`` exchange); the day-over-day alignment is
+    a numpy index shift on the hours-domain-sized collected table (the
+    documented result-sized finalize — ~8.8k rows/year). Only hours whose
+    previous-day hour exists in the corpus span are emitted (inner-join
+    semantics), all counts exact int64.
+    """
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        g = pa.table({"hour": h}).group_by("hour").aggregate([([], "count_all")])
+        return pa.table(
+            {"hour": g["hour"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds_transcripts.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hour")
+        .sum("n")
+    )
+    t = collect_table(counts)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+                "prev_n": pa.array([], pa.int64()),
+                "delta": pa.array([], pa.int64()),
+            }
+        )
+    hrs = (
+        t["hour"].to_numpy(zero_copy_only=False).astype("datetime64[h]").astype(np.int64)
+    )
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # sparse hour -> count map via searchsorted on the sorted hour keys
+    order = np.argsort(hrs)
+    hrs_s, n_s = hrs[order], n[order]
+    want = hrs_s - 24  # same hour, previous day
+    pos = np.searchsorted(hrs_s, want)
+    pos_c = np.clip(pos, 0, len(hrs_s) - 1)
+    has_prev = hrs_s[pos_c] == want
+    cur_n = n_s[has_prev]
+    prev_n = n_s[pos_c[has_prev]]
+    return pa.table(
+        {
+            "hour": pa.array(
+                hrs_s[has_prev].astype("datetime64[h]").astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "n": pa.array(cur_n, pa.int64()),
+            "prev_n": pa.array(prev_n, pa.int64()),
+            "delta": pa.array(cur_n - prev_n, pa.int64()),
+        }
+    )

@@ -886,3 +886,37 @@ def test_q18_large_volume_customers_hand(ray_session, tmp_path):
         50000,
         30100,
     )
+
+
+def test_role_simpson_per_conv_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import role_simpson_per_conv
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+        ("c2", 0, "user"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")] * len(rows),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = {
+        r["conv_id"]: r
+        for r in role_simpson_per_conv(
+            ray.data.from_arrow(t).repartition(3)
+        ).take_all()
+    }
+    # c1: roles {user:2, assistant:1} → n=3, sum_c2 = 4+1 = 5
+    assert out["c1"]["n_turns"] == 3 and out["c1"]["sum_c2"] == 5
+    # c2: single role → maximal concentration, sum_c2 == n²
+    assert out["c2"]["n_turns"] == 1 and out["c2"]["sum_c2"] == 1

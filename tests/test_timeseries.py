@@ -105,3 +105,76 @@ def test_lttb_properties(ray_session):
     pts = sorted(by_user[1], key=lambda r: r["point_idx"])
     assert pts[0]["ts"] == np.datetime64("2024-01-01T00:00:00", "us").item()
     assert pts[-1]["ts"] == np.datetime64("2024-01-01T00:00:39", "us").item()
+
+
+def _transcripts(rows):
+    """rows: (conv_id, turn_idx, role, ts_str)"""
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array(
+                [np.datetime64(r[3], "us") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_acf_minute_counts_hand_computed(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import acf_minute_counts
+
+    # minutes 0..4 with counts [2, 0, 1, 0, 3] (minute 1 and 3 are EMPTY —
+    # the dense grid must zero-fill them)
+    rows = (
+        [("c1", i, "user", "2024-01-01T10:00:05") for i in range(2)]
+        + [("c1", 10, "user", "2024-01-01T10:02:30")]
+        + [("c2", i, "user", "2024-01-01T10:04:01") for i in range(3)]
+    )
+    out = acf_minute_counts(
+        ray.data.from_arrow(_transcripts(rows)).repartition(3), lags=(1, 2)
+    )
+    d = {r["lag"]: r for r in out.to_pylist()}
+    # series [2,0,1,0,3]; lag1 pairs x=[2,0,1,0] y=[0,1,0,3]
+    assert d[1]["n"] == 4
+    assert d[1]["sum_x"] == 3 and d[1]["sum_y"] == 4
+    assert d[1]["sum_xy"] == 0  # 2*0 + 0*1 + 1*0 + 0*3
+    assert d[1]["sum_x2"] == 5 and d[1]["sum_y2"] == 10
+    # lag2 pairs x=[2,0,1] y=[1,0,3]
+    assert d[2]["n"] == 3
+    assert d[2]["sum_xy"] == 5  # 2*1 + 0 + 1*3
+    # lag longer than the series → empty components
+    out2 = acf_minute_counts(
+        ray.data.from_arrow(_transcripts(rows[:1])), lags=(1,)
+    ).to_pylist()
+    assert out2[0]["n"] == 0 and out2[0]["sum_xy"] == 0
+
+
+def test_hour_dod_delta_hand_computed(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import hour_dod_delta
+
+    # day1 10:00 → 2 turns, day1 11:00 → 1; day2 10:00 → 5 (delta +3 vs
+    # day1 10:00); day2 09:00 has no day-1 partner → not emitted
+    rows = (
+        [("a", i, "user", "2024-01-01T10:15:00") for i in range(2)]
+        + [("a", 9, "user", "2024-01-01T11:30:00")]
+        + [("b", i, "user", "2024-01-02T10:45:00") for i in range(5)]
+        + [("b", 10, "user", "2024-01-02T09:00:00")]
+    )
+    out = hour_dod_delta(ray.data.from_arrow(_transcripts(rows)).repartition(2))
+    got = {r["hour"]: r for r in out.to_pylist()}
+    assert len(got) == 1
+    k = np.datetime64("2024-01-02T10:00:00", "us").item()
+    assert got[k]["n"] == 5 and got[k]["prev_n"] == 2 and got[k]["delta"] == 3
+
+    # empty input → empty typed table
+    empty = hour_dod_delta(
+        ray.data.from_arrow(_transcripts([("z", 0, "user", "2024-01-01T00:00:00")]).slice(0, 0))
+    )
+    assert empty.num_rows == 0
