@@ -1756,6 +1756,35 @@ def q_role_simpson(sf_dir: str):
     return role_simpson_per_conv(read_events_as_transcripts(sf_dir))
 
 
+def q_typo_term_pairs(sf_dir: str):
+    """Typo-pair mining over the combined token stream: documents.text plus
+    the transcript payloads (events.props). The documents vocabulary alone
+    is a fixed 31-word set with no distance-1 neighbors, so the union keeps
+    the driver check non-trivial (numeric payload tokens have real
+    edit-distance-1 pairs)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import typo_term_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    props = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props"]
+    ).rename_columns({"props": "text"})
+    return typo_term_pairs(docs.union(props), top_n=200)
+
+
+def q_theil_sen_trend(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import theil_sen_daily_trend
+
+    return theil_sen_daily_trend(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_bounce_rate_daily(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import bounce_rate_daily
+
+    return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
     # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
@@ -1768,6 +1797,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
+        "typo_term_pairs": q_typo_term_pairs,
+        "theil_sen_daily_trend": q_theil_sen_trend,
+        "bounce_rate_daily": q_bounce_rate_daily,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3537,5 +3569,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(c) AS BIGINT) AS n_turns,
                CAST(SUM(c * c) AS BIGINT) AS sum_c2
         FROM rc GROUP BY 1
+    """
+    # top-200 terms (n DESC, term ASC — the engine's exact tie-break), then
+    # every pair at levenshtein distance exactly 1
+    out["typo_term_pairs"] = """
+        WITH corpus AS (
+            SELECT text FROM documents
+            UNION ALL SELECT props AS text FROM events
+        ),
+        tok AS (
+            SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z0-9]+')) AS term
+            FROM corpus
+        ),
+        tf AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+            WHERE term <> '' GROUP BY 1
+            ORDER BY n DESC, term ASC LIMIT 200
+        )
+        SELECT a.term AS term_a, b.term AS term_b, a.n AS n_a, b.n AS n_b
+        FROM tf a JOIN tf b ON a.term < b.term
+        WHERE levenshtein(a.term, b.term) = 1
+    """
+    out["theil_sen_daily_trend"] = """
+        WITH d AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT a.user_id, b.n - a.n AS num,
+                   CAST(date_diff('day', a.day, b.day) AS BIGINT) AS den
+            FROM d a JOIN d b ON a.user_id = b.user_id AND b.day > a.day
+        ),
+        r AS (
+            SELECT user_id, num, den,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM p
+        ),
+        nd AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY 1)
+        SELECT CAST(r.user_id AS BIGINT) AS user_id,
+               nd.n_days,
+               CAST(FLOOR(1000000.0 * num / den) AS BIGINT) AS slope_ppm
+        FROM r JOIN nd ON r.user_id = nd.user_id
+        WHERE rn = (cnt + 1) // 2
+    """
+    out["bounce_rate_daily"] = """
+        WITH ud AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+        FROM ud GROUP BY 1
     """
     return out

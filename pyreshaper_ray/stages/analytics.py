@@ -3684,3 +3684,132 @@ def role_simpson_per_conv(ds_transcripts: "ray.data.Dataset") -> "ray.data.Datas
         .groupby("conv_id")
         .aggregate(Sum("c", alias_name="n_turns"), Sum("c2", alias_name="sum_c2"))
     )
+
+
+def theil_sen_daily_trend(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-user Theil–Sen robust activity trend: the (lower-)median of all
+    pairwise slopes over the user's (day, daily event count) points, in
+    integer parts-per-million events/day.
+
+    Robust-regression counterpart to ``conv_trend_components`` (least
+    squares): the median slope ignores up to ~29% outlier days. Exchanges
+    are combiner-first (per-block (user, day) count partials, one
+    pre-reduced ``groupby(user, day)``), then the O(days²) pair scan runs
+    per user inside ``groupby(user).map_groups`` — days-per-user is bounded
+    by the corpus span, never by event volume, so the kernel is ~span²/2
+    int ops per user at any scale.
+
+    Determinism/oracle contract: pairs (b.n − a.n, Δdays) over day-ordered
+    points; total order (float slope, num, den); the lower median is rank
+    ⌈cnt/2⌉ (1-based); slope_ppm = floor(1e6·num/den) evaluated in float64
+    exactly as the SQL restatement. Users with a single active day are
+    omitted (no pairs).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"user_id": batch["user_id"], "day": d})
+            .group_by(["user_id", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    daily = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .sum("n")
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        import math
+
+        uid = group["user_id"][0].as_py()
+        idx = pc.sort_indices(group, sort_keys=[("day", "ascending")])
+        g = group.take(idx)
+        days = (
+            g["day"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        n = g["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(days)
+        if k < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_days": pa.array([], pa.int64()),
+                    "slope_ppm": pa.array([], pa.int64()),
+                }
+            )
+        iu, ju = np.triu_indices(k, 1)
+        num = n[ju] - n[iu]
+        den = days[ju] - days[iu]
+        val = num.astype(np.float64) / den
+        order = np.lexsort((den, num, val))
+        mid = order[(len(order) - 1) // 2]  # lower median, rank ceil(cnt/2)
+        slope_ppm = math.floor(1_000_000.0 * float(num[mid]) / float(den[mid]))
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_days": pa.array([k], pa.int64()),
+                "slope_ppm": pa.array([slope_ppm], pa.int64()),
+            }
+        )
+
+    return daily.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def bounce_rate_daily(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Daily bounce census: per day, the number of active users and how many
+    of them produced exactly ONE event that day (the classic bounce-rate
+    numerator/denominator, shipped as exact counts — the caller derives the
+    rate).
+
+    Combiner-first twice over pre-reduced rows: per-block (day, user)
+    partial counts, one ``groupby(day, user)`` exchange for exact per-pair
+    counts (user×day domain, never events), then a per-day aggregate of
+    (1, n==1) flags — so no exchange moves event-sized data.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"day": d, "user_id": batch["user_id"]})
+            .group_by(["day", "user_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "user_id": g["user_id"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_user_day = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "user_id"])
+        .sum("n")
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch["day"],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "bounce": pc.cast(
+                    pc.equal(batch["sum(n)"], pa.scalar(1, pa.int64())), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        per_user_day.map_batches(flags, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("one", alias_name="n_users"), Sum("bounce", alias_name="n_bounce"))
+    )

@@ -783,3 +783,63 @@ def posting_stats(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
             Max("max_doc", alias_name="max_doc"),
         )
     )
+
+
+def _edit_distance_is_1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) == 1, in O(len) — the only band a
+    typo-pair miner needs (0 is excluded upstream by a < b; >=2 rejected by
+    the length gate). Equal length: exactly one substitution; length diff 1:
+    one insertion/deletion via the two-pointer skip."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by one: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def typo_term_pairs(
+    ds_docs: "ray.data.Dataset", top_n: int = 200, text_col: str = "text"
+) -> pa.Table:
+    """Typo-cluster candidate pairs: among the corpus' top-N terms by
+    frequency, every pair at Levenshtein distance exactly 1 — the vocabulary
+    normalization pass (fuzzy key matching) a training-data pipeline runs
+    before counting/merging terms.
+
+    The distributed work is the combiner-first term count (same exchange as
+    ``top_terms``: per-block vocabularies, never tokens); the pair scan is
+    over the RESULT-SIZED top-N list on the driver (N²/2 O(len) checks —
+    40k string probes at N=200, microseconds), the documented finalize.
+    Selection ties break (n DESC, term ASC) identically to the SQL oracle.
+
+    Output: term_a < term_b (lexicographic), with both frequencies.
+    """
+    from ..util import collect_table
+
+    top = collect_table(top_terms(ds_docs, k=top_n, text_col=text_col))
+    terms = top["term"].to_pylist()
+    counts = top["n"].to_pylist()
+    rows = []
+    for i in range(len(terms)):
+        for j in range(i + 1, len(terms)):
+            a, b = terms[i], terms[j]
+            if _edit_distance_is_1(a, b):
+                lo, hi = (a, b) if a < b else (b, a)
+                n_lo = counts[i] if lo == terms[i] else counts[j]
+                n_hi = counts[j] if hi == terms[j] else counts[i]
+                rows.append((lo, hi, n_lo, n_hi))
+    rows.sort()
+    return pa.table(
+        {
+            "term_a": pa.array([r[0] for r in rows], pa.string()),
+            "term_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

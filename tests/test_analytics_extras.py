@@ -920,3 +920,70 @@ def test_role_simpson_per_conv_hand_computed(ray_session):
     assert out["c1"]["n_turns"] == 3 and out["c1"]["sum_c2"] == 5
     # c2: single role → maximal concentration, sum_c2 == n²
     assert out["c2"]["n_turns"] == 1 and out["c2"]["sum_c2"] == 1
+
+
+def test_theil_sen_daily_trend_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import theil_sen_daily_trend
+
+    # user 1: days 0,1,2 with counts 1,5,3
+    #   pairs: (0,1): +4/1 ; (0,2): +2/2=+1 ; (1,2): -2/1
+    #   sorted slopes: -2, 1, 4 -> median 1 -> 1_000_000 ppm
+    # user 2: one day only -> omitted
+    # user 3: days 0,2 counts 3,2 -> slope -1/2 -> floor(-500000.0)
+    rows = []
+    def add(uid, day, k):
+        for i in range(k):
+            rows.append((uid, f"2024-01-0{day + 1}T10:00:00"))
+    add(1, 0, 1); add(1, 1, 5); add(1, 2, 3)
+    add(2, 0, 4)
+    add(3, 0, 3); add(3, 2, 2)
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        r["user_id"]: r
+        for r in theil_sen_daily_trend(
+            ray.data.from_arrow(t).repartition(4)
+        ).take_all()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_days"] == 3 and out[1]["slope_ppm"] == 1_000_000
+    assert out[3]["n_days"] == 2 and out[3]["slope_ppm"] == -500_000
+
+
+def test_bounce_rate_daily_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import bounce_rate_daily
+
+    # day 1: u1 x2 (not bounce), u2 x1 (bounce); day 2: u1 x1 (bounce)
+    rows = [
+        (1, "2024-01-01T09:00:00"), (1, "2024-01-01T17:00:00"),
+        (2, "2024-01-01T12:00:00"),
+        (1, "2024-01-02T08:00:00"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        str(r["day"])[:10]: r
+        for r in bounce_rate_daily(ray.data.from_arrow(t).repartition(3)).take_all()
+    }
+    assert out["2024-01-01"]["n_users"] == 2 and out["2024-01-01"]["n_bounce"] == 1
+    assert out["2024-01-02"]["n_users"] == 1 and out["2024-01-02"]["n_bounce"] == 1

@@ -177,3 +177,45 @@ def test_redact_pii_planted(ray_session):
     assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (2, 1)
     assert rows[3]["red_text"] == "nothing here"
     assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (0, 0)
+
+
+def test_typo_term_pairs_planted(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import _edit_distance_is_1, typo_term_pairs
+
+    # band check vs a tiny reference DP
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    words = ["cat", "cut", "cats", "scat", "dog", "dig", "dodge", "a", "at", ""]
+    for x in words:
+        for y in words:
+            assert _edit_distance_is_1(x, y) == (lev(x, y) == 1), (x, y)
+
+    # planted typo cluster: "batch"/"botch" (sub) and "merge"/"merg" (del)
+    texts = (
+        ["batch merge sort" for _ in range(5)]
+        + ["botch merg sort" for _ in range(3)]
+        + ["unrelated words here" for _ in range(2)]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    out = typo_term_pairs(ds, top_n=50)
+    pairs = {(a, b) for a, b in zip(out["term_a"].to_pylist(), out["term_b"].to_pylist())}
+    assert ("batch", "botch") in pairs
+    assert ("merg", "merge") in pairs
+    assert all(a < b for a, b in pairs)
+    # counts travel with the pair
+    d = {(a, b): (na, nb) for a, b, na, nb in zip(
+        out["term_a"].to_pylist(), out["term_b"].to_pylist(),
+        out["n_a"].to_pylist(), out["n_b"].to_pylist())}
+    assert d[("batch", "botch")] == (5, 3)
