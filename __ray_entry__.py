@@ -1785,6 +1785,33 @@ def q_bounce_rate_daily(sf_dir: str):
     return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_compress_ratio(sf_dir: str):
+    """zlib ratio per doc: deterministic but not SQL-expressible (DuckDB has
+    no zlib) — rows-only driver check; ordering/determinism gates live in
+    tests/test_text.py."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import compress_ratio_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(compress_ratio_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_bigram_lm_scores(sf_dir: str):
+    """Two-pass char-bigram LM quality score (train combiner-first, score
+    via broadcast model) — model scoring, rows-only by nature."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import bigram_lm_scores
+
+    return bigram_lm_scores(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
     # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
@@ -1800,6 +1827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_term_pairs": q_typo_term_pairs,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
+        "compress_ratio_documents": q_compress_ratio,
+        "bigram_lm_scores_documents": q_bigram_lm_scores,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,

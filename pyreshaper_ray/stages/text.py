@@ -843,3 +843,132 @@ def typo_term_pairs(
             "n_b": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def compress_ratio_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document zlib compression ratio — the classic low-entropy /
+    boilerplate filter a pretraining pipeline runs before dedup (highly
+    compressible text is repeated boilerplate; incompressible is often
+    binary junk). Deterministic: fixed zlib level 6, ratio in ppm of the
+    raw UTF-8 length (0 for empty docs).
+
+    The per-row zlib call is C-speed and dominated by the DEFLATE kernel
+    itself, so the Python iteration is not the hot path (unlike tokenize /
+    hash loops, which are vectorized elsewhere); the stage is still
+    embarrassingly parallel map_batches with no exchange.
+    """
+    import zlib
+
+    texts = batch[text_col].to_pylist()
+    raw = np.fromiter((len(t.encode("utf-8")) for t in texts), np.int64, len(texts))
+    comp = np.fromiter(
+        (len(zlib.compress(t.encode("utf-8"), 6)) for t in texts),
+        np.int64,
+        len(texts),
+    )
+    ratio_ppm = np.where(raw > 0, comp * 1_000_000 // np.maximum(raw, 1), 0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "raw_len": pa.array(raw, pa.int64()),
+            "comp_len": pa.array(comp, pa.int64()),
+            "ratio_ppm": pa.array(ratio_ppm, pa.int64()),
+        }
+    )
+
+
+def train_char_bigram_lm(ds_docs: "ray.data.Dataset", text_col: str = "text") -> dict:
+    """Pass 1 of the perplexity-style quality scorer: corpus-wide character
+    bigram counts, COMBINER-FIRST — each block reduces its text to a dense
+    (128×128) ASCII-bigram count matrix (non-ASCII folded to DEL 0x7f), and
+    the per-block matrices are summed; the exchange moves one 64 KiB matrix
+    per block, never text. The returned model is {matrix, row_totals} —
+    broadcast it with ray.put for the scoring pass (KenLM-filter analog).
+    """
+    from ..util import collect_table
+
+    V = 128
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.zeros((V, V), np.int64)
+        for t in batch[text_col].to_pylist():
+            b = np.frombuffer(t.encode("utf-8"), np.uint8)
+            b = np.minimum(b, V - 1)
+            if len(b) >= 2:
+                np.add.at(m, (b[:-1], b[1:]), 1)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "counts": pa.array([m.ravel().tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    t = collect_table(parts)  # one 64 KiB row per block — result-sized
+    m = np.zeros(V * V, np.int64)
+    for blob in t["counts"].to_pylist():
+        m += np.frombuffer(blob, np.int64)
+    m = m.reshape(V, V)
+    return {"counts": m, "row_totals": m.sum(axis=1), "V": V}
+
+
+class BigramLmScore:
+    """Pass 2: actor-pool scorer. The model (a ray.put ObjectRef or plain
+    dict) is resolved ONCE per actor in ``__init__``; each batch scores
+    every doc's average negative log2 bigram probability (add-1 smoothed)
+    vectorized over the doc's byte pairs. Output logprob in milli-bits
+    (int64, floor) — deterministic fixed-point so replays are bit-equal.
+    """
+
+    def __init__(self, model) -> None:
+        import ray as _ray
+
+        if isinstance(model, _ray.ObjectRef):
+            model = _ray.get(model)
+        V = model["V"]
+        # add-1 smoothing, precomputed -log2 p table
+        c = model["counts"].astype(np.float64) + 1.0
+        tot = model["row_totals"].astype(np.float64) + V
+        self.neglog2 = -np.log2(c / tot[:, None])
+        self.V = V
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        texts = batch["text"].to_pylist()
+        out_n = np.zeros(len(texts), np.int64)
+        out_score = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            b = np.minimum(np.frombuffer(t.encode("utf-8"), np.uint8), self.V - 1)
+            if len(b) < 2:
+                continue
+            s = float(self.neglog2[b[:-1], b[1:]].sum())
+            out_n[i] = len(b) - 1
+            out_score[i] = math.floor(1000.0 * s / (len(b) - 1))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(out_n, pa.int64()),
+                "avg_neglog2_milli": pa.array(out_score, pa.int64()),
+            }
+        )
+
+
+def bigram_lm_scores(
+    ds_docs: "ray.data.Dataset", model: dict | None = None
+) -> "ray.data.Dataset":
+    """Train (if no model given) + score: the two-pass distributed shape —
+    mergeable count matrices up, broadcast model down (ray.put once, read
+    in every scoring actor, never re-shipped per batch)."""
+    import ray as _ray
+
+    if model is None:
+        model = train_char_bigram_lm(ds_docs)
+    ref = _ray.put(model)
+    return ds_docs.map_batches(
+        BigramLmScore,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

@@ -219,3 +219,72 @@ def test_typo_term_pairs_planted(ray_session):
         out["term_a"].to_pylist(), out["term_b"].to_pylist(),
         out["n_a"].to_pylist(), out["n_b"].to_pylist())}
     assert d[("batch", "botch")] == (5, 3)
+
+
+def test_compress_ratio_orders_entropy():
+    from pyreshaper_ray.stages.text import compress_ratio_batch
+
+    import random
+
+    rng = random.Random(7)
+    noisy = "".join(chr(rng.randrange(33, 127)) for _ in range(2000))
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["abc " * 500, noisy, ""], pa.string()),
+        }
+    )
+    out = compress_ratio_batch(batch)
+    r = dict(zip(out["doc_id"].to_pylist(), out["ratio_ppm"].to_pylist()))
+    assert r[1] < 100_000          # boilerplate compresses hard
+    assert r[2] > 700_000          # random text barely compresses
+    assert r[3] == 0               # empty doc
+    # deterministic
+    out2 = compress_ratio_batch(batch)
+    assert out.equals(out2)
+
+
+def test_bigram_lm_scores_planted(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import (
+        BigramLmScore,
+        bigram_lm_scores,
+        train_char_bigram_lm,
+    )
+
+    natural = [
+        "the quick brown fox jumps over the lazy dog",
+        "the engine rolls up the transcript turns",
+        "the table holds the ordered turns of the chat",
+    ] * 5
+    gibberish = ["zq xv jk qz vx kj zzqq xxvv" for _ in range(2)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(natural) + len(gibberish))), pa.int64()),
+            "text": pa.array(natural + gibberish, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    model = train_char_bigram_lm(ds)
+    assert model["counts"].sum() == sum(len(s.encode()) - 1 for s in natural + gibberish)
+
+    scored = {r["doc_id"]: r for r in bigram_lm_scores(ds, model=model).take_all()}
+    nat_scores = [scored[i]["avg_neglog2_milli"] for i in range(len(natural))]
+    gib_scores = [
+        scored[i]["avg_neglog2_milli"]
+        for i in range(len(natural), len(natural) + len(gibberish))
+    ]
+    # natural text scores better (lower neg-logprob) than gibberish
+    assert max(nat_scores) < min(gib_scores)
+    # block-count invariance: training on 1 block == 3 blocks
+    model1 = train_char_bigram_lm(ray.data.from_arrow(t).repartition(1))
+    assert (model1["counts"] == model["counts"]).all()
+    # scoring determinism through the actor path
+    again = {r["doc_id"]: r for r in bigram_lm_scores(ds, model=model).take_all()}
+    assert all(again[k]["avg_neglog2_milli"] == v["avg_neglog2_milli"] for k, v in scored.items())
+    # short doc edge: < 2 bytes → zero bigrams, zero score
+    one = BigramLmScore(model)(
+        pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["x"], pa.string())})
+    )
+    assert one["n_bigrams"][0].as_py() == 0 and one["avg_neglog2_milli"][0].as_py() == 0
