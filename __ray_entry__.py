@@ -1785,6 +1785,35 @@ def q_bounce_rate_daily(sf_dir: str):
     return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_snm_neardup(sf_dir: str):
+    """Sorted-neighborhood near-dup candidates — algorithmic pair choice
+    (prefix blocking + window scan) → rows-only; planted-dup recall gates
+    in tests/test_dedup.py."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import snm_neardup_pairs
+
+    return snm_neardup_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+def q_hll_users_cascade(sf_dir: str):
+    """Mergeable-sketch continuous aggregate (1m HLL → 1h merge) — sketch
+    estimate, rows-only; register bit-exactness gate in test_sketches."""
+    from pyreshaper_ray.stages.sketches import hll_users_window_cascade
+
+    return hll_users_window_cascade(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_q4_late_ship(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q4_late_ship_priority
+
+    return q4_late_ship_priority(sf_dir)
+
+
 def q_compress_ratio(sf_dir: str):
     """zlib ratio per doc: deterministic but not SQL-expressible (DuckDB has
     no zlib) — rows-only driver check; ordering/determinism gates live in
@@ -1829,6 +1858,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate_daily": q_bounce_rate_daily,
         "compress_ratio_documents": q_compress_ratio,
         "bigram_lm_scores_documents": q_bigram_lm_scores,
+        "snm_neardup_documents": q_snm_neardup,
+        "hll_users_1h_cascade": q_hll_users_cascade,
+        "q4_late_ship_priority": q_q4_late_ship,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3644,6 +3676,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(1000000.0 * num / den) AS BIGINT) AS slope_ppm
         FROM r JOIN nd ON r.user_id = nd.user_id
         WHERE rn = (cnt + 1) // 2
+    """
+    out["q4_late_ship_priority"] = """
+        WITH ms AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+            FROM lineitem GROUP BY 1
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o JOIN ms ON o.o_orderkey = ms.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND ms.max_ship > o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
     """
     out["bounce_rate_daily"] = """
         WITH ud AS (

@@ -3813,3 +3813,64 @@ def bounce_rate_daily(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("day")
         .aggregate(Sum("one", alias_name="n_users"), Sum("bounce", alias_name="n_bounce"))
     )
+
+
+def q4_late_ship_priority(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q4 shape (order-priority checking) adapted to this corpus'
+    lineitem (no commit/receipt dates): count Q1-1996 orders per priority
+    having ANY lineitem shipped more than 90 days after the order date —
+    the correlated-EXISTS query.
+
+    Decorrelated Ray-Data-first: the EXISTS collapses to a combiner-first
+    ``groupby(l_orderkey).max(l_shipdate)`` (exchange is orderkey-domain,
+    one row per order, never lineitem-sized), hash-joined key-to-key with
+    the date-pruned orders slice, filtered, then a tiny priority count.
+    """
+    import ray
+
+    from .joins import hash_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def prune(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.item(), pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi.item(), pa.timestamp("us"))),
+        )
+        return batch.filter(mask)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    max_ship = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        .groupby("l_orderkey")
+        .max("l_shipdate")
+    )
+    joined = hash_join(
+        orders, max_ship, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+    def late_flags(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        ms = batch["max(l_shipdate)"].to_numpy(zero_copy_only=False)
+        late = (ms - od) > np.timedelta64(90, "D")
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    np.asarray(batch["o_orderpriority"])[late]
+                ),
+                "one": pa.array(np.ones(int(late.sum()), np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(late_flags, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("one", alias_name="order_count"))
+    )

@@ -812,3 +812,89 @@ def dedup_canonical(
             ),
         }
     )
+
+
+def snm_neardup_pairs(
+    ds_docs: "ray.data.Dataset",
+    prefix_len: int = 8,
+    window: int = 4,
+    threshold_ppm: int = 500_000,
+    max_sig: int = 64,
+) -> "ray.data.Dataset":
+    """Sorted-Neighborhood-Method near-dup candidates (Hernández & Stolfo
+    1995) — the third dedup family next to MinHash-LSH and SimHash: sort by
+    a normalized key, compare each record only to its ``window`` successors.
+
+    Distributed shape (prefix-blocked SNM): the blocking key is the first
+    ``prefix_len`` chars of the normalized text, so near-dups that share
+    the normalized prefix co-locate in ONE ``groupby(prefix)`` group; the
+    in-group sliding window is the classic SNM scan. The documented
+    partitioning assumption: pairs differing inside the first
+    ``prefix_len`` normalized chars are NOT candidates (the standard SNM
+    multi-pass answer is a second run with a different key — e.g. reversed
+    text — not a wider exchange).
+
+    The exchange never carries text: each doc ships a bounded token-hash
+    signature (first ``max_sig`` distinct seed-fixed CRC-32 token hashes —
+    the same vectorized ``_token_hashes_column`` pass minhash uses, so the
+    values are process-stable) and similarity is Jaccard over the signature
+    SETS in ppm — exact token Jaccard up to hash collisions and the cap.
+    ≤0.5 KiB/doc through the shuffle regardless of document size.
+
+    Output: doc_a < doc_b, jaccard_ppm ≥ threshold_ppm.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"\s+", replacement=" "
+        )
+        norm = pc.utf8_trim_whitespace(norm)
+        key = pc.utf8_slice_codeunits(norm, start=0, stop=64)
+        prefix = pc.utf8_slice_codeunits(norm, start=0, stop=prefix_len)
+        flat, counts = _token_hashes_column(batch["text"])
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        sigs = []
+        for i in range(len(counts)):
+            hs = np.unique(flat[bounds[i] : bounds[i + 1]])
+            sigs.append(hs[:max_sig].astype(np.int64))
+        return pa.table(
+            {
+                "prefix": prefix,
+                "sort_key": key,
+                "doc_id": batch["doc_id"],
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
+            }
+        )
+
+    def scan_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("sort_key", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(idx)
+        ids = g["doc_id"].to_pylist()
+        sigs = [set(s) for s in g["sig"].to_pylist()]
+        a_out, b_out, j_out = [], [], []
+        n = len(ids)
+        for i in range(n):
+            si = sigs[i]
+            for k in range(i + 1, min(i + 1 + window, n)):
+                sk = sigs[k]
+                union = len(si | sk)
+                if union == 0:
+                    continue
+                j = len(si & sk) * 1_000_000 // union
+                if j >= threshold_ppm:
+                    lo, hi = (ids[i], ids[k]) if ids[i] < ids[k] else (ids[k], ids[i])
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    j_out.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard_ppm": pa.array(j_out, pa.int64()),
+            }
+        )
+
+    p = ds_docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("prefix").map_groups(scan_group, batch_format="pyarrow")

@@ -543,3 +543,85 @@ def ddsketch_p95_daily(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         .aggregate(_Sum("n", alias_name="n"))
     )
     return merged.groupby("day").map_groups(finalize, batch_format="pyarrow")
+
+
+def hll_users_window_cascade(
+    events_ds: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Continuous-aggregate DISTINCT: approximate distinct users per 1-hour
+    window, computed by MERGING the per-1-minute HLL sketches — the
+    mergeable-sketch cascade that makes windowed COUNT(DISTINCT) a
+    downsample instead of a re-scan (the TimescaleDB continuous-aggregate
+    story, and the reason the retention tiers can keep distinct counts at
+    every granularity from one fine pass).
+
+    Shape: per-block (minute, sketch) partials → ``groupby(minute)`` max-
+    merge (exchange carries 4 KiB sketches, never user ids) → minute rows
+    re-key to their hour → second max-merge → estimate. By HLL's lattice
+    property (register-wise max is associative/commutative/idempotent) the
+    cascaded 1h registers are IDENTICAL to a direct 1h sketch — the
+    bit-exactness gate in tests/test_sketches.py.
+
+    Output: window_start (hour), approx_users, one row per active hour.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        minute = pc.floor_temporal(batch["ts"], unit="minute")
+        dict_arr = pc.dictionary_encode(minute.combine_chunks())
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+        mins, regs = [], []
+        for j, m in enumerate(dict_arr.dictionary.to_pylist()):
+            mins.append(m)
+            regs.append(hll_registers(users[idx == j]).tobytes())
+        return pa.table(
+            {
+                "minute": pa.array(mins, pa.timestamp("us")),
+                "sketch": pa.array(regs, pa.binary()),
+            }
+        )
+
+    def merge_sketches(group: pa.Table, key: str) -> pa.Table:
+        regs = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in group["sketch"].to_pylist()]
+        )
+        return pa.table(
+            {
+                key: pa.array([group[key][0].as_py()], pa.timestamp("us")),
+                "sketch": pa.array([regs.max(axis=0).tobytes()], pa.binary()),
+            }
+        )
+
+    minute_sketches = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("minute")
+        .map_groups(lambda g: merge_sketches(g, "minute"), batch_format="pyarrow")
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(batch["minute"], unit="hour"),
+                "sketch": batch["sketch"],
+            }
+        )
+
+    hour_sketches = (
+        minute_sketches.map_batches(rekey, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(lambda g: merge_sketches(g, "hour"), batch_format="pyarrow")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ests = [
+            hll_estimate(np.frombuffer(b, dtype=np.uint8))
+            for b in batch["sketch"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "window_start": batch["hour"],
+                "approx_users": pa.array(ests, pa.int64()),
+            }
+        )
+
+    return hour_sketches.map_batches(finalize, batch_format="pyarrow")

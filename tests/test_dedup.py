@@ -198,3 +198,48 @@ def test_ngram_jaccard_neighbors_hand(ray_session):
         for r in ngram_jaccard_neighbors(ray.data.from_arrow(t), k=3).take_all()
     }
     assert rows == {(0, 1): 1_000_000, (1, 2): 0}
+
+
+def test_snm_neardup_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import snm_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        (1, base),
+        (2, base + " today"),                     # near-dup, same prefix
+        (3, base.replace("river", "ocean")),      # near-dup, same prefix
+        (4, "completely different text about query engines and shuffles"),
+        (5, "zzz unrelated filler words padding the corpus out"),
+        # same prefix as base but mostly different tokens → below threshold
+        (6, "the quick brown bear eats honey and sleeps all winter long"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    out = snm_neardup_pairs(
+        ray.data.from_arrow(t).repartition(3), threshold_ppm=500_000
+    ).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_ppm"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 500_000
+    assert (1, 3) in pairs
+    assert all(a < b for a, b in pairs)
+    assert not any(4 in p or 5 in p for p in pairs)
+    assert not any(6 in p for p in pairs)  # same block, below threshold
+
+    # documented blocking limitation: a dup whose FIRST prefix_len chars
+    # differ is not a candidate (multi-pass with another key is the answer)
+    docs2 = [(1, base), (2, "xx " + base)]
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs2], pa.int64()),
+            "text": pa.array([d[1] for d in docs2], pa.string()),
+        }
+    )
+    out2 = snm_neardup_pairs(ray.data.from_arrow(t2)).take_all()
+    assert out2 == []

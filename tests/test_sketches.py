@@ -234,3 +234,49 @@ def test_sample_per_stratum_block_invariant(ray_session):
             got.setdefault(r["source"], []).append(r["doc_id"])
         assert sorted(got["a"]) == want_a, nblocks
         assert sorted(got["b"]) == [900, 901], nblocks
+
+
+def test_hll_cascade_bit_exact_vs_direct(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_users_window_cascade,
+    )
+
+    # 3 hours, users overlapping across minutes within each hour
+    rng = np.random.default_rng(11)
+    rows_ts, rows_uid = [], []
+    for h in range(3):
+        for m in range(0, 60, 7):
+            uids = rng.integers(0, 500, size=40)
+            for u in uids:
+                rows_ts.append(np.datetime64(f"2024-01-01T{10 + h:02d}:{m:02d}:00", "us"))
+                rows_uid.append(int(u))
+    t = pa.table(
+        {
+            "user_id": pa.array(rows_uid, pa.int64()),
+            "ts": pa.array(rows_ts, pa.timestamp("us")),
+        }
+    )
+    out = {
+        r["window_start"]: r["approx_users"]
+        for r in hll_users_window_cascade(
+            ray.data.from_arrow(t).repartition(5)
+        ).take_all()
+    }
+    assert len(out) == 3
+    ts_np = np.array(rows_ts, dtype="datetime64[us]")
+    uid_np = np.array(rows_uid, dtype=np.int64)
+    for h in range(3):
+        w = np.datetime64(f"2024-01-01T{10 + h:02d}:00:00", "us")
+        in_h = (ts_np >= w) & (ts_np < w + np.timedelta64(1, "h"))
+        # lattice property: cascaded merge == direct sketch of the hour,
+        # register-bit-exact, so estimates are IDENTICAL integers
+        direct = hll_estimate(hll_registers(uid_np[in_h]))
+        assert out[w.item()] == direct
+        exact = len(np.unique(uid_np[in_h]))
+        assert abs(out[w.item()] / exact - 1.0) <= 0.05
