@@ -1785,6 +1785,28 @@ def q_bounce_rate_daily(sf_dir: str):
     return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_q19_brand_revenue(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q19_brand_revenue
+
+    return q19_brand_revenue(sf_dir)
+
+
+def q_encode_roles(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import encode_categorical
+
+    return encode_categorical(
+        read_events_as_transcripts(sf_dir), col="role", keep=("conv_id", "turn_idx")
+    )
+
+
+def q_profile_events(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import profile_table
+
+    return profile_table(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
 def q_snm_neardup(sf_dir: str):
     """Sorted-neighborhood near-dup candidates — algorithmic pair choice
     (prefix blocking + window scan) → rows-only; planted-dup recall gates
@@ -1861,6 +1883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_neardup_documents": q_snm_neardup,
         "hll_users_1h_cascade": q_hll_users_cascade,
         "q4_late_ship_priority": q_q4_late_ship,
+        "q19_brand_revenue": q_q19_brand_revenue,
+        "encode_roles": q_encode_roles,
+        "profile_events": q_profile_events,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3689,6 +3714,48 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate < TIMESTAMP '1996-04-01'
           AND ms.max_ship > o.o_orderdate + INTERVAL 90 DAY
         GROUP BY 1
+    """
+    # Q19 shape: integer 1e-4-currency revenue (price_cents × (100−disc_cents))
+    out["q19_brand_revenue"] = """
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+               AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+               AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+               AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+    """
+    out["encode_roles"] = f"""
+        WITH t AS ({_T}),
+        v AS (SELECT role, DENSE_RANK() OVER (ORDER BY role) - 1 AS role_id
+              FROM (SELECT DISTINCT role FROM t))
+        SELECT t.conv_id, t.turn_idx, CAST(v.role_id AS BIGINT) AS role_id
+        FROM t JOIN v ON t.role = v.role
+    """
+    out["profile_events"] = """
+        SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*),
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*),
+               SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT event_type) FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*),
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT value) FROM events
+        UNION ALL
+        SELECT 'props', COUNT(*),
+               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT props) FROM events
     """
     out["bounce_rate_daily"] = """
         WITH ud AS (

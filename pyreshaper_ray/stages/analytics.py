@@ -3874,3 +3874,214 @@ def q4_late_ship_priority(sf_dir: str) -> "ray.data.Dataset":
         .groupby("o_orderpriority")
         .aggregate(Sum("one", alias_name="order_count"))
     )
+
+
+def q19_brand_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q19 shape (discounted revenue, disjunctive part/lineitem
+    predicates): revenue in exact cents over lineitems whose part matches
+    one of three (brand, size-range, quantity-range) arms.
+
+    Ray-Data-first: the PART side is dimension-sized — the matching
+    (p_partkey → arm) map is built combiner-first (per-block predicate
+    filter reduces each block to its matching keys) and BROADCAST via
+    ``ray.put``; lineitem then probes the map inside ``map_batches`` with
+    ``pc.is_in`` — no all-to-all exchange at all, the canonical
+    broadcast-join shape for dim⋈fact. Revenue is Σ round(price·100) ·
+    (100 − round(disc·100)) in integer 10⁻⁴ currency units (exact under
+    any block order); the SQL oracle restates the same integer domain.
+    """
+    import ray
+
+    ARMS = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#12", 1, 10, 1, 11),
+        ("Brand#23", 1, 15, 10, 20),
+        ("Brand#34", 1, 25, 20, 30),
+    )
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+
+    def match_keys(batch: pa.Table) -> pa.Table:
+        keys, arms = [], []
+        for arm_id, (brand, slo, shi, _, _) in enumerate(ARMS):
+            m = pc.and_(
+                pc.equal(batch["p_brand"], brand),
+                pc.and_(
+                    pc.greater_equal(batch["p_size"], slo),
+                    pc.less_equal(batch["p_size"], shi),
+                ),
+            )
+            k = batch["p_partkey"].filter(m)
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            keys.append(pc.cast(k, pa.int64()))
+            arms.append(pa.array(np.full(len(k), arm_id, np.int8())))
+        return pa.table(
+            {
+                "p_partkey": pa.concat_arrays(keys),
+                "arm": pa.concat_arrays(arms),
+            }
+        )
+
+    from ..util import collect_table
+
+    pm = collect_table(
+        parts.map_batches(match_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )  # dimension-sized: one row per matching part
+    key_np = pm["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    arm_np = pm["arm"].to_numpy(zero_copy_only=False).astype(np.int8)
+    order = np.argsort(key_np)
+    lut_ref = ray.put((key_np[order], arm_np[order]))
+    qty_bounds = np.array([(a[3], a[4]) for a in ARMS], np.int64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys, arms = ray.get(lut_ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        found = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
+        arm = np.where(found, arms[pos_c] if len(arms) else -1, -1).astype(np.int64)
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        in_qty = np.zeros(len(lk), bool)
+        valid = arm >= 0
+        in_qty[valid] = (qty[valid] >= qty_bounds[arm[valid], 0]) & (
+            qty[valid] <= qty_bounds[arm[valid], 1]
+        )
+        sel = valid & in_qty
+        price_c = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        rev = int((price_c * (100 - disc_c)).sum())
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "revenue_e4": pa.array([rev], pa.int64()),
+                "n_items": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = (
+        li.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+    return agg.select_columns(["revenue_e4", "n_items"])
+
+
+def encode_categorical(
+    ds: "ray.data.Dataset", col: str, keep: tuple[str, ...]
+) -> "ray.data.Dataset":
+    """Global categorical feature encoder: build the corpus-wide sorted
+    vocabulary of ``col`` (combiner-first per-block distinct → one
+    domain-sized groupby), BROADCAST it once via ``ray.put``, and map every
+    row to its dense 0-based id with vectorized ``pc.index_in`` — the
+    dictionary-encode stage every feature pipeline runs before training.
+    ids are assigned in lexicographic order (== DENSE_RANK − 1), so the
+    SQL oracle restates it exactly.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def distinct_block(batch: pa.Table) -> pa.Table:
+        g = pa.table({col: batch[col]}).group_by([col]).aggregate([])
+        return g
+
+    vocab_t = collect_table(
+        ds.map_batches(distinct_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .count()
+    )
+    vocab = pa.array(sorted(vocab_t[col].to_pylist()), pa.string())
+    ref = ray.put(vocab)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        v = _ray.get(ref)
+        ids = pc.cast(pc.index_in(batch[col], value_set=v), pa.int64())
+        cols = {k: batch[k] for k in keep}
+        cols[f"{col}_id"] = ids
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def profile_table(sf_dir: str, table: str, columns: list[str]) -> pa.Table:
+    """Data-quality profile: per column, exact row count, null count and
+    distinct count (non-null) — the audit every intake pipeline runs before
+    trusting a new partition.
+
+    n / n_null come from ONE pass (per-block partial sums, block-count rows
+    to the driver). Distinct is exact and per column: per-block distinct
+    (Arrow ``group_by``) then one domain-sized global groupby per column —
+    each exchange carries the column's distinct values only, the same
+    vocabulary-bounded shape as ``vocab_size``. Reads are column-pruned.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    path = f"{sf_dir}/{table}.parquet"
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "column": pa.array(columns, pa.string()),
+                "n": pa.array([batch.num_rows] * len(columns), pa.int64()),
+                "n_null": pa.array(
+                    [batch[c].null_count for c in columns], pa.int64()
+                ),
+            }
+        )
+
+    base = collect_table(
+        ray.data.read_parquet(path, columns=columns)
+        .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"))
+    )
+    n_map = dict(zip(base["column"].to_pylist(), base["n"].to_pylist()))
+    null_map = dict(zip(base["column"].to_pylist(), base["n_null"].to_pylist()))
+
+    distinct = {}
+    for c in columns:
+        # nulls are dropped BEFORE the exchange: COUNT(DISTINCT) excludes
+        # them, and Ray's sort-partitioned groupby cannot order null keys
+        d = (
+            ray.data.read_parquet(path, columns=[c])
+            .map_batches(
+                lambda b, _c=c: pa.table(
+                    {_c: b[_c].combine_chunks().drop_null()}
+                )
+                .group_by([_c])
+                .aggregate([]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby(c)
+            .count()
+        )
+        t = collect_table(d)
+        distinct[c] = t.num_rows
+    return pa.table(
+        {
+            "column": pa.array(columns, pa.string()),
+            "n": pa.array([n_map[c] for c in columns], pa.int64()),
+            "n_null": pa.array([null_map[c] for c in columns], pa.int64()),
+            "n_distinct": pa.array([distinct[c] for c in columns], pa.int64()),
+        }
+    )

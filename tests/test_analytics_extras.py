@@ -987,3 +987,56 @@ def test_bounce_rate_daily_hand_computed(ray_session):
     }
     assert out["2024-01-01"]["n_users"] == 2 and out["2024-01-01"]["n_bounce"] == 1
     assert out["2024-01-02"]["n_users"] == 1 and out["2024-01-02"]["n_bounce"] == 1
+
+
+def test_encode_categorical_dense_rank_order(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import encode_categorical
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant", "tool", "user"], pa.string()),
+        }
+    )
+    out = encode_categorical(
+        ray.data.from_arrow(t).repartition(2), col="role", keep=("conv_id", "turn_idx")
+    ).take_all()
+    ids = {(r["conv_id"], r["turn_idx"]): r["role_id"] for r in out}
+    # lexicographic vocab: assistant=0, tool=1, user=2
+    assert ids[("a", 0)] == 2 and ids[("a", 1)] == 0
+    assert ids[("b", 0)] == 1 and ids[("b", 1)] == 2
+
+
+def test_profile_table_with_nulls(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 2, None], pa.int64()),
+            "b": pa.array(["x", None, None, "x"], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "mini.parquet")
+    out = profile_table(str(tmp_path), "mini", ["a", "b"])
+    rows = {r["column"]: r for r in out.to_pylist()}
+    assert rows["a"]["n"] == 4 and rows["a"]["n_null"] == 1 and rows["a"]["n_distinct"] == 2
+    assert rows["b"]["n"] == 4 and rows["b"]["n_null"] == 2 and rows["b"]["n_distinct"] == 1
+
+
+def test_q19_probe_kernel_empty_lut():
+    # the probe path must not crash when no part matches any arm
+    import numpy as np
+
+    keys = np.array([], np.int64)
+    lk = np.array([5, 7], np.int64)
+    pos = np.searchsorted(keys, lk)
+    pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+    found = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
+    assert not found.any()
