@@ -1785,6 +1785,34 @@ def q_bounce_rate_daily(sf_dir: str):
     return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_peak_rate_5m(sf_dir: str):
+    from pyreshaper_ray.stages.windows import peak_rate_5m
+
+    return peak_rate_5m(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_last_touch(sf_dir: str):
+    from pyreshaper_ray.stages.windows import last_touch_attribution
+
+    return last_touch_attribution(
+        _events_value_ds(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    )
+
+
+def q_snm_multipass(sf_dir: str):
+    """Two-key SNM (prefix + reversed-suffix blocking) — rows-only like the
+    single-pass variant; the pass-2 recall gate is in tests/test_dedup.py."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import snm_neardup_multipass
+
+    return snm_neardup_multipass(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
 def q_q19_brand_revenue(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q19_brand_revenue
 
@@ -1886,6 +1914,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_brand_revenue": q_q19_brand_revenue,
         "encode_roles": q_encode_roles,
         "profile_events": q_profile_events,
+        "peak_rate_5m": q_peak_rate_5m,
+        "last_touch_attribution": q_last_touch,
+        "snm_neardup_multipass": q_snm_multipass,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3756,6 +3787,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'props', COUNT(*),
                SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
                COUNT(DISTINCT props) FROM events
+    """
+    out["peak_rate_5m"] = """
+        WITH e AS (SELECT user_id, ts FROM events),
+        c AS (
+            SELECT a.user_id, a.ts, COUNT(*) AS n
+            FROM e a JOIN e b ON a.user_id = b.user_id
+                 AND b.ts > a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts
+            GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(MAX(n) AS BIGINT) AS peak_events
+        FROM c GROUP BY 1
+    """
+    out["last_touch_attribution"] = """
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        t AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        j AS (
+            SELECT c.user_id, c.event_id AS conv_event_id,
+                   t.event_id AS touch_event_id,
+                   epoch_us(c.ts) - epoch_us(t.ts) AS lag_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY t.ts DESC, t.event_id DESC) AS rn
+            FROM c JOIN t ON c.user_id = t.user_id
+                 AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(conv_event_id AS BIGINT) AS conv_event_id,
+               CAST(touch_event_id AS BIGINT) AS touch_event_id,
+               CAST(lag_us AS BIGINT) AS lag_us
+        FROM j WHERE rn = 1
     """
     out["bounce_rate_daily"] = """
         WITH ud AS (

@@ -820,6 +820,7 @@ def snm_neardup_pairs(
     window: int = 4,
     threshold_ppm: int = 500_000,
     max_sig: int = 64,
+    key_mode: str = "prefix",
 ) -> "ray.data.Dataset":
     """Sorted-Neighborhood-Method near-dup candidates (Hernández & Stolfo
     1995) — the third dedup family next to MinHash-LSH and SimHash: sort by
@@ -849,6 +850,8 @@ def snm_neardup_pairs(
             pc.utf8_lower(batch["text"]), pattern=r"\s+", replacement=" "
         )
         norm = pc.utf8_trim_whitespace(norm)
+        if key_mode == "suffix":  # second SNM pass: block on the reversed text
+            norm = pc.utf8_reverse(norm)
         key = pc.utf8_slice_codeunits(norm, start=0, stop=64)
         prefix = pc.utf8_slice_codeunits(norm, start=0, stop=prefix_len)
         flat, counts = _token_hashes_column(batch["text"])
@@ -898,3 +901,31 @@ def snm_neardup_pairs(
 
     p = ds_docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return p.groupby("prefix").map_groups(scan_group, batch_format="pyarrow")
+
+
+def snm_neardup_multipass(
+    ds_docs: "ray.data.Dataset",
+    prefix_len: int = 8,
+    window: int = 4,
+    threshold_ppm: int = 500_000,
+) -> "ray.data.Dataset":
+    """Multi-pass SNM — the standard answer to single-key blocking misses:
+    pass 1 blocks on the normalized PREFIX, pass 2 on the normalized
+    SUFFIX (reversed text), so a near-dup pair escapes only if it differs
+    inside BOTH the first and last ``prefix_len`` chars. The union
+    deduplicates via a (doc_a, doc_b) groupby keeping the max Jaccard —
+    pair-result-sized, not corpus-sized.
+    """
+    from ray.data.aggregate import Max
+
+    p1 = snm_neardup_pairs(
+        ds_docs, prefix_len, window, threshold_ppm, key_mode="prefix"
+    )
+    p2 = snm_neardup_pairs(
+        ds_docs, prefix_len, window, threshold_ppm, key_mode="suffix"
+    )
+    return (
+        p1.union(p2)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Max("jaccard_ppm", alias_name="jaccard_ppm"))
+    )

@@ -1032,3 +1032,115 @@ def dewma_chars(ds_normalized: "ray.data.Dataset", k: int = 8) -> "ray.data.Data
         )
 
     return ds_normalized.groupby("conv_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def peak_rate_5m(events_ds: "ray.data.Dataset", window_s: int = 300) -> "ray.data.Dataset":
+    """Per-user peak sliding-window event rate: the maximum number of the
+    user's events inside ANY half-open event-time window (t − 5m, t]
+    anchored at an event — the rate-limit / burst-detection census a
+    streaming pipeline alerts on.
+
+    Per-user kernel inside ``groupby(user_id).map_groups``: sort the user's
+    timestamps once, then a vectorized two-pointer pass — for each event i,
+    ``searchsorted`` finds the first event inside its window, and the count
+    is ``i − first + 1``. O(n log n) per user, no per-row Python. The
+    groupby exchange is the standard per-entity co-partition (user-sized,
+    skew-bounded by the heaviest user, the same assumption as
+    ``user_gap_stats``).
+    """
+    win_us = window_s * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            group["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        # first index whose ts > t_i - window  (half-open (t-w, t])
+        first = np.searchsorted(ts, ts - win_us, side="right")
+        counts = np.arange(1, len(ts) + 1) - first
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "peak_events": pa.array([int(counts.max())], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def last_touch_attribution(
+    events_ds: "ray.data.Dataset",
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+    horizon_s: int = 7 * 86400,
+) -> "ray.data.Dataset":
+    """Last-touch attribution: each conversion event is attributed to the
+    SAME user's most recent ``touch_type`` event at or before it and within
+    the horizon — the event-to-event AS-OF join (vs ``asof_last_order``'s
+    table-to-table shape), the attribution pass every funnel/ads pipeline
+    runs.
+
+    Per-user sorted merge inside ``map_groups``: both event streams sort
+    once, ``searchsorted`` pairs every conversion with its latest preceding
+    touch, the horizon filters. Ties at the same timestamp attribute to the
+    highest event_id (latest writer wins, deterministic). Only attributed
+    conversions are emitted.
+    """
+    horizon_us = horizon_s * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            batch["event_type"], value_set=pa.array([touch_type, conv_type])
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "is_conv": pc.equal(t["event_type"], conv_type),
+                "ts": t["ts"],
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = group["user_id"][0].as_py()
+        is_conv = group["is_conv"].to_numpy(zero_copy_only=False)
+        ts = (
+            group["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t_ts, t_eid = ts[~is_conv], eid[~is_conv]
+        c_ts, c_eid = ts[is_conv], eid[is_conv]
+        if len(t_ts) == 0 or len(c_ts) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "conv_event_id": pa.array([], pa.int64()),
+                    "touch_event_id": pa.array([], pa.int64()),
+                    "lag_us": pa.array([], pa.int64()),
+                }
+            )
+        # sort touches by (ts, event_id) so the last index at a given ts is
+        # the highest event_id (deterministic tie rule)
+        o = np.lexsort((t_eid, t_ts))
+        t_ts, t_eid = t_ts[o], t_eid[o]
+        pos = np.searchsorted(t_ts, c_ts, side="right") - 1
+        ok = pos >= 0
+        lag = np.where(ok, c_ts - t_ts[np.clip(pos, 0, None)], -1)
+        ok &= (lag >= 0) & (lag <= horizon_us)
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(int(ok.sum()), uid), pa.int64()),
+                "conv_event_id": pa.array(c_eid[ok], pa.int64()),
+                "touch_event_id": pa.array(t_eid[np.clip(pos[ok], 0, None)], pa.int64()),
+                "lag_us": pa.array(lag[ok], pa.int64()),
+            }
+        )
+
+    p = events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

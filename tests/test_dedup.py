@@ -243,3 +243,28 @@ def test_snm_neardup_planted(ray_session):
     )
     out2 = snm_neardup_pairs(ray.data.from_arrow(t2)).take_all()
     assert out2 == []
+
+
+def test_snm_multipass_catches_prefix_divergent_dup(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import snm_neardup_multipass, snm_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        (1, base),
+        (2, "xx " + base),   # differs in the first chars → pass-1 blind spot
+        (3, "totally unrelated filler text about engines"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    assert snm_neardup_pairs(ds).take_all() == []  # single-pass misses it
+    out = snm_neardup_multipass(ds).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs  # suffix pass blocks them together

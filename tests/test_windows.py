@@ -341,3 +341,72 @@ def test_drop_repeated_turns_lag_semantics(ray_session):
         for r in drop_repeated_turns(ray.data.from_arrow(t)).take_all()
     )
     assert kept == [("a", 0), ("a", 2), ("a", 3), ("b", 0)]
+
+
+def test_peak_rate_5m_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import peak_rate_5m
+
+    # user 1: events at 0s, 100s, 250s, 600s — window (t-300, t]:
+    #   at 250s → {0,100,250} = 3 (peak); at 600s → {600} only ((300,600])
+    # user 2: two events at the SAME timestamp → peak 2
+    rows = [
+        (1, "2024-01-01T00:00:00"), (1, "2024-01-01T00:01:40"),
+        (1, "2024-01-01T00:04:10"), (1, "2024-01-01T00:10:00"),
+        (2, "2024-01-01T05:00:00"), (2, "2024-01-01T05:00:00"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        r["user_id"]: r["peak_events"]
+        for r in peak_rate_5m(ray.data.from_arrow(t).repartition(3)).take_all()
+    }
+    assert out[1] == 3 and out[2] == 2
+
+
+def test_last_touch_attribution_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import last_touch_attribution
+
+    rows = [  # (event_id, user_id, type, ts)
+        (1, 1, "click", "2024-01-01T00:00:00"),
+        (2, 1, "click", "2024-01-02T00:00:00"),
+        (3, 1, "purchase", "2024-01-02T12:00:00"),   # → click 2
+        (4, 1, "purchase", "2024-01-20T00:00:00"),   # > 7d after click 2 → none
+        (5, 2, "purchase", "2024-01-01T00:00:00"),   # no touch → none
+        (6, 3, "click", "2024-01-01T00:00:00"),
+        (7, 3, "click", "2024-01-01T00:00:00"),      # tie ts → highest id wins
+        (8, 3, "purchase", "2024-01-01T00:00:00"),   # same-ts touch allowed
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                [np.datetime64(r[3], "us") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        r["conv_event_id"]: r
+        for r in last_touch_attribution(
+            ray.data.from_arrow(t).repartition(3)
+        ).take_all()
+    }
+    assert set(out) == {3, 8}
+    assert out[3]["touch_event_id"] == 2
+    assert out[3]["lag_us"] == 12 * 3600 * 1_000_000
+    assert out[8]["touch_event_id"] == 7 and out[8]["lag_us"] == 0
