@@ -1785,6 +1785,33 @@ def q_bounce_rate_daily(sf_dir: str):
     return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_cum_distinct_tools(sf_dir: str):
+    from pyreshaper_ray.stages.windows import cum_distinct_tools
+
+    return cum_distinct_tools(read_events_as_transcripts(sf_dir))
+
+
+def q_scale_value_by_type(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import scale_value_by_type
+
+    return scale_value_by_type(
+        _events_value_ds(sf_dir, ["event_id", "event_type", "value"])
+    )
+
+
+def q_assign_folds(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import assign_folds
+
+    return assign_folds(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ),
+        k=5,
+    )
+
+
 def q_peak_rate_5m(sf_dir: str):
     from pyreshaper_ray.stages.windows import peak_rate_5m
 
@@ -1917,6 +1944,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_rate_5m": q_peak_rate_5m,
         "last_touch_attribution": q_last_touch,
         "snm_neardup_multipass": q_snm_multipass,
+        "cum_distinct_tools": q_cum_distinct_tools,
+        "scale_value_by_type": q_scale_value_by_type,
+        "assign_folds_documents": q_assign_folds,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3787,6 +3817,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'props', COUNT(*),
                SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
                COUNT(DISTINCT props) FROM events
+    """
+    # cumulative COUNT(DISTINCT) emulated as cumsum over first-occurrence
+    # flags ('' tools never count) — same rule as the engine kernel
+    out["cum_distinct_tools"] = f"""
+        WITH t AS ({_T}),
+        f AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN tool <> '' AND ROW_NUMBER() OVER (
+                            PARTITION BY conv_id, tool ORDER BY turn_idx) = 1
+                        THEN 1 ELSE 0 END AS first_occ
+            FROM t
+        )
+        SELECT conv_id, turn_idx,
+               CAST(SUM(first_occ) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_tools
+        FROM f
+    """
+    out["scale_value_by_type"] = """
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        b AS (
+            SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+            FROM c GROUP BY 1
+        )
+        SELECT c.event_id, c.event_type,
+               CAST(CASE WHEN b.hi > b.lo
+                         THEN (c.cents - b.lo) * 1000000 // (b.hi - b.lo)
+                         ELSE 1000000 END AS BIGINT) AS scaled_ppm
+        FROM c JOIN b ON c.event_type = b.event_type
+    """
+    out["assign_folds_documents"] = """
+        SELECT doc_id, source,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY doc_id) - 1) % 5
+                    AS BIGINT) AS fold
+        FROM documents
     """
     out["peak_rate_5m"] = """
         WITH e AS (SELECT user_id, ts FROM events),

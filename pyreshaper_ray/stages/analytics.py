@@ -4085,3 +4085,95 @@ def profile_table(sf_dir: str, table: str, columns: list[str]) -> pa.Table:
             "n_distinct": pa.array([distinct[c] for c in columns], pa.int64()),
         }
     )
+
+
+def scale_value_by_type(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-event-type min-max feature scaling of ``value`` — the
+    normalization pass a feature pipeline runs before training, as exact
+    integer ppm: scaled = floor(1e6·(v − min)/(max − min)) over integer
+    cents (1_000_000 when max == min, the degenerate-range rule).
+
+    Two-pass broadcast shape: per-type (min, max) cents come from a
+    combiner-first aggregate (exchange is type-domain-sized), the tiny
+    bounds table is ``ray.put``-broadcast, and the scaling map_batches
+    probes it vectorized — no second exchange, rows never move.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        c = to_cents(batch["value"])
+        g = (
+            pa.table({"event_type": batch["event_type"], "c": c})
+            .group_by(["event_type"])
+            .aggregate([("c", "min"), ("c", "max")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "lo": g["c_min"], "hi": g["c_max"]}
+        )
+
+    b = collect_table(
+        events_ds.map_batches(
+            bounds_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("event_type")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    )
+    types = sorted(b["event_type"].to_pylist())
+    lut = {
+        t: (lo, hi)
+        for t, lo, hi in zip(
+            b["event_type"].to_pylist(), b["lo"].to_pylist(), b["hi"].to_pylist()
+        )
+    }
+    lo_arr = np.array([lut[t][0] for t in types], np.int64)
+    hi_arr = np.array([lut[t][1] for t in types], np.int64)
+    ref = ray.put((types, lo_arr, hi_arr))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        tps, lo_a, hi_a = _ray.get(ref)
+        tid = pc.index_in(
+            batch["event_type"], value_set=pa.array(tps, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        c = to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+        lo, hi = lo_a[tid], hi_a[tid]
+        span = hi - lo
+        scaled = np.where(
+            span > 0, (c - lo) * 1_000_000 // np.maximum(span, 1), 1_000_000
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "scaled_ppm": pa.array(scaled, pa.int64()),
+            }
+        )
+
+    return events_ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_folds(ds_docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
+    """Deterministic stratified k-fold assigner: within each ``source``
+    stratum docs ordered by doc_id get fold = rank mod k, so every fold
+    holds an equal (±1) share of each stratum — the train/eval split a
+    data pipeline must reproduce bit-for-bit across reruns.
+
+    Shape: per-stratum co-partition (``groupby(source)``), rank by doc_id
+    inside the group. Output: doc_id, source, fold.
+    """
+
+    def per_source(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "fold": pa.array(np.arange(g.num_rows, dtype=np.int64) % k),
+            }
+        )
+
+    return ds_docs.groupby("source").map_groups(per_source, batch_format="pyarrow")

@@ -1144,3 +1144,38 @@ def last_touch_attribution(
 
     p = events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return p.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def cum_distinct_tools(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Running distinct-tool count per conversation turn — the cumulative
+    COUNT(DISTINCT) window SQL engines can't express directly (DuckDB
+    included: the oracle emulates it as a cumsum over first-occurrence
+    flags, exactly like this kernel).
+
+    Per-conversation kernel: sort by (turn_idx), mark each tool's first
+    occurrence (vectorized via np.unique on (tool-id, position)), cumsum.
+    Empty tools ('' = no tool call) don't count. Exchange: the standard
+    conv co-partition groupby.
+    """
+
+    def per_conv(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+        g = group.take(idx)
+        tools = g["tool"].to_pylist()
+        seen: set = set()
+        first = np.zeros(len(tools), np.int64)
+        for i, t in enumerate(tools):
+            if t and t not in seen:
+                seen.add(t)
+                first[i] = 1
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "n_distinct_tools": pa.array(np.cumsum(first), pa.int64()),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        per_conv, batch_format="pyarrow"
+    )

@@ -1040,3 +1040,53 @@ def test_q19_probe_kernel_empty_lut():
     pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
     found = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
     assert not found.any()
+
+
+def test_scale_value_by_type_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import scale_value_by_type
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+            "value": pa.array([1.00, 2.00, 3.00, 9.99], pa.float64()),
+        }
+    )
+    out = {
+        r["event_id"]: r["scaled_ppm"]
+        for r in scale_value_by_type(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    assert out[1] == 0 and out[3] == 1_000_000
+    assert out[2] == 500_000
+    assert out[4] == 1_000_000  # degenerate single-value stratum
+
+
+def test_assign_folds_stratified_balanced(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import assign_folds
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(12)), pa.int64()),
+            "source": pa.array(["w"] * 7 + ["x"] * 5, pa.string()),
+        }
+    )
+    out = assign_folds(ray.data.from_arrow(t).repartition(3), k=3).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], r["fold"]))
+    for src, rows in by_src.items():
+        rows.sort()
+        folds = [f for _, f in rows]
+        assert folds == [i % 3 for i in range(len(rows))]  # rank order by id
+        # balanced ±1 within stratum
+        from collections import Counter
+        c = Counter(folds)
+        assert max(c.values()) - min(c.values()) <= 1

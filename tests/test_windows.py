@@ -410,3 +410,28 @@ def test_last_touch_attribution_hand_computed(ray_session):
     assert out[3]["touch_event_id"] == 2
     assert out[3]["lag_us"] == 12 * 3600 * 1_000_000
     assert out[8]["touch_event_id"] == 7 and out[8]["lag_us"] == 0
+
+
+def test_cum_distinct_tools_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import cum_distinct_tools
+
+    rows = [  # (conv, turn, tool)
+        ("c", 0, ""), ("c", 1, "click"), ("c", 2, "click"),
+        ("c", 3, "purchase"), ("c", 4, ""),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = sorted(
+        cum_distinct_tools(ray.data.from_arrow(t).repartition(2)).take_all(),
+        key=lambda r: r["turn_idx"],
+    )
+    assert [r["n_distinct_tools"] for r in out] == [0, 1, 1, 2, 2]
