@@ -1785,6 +1785,30 @@ def q_bounce_rate_daily(sf_dir: str):
     return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_counter_increase(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import counter_increase_per_user
+
+    return counter_increase_per_user(
+        _events_value_ds(sf_dir, ["event_id", "user_id", "value", "ts"])
+    )
+
+
+def q_gap_survival(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import gap_survival_census
+
+    return gap_survival_census(
+        _events_value_ds(sf_dir, ["event_id", "user_id", "ts"])
+    )
+
+
+def q_event_features(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import event_features
+
+    return event_features(
+        _events_value_ds(sf_dir, ["event_id", "event_type", "value", "ts"])
+    )
+
+
 def q_cum_distinct_tools(sf_dir: str):
     from pyreshaper_ray.stages.windows import cum_distinct_tools
 
@@ -1947,6 +1971,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cum_distinct_tools": q_cum_distinct_tools,
         "scale_value_by_type": q_scale_value_by_type,
         "assign_folds_documents": q_assign_folds,
+        "counter_increase_per_user": q_counter_increase,
+        "gap_survival_census": q_gap_survival,
+        "event_features": q_event_features,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3817,6 +3844,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'props', COUNT(*),
                SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
                COUNT(DISTINCT props) FROM events
+    """
+    # PromQL increase(): non-negative deltas sum; a drop (reset) contributes
+    # the post-reset value. Order (ts, event_id); first sample contributes 0.
+    out["counter_increase_per_user"] = """
+        WITH c AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pv
+            FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COALESCE(SUM(CASE WHEN pv IS NULL THEN 0
+                                      WHEN v >= pv THEN v - pv
+                                      ELSE v END), 0) AS BIGINT) AS increase_cents,
+               CAST(SUM(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resets
+        FROM c GROUP BY 1
+    """
+    out["gap_survival_census"] = """
+        WITH g AS (
+            SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ),
+        s AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+        th AS (SELECT * FROM (VALUES ('1m', 60000000), ('5m', 300000000),
+                                     ('1h', 3600000000), ('1d', 86400000000))
+                    AS t(threshold, us))
+        SELECT th.threshold,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_gaps,
+               CAST(SUM(CASE WHEN s.gap_us >= th.us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ge
+        FROM th LEFT JOIN s ON TRUE
+        GROUP BY th.threshold
+    """
+    # composed feature build: DENSE_RANK type id + per-type min-max ppm +
+    # calendar (dow 0=Sunday, hour)
+    out["event_features"] = """
+        WITH c AS (
+            SELECT event_id, event_type, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        b AS (SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+              FROM c GROUP BY 1),
+        v AS (SELECT event_type,
+                     DENSE_RANK() OVER (ORDER BY event_type) - 1 AS type_id
+              FROM (SELECT DISTINCT event_type FROM c))
+        SELECT c.event_id,
+               CAST(v.type_id AS BIGINT) AS type_id,
+               CAST(CASE WHEN b.hi > b.lo
+                         THEN (c.cents - b.lo) * 1000000 // (b.hi - b.lo)
+                         ELSE 1000000 END AS BIGINT) AS scaled_ppm,
+               CAST(dayofweek(c.ts) AS BIGINT) AS dow,
+               CAST(EXTRACT(HOUR FROM c.ts) AS BIGINT) AS hour
+        FROM c JOIN b ON c.event_type = b.event_type
+               JOIN v ON c.event_type = v.event_type
     """
     # cumulative COUNT(DISTINCT) emulated as cumsum over first-occurrence
     # flags ('' tools never count) — same rule as the engine kernel

@@ -4177,3 +4177,73 @@ def assign_folds(ds_docs: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
         )
 
     return ds_docs.groupby("source").map_groups(per_source, batch_format="pyarrow")
+
+
+def event_features(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Composed single-pass feature build — the feature-store pipeline as
+    ONE streaming map over the fact table: categorical id (global
+    DENSE_RANK vocabulary), per-type min-max scaled value (integer ppm),
+    and calendar features (dow 0=Sunday, hour), all from broadcast state.
+
+    Scale story: two tiny combiner-first aggregates build the vocabulary
+    and the per-type bounds (both type-domain-sized), both broadcast via
+    ``ray.put`` ONCE; the fact table then streams through a single
+    ``map_batches`` with zero exchanges — at 10^12 rows nothing but the
+    output moves. Composes ``encode_categorical`` + ``scale_value_by_type``
+    semantics; the SQL oracle restates the composition.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        c = to_cents(batch["value"])
+        g = (
+            pa.table({"event_type": batch["event_type"], "c": c})
+            .group_by(["event_type"])
+            .aggregate([("c", "min"), ("c", "max")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "lo": g["c_min"], "hi": g["c_max"]}
+        )
+
+    b = collect_table(
+        events_ds.map_batches(
+            bounds_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("event_type")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    )
+    types = sorted(b["event_type"].to_pylist())
+    lut = dict(zip(b["event_type"].to_pylist(), zip(b["lo"].to_pylist(), b["hi"].to_pylist())))
+    lo_arr = np.array([lut[t][0] for t in types], np.int64)
+    hi_arr = np.array([lut[t][1] for t in types], np.int64)
+    ref = ray.put((types, lo_arr, hi_arr))
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        tps, lo_a, hi_a = _ray.get(ref)
+        vset = pa.array(tps, pa.string())
+        tid = pc.index_in(batch["event_type"], value_set=vset)
+        tid_np = tid.to_numpy(zero_copy_only=False)
+        c = to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+        lo, hi = lo_a[tid_np], hi_a[tid_np]
+        span = hi - lo
+        scaled = np.where(
+            span > 0, (c - lo) * 1_000_000 // np.maximum(span, 1), 1_000_000
+        )
+        dow = pc.day_of_week(batch["ts"], count_from_zero=True, week_start=7)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "type_id": pc.cast(tid, pa.int64()),
+                "scaled_ppm": pa.array(scaled, pa.int64()),
+                "dow": pc.cast(dow, pa.int64()),
+                "hour": pc.cast(pc.hour(batch["ts"]), pa.int64()),
+            }
+        )
+
+    return events_ds.map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True
+    )

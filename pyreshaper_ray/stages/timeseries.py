@@ -443,3 +443,102 @@ def hour_dod_delta(ds_transcripts: "ray.data.Dataset") -> pa.Table:
             "delta": pa.array(cur_n - prev_n, pa.int64()),
         }
     )
+
+
+def counter_increase_per_user(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Prometheus-style ``increase()``: treat each user's value series as a
+    monotone counter that may RESET (drop), and compute the total observed
+    increase — Σ (v_i − v_{i−1}) when non-negative, else v_i (the counter
+    restarted and climbed back to v_i). Exact integer cents; ordering is
+    (ts, event_id) so simultaneous samples are deterministic.
+
+    Per-user kernel in ``groupby(user_id).map_groups``: one vectorized diff
+    over the sorted series. The first sample contributes nothing (no prior
+    observation), matching PromQL semantics.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        v = to_cents(g["value"]).to_numpy(zero_copy_only=False)
+        if len(v) < 2:
+            inc = 0
+            resets = 0
+        else:
+            d = np.diff(v)
+            resets = int((d < 0).sum())
+            inc = int(np.where(d >= 0, d, v[1:]).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "increase_cents": pa.array([inc], pa.int64()),
+                "n_resets": pa.array([resets], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def gap_survival_census(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Survival curve of inter-event gaps: for each threshold (1m, 5m, 1h,
+    1d), how many consecutive-event gaps (per user, ts-ordered) are >= it —
+    the idle-time distribution a session-gap or TTL policy is tuned from.
+
+    Per-user gaps come from the standard co-partition kernel; each group
+    reduces to ONE row of per-threshold counts, the final reduce is a
+    4-integer sum — the exchange after the groupby is group-count-sized.
+    """
+    TH_US = np.array([60, 300, 3600, 86400], np.int64) * 1_000_000
+    TH_LABEL = ["1m", "5m", "1h", "1d"]
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = (
+            group["ts"]
+            .take(idx)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        gaps = np.diff(ts)
+        counts = (gaps[None, :] >= TH_US[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n_gaps": pa.array([len(gaps)], pa.int64()),
+                **{
+                    f"ge_{lab}": pa.array([int(c)], pa.int64())
+                    for lab, c in zip(TH_LABEL, counts)
+                },
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    agg = (
+        events_ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            _Sum("n_gaps", alias_name="n_gaps"),
+            *[_Sum(f"ge_{lab}", alias_name=f"ge_{lab}") for lab in TH_LABEL],
+        )
+    )
+    t = collect_table(agg)
+    if t.num_rows == 0:
+        vals = {"n_gaps": 0, **{f"ge_{lab}": 0 for lab in TH_LABEL}}
+    else:
+        vals = {c: t[c][0].as_py() for c in ["n_gaps"] + [f"ge_{lab}" for lab in TH_LABEL]}
+    return pa.table(
+        {
+            "threshold": pa.array(TH_LABEL, pa.string()),
+            "n_gaps": pa.array([vals["n_gaps"]] * len(TH_LABEL), pa.int64()),
+            "n_ge": pa.array([vals[f"ge_{lab}"] for lab in TH_LABEL], pa.int64()),
+        }
+    )

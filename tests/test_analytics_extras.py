@@ -1090,3 +1090,38 @@ def test_assign_folds_stratified_balanced(ray_session):
         from collections import Counter
         c = Counter(folds)
         assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_event_features_composition(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import event_features
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["b", "a", "b"], pa.string()),
+            "value": pa.array([1.00, 5.00, 3.00], pa.float64()),
+            "ts": pa.array(
+                [
+                    np.datetime64("2024-01-07T13:30:00", "us"),  # a Sunday
+                    np.datetime64("2024-01-08T00:00:00", "us"),  # a Monday
+                    np.datetime64("2024-01-09T23:59:59", "us"),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = {
+        r["event_id"]: r
+        for r in event_features(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+    # vocab sorted: a=0, b=1
+    assert out[2]["type_id"] == 0 and out[1]["type_id"] == 1
+    # type b bounds [100, 300] cents → 1.00→0, 3.00→1e6; singleton a → 1e6
+    assert out[1]["scaled_ppm"] == 0 and out[3]["scaled_ppm"] == 1_000_000
+    assert out[2]["scaled_ppm"] == 1_000_000
+    assert out[1]["dow"] == 0 and out[1]["hour"] == 13   # Sunday=0
+    assert out[2]["dow"] == 1 and out[2]["hour"] == 0

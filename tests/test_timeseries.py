@@ -178,3 +178,53 @@ def test_hour_dod_delta_hand_computed(ray_session):
         ray.data.from_arrow(_transcripts([("z", 0, "user", "2024-01-01T00:00:00")]).slice(0, 0))
     )
     assert empty.num_rows == 0
+
+
+def test_counter_increase_hand_computed(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import counter_increase_per_user
+
+    # user 1 series: 1.00 → 3.00 (+200) → 0.50 (reset, +50) → 2.50 (+200)
+    rows = [
+        (1, 1, "2024-01-01T00:00:00", 1.00),
+        (2, 1, "2024-01-01T01:00:00", 3.00),
+        (3, 1, "2024-01-01T02:00:00", 0.50),
+        (4, 1, "2024-01-01T03:00:00", 2.50),
+        (5, 2, "2024-01-01T00:00:00", 9.00),   # single sample → 0
+    ]
+    out = {
+        r["user_id"]: r
+        for r in counter_increase_per_user(
+            ray.data.from_arrow(_events(rows)).repartition(3)
+        ).take_all()
+    }
+    assert out[1]["increase_cents"] == 450 and out[1]["n_resets"] == 1
+    assert out[2]["increase_cents"] == 0 and out[2]["n_resets"] == 0
+
+
+def test_gap_survival_census_hand_computed(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import gap_survival_census
+
+    # user 1 gaps: 90s, 2h; user 2 gap: 30s → thresholds:
+    #   >=1m: 2 (90s, 2h); >=5m: 1; >=1h: 1; >=1d: 0; n_gaps = 3
+    rows = [
+        (1, 1, "2024-01-01T00:00:00", 0),
+        (2, 1, "2024-01-01T00:01:30", 0),
+        (3, 1, "2024-01-01T02:01:30", 0),
+        (4, 2, "2024-01-01T00:00:00", 0),
+        (5, 2, "2024-01-01T00:00:30", 0),
+    ]
+    out = {
+        r["threshold"]: r
+        for r in gap_survival_census(
+            ray.data.from_arrow(_events(rows)).repartition(2)
+        ).to_pylist()
+    }
+    assert all(out[k]["n_gaps"] == 3 for k in out)
+    assert out["1m"]["n_ge"] == 2
+    assert out["5m"]["n_ge"] == 1
+    assert out["1h"]["n_ge"] == 1
+    assert out["1d"]["n_ge"] == 0
