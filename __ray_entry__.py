@@ -1785,6 +1785,35 @@ def q_bounce_rate_daily(sf_dir: str):
     return bounce_rate_daily(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_sentence_stats(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import sentence_stats_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(sentence_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_k_anonymity(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import k_anonymity_audit
+
+    return k_anonymity_audit(_events_value_ds(sf_dir, ["event_type", "ts"]), k=5)
+
+
+def q_quota_sample(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import quota_sample
+
+    return quota_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ),
+        total_k=100,
+    )
+
+
 def q_counter_increase(sf_dir: str):
     from pyreshaper_ray.stages.timeseries import counter_increase_per_user
 
@@ -1974,6 +2003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "counter_increase_per_user": q_counter_increase,
         "gap_survival_census": q_gap_survival,
         "event_features": q_event_features,
+        "sentence_stats_documents": q_sentence_stats,
+        "k_anonymity_audit": q_k_anonymity,
+        "quota_sample_documents": q_quota_sample,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3844,6 +3876,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'props', COUNT(*),
                SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
                COUNT(DISTINCT props) FROM events
+    """
+    out["sentence_stats_documents"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                      x -> trim(x)),
+                       x -> x <> '') AS segs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(segs) AS BIGINT) AS n_sentences,
+               CAST(COALESCE(list_sum(list_transform(segs, x -> length(x))), 0)
+                    AS BIGINT) AS sentence_chars
+        FROM s
+    """
+    out["k_anonymity_audit"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, dow, hour, CAST(n AS BIGINT) AS n
+        FROM cells WHERE n < 5
+    """
+    # largest-remainder quota allocation (integer arithmetic: remainders are
+    # n*K mod total; ties to the lexicographically smaller source), quotas
+    # capped at stratum size, lowest doc_ids win per stratum
+    out["quota_sample_documents"] = """
+        WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        t AS (SELECT SUM(n) AS total FROM c),
+        q0 AS (SELECT source, n, n * 100 // total AS fq, n * 100 % total AS rem
+               FROM c, t),
+        lo AS (SELECT 100 - SUM(fq) AS leftover FROM q0),
+        r AS (SELECT source, n, fq, rem,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+              FROM q0),
+        q AS (SELECT source,
+                     LEAST(fq + CASE WHEN rk <= (SELECT leftover FROM lo)
+                                     THEN 1 ELSE 0 END, n) AS quota
+              FROM r),
+        d AS (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents)
+        SELECT d.doc_id, d.source
+        FROM d JOIN q ON d.source = q.source
+        WHERE d.rn <= q.quota
     """
     # PromQL increase(): non-negative deltas sum; a drop (reset) contributes
     # the post-reset value. Order (ts, event_id); first sample contributes 0.

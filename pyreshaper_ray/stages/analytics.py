@@ -4247,3 +4247,118 @@ def event_features(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return events_ds.map_batches(
         featurize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def k_anonymity_audit(events_ds: "ray.data.Dataset", k: int = 5) -> "ray.data.Dataset":
+    """Privacy audit: quasi-identifier groups (event_type, day-of-week,
+    hour) whose member count is below ``k`` — the k-anonymity check a
+    release pipeline runs before publishing per-cell aggregates.
+
+    Combiner-first per-block cell counts, one cell-domain-sized groupby
+    (|types|×7×24 rows max), then a result-sized filter — never row-sized
+    exchanges.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow = pc.cast(
+            pc.day_of_week(batch["ts"], count_from_zero=True, week_start=7),
+            pa.int64(),
+        )
+        hour = pc.cast(pc.hour(batch["ts"]), pa.int64())
+        g = (
+            pa.table({"event_type": batch["event_type"], "dow": dow, "hour": hour})
+            .group_by(["event_type", "dow", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dow": g["dow"],
+                "hour": g["hour"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dow", "hour"])
+        .sum("n")
+    )
+
+    def below_k(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["sum(n)"], pa.scalar(k, pa.int64())))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dow": t["dow"],
+                "hour": t["hour"],
+                "n": t["sum(n)"],
+            }
+        )
+
+    return cells.map_batches(below_k, batch_format="pyarrow")
+
+
+def quota_sample(ds_docs: "ray.data.Dataset", total_k: int = 100) -> "ray.data.Dataset":
+    """Proportional-allocation sampler with LARGEST-REMAINDER rounding:
+    ``total_k`` slots are split across ``source`` strata proportional to
+    their sizes (floor shares first, leftover slots to the largest
+    remainders, ties to the lexicographically smaller source), then each
+    stratum deterministically contributes its lowest ``doc_id``s — the
+    quota-sampling design surveys and eval-set builders use.
+
+    Shape: combiner-first stratum counts (domain-sized), quota arithmetic
+    on the driver over the strata table (result-sized), quotas broadcast,
+    and per-stratum selection via ``groupby(source).map_groups`` rank
+    filter. All-integer arithmetic (remainders compared as n·K mod total),
+    restated exactly in the SQL oracle.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": batch["source"]})
+            .group_by(["source"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"source": g["source"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    ct = collect_table(
+        ds_docs.map_batches(cpartial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .sum("n")
+    )
+    srcs = ct["source"].to_pylist()
+    ns = np.array(ct["sum(n)"].to_pylist(), np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        quotas = {}
+    else:
+        floor_q = ns * total_k // total
+        rem = ns * total_k % total  # remainder numerators (denominator: total)
+        left = total_k - int(floor_q.sum())
+        # largest remainder, tie → lexicographically smaller source
+        order = sorted(range(len(srcs)), key=lambda i: (-rem[i], srcs[i]))
+        bonus = np.zeros(len(srcs), np.int64)
+        for i in order[:left]:
+            bonus[i] = 1
+        # a stratum can't contribute more rows than it has
+        q = np.minimum(floor_q + bonus, ns)
+        quotas = dict(zip(srcs, q.tolist()))
+    ref = ray.put(quotas)
+
+    def per_source(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qmap = _ray.get(ref)
+        src = group["source"][0].as_py()
+        kq = int(qmap.get(src, 0))
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx).slice(0, kq)
+        return pa.table({"doc_id": g["doc_id"], "source": g["source"]})
+
+    return ds_docs.groupby("source").map_groups(per_source, batch_format="pyarrow")

@@ -972,3 +972,27 @@ def bigram_lm_scores(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def sentence_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document sentence census: count of non-empty ``[.!?]+``-delimited
+    segments and their total character length (whitespace-trimmed) — the
+    doc-structure signal quality filters combine with token counts.
+    All-Arrow: one regex split, list kernels, no per-row Python."""
+    segs = pc.split_pattern_regex(batch[text_col], pattern=r"[.!?]+")
+    flat = pc.utf8_trim_whitespace(pc.list_flatten(segs))
+    parent = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    n_docs = batch.num_rows
+    n_sent = np.bincount(parent[nonempty], minlength=n_docs).astype(np.int64)
+    char_sum = np.bincount(
+        parent[nonempty], weights=lens[nonempty], minlength=n_docs
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "sentence_chars": pa.array(char_sum, pa.int64()),
+        }
+    )

@@ -1125,3 +1125,52 @@ def test_event_features_composition(ray_session):
     assert out[2]["scaled_ppm"] == 1_000_000
     assert out[1]["dow"] == 0 and out[1]["hour"] == 13   # Sunday=0
     assert out[2]["dow"] == 1 and out[2]["hour"] == 0
+
+
+def test_k_anonymity_audit_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import k_anonymity_audit
+
+    # cell (a, Monday, 10h) has 5 members (safe at k=5); (b, Monday, 10h)
+    # has 2 (flagged)
+    rows = [("a", "2024-01-08T10:00:00")] * 5 + [("b", "2024-01-08T10:30:00")] * 2
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    out = k_anonymity_audit(ray.data.from_arrow(t).repartition(3), k=5).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "b" and r["dow"] == 1 and r["hour"] == 10 and r["n"] == 2
+
+
+def test_quota_sample_largest_remainder(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import quota_sample
+
+    # strata sizes 6 / 3 / 1, K=5 → exact shares 3.0 / 1.5 / 0.5; floors
+    # 3/1/0, leftover 1 goes to the larger remainder; tie (rem .5 = .5)
+    # breaks to the lexicographically smaller source 'b' → quotas 3/2/0
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "source": pa.array(["a"] * 6 + ["b"] * 3 + ["c"], pa.string()),
+        }
+    )
+    out = quota_sample(ray.data.from_arrow(t).repartition(3), total_k=5).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src.get("a", [])) == [0, 1, 2]
+    assert sorted(by_src.get("b", [])) == [6, 7]
+    assert "c" not in by_src
+    assert sum(len(v) for v in by_src.values()) == 5

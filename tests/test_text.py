@@ -288,3 +288,29 @@ def test_bigram_lm_scores_planted(ray_session):
         pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["x"], pa.string())})
     )
     assert one["n_bigrams"][0].as_py() == 0 and one["avg_neglog2_milli"][0].as_py() == 0
+
+
+def test_sentence_stats_hand_computed():
+    from pyreshaper_ray.stages.text import sentence_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello world. How are you?  Fine!",
+                    "no terminal punctuation here",
+                    "...",
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = {r["doc_id"]: r for r in sentence_stats_batch(batch).to_pylist()}
+    assert out[1]["n_sentences"] == 3
+    # "Hello world" 11 + "How are you" 11 + "Fine" 4
+    assert out[1]["sentence_chars"] == 26
+    assert out[2]["n_sentences"] == 1
+    assert out[3]["n_sentences"] == 0 and out[3]["sentence_chars"] == 0
+    assert out[4]["n_sentences"] == 0
