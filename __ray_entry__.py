@@ -1838,6 +1838,80 @@ def q_event_features(sf_dir: str):
     )
 
 
+def q_growth_accounting(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import growth_accounting
+
+    return growth_accounting(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_contingency_margins(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import contingency_margins
+
+    return contingency_margins(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
+def q_transition_latency(sf_dir: str):
+    from pyreshaper_ray.stages.windows import transition_latency_census
+
+    return transition_latency_census(
+        _events_value_ds(sf_dir, ["user_id", "event_id", "event_type", "ts"])
+    )
+
+
+def q_paa_segments(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import paa_segments
+
+    return paa_segments(
+        _events_value_ds(sf_dir, ["user_id", "event_id", "ts", "value"]), n_segments=4
+    )
+
+
+def q_hourly_seasonality(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import hourly_seasonality
+
+    return hourly_seasonality(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
+def q_cross_source_contamination(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import cross_source_contamination
+
+    return cross_source_contamination(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "source"]
+        ),
+        prefix_len=32,
+    )
+
+
+def q_context_assembly(sf_dir: str):
+    from pyreshaper_ray.stages.text import context_assembly
+
+    return context_assembly(read_events_as_transcripts(sf_dir))
+
+
+def q_pack_sequences(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import pack_sequences
+
+    return pack_sequences(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ),
+        budget=512,
+    )
+
+
+def q_window_corrections(sf_dir: str):
+    from pyreshaper_ray.stages.windows import window_corrections
+
+    return window_corrections(
+        _events_value_ds(sf_dir, ["user_id", "event_id", "ts"]), lateness_s=1800
+    )
+
+
 def q_cum_distinct_tools(sf_dir: str):
     from pyreshaper_ray.stages.windows import cum_distinct_tools
 
@@ -2006,6 +2080,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats_documents": q_sentence_stats,
         "k_anonymity_audit": q_k_anonymity,
         "quota_sample_documents": q_quota_sample,
+        "growth_accounting_daily": q_growth_accounting,
+        "contingency_margins": q_contingency_margins,
+        "transition_latency_census": q_transition_latency,
+        "paa_segments_4": q_paa_segments,
+        "hourly_seasonality": q_hourly_seasonality,
+        "cross_source_contamination": q_cross_source_contamination,
+        "context_assembly": q_context_assembly,
+        "pack_sequences_512": q_pack_sequences,
+        "window_corrections_30m": q_window_corrections,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -3902,6 +3985,182 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_type, dow, hour, CAST(n AS BIGINT) AS n
         FROM cells WHERE n < 5
+    """
+    # growth accounting: per-user distinct active days; new on the first
+    # day, retained when yesterday was active, resurrected otherwise;
+    # churn attributed to d+1 for every active day without an adjacent
+    # successor (so retained(d) + churned(d) = active(d-1) exactly)
+    out["growth_accounting_daily"] = """
+        WITH du AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        t AS (
+            SELECT user_id, day,
+                   MIN(day) OVER (PARTITION BY user_id) AS first_day,
+                   LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+                   LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+            FROM du
+        ),
+        status AS (
+            SELECT day,
+                   CASE WHEN day = first_day THEN 1 ELSE 0 END AS n_new,
+                   CASE WHEN prev_day = day - INTERVAL 1 DAY THEN 1 ELSE 0 END
+                       AS n_retained,
+                   CASE WHEN day <> first_day
+                             AND (prev_day IS NULL
+                                  OR prev_day <> day - INTERVAL 1 DAY)
+                        THEN 1 ELSE 0 END AS n_resurrected,
+                   0 AS n_churned
+            FROM t
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY, 0, 0, 0, 1
+            FROM t
+            WHERE next_day IS NULL OR next_day <> day + INTERVAL 1 DAY
+        )
+        SELECT day,
+               CAST(SUM(n_new) AS BIGINT) AS n_new,
+               CAST(SUM(n_retained) AS BIGINT) AS n_retained,
+               CAST(SUM(n_resurrected) AS BIGINT) AS n_resurrected,
+               CAST(SUM(n_churned) AS BIGINT) AS n_churned
+        FROM status GROUP BY day
+    """
+    # chi-square-prep crosstab: HUGEINT keeps n_row*n_col*1e6 exact before
+    # the floor divide (the engine uses Python ints for the same reason)
+    out["contingency_margins"] = """
+        WITH cells AS (
+            SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, dow, n,
+                   SUM(n) OVER (PARTITION BY event_type) AS n_row,
+                   SUM(n) OVER (PARTITION BY dow) AS n_col,
+                   SUM(n) OVER () AS total
+            FROM cells
+        )
+        SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+               CAST(n_row AS BIGINT) AS n_row,
+               CAST(n_col AS BIGINT) AS n_col,
+               CAST(CAST(n_row AS HUGEINT) * n_col * 1000000 // total
+                    AS BIGINT) AS expected_ppm
+        FROM m
+    """
+    out["transition_latency_census"] = """
+        WITH s AS (
+            SELECT event_type,
+                   LAG(event_type) OVER w AS from_type,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT from_type, event_type AS to_type,
+               COUNT(*) AS n,
+               CAST(SUM(gap_us) AS BIGINT) AS gap_us_sum,
+               CAST(MIN(gap_us) AS BIGINT) AS gap_us_min,
+               CAST(MAX(gap_us) AS BIGINT) AS gap_us_max
+        FROM s WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+    # NTILE allocation: first len%k segments take the extra row — the
+    # engine's numpy repeat reproduces exactly this split
+    out["paa_segments_4"] = """
+        WITH s AS (
+            SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS seg_idx
+            FROM events
+        )
+        SELECT user_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum
+        FROM s GROUP BY 1, 2
+    """
+    out["hourly_seasonality"] = """
+        WITH cells AS (
+            SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, hour, n,
+                   SUM(n) OVER (PARTITION BY event_type) AS tot
+            FROM cells
+        )
+        SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+               CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
+        FROM m
+    """
+    out["cross_source_contamination"] = """
+        WITH k AS (
+            SELECT DISTINCT substr(lower(text), 1, 32) AS key, source
+            FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_keys
+        FROM k a JOIN k b ON a.key = b.key AND a.source < b.source
+        GROUP BY 1, 2
+    """
+    # SFT context assembly: per-conversation ordered concat; chr(10) is the
+    # engine's sep="\n"; DuckDB length() counts characters like utf8_length
+    out["context_assembly"] = f"""
+        WITH t AS ({_T})
+        SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(length(string_agg(text, chr(10) ORDER BY turn_idx))
+                    AS BIGINT) AS context_chars,
+               string_agg(text, chr(10) ORDER BY turn_idx) AS context_text
+        FROM t GROUP BY conv_id
+    """
+    # concat-then-cut packing: prefix-sum of the standard tok_est within a
+    # source (doc_id order); a doc lands at bin prefix//B offset prefix%B
+    # and spans through (prefix + max(tok,1) - 1)//B
+    out["pack_sequences_512"] = """
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST((n_chars + 3) // 4 AS BIGINT) AS tok_est
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, source, tok_est,
+                   COALESCE(SUM(tok_est) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prefix
+            FROM d
+        )
+        SELECT doc_id, source, tok_est,
+               CAST(prefix // 512 AS BIGINT) AS bin_id,
+               CAST(prefix % 512 AS BIGINT) AS bin_offset,
+               CAST((prefix + GREATEST(tok_est, 1) - 1) // 512
+                    - prefix // 512 + 1 AS BIGINT) AS n_bins_spanned
+        FROM p
+    """
+    # streaming correction census: watermark = running max event time over
+    # PRIOR arrivals (event_id order) minus 30 min; an event is a correction
+    # when its 1-minute window already closed at its arrival
+    out["window_corrections_30m"] = """
+        WITH s AS (
+            SELECT user_id, epoch_us(ts) AS tus,
+                   MAX(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS hwm_prev
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, tus - tus % 60000000 AS win_us,
+                   CASE WHEN hwm_prev IS NOT NULL
+                             AND tus - tus % 60000000 + 60000000
+                                 <= hwm_prev - 1800000000
+                        THEN 1 ELSE 0 END AS corr
+            FROM s
+        )
+        SELECT user_id, make_timestamp(win_us) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(corr) AS BIGINT) AS n_corrections
+        FROM w GROUP BY 1, 2
     """
     # largest-remainder quota allocation (integer arithmetic: remainders are
     # n*K mod total; ties to the lexicographically smaller source), quotas

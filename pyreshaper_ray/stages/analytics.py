@@ -4362,3 +4362,191 @@ def quota_sample(ds_docs: "ray.data.Dataset", total_k: int = 100) -> "ray.data.D
         return pa.table({"doc_id": g["doc_id"], "source": g["source"]})
 
     return ds_docs.groupby("source").map_groups(per_source, batch_format="pyarrow")
+
+
+def growth_accounting(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Daily growth accounting — the new / retained / resurrected / churned
+    user census every product dashboard leads with:
+
+    * **new** — the user's first-ever active day,
+    * **retained** — active today AND yesterday,
+    * **resurrected** — active today, previously seen, but NOT yesterday,
+    * **churned** — attributed to day d+1 for every active day d whose next
+      active day is not d+1 (including the day after the last activity), so
+      retained(d) + churned(d) = active(d-1) holds exactly.
+
+    Distributed shape: per-block DISTINCT (user, day) pairs (the only
+    event-sized pass), one groupby(user) exchange over the user×day pair
+    domain, a vectorized per-user timeline kernel emitting 0/1 status rows,
+    then a per-block partial day aggregate feeding a day-domain-sized final
+    groupby — no exchange ever moves event-sized data twice.
+
+    Output: day (TIMESTAMP, midnight), n_new, n_retained, n_resurrected,
+    n_churned (all BIGINT).
+    """
+    DAY_US = 86_400_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"user_id": batch["user_id"], "day": d})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        return g
+
+    OUT = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("n_new", pa.int64()),
+            ("n_retained", pa.int64()),
+            ("n_resurrected", pa.int64()),
+            ("n_churned", pa.int64()),
+        ]
+    )
+
+    def timeline(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        # blocks may re-send the same (user, day) pair — dedup locally
+        dus = np.unique(
+            pc.cast(group["day"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        prev_adjacent = np.zeros(len(dus), bool)
+        prev_adjacent[1:] = (dus[1:] - dus[:-1]) == DAY_US
+        new = np.zeros(len(dus), np.int64)
+        new[0] = 1
+        retained = prev_adjacent.astype(np.int64)
+        resurrected = ((new == 0) & ~prev_adjacent).astype(np.int64)
+        # churn fires at d + 1day whenever the next active day is not d+1
+        next_gap = np.ones(len(dus), bool)
+        next_gap[:-1] = (dus[1:] - dus[:-1]) != DAY_US
+        churn_days = dus[next_gap] + DAY_US
+        day = np.concatenate([dus, churn_days])
+        z = np.zeros(len(churn_days), np.int64)
+        return pa.table(
+            {
+                "day": pa.array(day, pa.timestamp("us")),
+                "n_new": pa.array(np.concatenate([new, z])),
+                "n_retained": pa.array(np.concatenate([retained, z])),
+                "n_resurrected": pa.array(np.concatenate([resurrected, z])),
+                "n_churned": pa.array(
+                    np.concatenate([np.zeros(len(dus), np.int64), z + 1])
+                ),
+            }
+        )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["day"]).aggregate(
+            [
+                ("n_new", "sum"),
+                ("n_retained", "sum"),
+                ("n_resurrected", "sum"),
+                ("n_churned", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_new": g["n_new_sum"],
+                "n_retained": g["n_retained_sum"],
+                "n_resurrected": g["n_resurrected_sum"],
+                "n_churned": g["n_churned_sum"],
+            }
+        )
+
+    return (
+        events_ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(timeline, batch_format="pyarrow")
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_new", alias_name="n_new"),
+            Sum("n_retained", alias_name="n_retained"),
+            Sum("n_resurrected", alias_name="n_resurrected"),
+            Sum("n_churned", alias_name="n_churned"),
+        )
+    )
+
+
+def contingency_margins(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Contingency table with margins and integer expected counts — the
+    chi-square-prep crosstab (event_type × day-of-week): per observed cell,
+    the count, both margin totals, and the independence-model expectation
+    ``expected_ppm = n_row · n_col · 10⁶ // N`` (floor parts-per-million,
+    exact integer arithmetic).
+
+    Distributed shape: combiner-first per-block cell counts, one
+    cell-domain-sized groupby (|types|×7 rows max), margins + expectation
+    computed on the collected domain-sized table with PYTHON ints (the
+    n_row·n_col·10⁶ product overflows int64 at 10¹²-row scale, so the
+    finalize never trusts fixed-width multiply).
+
+    Output: event_type, dow (Sunday=0), n, n_row, n_col, expected_ppm.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow = pc.cast(
+            pc.day_of_week(batch["ts"], count_from_zero=True, week_start=7),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"event_type": batch["event_type"], "dow": dow})
+            .group_by(["event_type", "dow"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dow": g["dow"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("dow", pa.int64()),
+            ("n", pa.int64()),
+            ("n_row", pa.int64()),
+            ("n_col", pa.int64()),
+            ("expected_ppm", pa.int64()),
+        ]
+    )
+    cells = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dow"])
+        .sum("n")
+    )
+    if cells.num_rows == 0 or "event_type" not in cells.column_names:
+        return ray.data.from_arrow(OUT.empty_table())
+    types = cells["event_type"].to_pylist()
+    dows = cells["dow"].to_pylist()
+    ns = cells["sum(n)"].to_pylist()
+    row_tot: dict[str, int] = {}
+    col_tot: dict[int, int] = {}
+    for t, d, n in zip(types, dows, ns):
+        row_tot[t] = row_tot.get(t, 0) + n
+        col_tot[d] = col_tot.get(d, 0) + n
+    total = sum(ns)
+    out = pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "dow": pa.array(dows, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "n_row": pa.array([row_tot[t] for t in types], pa.int64()),
+            "n_col": pa.array([col_tot[d] for d in dows], pa.int64()),
+            "expected_ppm": pa.array(
+                [
+                    row_tot[t] * col_tot[d] * 1_000_000 // total
+                    for t, d in zip(types, dows)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)

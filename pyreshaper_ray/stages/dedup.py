@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
 
 # ---------------------------------------------------------------- exact dedup
 
@@ -928,4 +928,76 @@ def snm_neardup_multipass(
         p1.union(p2)
         .groupby(["doc_a", "doc_b"])
         .aggregate(Max("jaccard_ppm", alias_name="jaccard_ppm"))
+    )
+
+
+def cross_source_contamination(
+    ds_docs: "ray.data.Dataset", prefix_len: int = 32
+) -> "ray.data.Dataset":
+    """Split/source contamination census — the train-eval leakage screen a
+    training-data pipeline runs before freezing splits: documents from
+    DIFFERENT sources sharing the same normalized ``prefix_len``-char
+    blocking key (lowercased text prefix, the SNM-style block) are counted
+    per unordered source pair.
+
+    Distributed shape: per-block DISTINCT (key, source) projection (the
+    only pass that touches text; only 32-char keys leave the block), one
+    groupby(key) exchange over the key×source domain, a per-key kernel
+    emitting unordered source pairs, then a per-block partial pair count
+    feeding a |sources|²-domain final groupby.
+
+    Output: source_a, source_b (source_a < source_b), n_shared_keys
+    (BIGINT — distinct blocking keys the pair co-occupies).
+    """
+
+    def keys(batch: pa.Table) -> pa.Table:
+        k = pc.utf8_slice_codeunits(pc.utf8_lower(batch["text"]), 0, prefix_len)
+        return (
+            pa.table({"key": k, "source": batch["source"]})
+            .group_by(["key", "source"])
+            .aggregate([])
+        )
+
+    OUT = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_shared_keys", pa.int64()),
+        ]
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        srcs = sorted(set(group["source"].to_pylist()))
+        if len(srcs) < 2:
+            return OUT.empty_table()
+        ia, ib = np.triu_indices(len(srcs), 1)
+        return pa.table(
+            {
+                "source_a": pa.array([srcs[i] for i in ia], pa.string()),
+                "source_b": pa.array([srcs[j] for j in ib], pa.string()),
+                "n_shared_keys": pa.array(np.ones(len(ia), np.int64)),
+            }
+        )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source_a", "source_b"]).aggregate(
+            [("n_shared_keys", "sum")]
+        )
+        return pa.table(
+            {
+                "source_a": g["source_a"],
+                "source_b": g["source_b"],
+                "n_shared_keys": g["n_shared_keys_sum"],
+            }
+        )
+
+    return (
+        ds_docs.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_shared_keys", alias_name="n_shared_keys"))
     )

@@ -996,3 +996,112 @@ def sentence_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "sentence_chars": pa.array(char_sum, pa.int64()),
         }
     )
+
+
+def context_assembly(
+    ds_transcripts: "ray.data.Dataset", sep: str = "\n"
+) -> "ray.data.Dataset":
+    """SFT context assembly — the operator that turns a transcript table
+    into training rows: per conversation, all turn texts joined in
+    ``turn_idx`` order with ``sep``, plus the turn count and joined length.
+
+    The text necessarily crosses the conversation-key exchange (the output
+    IS the concatenated text — same partitioning rule as the flagship's
+    ``include_turns`` path); the per-group kernel is one Arrow sort + one
+    ``pc.binary_join`` over a single ListArray, no per-row Python.
+
+    Output: conv_id, n_turns (BIGINT), context_chars (BIGINT),
+    context_text (STRING).
+    """
+
+    def assemble(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+        )
+        txt = g["text"].combine_chunks()
+        n = g.num_rows
+        lst = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), txt)
+        joined = pc.binary_join(lst, sep)
+        return pa.table(
+            {
+                "conv_id": g["conv_id"][:1],
+                "n_turns": pa.array([n], pa.int64()),
+                "context_chars": pc.cast(pc.utf8_length(joined), pa.int64()),
+                "context_text": joined,
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        assemble, batch_format="pyarrow"
+    )
+
+
+def pack_sequences(
+    ds_docs: "ray.data.Dataset", budget: int = 512
+) -> "ray.data.Dataset":
+    """Pretraining sequence packing (concat-then-cut): within each source,
+    documents concatenate in ``doc_id`` order and the token stream is cut
+    every ``budget`` tokens — each document lands at bin
+    ``prefix_tokens // budget``, offset ``prefix_tokens % budget`` (docs may
+    straddle a cut, exactly like GPT-style corpus packing; ``n_bins_spanned``
+    says how many windows the doc touches).
+
+    Token count is the engine's standard estimate ``(n_chars + 3) // 4``.
+    Packing is sequential BY DESIGN, but only within a source: one
+    groupby(source) exchange over (doc_id, n_chars) rows — text never
+    moves — then a vectorized cumsum kernel per group.
+
+    Output: doc_id, source, tok_est, bin_id, bin_offset, n_bins_spanned
+    (all BIGINT).
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "tok_est": pc.cast(
+                    pc.divide(pc.add(batch["n_chars"], 3), 4), pa.int64()
+                ),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("tok_est", pa.int64()),
+            ("bin_id", pa.int64()),
+            ("bin_offset", pa.int64()),
+            ("n_bins_spanned", pa.int64()),
+        ]
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        )
+        tok = g["tok_est"].to_numpy(zero_copy_only=False)
+        prefix = np.concatenate(([0], np.cumsum(tok[:-1], dtype=np.int64)))
+        bin_id = prefix // budget
+        off = prefix % budget
+        end = prefix + np.maximum(tok, 1) - 1  # empty doc occupies its slot
+        spanned = end // budget - bin_id + 1
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "tok_est": g["tok_est"],
+                "bin_id": pa.array(bin_id, pa.int64()),
+                "bin_offset": pa.array(off, pa.int64()),
+                "n_bins_spanned": pa.array(spanned, pa.int64()),
+            }
+        )
+
+    return (
+        ds_docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(pack, batch_format="pyarrow")
+    )

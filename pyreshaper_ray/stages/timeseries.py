@@ -542,3 +542,145 @@ def gap_survival_census(events_ds: "ray.data.Dataset") -> pa.Table:
             "n_ge": pa.array([vals[f"ge_{lab}"] for lab in TH_LABEL], pa.int64()),
         }
     )
+
+
+def paa_segments(
+    events_ds: "ray.data.Dataset", n_segments: int = 4
+) -> "ray.data.Dataset":
+    """Piecewise Aggregate Approximation (PAA) — the classic time-series
+    dimensionality reduction: each user's (ts, event_id)-ordered value
+    stream splits into ``n_segments`` contiguous runs (NTILE allocation:
+    the first ``len % k`` segments take the extra row) and each segment
+    reports its exact row count and integer-cents sum (the caller derives
+    the segment mean; sums stay bit-exact where means would not).
+
+    One groupby(user_id) exchange, a numpy ``repeat`` segment assignment
+    (no Python loop), per-group Arrow aggregate — output is
+    users × ``n_segments`` rows.
+
+    Output: user_id, seg_idx (1-based, NTILE convention), n, cents_sum.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "cents": to_cents(batch["value"]),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("seg_idx", pa.int64()),
+            ("n", pa.int64()),
+            ("cents_sum", pa.int64()),
+        ]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        n = g.num_rows
+        base, extra = divmod(n, n_segments)
+        sizes = np.full(n_segments, base, np.int64)
+        sizes[:extra] += 1
+        seg = np.repeat(np.arange(1, n_segments + 1), sizes)
+        t = pa.table(
+            {
+                "user_id": g["user_id"],
+                "seg_idx": pa.array(seg, pa.int64()),
+                "cents": g["cents"],
+            }
+        )
+        agg = t.group_by(["user_id", "seg_idx"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "user_id": agg["user_id"],
+                "seg_idx": agg["seg_idx"],
+                "n": pc.cast(agg["cents_count"], pa.int64()),
+                "cents_sum": agg["cents_sum"],
+            }
+        )
+
+    return (
+        events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def hourly_seasonality(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Hour-of-day seasonality profile per event type: the 24-bin diurnal
+    histogram plus each bin's share of the type's total in floor
+    parts-per-million — the seasonal fingerprint capacity planners and
+    anomaly baselines start from.
+
+    Combiner-first per-block (type, hour) counts, one domain-sized groupby
+    (|types|×24 rows max), share computed on the collected domain table
+    with Python ints (n·10⁶ never trusts fixed-width multiply at
+    10¹²-row scale).
+
+    Output: event_type, hour (0–23), n, share_ppm.
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(batch["ts"]), pa.int64())
+        g = (
+            pa.table({"event_type": batch["event_type"], "hour": hour})
+            .group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour", pa.int64()),
+            ("n", pa.int64()),
+            ("share_ppm", pa.int64()),
+        ]
+    )
+    cells = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .sum("n")
+    )
+    if cells.num_rows == 0 or "event_type" not in cells.column_names:
+        return ray.data.from_arrow(OUT.empty_table())
+    types = cells["event_type"].to_pylist()
+    hours = cells["hour"].to_pylist()
+    ns = cells["sum(n)"].to_pylist()
+    row_tot: dict[str, int] = {}
+    for t, n in zip(types, ns):
+        row_tot[t] = row_tot.get(t, 0) + n
+    out = pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "hour": pa.array(hours, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "share_ppm": pa.array(
+                [n * 1_000_000 // row_tot[t] for t, n in zip(types, ns)],
+                pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -1179,3 +1179,148 @@ def cum_distinct_tools(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset"
     return ds_transcripts.groupby("conv_id").map_groups(
         per_conv, batch_format="pyarrow"
     )
+
+
+def transition_latency_census(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Latency profile of event-type transitions: for every consecutive
+    (from_type → to_type) pair in a user's (ts, event_id)-ordered stream,
+    the pair count plus the sum / min / max of the gap in whole
+    microseconds — ``event_transitions``' Markov counts upgraded with the
+    timing distribution (how long users dwell between steps).
+
+    Same distributed shape as the count version: one groupby(user_id)
+    exchange, a vectorized per-group kernel that pre-reduces to at most
+    |types|² rows, then a pair-domain-sized merge groupby (Sum/Min/Max are
+    all associative). No Python loop touches rows.
+
+    Output: from_type, to_type, n, gap_us_sum, gap_us_min, gap_us_max
+    (all gaps BIGINT microseconds).
+    """
+    OUT = pa.schema(
+        [
+            ("from_type", pa.string()),
+            ("to_type", pa.string()),
+            ("n", pa.int64()),
+            ("gap_us_sum", pa.int64()),
+            ("gap_us_min", pa.int64()),
+            ("gap_us_max", pa.int64()),
+        ]
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows < 2:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = g["event_type"]
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gaps = ts[1:] - ts[:-1]
+        t = pa.table(
+            {
+                "from_type": et.slice(0, len(et) - 1).combine_chunks(),
+                "to_type": et.slice(1).combine_chunks(),
+                "gap_us": pa.array(gaps, pa.int64()),
+            }
+        )
+        agg = t.group_by(["from_type", "to_type"]).aggregate(
+            [
+                ("gap_us", "count"),
+                ("gap_us", "sum"),
+                ("gap_us", "min"),
+                ("gap_us", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "from_type": agg["from_type"],
+                "to_type": agg["to_type"],
+                "n": pc.cast(agg["gap_us_count"], pa.int64()),
+                "gap_us_sum": agg["gap_us_sum"],
+                "gap_us_min": agg["gap_us_min"],
+                "gap_us_max": agg["gap_us_max"],
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("gap_us_sum", alias_name="gap_us_sum"),
+            Min("gap_us_min", alias_name="gap_us_min"),
+            Max("gap_us_max", alias_name="gap_us_max"),
+        )
+    )
+
+
+def window_corrections(
+    events_ds: "ray.data.Dataset", lateness_s: int = 1800
+) -> "ray.data.Dataset":
+    """Streaming correction census: per (user, 1-minute event-time window),
+    the final count plus how many of those events arrived AFTER the
+    stream's watermark had passed the window — i.e. how many downstream
+    re-emits ("corrections") an allowed-lateness streaming aggregator
+    would have issued.
+
+    Arrival order is ``event_id`` (the ingestion sequence); the watermark
+    is the running max event time seen so far minus ``lateness_s``. An
+    event is a correction when its own window end precedes the watermark
+    at its arrival. One groupby(user) exchange, a vectorized
+    ``np.maximum.accumulate`` kernel (no Python loop), per-group Arrow
+    aggregate, then a window-domain-sized merge groupby.
+
+    Output: user_id, window_start (TIMESTAMP), n (BIGINT), n_corrections
+    (BIGINT).
+    """
+    late_us = lateness_s * 1_000_000
+    MIN_US = 60_000_000
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("window_start", pa.timestamp("us")),
+            ("n", pa.int64()),
+            ("n_corrections", pa.int64()),
+        ]
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("event_id", "ascending")])
+        )
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = ts - ts % MIN_US
+        hwm_prev = np.empty_like(ts)
+        hwm_prev[0] = np.iinfo(np.int64).min
+        if len(ts) > 1:
+            hwm_prev[1:] = np.maximum.accumulate(ts)[:-1]
+        # late_us moves to the LEFT side: int64.min - late_us would wrap
+        corr = (win + MIN_US + late_us) <= hwm_prev
+        t = pa.table(
+            {
+                "user_id": g["user_id"],
+                "window_start": pa.array(win, pa.timestamp("us")),
+                "corr": pa.array(corr.astype(np.int64)),
+            }
+        )
+        agg = t.group_by(["user_id", "window_start"]).aggregate(
+            [("corr", "count"), ("corr", "sum")]
+        )
+        return pa.table(
+            {
+                "user_id": agg["user_id"],
+                "window_start": agg["window_start"],
+                "n": pc.cast(agg["corr_count"], pa.int64()),
+                "n_corrections": agg["corr_sum"],
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")

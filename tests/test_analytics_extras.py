@@ -1174,3 +1174,78 @@ def test_quota_sample_largest_remainder(ray_session):
     assert sorted(by_src.get("b", [])) == [6, 7]
     assert "c" not in by_src
     assert sum(len(v) for v in by_src.values()) == 5
+
+
+def test_growth_accounting_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import growth_accounting
+
+    # u1 active Jan 1, 2, 4; u2 active Jan 2 only
+    rows = [
+        (1, "2024-01-01T08:00:00"),
+        (1, "2024-01-01T09:00:00"),  # same day twice → still one active day
+        (1, "2024-01-02T08:00:00"),
+        (1, "2024-01-04T08:00:00"),
+        (2, "2024-01-02T12:00:00"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        str(r["day"])[:10]: r
+        for r in growth_accounting(ray.data.from_arrow(t).repartition(3)).take_all()
+    }
+    assert out["2024-01-01"]["n_new"] == 1 and out["2024-01-01"]["n_churned"] == 0
+    assert out["2024-01-02"]["n_new"] == 1  # u2
+    assert out["2024-01-02"]["n_retained"] == 1  # u1
+    assert out["2024-01-03"]["n_churned"] == 2  # u1 gap + u2 exit
+    assert out["2024-01-04"]["n_resurrected"] == 1  # u1 returns after gap
+    assert out["2024-01-05"]["n_churned"] == 1  # u1 final exit
+    # invariant: retained(d) + churned(d) = active(d-1)
+    active = {"2024-01-01": 1, "2024-01-02": 2, "2024-01-04": 1}
+    for day, prev in [
+        ("2024-01-02", "2024-01-01"),
+        ("2024-01-03", "2024-01-02"),
+        ("2024-01-05", "2024-01-04"),
+    ]:
+        r = out.get(day)
+        got = (r["n_retained"] if r else 0) + (r["n_churned"] if r else 0)
+        assert got == active[prev]
+
+
+def test_contingency_margins_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import contingency_margins
+
+    # Mon 2024-01-08 (dow=1), Tue 2024-01-09 (dow=2)
+    rows = [("a", "2024-01-08")] * 3 + [("b", "2024-01-08")] + [("b", "2024-01-09")] * 2
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array(
+                [np.datetime64(r[1] + "T10:00:00", "us") for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = {
+        (r["event_type"], r["dow"]): r
+        for r in contingency_margins(ray.data.from_arrow(t).repartition(3)).take_all()
+    }
+    assert out[("a", 1)]["n"] == 3 and out[("a", 1)]["n_row"] == 3
+    assert out[("a", 1)]["n_col"] == 4
+    assert out[("a", 1)]["expected_ppm"] == 3 * 4 * 1_000_000 // 6
+    assert out[("b", 2)]["n"] == 2 and out[("b", 2)]["n_row"] == 3
+    assert out[("b", 2)]["n_col"] == 2
+    assert out[("b", 2)]["expected_ppm"] == 3 * 2 * 1_000_000 // 6

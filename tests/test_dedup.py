@@ -268,3 +268,32 @@ def test_snm_multipass_catches_prefix_divergent_dup(ray_session):
     out = snm_neardup_multipass(ds).take_all()
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (1, 2) in pairs  # suffix pass blocks them together
+
+
+def test_cross_source_contamination_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import cross_source_contamination
+
+    shared = "The Quick Brown Fox Jumps Over The Lazy Dog And Keeps Running"
+    other = "completely different opening line that shares no prefix at all"
+    t = pa.table(
+        {
+            "text": pa.array(
+                [shared + " v1", shared + " v2", shared.lower() + " v3",
+                 other, other + "!"],
+                pa.string(),
+            ),
+            "source": pa.array(["s1", "s2", "s3", "s1", "s1"], pa.string()),
+        }
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared_keys"]
+        for r in cross_source_contamination(
+            ray.data.from_arrow(t).repartition(3), prefix_len=32
+        ).take_all()
+    }
+    # the lowercased 32-char prefix unifies all three shared docs; the two
+    # 'other' docs live in one source only → no pair
+    assert out == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}

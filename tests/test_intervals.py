@@ -784,3 +784,75 @@ def test_flagship_1w_tier_bit_exact(ray_session, tmp_path):
         )
 
     assert canon(got).cast(want.schema).equals(canon(want))
+
+
+def test_empty_inputs_no_crash_batch3(ray_session):
+    """Session-25+ ops on EMPTY inputs: no crashes, zero rows."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import growth_accounting
+    from pyreshaper_ray.stages.text import context_assembly, pack_sequences
+    from pyreshaper_ray.stages.timeseries import paa_segments
+    from pyreshaper_ray.stages.windows import (
+        transition_latency_census,
+        window_corrections,
+    )
+
+    empty_events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    )
+    empty_turns = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    empty_docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    )
+    from pyreshaper_ray.stages.analytics import contingency_margins
+    from pyreshaper_ray.stages.dedup import cross_source_contamination
+    from pyreshaper_ray.stages.timeseries import hourly_seasonality
+
+    empty_typed = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+    )
+    empty_src_docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert contingency_margins(empty_typed).count() == 0
+    assert hourly_seasonality(empty_typed).count() == 0
+    assert cross_source_contamination(empty_src_docs).count() == 0
+    assert growth_accounting(empty_events).count() == 0
+    assert transition_latency_census(empty_events).count() == 0
+    assert window_corrections(empty_events).count() == 0
+    assert paa_segments(empty_events).count() == 0
+    assert context_assembly(empty_turns).count() == 0
+    assert pack_sequences(empty_docs).count() == 0

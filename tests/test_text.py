@@ -314,3 +314,60 @@ def test_sentence_stats_hand_computed():
     assert out[2]["n_sentences"] == 1
     assert out[3]["n_sentences"] == 0 and out[3]["sentence_chars"] == 0
     assert out[4]["n_sentences"] == 0
+
+
+def test_context_assembly_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.text import context_assembly
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c2", "c1", "c1"], pa.string()),
+            "turn_idx": pa.array([2, 0, 0, 1], pa.int32()),
+            "text": pa.array(["end", "solo", "hi", "mid"], pa.string()),
+        }
+    )
+    out = {
+        r["conv_id"]: r
+        for r in context_assembly(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    assert out["c1"]["context_text"] == "hi\nmid\nend"
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["context_chars"] == len("hi\nmid\nend")
+    assert out["c2"]["context_text"] == "solo" and out["c2"]["n_turns"] == 1
+
+
+def test_pack_sequences_straddle_and_order(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.text import pack_sequences
+
+    # tok_est = (n_chars+3)//4: 300 -> 75, 1000 -> 250, 4000 -> 1000
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 10], pa.int64()),
+            "source": pa.array(["s", "s", "s", "z"], pa.string()),
+            "n_chars": pa.array([1000, 300, 4000, 0], pa.int64()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            ray.data.from_arrow(t).repartition(2), budget=512
+        ).take_all()
+    }
+    # source s packs in doc_id order: d1 (75 tok @ 0), d2 (1000 tok @ 75),
+    # d3 (250 tok @ 1075)
+    assert out[1]["bin_id"] == 0 and out[1]["bin_offset"] == 0
+    assert out[1]["n_bins_spanned"] == 1
+    assert out[2]["bin_id"] == 0 and out[2]["bin_offset"] == 75
+    # doc 2 covers tokens 75..1074 -> bins 0,1,2
+    assert out[2]["n_bins_spanned"] == 3
+    assert out[3]["bin_id"] == 2 and out[3]["bin_offset"] == 1075 - 2 * 512
+    # empty doc still occupies its slot in its own bin
+    assert out[10]["tok_est"] == 0 and out[10]["n_bins_spanned"] == 1

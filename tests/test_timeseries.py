@@ -228,3 +228,60 @@ def test_gap_survival_census_hand_computed(ray_session):
     assert out["5m"]["n_ge"] == 1
     assert out["1h"]["n_ge"] == 1
     assert out["1d"]["n_ge"] == 0
+
+
+def test_paa_segments_ntile_allocation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import paa_segments
+
+    # 6 rows, k=4 → NTILE sizes 2,2,1,1; values 1..6 dollars in ts order
+    t = pa.table(
+        {
+            "user_id": pa.array([7] * 6, pa.int64()),
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(i, "m")
+                 for i in range(6)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([float(i + 1) for i in range(6)], pa.float64()),
+        }
+    )
+    out = {
+        r["seg_idx"]: r
+        for r in paa_segments(ray.data.from_arrow(t).repartition(3), 4).take_all()
+    }
+    assert out[1]["n"] == 2 and out[1]["cents_sum"] == 300   # 1+2
+    assert out[2]["n"] == 2 and out[2]["cents_sum"] == 700   # 3+4
+    assert out[3]["n"] == 1 and out[3]["cents_sum"] == 500
+    assert out[4]["n"] == 1 and out[4]["cents_sum"] == 600
+
+
+def test_hourly_seasonality_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import hourly_seasonality
+
+    rows = [("a", 10)] * 3 + [("a", 11)] + [("b", 10)] * 2
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array(
+                [np.datetime64(f"2024-01-01T{r[1]:02d}:00:00", "us") for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = {
+        (r["event_type"], r["hour"]): r
+        for r in hourly_seasonality(ray.data.from_arrow(t).repartition(3)).take_all()
+    }
+    assert out[("a", 10)]["n"] == 3
+    assert out[("a", 10)]["share_ppm"] == 3 * 1_000_000 // 4
+    assert out[("a", 11)]["share_ppm"] == 1_000_000 // 4
+    assert out[("b", 10)]["share_ppm"] == 1_000_000

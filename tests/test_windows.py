@@ -435,3 +435,75 @@ def test_cum_distinct_tools_hand_computed(ray_session):
         key=lambda r: r["turn_idx"],
     )
     assert [r["n_distinct_tools"] for r in out] == [0, 1, 1, 2, 2]
+
+
+def test_transition_latency_census_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import transition_latency_census
+
+    # one user: a@0s → b@10s → a@25s → b@40s
+    secs = [0, 10, 25, 40]
+    types = ["a", "b", "a", "b"]
+    t = pa.table(
+        {
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_id": pa.array(list(range(4)), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(s, "s")
+                 for s in secs],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in transition_latency_census(
+            ray.data.from_arrow(t).repartition(3)
+        ).take_all()
+    }
+    ab = out[("a", "b")]
+    assert ab["n"] == 2
+    assert ab["gap_us_sum"] == 25_000_000
+    assert ab["gap_us_min"] == 10_000_000 and ab["gap_us_max"] == 15_000_000
+    ba = out[("b", "a")]
+    assert ba["n"] == 1 and ba["gap_us_sum"] == 15_000_000
+
+
+def test_window_corrections_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import window_corrections
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # arrival order (event_id) deliberately disagrees with event time:
+    #   e0 @ 00:00:30  -> window 00:00, watermark empty, on time
+    #   e1 @ 02:00:00  -> window 02:00, on time (advances hwm to 02:00)
+    #   e2 @ 00:05:10  -> window 00:05 closed at 00:06; wm = 02:00-30m =
+    #                     01:30 > 00:06 -> CORRECTION
+    #   e3 @ 01:45:00  -> window 01:45 closes 01:46; wm still 01:30 -> on time
+    secs = [30, 7200, 310, 6300]
+    t = pa.table(
+        {
+            "user_id": pa.array([7] * 4, pa.int64()),
+            "event_id": pa.array(list(range(4)), pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(s, "s") for s in secs], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        (r["window_start"].isoformat()[11:16]): r
+        for r in window_corrections(
+            ray.data.from_arrow(t).repartition(2), lateness_s=1800
+        ).take_all()
+    }
+    assert out["00:00"]["n"] == 1 and out["00:00"]["n_corrections"] == 0
+    assert out["02:00"]["n"] == 1 and out["02:00"]["n_corrections"] == 0
+    assert out["00:05"]["n"] == 1 and out["00:05"]["n_corrections"] == 1
+    assert out["01:45"]["n"] == 1 and out["01:45"]["n_corrections"] == 0
