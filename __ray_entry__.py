@@ -1912,6 +1912,34 @@ def q_window_corrections(sf_dir: str):
     )
 
 
+def q_rag_chunks(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import rag_chunks
+
+    return rag_chunks(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        chunk_chars=512,
+        stride=448,
+    )
+
+
+def q_gopher_repetition(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import gopher_repetition
+
+    return gopher_repetition(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_q7_bination_volume(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q7_bination_volume
+
+    return q7_bination_volume(sf_dir)
+
+
 def q_cum_distinct_tools(sf_dir: str):
     from pyreshaper_ray.stages.windows import cum_distinct_tools
 
@@ -2089,6 +2117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_assembly": q_context_assembly,
         "pack_sequences_512": q_pack_sequences,
         "window_corrections_30m": q_window_corrections,
+        "rag_chunks_512_448": q_rag_chunks,
+        "gopher_repetition_documents": q_gopher_repetition,
+        "q7_bination_volume": q_q7_bination_volume,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -4161,6 +4192,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(corr) AS BIGINT) AS n_corrections
         FROM w GROUP BY 1, 2
+    """
+    # overlapping character windows: integer chunk-count rule
+    # 1 + ceil((n-512)/448) (one chunk when n <= 512, incl. empty docs);
+    # substr is codepoint-based like the engine's utf8_slice_codeunits
+    out["rag_chunks_512_448"] = """
+        WITH d AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(text) <= 512 THEN 1
+                        ELSE 1 + (length(text) - 512 + 447) // 448 END AS nc
+            FROM documents
+        )
+        , x AS (
+            SELECT doc_id, text, unnest(range(0, nc)) AS i FROM d
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * 448 AS BIGINT) AS chunk_start,
+               substr(text, i * 448 + 1, 512) AS chunk_text,
+               CAST(length(substr(text, i * 448 + 1, 512)) AS BIGINT)
+                   AS chunk_chars
+        FROM x
+    """
+    # Gopher repetition screen: engine-standard tokenization (lower, split
+    # [^a-z0-9]+, drop empties); zero-word docs emit all-zero rows
+    out["gopher_repetition_documents"] = """
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+            WHERE t.tok <> ''
+        ),
+        cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id, SUM(c) AS nw, COUNT(*) AS nd, MAX(c) AS topn
+            FROM cnt GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.nw, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_distinct_words,
+               CAST(COALESCE(a.topn, 0) AS BIGINT) AS top_word_n,
+               CAST(CASE WHEN COALESCE(a.nw, 0) = 0 THEN 0
+                         ELSE (a.nw - a.nd) * 1000000 // a.nw END AS BIGINT)
+                   AS dup_word_ppm
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    out["q7_bination_volume"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_u
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE s.s_nationkey <> c.c_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
     """
     # largest-remainder quota allocation (integer arithmetic: remainders are
     # n*K mod total; ties to the lexicographically smaller source), quotas

@@ -4550,3 +4550,148 @@ def contingency_margins(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out)
+
+
+def q7_bination_volume(
+    sf_dir: str, start: str = "1996-01-01", end: str = "1998-01-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q7 shape: cross-border shipping volume — revenue per
+    (supplier nation → customer nation, order year) for every UNEQUAL
+    nation pair, order date in [``start``, ``end``).
+
+    Scale plan mirrors :func:`q5_local_supplier_volume`: the single
+    large-large exchange is lineitem ⋈ orders on orderkey (both sides
+    filter-pruned to fixed-width columns first); the customer / supplier
+    key→nationkey maps are broadcast once via ``ray.put`` as sorted int64
+    arrays and resolved with ``np.searchsorted`` per batch, so the three
+    dimension hops never shuffle.  Each joined batch pre-reduces to
+    (snat, cnat, year) partials — the final groupby moves at most
+    |nations|² × |years| rows per block.  Revenue is the house exact
+    integer unit, cents × (100 − discount%).
+
+    Output: supp_nation, cust_nation, o_year, revenue_u — ordered by the
+    three keys ascending.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import hash_join
+
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_names = {
+        int(k): v for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    }
+
+    def _sorted_lut(path: str, key: str, val: str) -> "ray.ObjectRef":
+        t = pq.read_table(path, columns=[key, val])
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return ray.put((k[order], v[order]))
+
+    cust_ref = _sorted_lut(f"{sf_dir}/customer.parquet", "c_custkey", "c_nationkey")
+    supp_ref = _sorted_lut(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey")
+
+    def orders_pred(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(lo, pa.int64())),
+            pc.less(ts, pa.scalar(hi, pa.int64())),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            }
+        ).filter(keep)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_pred(b: pa.Table) -> pa.Table:
+        ext = to_cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = to_cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                "rev": pa.array(ext * (100 - disc), pa.int64()),
+            }
+        )
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_pred, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    EMPTY = pa.schema(
+        [
+            ("snat", pa.int64()),
+            ("cnat", pa.int64()),
+            ("o_year", pa.int64()),
+            ("revenue_u", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        if b.num_rows == 0:
+            return EMPTY.empty_table()
+        ck, cn = cached_get(cust_ref)
+        sk, sn = cached_get(supp_ref)
+        cnat = cn[np.searchsorted(ck, b["o_custkey"].to_numpy(zero_copy_only=False))]
+        snat = sn[np.searchsorted(sk, b["l_suppkey"].to_numpy(zero_copy_only=False))]
+        keep = snat != cnat
+        t = pa.table(
+            {
+                "snat": pa.array(snat[keep], pa.int64()),
+                "cnat": pa.array(cnat[keep], pa.int64()),
+                "o_year": b["o_year"].filter(pa.array(keep)),
+                "rev": pa.array(
+                    b["rev"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["snat", "cnat", "o_year"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "snat": g["snat"],
+                "cnat": g["cnat"],
+                "o_year": g["o_year"],
+                "revenue_u": pc.cast(g["rev_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["snat", "cnat", "o_year"])
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    )
+
+    def name_it(b: pa.Table) -> pa.Table:
+        # result-sized: ≤ |nations|² × |years| rows
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [nation_names[int(k)] for k in b["snat"].to_pylist()], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [nation_names[int(k)] for k in b["cnat"].to_pylist()], pa.string()
+                ),
+                "o_year": pc.cast(b["o_year"], pa.int64()),
+                "revenue_u": pc.cast(b["revenue_u"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(name_it, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "o_year"]
+    )

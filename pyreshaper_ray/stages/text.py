@@ -1105,3 +1105,152 @@ def pack_sequences(
         .groupby("source")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def rag_chunks(
+    ds_docs: "ray.data.Dataset", chunk_chars: int = 512, stride: int = 448
+) -> "ray.data.Dataset":
+    """RAG-style overlapping text chunker: each document splits into
+    fixed-size character windows (``chunk_chars`` wide, advancing by
+    ``stride``, so consecutive chunks overlap by ``chunk_chars - stride``).
+    A document of n chars yields ``1 + ceil((n - chunk)/stride)`` chunks
+    (one chunk when n ≤ chunk, including n = 0); the last chunk may be
+    short, never empty for i ≥ 1.
+
+    The kernel vectorizes across DOCUMENTS, looping only over chunk
+    positions (the per-batch iteration count is max-chunks-per-doc, not
+    rows): at position i it takes the still-active docs and applies one
+    ``pc.utf8_slice_codeunits`` with scalar bounds — codepoint slicing,
+    matching SQL ``substr`` semantics for non-ASCII text. Embarrassingly
+    parallel; output is chunk-sized, so text amplification is bounded by
+    chunk/stride ≈ 1.14×.
+
+    Output: doc_id, chunk_idx, chunk_start (BIGINT), chunk_text (STRING),
+    chunk_chars (BIGINT).
+    """
+    assert 0 < stride <= chunk_chars
+
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("chunk_start", pa.int64()),
+            ("chunk_text", pa.string()),
+            ("chunk_chars", pa.int64()),
+        ]
+    )
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return OUT.empty_table()
+        text = batch["text"].combine_chunks()
+        doc_id = pc.cast(batch["doc_id"], pa.int64())
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.where(
+            n <= chunk_chars, 1, 1 + (n - chunk_chars + stride - 1) // stride
+        )
+        parts = []
+        for i in range(int(n_chunks.max())):
+            sel = np.nonzero(n_chunks > i)[0]
+            sub = text.take(pa.array(sel, pa.int64()))
+            sl = pc.utf8_slice_codeunits(
+                sub, start=i * stride, stop=i * stride + chunk_chars
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": doc_id.take(pa.array(sel, pa.int64())),
+                        "chunk_idx": pa.array(
+                            np.full(len(sel), i, np.int64), pa.int64()
+                        ),
+                        "chunk_start": pa.array(
+                            np.full(len(sel), i * stride, np.int64), pa.int64()
+                        ),
+                        "chunk_text": sl,
+                        "chunk_chars": pc.cast(pc.utf8_length(sl), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds_docs.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gopher_repetition(
+    ds_docs: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Gopher-style repetition quality signals, per document: total word
+    count, distinct word count, the most-frequent word's count, and the
+    duplicate-word fraction ``(n_words − n_distinct) · 10⁶ // n_words``
+    (floor ppm; 0 for empty docs) — the "repetitious document" filters a
+    pretraining intake applies before anything expensive runs.
+
+    Tokenization is the engine standard: lowercase, split on
+    ``[^a-z0-9]+``, drop empties.  Per batch: one RE2 split, flatten with
+    ``list_parent_indices``, one Arrow (row, term) group_by, one per-row
+    group_by, then an Acero left join back to the full doc list so
+    zero-word docs still emit (all-zero) rows.  Embarrassingly parallel —
+    no exchange at all; each doc is one input row so a doc never spans
+    blocks.
+
+    Output: doc_id, n_words, n_distinct_words, top_word_n, dup_word_ppm
+    (all BIGINT).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_words", pa.int64()),
+                    ("n_distinct_words", pa.int64()),
+                    ("top_word_n", pa.int64()),
+                    ("dup_word_ppm", pa.int64()),
+                ]
+            ).empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[^a-z0-9]+"
+        )
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        row = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        t = pa.table({"row": row.filter(keep), "term": flat.filter(keep)})
+        per_term = t.group_by(["row", "term"]).aggregate([("term", "count")])
+        per_row = per_term.group_by(["row"]).aggregate(
+            [("term_count", "sum"), ("term_count", "count"), ("term_count", "max")]
+        )
+        base = pa.table(
+            {
+                "row": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            }
+        )
+        j = base.join(
+            pa.table(
+                {
+                    "row": pc.cast(per_row["row"], pa.int64()),
+                    "n_words": pc.cast(per_row["term_count_sum"], pa.int64()),
+                    "n_distinct_words": pc.cast(
+                        per_row["term_count_count"], pa.int64()
+                    ),
+                    "top_word_n": pc.cast(per_row["term_count_max"], pa.int64()),
+                }
+            ),
+            "row",
+            join_type="left outer",
+        )
+        nw = pc.fill_null(j["n_words"], 0).to_numpy(zero_copy_only=False)
+        nd = pc.fill_null(j["n_distinct_words"], 0).to_numpy(zero_copy_only=False)
+        ppm = np.where(nw > 0, (nw - nd) * 1_000_000 // np.maximum(nw, 1), 0)
+        return pa.table(
+            {
+                "doc_id": j["doc_id"],
+                "n_words": pa.array(nw, pa.int64()),
+                "n_distinct_words": pa.array(nd, pa.int64()),
+                "top_word_n": pc.fill_null(j["top_word_n"], 0),
+                "dup_word_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return ds_docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)

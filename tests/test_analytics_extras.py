@@ -1249,3 +1249,79 @@ def test_contingency_margins_hand_computed(ray_session):
     assert out[("b", 2)]["n"] == 2 and out[("b", 2)]["n_row"] == 3
     assert out[("b", 2)]["n_col"] == 2
     assert out[("b", 2)]["expected_ppm"] == 3 * 2 * 1_000_000 // 6
+
+
+def test_q7_bination_volume_hand(ray_session, tmp_path):
+    """Q7 semantics: only UNEQUAL (supplier nation, customer nation) pairs
+    inside the date window count; both directions of a pair are distinct
+    rows, grouped by order year."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q7_bination_volume
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([10, 11], pa.int32()),
+                "n_name": pa.array(["JAPAN", "INDIA"]),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_nationkey": pa.array([10, 11], pa.int32()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([5, 6], pa.int64()),
+                "s_nationkey": pa.array([10, 11], pa.int32()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    ts = pa.array(
+        [
+            np.datetime64("1996-06-01", "us"),
+            np.datetime64("1997-06-01", "us"),
+            np.datetime64("1995-06-01", "us"),  # outside window
+        ],
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                "o_orderdate": ts,
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # 100: INDIA supp -> JAPAN cust, 1996 (counted, 10.00*(100-5))
+                # 100: JAPAN supp -> JAPAN cust (same nation, excluded)
+                # 101: INDIA supp -> JAPAN cust, 1997 (counted, 20.00*100)
+                # 102: date-excluded
+                "l_orderkey": pa.array([100, 100, 101, 102], pa.int64()),
+                "l_suppkey": pa.array([6, 5, 6, 5], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 99.0, 20.0, 50.0]),
+                "l_discount": pa.array([0.05, 0.0, 0.0, 0.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q7_bination_volume(str(tmp_path)).to_pandas()
+    got = list(zip(out.supp_nation, out.cust_nation, out.o_year, out.revenue_u))
+    assert got == [
+        ("INDIA", "JAPAN", 1996, 1000 * 95),
+        ("INDIA", "JAPAN", 1997, 2000 * 100),
+    ]

@@ -371,3 +371,66 @@ def test_pack_sequences_straddle_and_order(ray_session):
     assert out[3]["bin_id"] == 2 and out[3]["bin_offset"] == 1075 - 2 * 512
     # empty doc still occupies its slot in its own bin
     assert out[10]["tok_est"] == 0 and out[10]["n_bins_spanned"] == 1
+
+
+def test_rag_chunks_straddle_empty_and_unicode(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.text import rag_chunks
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # doc1: 10 chars -> chunks "abcde"(0), "defgh"(3), "ghij"(6)
+            # doc2: empty -> one empty chunk
+            # doc3: non-ASCII, 6 codepoints -> "héllø"(0), "llø—"(2)... see asserts
+            "text": pa.array(["abcdefghij", "", "héllø—"], pa.string()),
+        }
+    )
+    out = sorted(
+        rag_chunks(
+            ray.data.from_arrow(t).repartition(2), chunk_chars=5, stride=3
+        ).take_all(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [r["chunk_text"] for r in d1] == ["abcde", "defgh", "ghij"]
+    assert [r["chunk_start"] for r in d1] == [0, 3, 6]
+    assert d1[-1]["chunk_chars"] == 4
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "" and d2[0]["chunk_chars"] == 0
+    # codepoint (not byte) slicing: "héllø—" has 6 codepoints
+    d3 = [r for r in out if r["doc_id"] == 3]
+    assert [r["chunk_text"] for r in d3] == ["héllø", "lø—"]
+    assert [r["chunk_chars"] for r in d3] == [5, 3]
+
+
+def test_gopher_repetition_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.text import gopher_repetition
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat the dog THE bird",  # the x3, cat, dog, bird
+                    "",  # zero words
+                    "unique words only here",  # no repetition
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+    assert out[1]["n_words"] == 6 and out[1]["n_distinct_words"] == 4
+    assert out[1]["top_word_n"] == 3
+    assert out[1]["dup_word_ppm"] == (6 - 4) * 1_000_000 // 6
+    assert out[2]["n_words"] == 0 and out[2]["dup_word_ppm"] == 0
+    assert out[3]["dup_word_ppm"] == 0 and out[3]["top_word_n"] == 1
