@@ -1940,6 +1940,48 @@ def q_q7_bination_volume(sf_dir: str):
     return q7_bination_volume(sf_dir)
 
 
+def q_retention_policy(sf_dir: str):
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import retention_policy_census
+
+    def to_conv(b):
+        return _pa.table(
+            {
+                "conv_id": _pc.binary_join_element_wise(
+                    "u", _pc.cast(b["user_id"], _pa.string()), ""
+                ),
+                "ts": b["ts"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(to_conv, batch_format="pyarrow", zero_copy_batch=True)
+    return retention_policy_census(ds)
+
+
+def q_arrival_disorder(sf_dir: str):
+    from pyreshaper_ray.stages.windows import arrival_disorder_census
+
+    return arrival_disorder_census(
+        _events_value_ds(sf_dir, ["user_id", "event_id", "ts"])
+    )
+
+
+def q_chunk_dedup(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import chunk_dedup_exact
+
+    return chunk_dedup_exact(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def q_cum_distinct_tools(sf_dir: str):
     from pyreshaper_ray.stages.windows import cum_distinct_tools
 
@@ -2120,6 +2162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_chunks_512_448": q_rag_chunks,
         "gopher_repetition_documents": q_gopher_repetition,
         "q7_bination_volume": q_q7_bination_volume,
+        "retention_policy_census": q_retention_policy,
+        "arrival_disorder_census": q_arrival_disorder,
+        "chunk_dedup_exact": q_chunk_dedup,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -4253,6 +4298,79 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
+    """
+    # retention dry run: tiers are the DISTINCT (conv, floor) window sets;
+    # now = newest 1m window; 1m kept 7d, 1h kept 90d, 1d unbounded
+    out["retention_policy_census"] = f"""
+        WITH m AS (
+            SELECT conv_id, date_trunc('minute', ts) AS window_start
+            FROM ({_T}) GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT DISTINCT conv_id,
+                   date_trunc('hour', window_start) AS window_start FROM m
+        ),
+        d AS (
+            SELECT DISTINCT conv_id,
+                   date_trunc('day', window_start) AS window_start FROM m
+        ),
+        nowt AS (SELECT MAX(window_start) AS now FROM m)
+        SELECT '1m' AS tier, CAST(7 AS BIGINT) AS horizon_days,
+               CAST(COALESCE(SUM(CASE WHEN m.window_start >=
+                   nowt.now - INTERVAL 7 DAY THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_keep,
+               CAST(COALESCE(SUM(CASE WHEN m.window_start >=
+                   nowt.now - INTERVAL 7 DAY THEN 0 ELSE 1 END), 0) AS BIGINT)
+                   AS n_drop
+        FROM m, nowt
+        UNION ALL
+        SELECT '1h', 90,
+               CAST(COALESCE(SUM(CASE WHEN h.window_start >=
+                   nowt.now - INTERVAL 90 DAY THEN 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN h.window_start >=
+                   nowt.now - INTERVAL 90 DAY THEN 0 ELSE 1 END), 0) AS BIGINT)
+        FROM h, nowt
+        UNION ALL
+        SELECT '1d', 0, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT) FROM d
+    """
+    out["arrival_disorder_census"] = """
+        WITH s AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS d
+            FROM events
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inversions,
+               CAST(COALESCE(MAX(CASE WHEN d < 0 THEN -d END), 0) AS BIGINT)
+                   AS max_backstep_us
+        FROM s GROUP BY 1
+    """
+    # chunker rule identical to rag_chunks_512_448; each distinct chunk
+    # text keeps its lexicographically-first (doc_id, chunk_idx) owner
+    out["chunk_dedup_exact"] = """
+        WITH dd AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(text) <= 512 THEN 1
+                        ELSE 1 + (length(text) - 512 + 447) // 448 END AS nc
+            FROM documents
+        ),
+        x AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM dd),
+        c AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   substr(text, i * 448 + 1, 512) AS chunk_text
+            FROM x
+        ),
+        r AS (
+            SELECT doc_id, chunk_idx,
+                   ROW_NUMBER() OVER (PARTITION BY chunk_text
+                       ORDER BY doc_id, chunk_idx) AS rn,
+                   COUNT(*) OVER (PARTITION BY chunk_text) AS n_copies
+            FROM c
+        )
+        SELECT doc_id, chunk_idx, CAST(n_copies AS BIGINT) AS n_copies
+        FROM r WHERE rn = 1
     """
     # largest-remainder quota allocation (integer arithmetic: remainders are
     # n*K mod total; ties to the lexicographically smaller source), quotas

@@ -1001,3 +1001,68 @@ def cross_source_contamination(
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("n_shared_keys", alias_name="n_shared_keys"))
     )
+
+
+def chunk_dedup_exact(
+    ds_docs: "ray.data.Dataset", chunk_chars: int = 512, stride: int = 448
+) -> "ray.data.Dataset":
+    """Chunk-level exact dedup — the composition a RAG index build runs:
+    :func:`~pyreshaper_ray.stages.text.rag_chunks` splits every document
+    into overlapping windows, then each distinct chunk text keeps its
+    lexicographically-first owner (min ``(doc_id, chunk_idx)``) with the
+    copy count, so the index stores each span once.
+
+    The exchange carries only (content_hash, doc_id, chunk_idx) — 24-byte
+    rows via the vectorized xxhash of :func:`add_content_hash`; chunk text
+    never shuffles.  Per-hash groups are duplicate-sized (tiny), resolved
+    with one Arrow sort + first-row take.
+
+    Output: doc_id, chunk_idx, n_copies (all BIGINT).
+    """
+    from .text import rag_chunks
+
+    chunks = rag_chunks(ds_docs, chunk_chars=chunk_chars, stride=stride)
+
+    def hash_ids(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("chunk_idx", pa.int64()),
+                    ("content_hash", pa.int64()),
+                ]
+            ).empty_table()
+        return add_content_hash(b, "chunk_text").select(
+            ["doc_id", "chunk_idx", "content_hash"]
+        )
+
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("n_copies", pa.int64()),
+        ]
+    )
+
+    def first_owner(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("doc_id", "ascending"), ("chunk_idx", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64())[:1],
+                "chunk_idx": pc.cast(g["chunk_idx"], pa.int64())[:1],
+                "n_copies": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        chunks.map_batches(hash_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_hash")
+        .map_groups(first_owner, batch_format="pyarrow")
+    )

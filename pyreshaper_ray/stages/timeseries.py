@@ -684,3 +684,134 @@ def hourly_seasonality(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         }
     )
     return ray.data.from_arrow(out)
+
+
+def retention_policy_census(
+    ds_transcripts: "ray.data.Dataset",
+    keep_1m_days: int = 7,
+    keep_1h_days: int = 90,
+) -> pa.Table:
+    """Retention-policy dry run: for each rollup tier, how many
+    (conv_id, window) rows the standard policy would keep vs expire —
+    1m windows kept ``keep_1m_days`` days, 1h kept ``keep_1h_days`` days,
+    1d kept forever — measured against ``now`` = the corpus's newest
+    1-minute window (deterministic, no wall clock).  The sizing pass a
+    tiered engine runs before applying `retain`.
+
+    Distributed shape: one per-block DISTINCT (conv_id, w1m) projection
+    (the only turn-sized pass), one groupby exchange over the 1m window
+    domain; the 1h / 1d tier row sets derive from the 1m distinct set by
+    refloor + distinct (tier-domain-sized exchanges).  ``now`` and the
+    keep/drop totals are result-sized driver aggregates.
+
+    Output (3 rows): tier, horizon_days (0 = unbounded), n_keep, n_drop.
+    """
+    from ..util import collect_table
+
+    def w1m(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [("conv_id", pa.string()), ("window_start", pa.timestamp("us"))]
+            ).empty_table()
+        return (
+            pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "window_start": pc.floor_temporal(batch["ts"], unit="minute"),
+                }
+            )
+            .group_by(["conv_id", "window_start"])
+            .aggregate([])
+        )
+
+    def refloor(unit: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.schema(
+                    [("conv_id", pa.string()), ("window_start", pa.timestamp("us"))]
+                ).empty_table()
+            # Ray's hash aggregate returns the timestamp KEY at seconds
+            # precision — lossless for floored windows, but normalize back
+            # to the engine's canonical us before re-flooring
+            return (
+                pa.table(
+                    {
+                        "conv_id": batch["conv_id"],
+                        "window_start": pc.floor_temporal(
+                            pc.cast(batch["window_start"], pa.timestamp("us")),
+                            unit=unit,
+                        ),
+                    }
+                )
+                .group_by(["conv_id", "window_start"])
+                .aggregate([])
+            )
+
+        return fn
+
+    def distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        from ray.data.aggregate import Count
+
+        return ds.groupby(["conv_id", "window_start"]).aggregate(
+            Count("window_start", alias_name="_n")
+        )
+
+    t1m = distinct(
+        ds_transcripts.map_batches(w1m, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()  # tier-sized (conv × active minutes), reused 3×
+
+    t1h = distinct(
+        t1m.map_batches(refloor("hour"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    t1d = distinct(
+        t1m.map_batches(refloor("day"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    rows: list[tuple[str, int, int, int]] = []
+    now = t1m.max("window_start")  # result-sized driver aggregate
+    now_us = None if now is None else pa.scalar(now, pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    def census(ds: "ray.data.Dataset", tier: str, days: int) -> None:
+        if now_us is None:
+            rows.append((tier, days, 0, 0))
+            return
+        cutoff = now_us - days * 86_400_000_000
+
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+                )
+            # normalize the (possibly seconds-precision) aggregate key to us
+            w = pc.cast(pc.cast(b["window_start"], pa.timestamp("us")), pa.int64())
+            keep = (
+                b.num_rows
+                if days == 0
+                else pc.sum(
+                    pc.cast(pc.greater_equal(w, pa.scalar(cutoff, pa.int64())), pa.int64())
+                ).as_py()
+                or 0
+            )
+            return pa.table(
+                {
+                    "k": pa.array([keep], pa.int64()),
+                    "d": pa.array([b.num_rows - keep], pa.int64()),
+                }
+            )
+
+        t = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+        nk = int(pc.sum(t["k"]).as_py() or 0)
+        nd = int(pc.sum(t["d"]).as_py() or 0)
+        rows.append((tier, days, nk, nd))
+
+    census(t1m, "1m", keep_1m_days)
+    census(t1h, "1h", keep_1h_days)
+    census(t1d, "1d", 0)
+    return pa.table(
+        {
+            "tier": pa.array([r[0] for r in rows], pa.string()),
+            "horizon_days": pa.array([r[1] for r in rows], pa.int64()),
+            "n_keep": pa.array([r[2] for r in rows], pa.int64()),
+            "n_drop": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

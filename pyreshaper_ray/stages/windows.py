@@ -1324,3 +1324,49 @@ def window_corrections(
         )
 
     return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def arrival_disorder_census(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Out-of-order-ingestion census, per user: over the ARRIVAL order
+    (``event_id``), how many adjacent steps went backwards in event time
+    (``n_inversions``) and the worst single backstep in microseconds —
+    the disorder profile that sizes a streaming pipeline's allowed
+    lateness (companion to :func:`window_corrections`, which prices a
+    GIVEN lateness).
+
+    One groupby(user_id) exchange over (user, event_id, ts) fixed-width
+    rows; the kernel is a vectorized diff (no Python loop).
+
+    Output: user_id, n_events, n_inversions, max_backstep_us (BIGINT;
+    0 when the stream is fully ordered).
+    """
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_inversions", pa.int64()),
+            ("max_backstep_us", pa.int64()),
+        ]
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("event_id", "ascending")])
+        )
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = ts[1:] - ts[:-1] if len(ts) > 1 else np.array([], np.int64)
+        back = d[d < 0]
+        return pa.table(
+            {
+                "user_id": pc.cast(g["user_id"], pa.int64())[:1],
+                "n_events": pa.array([g.num_rows], pa.int64()),
+                "n_inversions": pa.array([int(len(back))], pa.int64()),
+                "max_backstep_us": pa.array(
+                    [int(-back.min()) if len(back) else 0], pa.int64()
+                ),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")

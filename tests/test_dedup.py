@@ -297,3 +297,29 @@ def test_cross_source_contamination_planted(ray_session):
     # the lowercased 32-char prefix unifies all three shared docs; the two
     # 'other' docs live in one source only → no pair
     assert out == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_chunk_dedup_exact_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import chunk_dedup_exact
+
+    # chunk=5, stride=5 (no overlap): doc1 "aaaaabbbbb" -> chunks aaaaa,bbbbb
+    # doc2 "aaaaa" duplicates doc1's first chunk; doc3 unique
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["aaaaabbbbb", "aaaaa", "zzzzz"], pa.string()),
+        }
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r["n_copies"]
+        for r in chunk_dedup_exact(
+            ray.data.from_arrow(t).repartition(2), chunk_chars=5, stride=5
+        ).take_all()
+    }
+    assert out[(1, 0)] == 2  # aaaaa owned by (1,0), copied in doc2
+    assert out[(1, 1)] == 1
+    assert out[(3, 0)] == 1
+    assert (2, 0) not in out

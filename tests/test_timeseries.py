@@ -285,3 +285,40 @@ def test_hourly_seasonality_hand_computed(ray_session):
     assert out[("a", 10)]["share_ppm"] == 3 * 1_000_000 // 4
     assert out[("a", 11)]["share_ppm"] == 1_000_000 // 4
     assert out[("b", 10)]["share_ppm"] == 1_000_000
+
+
+def test_retention_policy_census_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import retention_policy_census
+
+    base = np.datetime64("2024-03-31T12:00:00", "us")
+    # conv A: minutes at now, now-3d, now-10d; conv B: one minute at now-100d
+    offs_days = [0, 3, 10, 100]
+    convs = ["a", "a", "a", "b"]
+    t = pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "ts": pa.array(
+                [base - np.timedelta64(d * 86400, "s") for d in offs_days],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = retention_policy_census(ray.data.from_arrow(t).repartition(2))
+    rows = {
+        out["tier"][i].as_py(): (
+            out["horizon_days"][i].as_py(),
+            out["n_keep"][i].as_py(),
+            out["n_drop"][i].as_py(),
+        )
+        for i in range(out.num_rows)
+    }
+    # 1m tier: 4 windows; keep those within 7d of now -> now, now-3d
+    assert rows["1m"] == (7, 2, 2)
+    # 1h tier: 4 windows; within 90d -> all but now-100d
+    assert rows["1h"] == (90, 3, 1)
+    # 1d tier: unbounded -> keep all 4
+    assert rows["1d"] == (0, 4, 0)

@@ -507,3 +507,36 @@ def test_window_corrections_hand_computed(ray_session):
     assert out["02:00"]["n"] == 1 and out["02:00"]["n_corrections"] == 0
     assert out["00:05"]["n"] == 1 and out["00:05"]["n_corrections"] == 1
     assert out["01:45"]["n"] == 1 and out["01:45"]["n_corrections"] == 0
+
+
+def test_arrival_disorder_census_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import arrival_disorder_census
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # user 1 arrival order: t=100s, 50s (back 50s), 200s, 190s (back 10s)
+    # user 2: fully ordered
+    secs = [100, 50, 200, 190, 10, 20]
+    users = [1, 1, 1, 1, 2, 2]
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(s, "s") for s in secs], pa.timestamp("us")
+            ),
+        }
+    )
+    out = {
+        r["user_id"]: r
+        for r in arrival_disorder_census(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    assert out[1]["n_events"] == 4 and out[1]["n_inversions"] == 2
+    assert out[1]["max_backstep_us"] == 50_000_000
+    assert out[2]["n_events"] == 2 and out[2]["n_inversions"] == 0
+    assert out[2]["max_backstep_us"] == 0
