@@ -1982,6 +1982,35 @@ def q_chunk_dedup(sf_dir: str):
     )
 
 
+def q_dedup_normalized(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dedup_normalized
+
+    return dedup_normalized(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_pack_sequences_ffd(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import pack_sequences_ffd
+
+    return pack_sequences_ffd(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ),
+        budget=512,
+    )
+
+
+def q_lead_lag_xcorr(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import lead_lag_daily_xcorr
+
+    return lead_lag_daily_xcorr(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
 def q_cum_distinct_tools(sf_dir: str):
     from pyreshaper_ray.stages.windows import cum_distinct_tools
 
@@ -2165,6 +2194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_policy_census": q_retention_policy,
         "arrival_disorder_census": q_arrival_disorder,
         "chunk_dedup_exact": q_chunk_dedup,
+        "dedup_normalized_documents": q_dedup_normalized,
+        "pack_sequences_ffd": q_pack_sequences_ffd,
+        "lead_lag_daily_xcorr": q_lead_lag_xcorr,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -4371,6 +4403,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, chunk_idx, CAST(n_copies AS BIGINT) AS n_copies
         FROM r WHERE rn = 1
+    """
+    # near-exact dedup: case/whitespace-normalized text as the grouping key
+    out["dedup_normalized_documents"] = r"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM documents
+        )
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM n GROUP BY t
+    """
+    # pack_sequences_ffd: first-fit-decreasing is sequential state — no
+    # closed-form SQL; rows-only driver check, property-gated in pytest
+    # lead-lag: per lag l, sums over days where BOTH series have a row at
+    # (d, d+l); all 2·max_lag+1 lags emit rows even with zero overlap
+    out["lead_lag_daily_xcorr"] = """
+        WITH x AS (
+            SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        y AS (
+            SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        l AS (SELECT unnest(range(-3, 4)) AS lag_days)
+        SELECT CAST(l.lag_days AS BIGINT) AS lag_days,
+               CAST(COUNT(y.d) AS BIGINT) AS n_days,
+               CAST(COALESCE(SUM(x.c * y.c), 0) AS BIGINT) AS sum_xy,
+               CAST(COALESCE(SUM(CASE WHEN y.d IS NOT NULL THEN x.c END), 0)
+                    AS BIGINT) AS sum_x,
+               CAST(COALESCE(SUM(y.c), 0) AS BIGINT) AS sum_y
+        FROM l
+        LEFT JOIN x ON TRUE
+        LEFT JOIN y ON y.d = x.d + l.lag_days * INTERVAL 1 DAY
+        GROUP BY 1
     """
     # largest-remainder quota allocation (integer arithmetic: remainders are
     # n*K mod total; ties to the lexicographically smaller source), quotas

@@ -1066,3 +1066,34 @@ def chunk_dedup_exact(
         .groupby("content_hash")
         .map_groups(first_owner, batch_format="pyarrow")
     )
+
+
+def dedup_normalized(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Normalized ("near-exact") dedup — the intake layer between raw exact
+    dedup and MinHash: texts that differ only in case or whitespace runs
+    collapse to one canonical form (lowercase, ``\\s+`` → single space,
+    trimmed) before :func:`dedup_exact` groups them, so boilerplate
+    re-crawls with trivial formatting drift dedupe without the full
+    near-dup machinery.
+
+    Normalization is two vectorized RE2 kernels per block; the exchange is
+    exactly dedup_exact's — 16-byte (hash, doc_id) rows, never text.
+
+    Output: doc_id (min id per normalized form), n_copies (BIGINT).
+    """
+
+    def norm(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string())]
+            ).empty_table()
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "
+            )
+        )
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()), "text": t})
+
+    return dedup_exact(
+        ds_docs.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    )

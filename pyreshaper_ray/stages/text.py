@@ -1254,3 +1254,95 @@ def gopher_repetition(
         )
 
     return ds_docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences_ffd(
+    ds_docs: "ray.data.Dataset", budget: int = 512
+) -> "ray.data.Dataset":
+    """First-fit-decreasing sequence packing — the bin packer real
+    pretraining batch assembly uses when documents must NOT straddle
+    windows (contrast :func:`pack_sequences`, the concat-then-cut stream):
+    within each source, docs sort by (tok_est desc, doc_id asc) and each
+    goes into the lowest-indexed bin with room; a doc larger than
+    ``budget`` gets a bin of its own.  FFD is the classic 11/9·OPT+1
+    approximation.
+
+    Packing is inherently sequential per source (same partitioning rule as
+    pack_sequences: one groupby(source) exchange over (doc_id, n_chars)
+    rows — text never moves).  The kernel keeps the bins' free space in a
+    numpy array and finds the first fit with a vectorized argmax over
+    ``free >= tok`` — O(n · bins/64) word-parallel, no per-bin Python loop.
+
+    Algorithmic output (no closed-form SQL) → rows-only driver entry;
+    property-gated in tests (capacity respected, every doc placed exactly
+    once, deterministic).
+
+    Output: doc_id, source, tok_est, bin_id (BIGINT, 0-based per source).
+    """
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("tok_est", pa.int64()),
+            ("bin_id", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("source", pa.string()),
+                    ("tok_est", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "source": batch["source"],
+                "tok_est": pc.cast(
+                    pc.divide(pc.add(batch["n_chars"], 3), 4), pa.int64()
+                ),
+            }
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("tok_est", "descending"), ("doc_id", "ascending")],
+            )
+        )
+        tok = g["tok_est"].to_numpy(zero_copy_only=False)
+        n = len(tok)
+        free = np.empty(n, np.int64)  # at most one bin per doc
+        n_bins = 0
+        bin_id = np.empty(n, np.int64)
+        for i in range(n):
+            t = int(tok[i])
+            fits = np.flatnonzero(free[:n_bins] >= t)
+            if len(fits):
+                b = int(fits[0])
+                free[b] -= t
+            else:
+                b = n_bins
+                free[b] = max(budget - t, 0)  # oversize doc: own full bin
+                n_bins += 1
+            bin_id[i] = b
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "tok_est": g["tok_est"],
+                "bin_id": pa.array(bin_id, pa.int64()),
+            }
+        )
+
+    return (
+        ds_docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(pack, batch_format="pyarrow")
+    )

@@ -815,3 +815,98 @@ def retention_policy_census(
             "n_drop": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def lead_lag_daily_xcorr(
+    events_ds: "ray.data.Dataset",
+    type_x: str = "click",
+    type_y: str = "purchase",
+    max_lag_days: int = 3,
+) -> pa.Table:
+    """Lead-lag cross-correlation components between two event types'
+    DAILY count series: for each lag l in [-max_lag, +max_lag], the
+    integer sums over days d where both series have a row at (d, d+l) —
+    Σ x_d·y_{d+l}, Σ x_d, Σ y_{d+l}, and the overlap day count.  The
+    caller derives the Pearson r per lag; sums stay bit-exact where the
+    ratio would not.  Positive lag = y trails x by l days (x leads).
+
+    Distributed shape: ONE event-sized pass — a per-block (type, day)
+    count combiner over just the two types — then a day-domain-sized
+    groupby; the lag alignment runs on the collected day table (calendar-
+    sized, two int64 columns) with numpy searchsorted joins per lag.
+
+    Output (2·max_lag+1 rows): lag_days, n_days, sum_xy, sum_x, sum_y.
+    """
+    from ..util import collect_table
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array([type_x, type_y])
+        )
+        b = batch.filter(keep)
+        d = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.int64())
+        g = (
+            pa.table({"event_type": b["event_type"], "day": d})
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cells = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .sum("n")
+    )
+    lags = list(range(-max_lag_days, max_lag_days + 1))
+    if cells.num_rows == 0 or "event_type" not in cells.column_names:
+        z = [0] * len(lags)
+        return pa.table(
+            {
+                "lag_days": pa.array(lags, pa.int64()),
+                "n_days": pa.array(z, pa.int64()),
+                "sum_xy": pa.array(z, pa.int64()),
+                "sum_x": pa.array(z, pa.int64()),
+                "sum_y": pa.array(z, pa.int64()),
+            }
+        )
+    et = cells["event_type"].to_numpy(zero_copy_only=False)
+    day = cells["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = cells["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mx = et == type_x
+    my = et == type_y
+    xd, xc = day[mx], n[mx]
+    yd, yc = day[my], n[my]
+    ox = np.argsort(xd)
+    xd, xc = xd[ox], xc[ox]
+    oy = np.argsort(yd)
+    yd, yc = yd[oy], yc[oy]
+    rows = {"lag_days": [], "n_days": [], "sum_xy": [], "sum_x": [], "sum_y": []}
+    for lag in lags:
+        target = xd + lag * DAY_US
+        pos = np.searchsorted(yd, target)
+        pos_c = np.clip(pos, 0, max(len(yd) - 1, 0))
+        hit = (len(yd) > 0) & (yd[pos_c] == target) if len(yd) else np.zeros(
+            len(target), bool
+        )
+        rows["lag_days"].append(lag)
+        rows["n_days"].append(int(hit.sum()))
+        rows["sum_xy"].append(int((xc[hit] * yc[pos_c[hit]]).sum()))
+        rows["sum_x"].append(int(xc[hit].sum()))
+        rows["sum_y"].append(int(yc[pos_c[hit]].sum()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})

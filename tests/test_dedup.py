@@ -323,3 +323,25 @@ def test_chunk_dedup_exact_planted(ray_session):
     assert out[(1, 1)] == 1
     assert out[(3, 0)] == 1
     assert (2, 0) not in out
+
+
+def test_dedup_normalized_collapses_case_and_whitespace(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dedup_normalized
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["Hello  World", "hello world", "  HELLO\tWORLD \n", "other"],
+                pa.string(),
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r["n_copies"]
+        for r in dedup_normalized(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+    assert out == {1: 3, 4: 1}

@@ -434,3 +434,48 @@ def test_gopher_repetition_hand_computed(ray_session):
     assert out[1]["dup_word_ppm"] == (6 - 4) * 1_000_000 // 6
     assert out[2]["n_words"] == 0 and out[2]["dup_word_ppm"] == 0
     assert out[3]["dup_word_ppm"] == 0 and out[3]["top_word_n"] == 1
+
+
+def test_pack_sequences_ffd_properties(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.text import pack_sequences_ffd
+
+    # tok_est: 400, 300, 200, 100, 600(oversize), all one source
+    n_chars = [1597, 1197, 797, 397, 2397]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "source": pa.array(["s"] * 5, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    rows = pack_sequences_ffd(
+        ray.data.from_arrow(t).repartition(2), budget=512
+    ).take_all()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 5  # every doc placed exactly once
+    # FFD order: 600(oversize bin0), 400(bin1), 300(bin2), 200(bin2? free=212
+    # -> no, 300 leaves 212 so 200 doesn't fit -> bin1 free=112? no ->
+    # walk it: bins after 600:[0], 400:[0,112], 300:[0,112,212],
+    # 200 -> first fit is bin2 (212) -> free 12; 100 -> bin1 (112) -> 12
+    assert by_doc[5]["bin_id"] == 0
+    assert by_doc[1]["bin_id"] == 1
+    assert by_doc[2]["bin_id"] == 2
+    assert by_doc[3]["bin_id"] == 2
+    assert by_doc[4]["bin_id"] == 1
+    # capacity respected for non-oversize bins
+    import collections
+
+    fill = collections.Counter()
+    for r in rows:
+        fill[r["bin_id"]] += r["tok_est"]
+    assert fill[1] <= 512 and fill[2] <= 512
+    # deterministic across runs
+    rows2 = pack_sequences_ffd(
+        ray.data.from_arrow(t).repartition(3), budget=512
+    ).take_all()
+    assert sorted((r["doc_id"], r["bin_id"]) for r in rows2) == sorted(
+        (r["doc_id"], r["bin_id"]) for r in rows
+    )

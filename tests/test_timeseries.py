@@ -322,3 +322,39 @@ def test_retention_policy_census_hand_computed(ray_session):
     assert rows["1h"] == (90, 3, 1)
     # 1d tier: unbounded -> keep all 4
     assert rows["1d"] == (0, 4, 0)
+
+
+def test_lead_lag_daily_xcorr_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import lead_lag_daily_xcorr
+
+    base = np.datetime64("2024-01-10T00:00:00", "us")
+    # clicks: day0 x2, day1 x3; purchases: day1 x5, day2 x7
+    rows = [("click", 0), ("click", 0), ("click", 1), ("click", 1), ("click", 1),
+            ("purchase", 1)] + [("purchase", 1)] * 4 + [("purchase", 2)] * 7
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array(
+                [base + np.timedelta64(r[1] * 86400, "s") for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = lead_lag_daily_xcorr(
+        ray.data.from_arrow(t).repartition(2), max_lag_days=1
+    )
+    d = {out["lag_days"][i].as_py(): i for i in range(out.num_rows)}
+    # lag 0: overlap day1 only -> xy = 3*5
+    i = d[0]
+    assert out["n_days"][i].as_py() == 1 and out["sum_xy"][i].as_py() == 15
+    # lag +1 (y trails x): pairs (d0,d1): 2*5, (d1,d2): 3*7 -> 31
+    i = d[1]
+    assert out["n_days"][i].as_py() == 2 and out["sum_xy"][i].as_py() == 10 + 21
+    assert out["sum_x"][i].as_py() == 5 and out["sum_y"][i].as_py() == 12
+    # lag -1: pairs (d1,d0)? y at d0 absent; (d2,d1): x at d2 absent -> 0
+    i = d[-1]
+    assert out["n_days"][i].as_py() == 0 and out["sum_xy"][i].as_py() == 0
