@@ -746,6 +746,30 @@ def q_multimodal(sf_dir: str):
     )
 
 
+def q_video_sample(sf_dir: str):
+    """Video frame-sample probe (stub backend): scalar metadata columns are
+    pure functions of the payload byte length, so the oracle can restate
+    them; the list-typed sampled_idx column is pytest-gated instead."""
+    from pyreshaper_ray.stages.multimodal import sample_documents_as_video
+
+    return sample_documents_as_video(sf_dir).select_columns(
+        ["doc_id", "width", "height", "n_frames", "duration_ms", "n_sampled"]
+    )
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 embedding quantization (rows-only: float-derived list output;
+    pytest gates the dequantization error bound)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import quantize_embeddings_int8
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings_int8(ds)
+
+
 def q_flagship_rollup_1m(sf_dir: str):
     """The FLAGSHIP itself under the oracle gate: full run (normalize →
     exchange → bucket kernel → atomic writes → manifest) into a temp dir,
@@ -2337,6 +2361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_groups": q_neardup_groups,
         "multimodal_decode_stub": q_multimodal,
         "audio_decode_stub": q_audio_stub,
+        "video_frame_probe": q_video_sample,
+        "quantize_embeddings_int8": q_quantize_embeddings,
         "lineitem_orders_join": q_lineitem_orders_join,
         "enrich_conv_cohort": q_enrich_conv_channel,
         "sliding_rollup_5m": q_sliding_5m,
@@ -2540,6 +2566,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "video_frame_probe": """
+            WITH s AS (
+                SELECT doc_id, octet_length(encode(text)) AS n,
+                       octet_length(encode(text)) // 64 AS nf
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n % 1280 AS BIGINT) AS width,
+                   CAST((n * 3) % 720 AS BIGINT) AS height,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(nf * 40000 // 1000 AS BIGINT) AS duration_ms,
+                   CAST((nf + 7) // 8 AS BIGINT) AS n_sampled
+            FROM s
         """,
         "audio_decode_stub": """
             WITH s AS (

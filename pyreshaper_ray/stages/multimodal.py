@@ -214,3 +214,79 @@ def decode_documents_as_images(sf_dir: str, batch_size: int = 256) -> "ray.data.
         batch_size=batch_size,
         concurrency=2,
     )
+
+
+def _parse_avi_header(payload: bytes) -> tuple[int, int, int, int]:
+    """→ (us_per_frame, n_frames, width, height) from a RIFF-AVI 'avih'
+    main header (stdlib-only scan, like the WAV path: find the 'avih'
+    fourcc, skip its cb DWORD, read the fixed-layout DWORD fields)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    i = payload.find(b"avih")
+    if i < 0 or len(payload) < i + 8 + 40:
+        raise ValueError("no avih main header")
+    d = struct.unpack_from("<10I", payload, i + 8)
+    return (d[0], d[4], d[8], d[9])
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: probe binary video payloads → typed metadata plus a
+    fixed-hop frame-sample plan (every ``frame_hop``-th frame index) — the
+    plumbing a multimodal intake runs before any real codec touches bytes.
+    Stage state (codec handles in real life) is per-actor ``__init__``.
+
+    ``backend``: "stub" (deterministic fake from the byte length — the
+    oracle-checkable default in this container: 25 fps, one frame per 64
+    bytes, width = n_bytes % 1280, height = 3·n_bytes % 720), or "riff"
+    (REAL stdlib RIFF-AVI 'avih' header parse — live-tested with genuine
+    bytes here; a full frame decode would need a codec lib, which this
+    container doesn't ship).
+    """
+
+    def __init__(self, frame_hop: int = 8, backend: str = "stub") -> None:
+        if backend not in ("stub", "riff"):
+            raise ValueError(f"unknown video backend {backend!r}")
+        self.frame_hop = frame_hop
+        self.backend = backend
+
+    def _probe(self, payload: bytes) -> tuple[int, int, int, int]:
+        if self.backend == "riff":
+            return _parse_avi_header(payload)
+        n = len(payload)
+        return (40_000, n // 64, n % 1280, (n * 3) % 720)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        probed = [self._probe(p) for p in payloads]
+        hop = self.frame_hop
+        sampled = [list(range(0, nf, hop)) for _, nf, _, _ in probed]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array([w for _, _, w, _ in probed], pa.int64()),
+                "height": pa.array([h for _, _, _, h in probed], pa.int64()),
+                "n_frames": pa.array([nf for _, nf, _, _ in probed], pa.int64()),
+                "duration_ms": pa.array(
+                    [nf * us // 1000 for us, nf, _, _ in probed], pa.int64()
+                ),
+                "n_sampled": pa.array([len(s) for s in sampled], pa.int64()),
+                "sampled_idx": pa.array(sampled, pa.list_(pa.int32())),
+            }
+        )
+
+
+def sample_documents_as_video(sf_dir: str, batch_size: int = 256) -> "ray.data.Dataset":
+    """End-to-end video plumbing: synthesize binary column → actor-pool
+    frame-sample probe with a small batch_size (large-payload discipline)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    with_bin = ds.map_batches(
+        synthesize_binary_column, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return with_bin.map_batches(
+        VideoFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=2,
+    )

@@ -199,3 +199,66 @@ def test_image_headers_backend_real_bytes(ray_session):
     assert dims[4] == (44, 33, len(gif))
     if not PIL_AVAILABLE:
         assert ImageDecodeStage(backend="auto").backend == "headers"
+
+
+def _minimal_avi(us_per_frame: int, n_frames: int, w: int, h: int) -> bytes:
+    import struct
+
+    avih = struct.pack(
+        "<10I", us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    body = b"AVI LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrlavih"
+    body += struct.pack("<I", len(avih)) + avih
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_frame_sample_riff_real_bytes(ray_session):
+    """The REAL video path runs in this container: a genuine RIFF-AVI main
+    header through the actor-pool probe with backend='riff'."""
+    import ray.data
+
+    from pyreshaper_ray.stages.multimodal import VideoFrameSampleStage, _parse_avi_header
+
+    avi = _minimal_avi(us_per_frame=40_000, n_frames=25, w=320, h=240)
+    assert _parse_avi_header(avi) == (40_000, 25, 320, 240)
+    try:
+        _parse_avi_header(b"not a riff payload at all")
+        raise AssertionError("expected ValueError on non-AVI bytes")
+    except ValueError:
+        pass
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([avi], pa.binary()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(batch)
+        .map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs={"backend": "riff", "frame_hop": 8},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    assert out[0]["width"] == 320 and out[0]["height"] == 240
+    assert out[0]["n_frames"] == 25
+    assert out[0]["duration_ms"] == 25 * 40_000 // 1000
+    assert out[0]["sampled_idx"] == [0, 8, 16, 24]
+    assert out[0]["n_sampled"] == 4
+
+
+def test_video_frame_sample_stub_pipeline(ray_session):
+    """Stub probe over the documents table: deterministic metadata, hop
+    sampling invariants (first index 0, stride = hop, count = ceil(nf/hop))."""
+    from pyreshaper_ray.stages.multimodal import sample_documents_as_video
+
+    rows = sample_documents_as_video(SF, batch_size=64).take_all()
+    assert rows
+    for r in rows[:50]:
+        nf, hop = r["n_frames"], 8
+        assert r["n_sampled"] == (nf + hop - 1) // hop
+        assert r["sampled_idx"] == list(range(0, nf, hop))
+        assert r["duration_ms"] == nf * 40

@@ -211,3 +211,56 @@ def test_embedding_dim_stats_floor_and_merge(ray_session):
         assert (d1["n"], d1["sum_q"], d1["min_q"], d1["max_q"]) == (
             3, -250, -1000, 500,
         ), nblocks
+
+
+def test_quantize_embeddings_int8(ray_session):
+    """Per-vector symmetric int8 quantization: dequant error ≤ scale/2,
+    all-zero vectors → zeros with scale 0, deterministic output."""
+    import numpy as np
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import quantize_embeddings_int8
+
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=8).astype(np.float32).tolist() for _ in range(20)]
+    vecs.append([0.0] * 8)  # all-zero vector edge
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = {
+        r["vec_id"]: r
+        for r in quantize_embeddings_int8(ray.data.from_arrow(tbl)).take_all()
+    }
+    assert len(out) == len(vecs)
+    for i, v in enumerate(vecs):
+        q, scale = np.array(out[i]["qvec"], np.int64), out[i]["scale"]
+        v = np.array(v, np.float64)
+        if not np.any(v):
+            assert scale == 0.0 and not np.any(q)
+            continue
+        assert np.abs(q).max() == 127  # the max-|v| lane saturates exactly
+        assert np.all(np.abs(q * scale - v) <= scale / 2 + 1e-7)
+    # determinism
+    out2 = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings_int8(ray.data.from_arrow(tbl)).take_all()
+    }
+    assert all(out2[i] == out[i]["qvec"] for i in out)
+
+
+def test_quantize_embeddings_real_table(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import quantize_embeddings_int8
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = ds.count()
+    out = quantize_embeddings_int8(ds)
+    assert out.count() == n
+    sch = out.schema()
+    assert set(sch.names) == {"vec_id", "qvec", "scale"}
