@@ -1742,6 +1742,17 @@ def q_corpus_intake(sf_dir: str):
     return corpus_intake_counts(ds)
 
 
+def q_curation_funnel(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import curation_funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return curation_funnel(ds)
+
+
 def q_percent_rank_convs(sf_dir: str):
     from pyreshaper_ray.stages.windows import percent_rank_convs
 
@@ -2312,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_upsert_late": q_tier_upsert_late,
         "orphan_lineitems": q_orphan_lineitems,
         "corpus_intake_counts": q_corpus_intake,
+        "curation_funnel": q_curation_funnel,
         "percent_rank_convs": q_percent_rank_convs,
         "calendarize_spans": q_calendarize_spans,
         "cusum_shift_users": q_cusum_shift,
@@ -3674,6 +3686,31 @@ def oracle_sql() -> dict[str, str]:
     """
     # the merged late+on-time tier must equal the single-pass rollup
     out["tier_upsert_late"] = _ROLLUP_SQL
+    out["curation_funnel"] = r"""
+        WITH q AS (
+            SELECT doc_id, source, text,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   LEN(regexp_extract_all(text, '\S+')) AS n_words,
+                   LEN(regexp_extract_all(LOWER(text),
+                       '\b(the|a|and|of|to|in|is)\b')) AS n_stop
+            FROM documents
+        ),
+        k AS (SELECT * FROM q
+              WHERE n_chars >= 50 AND n_words >= 10 AND n_stop >= 1),
+        d AS (SELECT source FROM k
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        kc AS (SELECT source, COUNT(*) AS n_kept FROM d GROUP BY 1)
+        SELECT q.source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_len_ok,
+               CAST(SUM(CASE WHEN n_chars >= 50 AND n_words >= 10
+                              AND n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_qual_ok,
+               CAST(COALESCE(ANY_VALUE(kc.n_kept), 0) AS BIGINT) AS n_kept
+        FROM q LEFT JOIN kc ON q.source = kc.source
+        GROUP BY 1
+    """
     out["corpus_intake_counts"] = r"""
         WITH q AS (
             SELECT doc_id, source, text,

@@ -4695,3 +4695,200 @@ def q7_bination_volume(
     return agg.map_batches(name_it, batch_format="pyarrow").sort(
         ["supp_nation", "cust_nation", "o_year"]
     )
+
+
+def q6_forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6 (forecasting revenue change): Σ price·discount over 1996
+    shipments with discount in [0.05, 0.07] and quantity < 24 — the
+    canonical predicate-pushdown + global-sum query.
+
+    Ray-Data-first: pure map-side work — each batch filters vectorized in
+    the integer cents domain (disc_c ∈ [5,7], exact under float noise) and
+    reduces to ONE partial-sum row; the global groupby moves |blocks| rows.
+    Revenue is Σ round(price·100)·round(disc·100), integer 10⁻⁴ units —
+    exact under any block order; the SQL oracle restates the same domain.
+
+    Output: one row — revenue_e4, n_items (BIGINTs).
+    """
+    import ray
+
+    lo = np.datetime64("1996-01-01", "us").item()
+    hi = np.datetime64("1997-01-01", "us").item()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["l_shipdate"]
+        disc_c = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        in_date = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        ).to_numpy(zero_copy_only=False)
+        sel = in_date & (disc_c >= 5) & (disc_c <= 7) & (qty < 24)
+        price_c = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        rev = int((price_c * disc_c[sel]).sum())
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "revenue_e4": pa.array([rev], pa.int64()),
+                "n_items": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .select_columns(["revenue_e4", "n_items"])
+    )
+
+
+def q12_priority_by_status(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q12 shape (shipping-mode priority census) adapted to this
+    corpus' lineitem (no shipmode/commit/receipt dates): per
+    ``l_linestatus``, count 1996-shipped lineitems whose order is
+    high-priority (1-URGENT / 2-HIGH) vs low — the fact⋈fact join whose
+    join payload is a single census bit.
+
+    Ray-Data-first: the priority bit rides a key-to-key hash join of the
+    date-pruned lineitem slice (only l_orderkey + l_linestatus cross the
+    exchange) against orders projected to (o_orderkey, is_high); the final
+    groupby is |statuses|-sized.
+
+    Output: l_linestatus, high_count, low_count (BIGINTs).
+    """
+    import ray
+
+    from .joins import hash_join
+
+    lo = np.datetime64("1996-01-01", "us").item()
+    hi = np.datetime64("1997-01-01", "us").item()
+
+    def prune_li(batch: pa.Table) -> pa.Table:
+        d = batch["l_shipdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(d, pa.scalar(hi, pa.timestamp("us"))),
+        )
+        out = batch.filter(mask)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(out["l_orderkey"], pa.int64()),
+                "l_linestatus": out["l_linestatus"],
+            }
+        )
+
+    def project_orders(batch: pa.Table) -> pa.Table:
+        is_high = pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "is_high": pc.cast(is_high, pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    ).map_batches(prune_li, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(project_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(li, orders, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def census(batch: pa.Table) -> pa.Table:
+        high = pc.cast(batch["is_high"], pa.int64())
+        low = pc.subtract(pa.scalar(1, pa.int64()), high)
+        t = pa.table(
+            {"l_linestatus": batch["l_linestatus"], "h": high, "l": low}
+        )
+        g = t.group_by(["l_linestatus"]).aggregate([("h", "sum"), ("l", "sum")])
+        return pa.table(
+            {
+                "l_linestatus": g["l_linestatus"],
+                "high_count": pc.cast(g["h_sum"], pa.int64()),
+                "low_count": pc.cast(g["l_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(census, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high_count", alias_name="high_count"),
+            Sum("low_count", alias_name="low_count"),
+        )
+    )
+
+
+def q13_customer_distribution(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q13 (customer order-count distribution): how many customers
+    placed exactly k orders, INCLUDING the zero-order bucket the LEFT JOIN
+    exists for.
+
+    Ray-Data-first, join-free: per-customer order counts reduce
+    combiner-first (exchange is customer-domain, one row per customer);
+    the k-histogram is a second combiner-first groupby over that; the
+    zero bucket needs only |customer| − Σ histogram — two scalar counts,
+    appended as one driver-side row (result-sized by construction).
+
+    Output: c_count, custdist (BIGINTs), the Q13 column names.
+    """
+    import ray
+
+    per_cust = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .count()
+    )
+
+    def hist_block(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"c_count": pc.cast(batch["count()"], pa.int64())})
+            .group_by(["c_count"])
+            .aggregate([("c_count", "count")])
+        )
+        return pa.table(
+            {
+                "c_count": g["c_count"],
+                "custdist": pc.cast(g["c_count_count"], pa.int64()),
+            }
+        )
+
+    hist = (
+        per_cust.map_batches(hist_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+    n_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+
+    from ..util import collect_table
+
+    ht = collect_table(hist)  # histogram: one row per distinct order count
+    n_with = int(pc.sum(ht["custdist"]).as_py() or 0)
+    zero_row = pa.table(
+        {
+            "c_count": pa.array([0], pa.int64()),
+            "custdist": pa.array([n_customers - n_with], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(pa.concat_tables([ht, zero_row]))

@@ -1346,3 +1346,125 @@ def pack_sequences_ffd(
         .groupby("source")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def curation_funnel(
+    docs_ds: "ray.data.Dataset",
+    min_chars: int = 50,
+    min_words: int = 10,
+    min_stopwords: int = 1,
+) -> "ray.data.Dataset":
+    """Per-source ATTRITION census for the corpus-intake funnel — where
+    ``corpus_intake_counts`` reports only the survivors, this reports how
+    many documents each gate removed: total → length gate → full quality
+    gate → exact dedup. The first report a curation run is asked for
+    ("what did we lose, and to which filter?").
+
+    Scale shape: gate flags are one vectorized pass with a per-batch
+    combiner (per-source partial counts — only |sources| rows leave each
+    batch); the dedup stage shuffles (content_hash, doc_id, source) for
+    qual-ok rows only, never text; the two result-sized per-source tables
+    meet in a zero-padded UNION + groupby-sum (no join — immune to Ray
+    2.49's empty-block join crash on degenerate inputs).
+
+    Output: source, n_total, n_len_ok, n_qual_ok, n_kept (BIGINTs).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import add_content_hash
+
+    def flag_census(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        n_stop = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(text), pattern=STOPWORD_REGEX),
+            pa.int64(),
+        )
+        len_ok = pc.greater_equal(n_chars, min_chars)
+        qual_ok = pc.and_(
+            pc.and_(len_ok, pc.greater_equal(n_words, min_words)),
+            pc.greater_equal(n_stop, min_stopwords),
+        )
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "len_ok": pc.cast(len_ok, pa.int64()),
+                "qual_ok": pc.cast(qual_ok, pa.int64()),
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [("one", "sum"), ("len_ok", "sum"), ("qual_ok", "sum")]
+        )
+        zero = pa.array(np.zeros(g.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_total": pc.cast(g["one_sum"], pa.int64()),
+                "n_len_ok": pc.cast(g["len_ok_sum"], pa.int64()),
+                "n_qual_ok": pc.cast(g["qual_ok_sum"], pa.int64()),
+                "n_kept": zero,
+            }
+        )
+
+    gates = docs_ds.map_batches(
+        flag_census, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def qual_rows(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"), pa.int64())
+        n_stop = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(text), pattern=STOPWORD_REGEX),
+            pa.int64(),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_chars, min_chars),
+                pc.greater_equal(n_words, min_words),
+            ),
+            pc.greater_equal(n_stop, min_stopwords),
+        )
+        kept = batch.filter(keep)
+        hashed = add_content_hash(kept)
+        return pa.table(
+            {
+                "content_hash": hashed["content_hash"],
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "source": kept["source"],
+            }
+        )
+
+    def first_source(group: pa.Table) -> pa.Table:
+        i = int(pc.index(group["doc_id"], pc.min(group["doc_id"]).as_py()).as_py())
+        return pa.table({"source": group["source"][i : i + 1]})
+
+    def kept_census(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate([("source", "count")])
+        n = pc.cast(g["source_count"], pa.int64())
+        zero = pa.array(np.zeros(g.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_total": zero,
+                "n_len_ok": zero,
+                "n_qual_ok": zero,
+                "n_kept": n,
+            }
+        )
+
+    kept = (
+        docs_ds.map_batches(qual_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_hash")
+        .map_groups(first_source, batch_format="pyarrow")
+        .map_batches(kept_census, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    return gates.union(kept).groupby("source").aggregate(
+        Sum("n_total", alias_name="n_total"),
+        Sum("n_len_ok", alias_name="n_len_ok"),
+        Sum("n_qual_ok", alias_name="n_qual_ok"),
+        Sum("n_kept", alias_name="n_kept"),
+    )

@@ -479,3 +479,50 @@ def test_pack_sequences_ffd_properties(ray_session):
     assert sorted((r["doc_id"], r["bin_id"]) for r in rows2) == sorted(
         (r["doc_id"], r["bin_id"]) for r in rows
     )
+
+
+def test_curation_funnel_hand_computed(ray_session):
+    """Per-source attrition: total → length gate → quality gate → dedup."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import curation_funnel
+
+    good = "the quick brown fox jumps over the lazy dog in a meadow of green grass today"
+    assert len(good) >= 50
+    texts = [
+        (0, "a", good),                       # kept
+        (1, "a", good),                       # qual-ok but dup of doc 0
+        (2, "a", "short"),                    # fails length
+        (3, "a", "x " * 30),                  # long, 30 words, no stopwords
+        (4, "b", good + " again"),            # kept (source b)
+        (5, "b", "the of to in is and a " * 2),  # 14 words < 10? no: 14 words, stopwords ok, len 44 < 50 -> fails length
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([x[0] for x in texts], pa.int64()),
+            "source": pa.array([x[1] for x in texts], pa.string()),
+            "text": pa.array([x[2] for x in texts], pa.string()),
+        }
+    )
+    rows = {
+        r["source"]: r
+        for r in curation_funnel(ray.data.from_arrow(t).repartition(3)).take_all()
+    }
+    a, b = rows["a"], rows["b"]
+    assert (a["n_total"], a["n_len_ok"], a["n_qual_ok"], a["n_kept"]) == (4, 3, 2, 1)
+    assert (b["n_total"], b["n_len_ok"], b["n_qual_ok"], b["n_kept"]) == (2, 1, 1, 1)
+
+
+def test_curation_funnel_monotone_on_corpus(ray_session):
+    """On the real table the funnel is monotone non-increasing per source
+    and kept never exceeds qual_ok."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import curation_funnel
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    )
+    for r in curation_funnel(ds).take_all():
+        assert r["n_total"] >= r["n_len_ok"] >= r["n_qual_ok"] >= r["n_kept"] >= 0
