@@ -2152,6 +2152,24 @@ def q_q4_late_ship(sf_dir: str):
     return q4_late_ship_priority(sf_dir)
 
 
+def q_q6_forecast_revenue(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q6_forecast_revenue
+
+    return q6_forecast_revenue(sf_dir)
+
+
+def q_q12_priority_by_status(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q12_priority_by_status
+
+    return q12_priority_by_status(sf_dir)
+
+
+def q_q13_customer_distribution(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q13_customer_distribution
+
+    return q13_customer_distribution(sf_dir)
+
+
 def q_compress_ratio(sf_dir: str):
     """zlib ratio per doc: deterministic but not SQL-expressible (DuckDB has
     no zlib) — rows-only driver check; ordering/determinism gates live in
@@ -2199,6 +2217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_neardup_documents": q_snm_neardup,
         "hll_users_1h_cascade": q_hll_users_cascade,
         "q4_late_ship_priority": q_q4_late_ship,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q12_priority_by_status": q_q12_priority_by_status,
+        "q13_customer_distribution": q_q13_customer_distribution,
         "q19_brand_revenue": q_q19_brand_revenue,
         "encode_roles": q_encode_roles,
         "profile_events": q_profile_events,
@@ -4102,6 +4123,39 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate < TIMESTAMP '1996-04-01'
           AND ms.max_ship > o.o_orderdate + INTERVAL 90 DAY
         GROUP BY 1
+    """
+    # Q6: integer 1e-4-currency revenue (price_cents × disc_cents)
+    out["q6_forecast_revenue"] = """
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                 * CAST(ROUND(l_discount * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS revenue_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+    """
+    out["q12_priority_by_status"] = """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """
+    out["q13_customer_distribution"] = """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY 1
     """
     # Q19 shape: integer 1e-4-currency revenue (price_cents × (100−disc_cents))
     out["q19_brand_revenue"] = """

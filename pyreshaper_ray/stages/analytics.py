@@ -4885,10 +4885,12 @@ def q13_customer_distribution(sf_dir: str) -> "ray.data.Dataset":
 
     ht = collect_table(hist)  # histogram: one row per distinct order count
     n_with = int(pc.sum(ht["custdist"]).as_py() or 0)
-    zero_row = pa.table(
-        {
-            "c_count": pa.array([0], pa.int64()),
-            "custdist": pa.array([n_customers - n_with], pa.int64()),
-        }
-    )
-    return ray.data.from_arrow(pa.concat_tables([ht, zero_row]))
+    if n_customers > n_with:  # zero bucket only when zero-order customers exist
+        zero_row = pa.table(
+            {
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([n_customers - n_with], pa.int64()),
+            }
+        )
+        ht = pa.concat_tables([ht, zero_row])
+    return ray.data.from_arrow(ht)

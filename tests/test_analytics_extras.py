@@ -1325,3 +1325,84 @@ def test_q7_bination_volume_hand(ray_session, tmp_path):
         ("INDIA", "JAPAN", 1996, 1000 * 95),
         ("INDIA", "JAPAN", 1997, 2000 * 100),
     ]
+
+
+def test_q6_forecast_revenue_hand(ray_session, tmp_path):
+    """Q6 semantics: each predicate (date window, discount band, quantity
+    cap) excludes a row independently; revenue is exact 1e-4 units."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q6_forecast_revenue
+
+    d96 = np.datetime64("1996-06-01", "us")
+    d95 = np.datetime64("1995-06-01", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "l_shipdate": pa.array([d96, d95, d96, d96, d96], pa.timestamp("us")),
+                "l_discount": pa.array([0.06, 0.06, 0.04, 0.06, 0.07]),
+                "l_quantity": pa.array([10.0, 10.0, 10.0, 30.0, 23.0]),
+                "l_extendedprice": pa.array([100.0, 100.0, 100.0, 100.0, 50.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q6_forecast_revenue(str(tmp_path)).to_pandas()
+    # kept: row0 (10000c * 6) and row4 (5000c * 7)
+    assert list(out.revenue_e4) == [10000 * 6 + 5000 * 7]
+    assert list(out.n_items) == [2]
+
+
+def test_q12_priority_by_status_hand(ray_session, tmp_path):
+    """Q12 shape: high/low priority census per linestatus over the 1996
+    ship window, priority carried through the key-to-key join."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q12_priority_by_status
+
+    d96 = np.datetime64("1996-06-01", "us")
+    d97 = np.datetime64("1997-06-01", "us")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3, 2], pa.int64()),
+                "l_linestatus": pa.array(["O", "F", "O", "O", "O"]),
+                "l_shipdate": pa.array([d96, d96, d96, d97, d96], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW", "2-HIGH"]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q12_priority_by_status(str(tmp_path)).to_pandas()
+    rows = {r.l_linestatus: (r.high_count, r.low_count) for r in out.itertuples()}
+    # O: order1 high (1) + order2 low (x2); order3 is date-excluded
+    assert rows["O"] == (1, 2)
+    assert rows["F"] == (1, 0)
+
+
+def test_q13_customer_distribution_hand(ray_session, tmp_path):
+    """Q13 semantics: zero-order customers form the k=0 bucket; the bucket
+    is absent when every customer ordered."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q13_customer_distribution
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 1, 1, 2], pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q13_customer_distribution(str(tmp_path)).to_pandas()
+    dist = dict(zip(out.c_count, out.custdist))
+    assert dist == {3: 1, 1: 1, 0: 2}
