@@ -2152,6 +2152,24 @@ def q_q4_late_ship(sf_dir: str):
     return q4_late_ship_priority(sf_dir)
 
 
+def q_q17_small_quantity(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(sf_dir)
+
+
+def q_q22_idle_balance(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q22_idle_balance_census
+
+    return q22_idle_balance_census(sf_dir)
+
+
+def q_q9_nation_year(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q9_nation_year_revenue
+
+    return q9_nation_year_revenue(sf_dir)
+
+
 def q_q6_forecast_revenue(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q6_forecast_revenue
 
@@ -2218,6 +2236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_1h_cascade": q_hll_users_cascade,
         "q4_late_ship_priority": q_q4_late_ship,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q17_small_quantity_revenue": q_q17_small_quantity,
+        "q22_idle_balance_census": q_q22_idle_balance,
+        "q9_nation_year_revenue": q_q9_nation_year,
         "q12_priority_by_status": q_q12_priority_by_status,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q19_brand_revenue": q_q19_brand_revenue,
@@ -4156,6 +4177,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(c_count AS BIGINT) AS c_count,
                CAST(COUNT(*) AS BIGINT) AS custdist
         FROM per_cust GROUP BY 1
+    """
+    # Q17 shape: strict integer restatement of qty < 0.2·avg(qty) per part
+    out["q17_small_quantity_revenue"] = """
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        st AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+                   COUNT(*) AS n_li
+            FROM lineitem JOIN pk ON l_partkey = p_partkey
+            GROUP BY 1
+        )
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS total_price_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+        WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * st.n_li < st.sum_qty
+    """
+    out["q22_idle_balance_census"] = """
+        WITH g AS (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS totacctbal_c
+        FROM customer, g
+        WHERE g.n * CAST(ROUND(c_acctbal * 100) AS BIGINT) > g.s
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        GROUP BY 1
+    """
+    out["q9_nation_year_revenue"] = """
+        SELECT n.n_name,
+               CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
     """
     # Q19 shape: integer 1e-4-currency revenue (price_cents × (100−disc_cents))
     out["q19_brand_revenue"] = """

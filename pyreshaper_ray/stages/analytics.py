@@ -4894,3 +4894,345 @@ def q13_customer_distribution(sf_dir: str) -> "ray.data.Dataset":
         )
         ht = pa.concat_tables([ht, zero_row])
     return ray.data.from_arrow(ht)
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#23"
+) -> "ray.data.Dataset":
+    """TPC-H Q17 shape (small-quantity-order revenue) adapted to this
+    corpus' part table (no container column): total revenue from ``brand``
+    lineitems whose quantity is below 20% of that part's average quantity —
+    the correlated scalar-subquery query.
+
+    Decorrelated, shuffle-free: the brand's partkey set is dimension-sized
+    and BROADCAST; pass 1 reduces brand lineitems combiner-first to
+    per-part (Σqty, n) — itself brand-dimension-sized, so it is broadcast
+    too; pass 2 re-scans brand lineitems map-side and keeps rows where
+    ``5·qty·n < Σqty`` (the integer-exact restatement of qty < 0.2·avg).
+    Two column-pruned fact scans, zero all-to-all exchanges.
+
+    Output: one row — total_price_c, n_items (BIGINTs).
+    """
+    import ray
+
+    from ..util import collect_table
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+
+    def brand_keys(batch: pa.Table) -> pa.Table:
+        k = batch.filter(pc.equal(batch["p_brand"], brand))["p_partkey"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({"p_partkey": pc.cast(k, pa.int64())})
+
+    keys_t = collect_table(
+        parts.map_batches(brand_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    keys_np = np.sort(keys_t["p_partkey"].to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(keys_np)
+
+    def li(columns: list[str]) -> "ray.data.Dataset":
+        return ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        sel = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[sel]
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "p_partkey": pa.array(lk[sel], pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+                "one": pa.array(np.ones(int(sel.sum()), np.int64)),
+            }
+        )
+        g = t.group_by(["p_partkey"]).aggregate([("qty", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "p_partkey": g["p_partkey"],
+                "sum_qty": pc.cast(g["qty_sum"], pa.int64()),
+                "n_li": pc.cast(g["one_sum"], pa.int64()),
+            }
+        )
+
+    stats = collect_table(
+        li(["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_li", alias_name="n_li"))
+    )  # brand-dimension-sized: one row per brand part
+    sk = stats["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk)
+    stats_ref = ray.put(
+        (
+            sk[order],
+            stats["sum_qty"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+            stats["n_li"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+        )
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys, sum_qty, n_li = ray.get(stats_ref)
+        lk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        found = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        sel = found & (5 * qty * n_li[pos_c] < sum_qty[pos_c])
+        price_c = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "total_price_c": pa.array([int(price_c.sum())], pa.int64()),
+                "n_items": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        li(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(
+            Sum("total_price_c", alias_name="total_price_c"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .select_columns(["total_price_c", "n_items"])
+    )
+
+
+def q22_idle_balance_census(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q22 shape (global-relation test) adapted to this corpus'
+    customer table (no phone column — grouped by market segment instead;
+    and since every synthetic customer has orders, the NOT EXISTS is
+    against URGENT/HIGH-priority orders so the anti side is non-trivial):
+    per segment, count and total balance of customers whose account balance
+    exceeds the global average POSITIVE balance and who placed no
+    high-priority orders.
+
+    Ray-Data-first: the global average is two scalar partial sums (one
+    combiner row per block); the above-average test is integer-exact
+    (``n·bal_c > Σbal_c`` — no float division); the NOT EXISTS is this
+    engine's hash anti-join, whose exchange carries only (custkey, segment,
+    bal_c) for the above-average slice and the order-side distinct keys.
+
+    Output: c_mktsegment, numcust, totacctbal_c (BIGINTs).
+    """
+    import ray
+
+    from ..util import collect_table
+    from .joins import anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal_c = np.rint(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = bal_c[bal_c > 0]
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([int(len(pos))], pa.int64()),
+            }
+        )
+
+    tot = collect_table(
+        cust.map_batches(pos_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    sum_c, n_pos = int(tot["s"][0].as_py()), int(tot["n"][0].as_py())
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        bal_c = np.rint(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        sel = (n_pos * bal_c) > sum_c if n_pos else np.zeros(len(bal_c), bool)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()).filter(
+                    pa.array(sel)
+                ),
+                "c_mktsegment": batch["c_mktsegment"].filter(pa.array(sel)),
+                "bal_c": pa.array(bal_c[sel], pa.int64()),
+            }
+        )
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow", zero_copy_batch=True)
+
+    def high_prio(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        )
+        return pa.table(
+            {"o_custkey": pc.cast(batch["o_custkey"].filter(keep), pa.int64())}
+        )
+
+    order_keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(high_prio, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .count()
+        .select_columns(["o_custkey"])
+    )
+    idle = anti_join(rich, order_keys, on=("c_custkey",), right_on=("o_custkey",))
+
+    def census(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c_mktsegment"]).aggregate(
+            [("bal_c", "count"), ("bal_c", "sum")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "numcust": pc.cast(g["bal_c_count"], pa.int64()),
+                "totacctbal_c": pc.cast(g["bal_c_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        idle.map_batches(census, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_c", alias_name="totacctbal_c"),
+        )
+    )
+    # segment-domain-sized finalize with a pinned schema so an empty result
+    # still presents (c_mktsegment, numcust, totacctbal_c) to the driver
+    out_schema = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("numcust", pa.int64()),
+            ("totacctbal_c", pa.int64()),
+        ]
+    )
+    t = collect_table(agg, fallback_schema=out_schema)
+    return ray.data.from_arrow(t.select(out_schema.names).cast(out_schema))
+
+
+def q9_nation_year_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q9 shape (product-type profit) adapted to this corpus (no
+    partsupp supplycost): discounted revenue per (supplier nation, order
+    year) — the fact⋈fact⋈dim⋈dim join tree.
+
+    Ray-Data-first: supplier→nationkey and nation→name are dimension-sized
+    BROADCAST lookups applied map-side BEFORE the exchange, so the one
+    hash join (lineitem⋈orders on orderkey) carries only (orderkey,
+    nationkey, rev_e4) against (orderkey, year) — fixed-width columns,
+    never names or prices; the final (nation, year) groupby is
+    calendar×nation-sized, reduced combiner-first.
+
+    Output: n_name, o_year, revenue_e4 (BIGINT 1e-4 units).
+    """
+    import ray
+
+    from ..util import collect_table
+    from .joins import hash_join
+
+    supp = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sk)
+    supp_ref = ray.put(
+        (sk[order], supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[order])
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        keys, nat = ray.get(supp_ref)
+        lk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        found = (keys[pos_c] == lk) if len(keys) else np.zeros(len(lk), bool)
+        nationkey = np.where(found, nat[pos_c] if len(nat) else -1, -1)
+        price_c = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "nationkey": pa.array(nationkey, pa.int64()),
+                "rev_e4": pa.array(price_c * (100 - disc_c), pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def o_project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(o_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(li, orders, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["nationkey", "o_year"]).aggregate([("rev_e4", "sum")])
+        return pa.table(
+            {
+                "nationkey": pc.cast(g["nationkey"], pa.int64()),
+                "o_year": pc.cast(g["o_year"], pa.int64()),
+                "revenue_e4": pc.cast(g["rev_e4_sum"], pa.int64()),
+            }
+        )
+
+    cells = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nationkey", "o_year"])
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+    nation = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+    )
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    norder = np.argsort(nk)
+    names = nation["n_name"].take(pa.array(norder))
+    nation_ref = ray.put((nk[norder], names))
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        keys, nm = ray.get(nation_ref)
+        bk = batch["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, bk)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        return pa.table(
+            {
+                "n_name": pc.take(nm, pa.array(pos_c, pa.int64())),
+                "o_year": batch["o_year"],
+                "revenue_e4": batch["revenue_e4"],
+            }
+        )
+
+    return cells.map_batches(add_name, batch_format="pyarrow")

@@ -1406,3 +1406,129 @@ def test_q13_customer_distribution_hand(ray_session, tmp_path):
     out = q13_customer_distribution(str(tmp_path)).to_pandas()
     dist = dict(zip(out.c_count, out.custdist))
     assert dist == {3: 1, 1: 1, 0: 2}
+
+
+def test_q17_small_quantity_revenue_hand(ray_session, tmp_path):
+    """Q17 semantics: only lineitems of the target brand below 20% of their
+    part's average quantity count; the threshold is strict and per-part."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q17_small_quantity_revenue
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_brand": pa.array(["Brand#23", "Brand#23", "Brand#11"]),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    # part 1: qties 1, 20, 30 -> avg 17, 0.2*avg = 3.4 -> only qty 1 kept
+    # part 2: qties 10, 10 -> 0.2*avg = 2 -> none kept
+    # part 3: wrong brand, tiny qty -> excluded
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "l_quantity": pa.array([1.0, 20.0, 30.0, 10.0, 10.0, 1.0]),
+                "l_extendedprice": pa.array([7.5, 100.0, 100.0, 50.0, 50.0, 9.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q17_small_quantity_revenue(str(tmp_path)).to_pandas()
+    assert list(out.total_price_c) == [750]
+    assert list(out.n_items) == [1]
+
+
+def test_q22_idle_balance_census_hand(ray_session, tmp_path):
+    """Q22 semantics: above the positive-only global average AND orderless."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q22_idle_balance_census
+
+    # positive balances: 100, 300, 500, 200 -> avg 275
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "c_mktsegment": pa.array(["A", "A", "B", "B", "A"]),
+                "c_acctbal": pa.array([1.0, 3.0, 5.0, 2.0, -4.0]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    # cust 3 (500 > 275) has a high-priority order -> excluded;
+    # cust 2 (300) has only a LOW order -> still "idle", kept
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([3, 3, 2], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "5-LOW"]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = q22_idle_balance_census(str(tmp_path)).to_pandas()
+    rows = {r.c_mktsegment: (r.numcust, r.totacctbal_c) for r in out.itertuples()}
+    assert rows == {"A": (1, 300)}
+
+
+def test_q9_nation_year_revenue_hand(ray_session, tmp_path):
+    """Q9 shape: revenue attributed to (supplier nation, order year)."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q9_nation_year_revenue
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([1, 2], pa.int32()),
+                "n_name": pa.array(["JAPAN", "FRANCE"]),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 11], pa.int64()),
+                "s_nationkey": pa.array([1, 2], pa.int32()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101], pa.int64()),
+                "o_orderdate": pa.array(
+                    [
+                        np.datetime64("1996-03-01", "us"),
+                        np.datetime64("1997-03-01", "us"),
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([100, 100, 101], pa.int64()),
+                "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+                "l_discount": pa.array([0.05, 0.0, 0.1]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q9_nation_year_revenue(str(tmp_path)).to_pandas()
+    rows = {(r.n_name, r.o_year): r.revenue_e4 for r in out.itertuples()}
+    assert rows == {
+        ("JAPAN", 1996): 1000 * 95,
+        ("FRANCE", 1996): 2000 * 100,
+        ("JAPAN", 1997): 3000 * 90,
+    }
