@@ -757,6 +757,19 @@ def q_video_sample(sf_dir: str):
     )
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Top-4 PCA projection (rows-only: float list output; pytest gates
+    numpy agreement + blocking-invariant determinism)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import pca_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(ds, k=4)
+
+
 def q_quantize_embeddings(sf_dir: str):
     """Int8 embedding quantization (rows-only: float-derived list output;
     pytest gates the dequantization error bound)."""
@@ -2417,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stub": q_audio_stub,
         "video_frame_probe": q_video_sample,
         "quantize_embeddings_int8": q_quantize_embeddings,
+        "pca_embeddings_top4": q_pca_embeddings,
         "lineitem_orders_join": q_lineitem_orders_join,
         "enrich_conv_cohort": q_enrich_conv_channel,
         "sliding_rollup_5m": q_sliding_5m,

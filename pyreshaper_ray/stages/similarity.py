@@ -961,3 +961,106 @@ def quantize_embeddings_int8(ds_emb: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return ds_emb.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pca_project(ds_emb: "ray.data.Dataset", k: int = 4) -> "ray.data.Dataset":
+    """Distributed PCA: project embeddings onto their top-``k`` principal
+    components — the dimensionality-reduction step ANN/serving pipelines
+    run before indexing (a covariance-space little sibling of FAISS's OPQ).
+
+    Two passes, both combiner-first and exchange-bounded by dim², never by
+    rows:
+
+    1. Exact scatter accumulation: every element is quantized to integer
+       milli-units (FLOOR, ``gram_matrix``'s rule), so each block's partial
+       (XᵀX flattened, Σx, n) is exact int64 and the global sum is
+       order-independent — covariance is therefore BIT-IDENTICAL under any
+       blocking/cluster shape, and so are the eigenvectors computed from it
+       once on the driver (dim×dim ``eigh``, sign-fixed: each component's
+       largest-|w| element is made positive).
+    2. Map-side projection of the broadcast component matrix:
+       ``(x_milli − mean_milli) @ W`` in float64, emitted float32.
+
+    Float-valued output → rows-only driver entry; pytest gates exact
+    determinism across repartitions, agreement with a single-process numpy
+    PCA, and descending per-component variance.
+
+    Output: vec_id, pc (list<float32> of length k).
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def scatter_partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        if n == 0 or len(flat) == 0:
+            return pa.table(
+                {"idx": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        dim = len(flat) // n
+        m = np.floor(flat.astype(np.float64) * 1000.0).astype(np.int64).reshape(n, dim)
+        xtx = (m.T @ m).reshape(-1)
+        s = m.sum(axis=0)
+        vals = np.concatenate([xtx, s, np.array([n], np.int64)])
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(len(vals), dtype=np.int64)),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    acc = collect_table(
+        ds_emb.map_batches(scatter_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("idx")
+        .aggregate(Sum("v", alias_name="v"))
+    )
+    if acc.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("vec_id", pa.int64()), ("pc", pa.list_(pa.float32()))]
+            ).empty_table()
+        )
+    order = np.argsort(acc["idx"].to_numpy(zero_copy_only=False))
+    vals = acc["v"].to_numpy(zero_copy_only=False)[order]
+    n = int(vals[-1])
+    dim = int((-1 + (1 + 4 * (len(vals) - 1)) ** 0.5) / 2)  # dim² + dim = len-1
+    xtx = vals[: dim * dim].reshape(dim, dim).astype(np.float64)
+    s = vals[dim * dim : dim * dim + dim].astype(np.float64)
+    mean = s / n
+    cov = (xtx - np.outer(mean, s)) / max(n - 1, 1)
+    w_all, v_all = np.linalg.eigh(cov)  # ascending
+    comp = v_all[:, ::-1][:, : min(k, dim)].copy()  # dim × k, descending var
+    for j in range(comp.shape[1]):  # deterministic sign
+        i = int(np.argmax(np.abs(comp[:, j])))
+        if comp[i, j] < 0:
+            comp[:, j] = -comp[:, j]
+    w_ref = ray.put((mean, comp))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean_, comp_ = ray.get(w_ref)
+        emb = batch["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        nb = batch.num_rows
+        if nb == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("pc", pa.list_(pa.float32()))]
+            ).empty_table()
+        d = len(flat) // nb
+        m = np.floor(flat.astype(np.float64) * 1000.0).reshape(nb, d)
+        y = ((m - mean_) @ comp_).astype(np.float32)
+        kk = comp_.shape[1]
+        offsets = pa.array(np.arange(0, (nb + 1) * kk, kk, dtype=np.int32))
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "pc": pa.ListArray.from_arrays(
+                    offsets, pa.array(y.reshape(-1), pa.float32())
+                ),
+            }
+        )
+
+    return ds_emb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

@@ -264,3 +264,68 @@ def test_quantize_embeddings_real_table(ray_session):
     assert out.count() == n
     sch = out.schema()
     assert set(sch.names) == {"vec_id", "qvec", "scale"}
+
+
+def test_pca_project_matches_numpy_and_deterministic(ray_session):
+    """PCA projection equals a single-process numpy PCA on the same
+    quantized data, is bit-identical across different blockings, and has
+    non-increasing per-component variance."""
+    import numpy as np
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import pca_project
+
+    rng = np.random.default_rng(11)
+    # rank-heavy synthetic: 2 dominant directions in 8-D
+    base = rng.normal(size=(2, 8))
+    coef = rng.normal(size=(60, 2)) * np.array([5.0, 2.0])
+    x = (coef @ base + 0.01 * rng.normal(size=(60, 8))).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x], pa.list_(pa.float32())),
+        }
+    )
+    out = {
+        r["vec_id"]: np.array(r["pc"])
+        for r in pca_project(ray.data.from_arrow(tbl).repartition(4), k=3).take_all()
+    }
+    assert len(out) == 60 and all(len(v) == 3 for v in out.values())
+
+    # single-process reference with the identical quantization + sign rule
+    m = np.floor(x.astype(np.float64) * 1000.0)
+    mean = m.mean(axis=0)
+    cov = (m.T @ m - np.outer(mean, m.sum(axis=0))) / (len(m) - 1)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, ::-1][:, :3].copy()
+    for j in range(3):
+        i = int(np.argmax(np.abs(comp[:, j])))
+        if comp[i, j] < 0:
+            comp[:, j] = -comp[:, j]
+    expect = ((m - mean) @ comp).astype(np.float32)
+    got = np.stack([out[i] for i in range(60)])
+    assert np.allclose(got, expect, rtol=1e-5, atol=1e-3)
+
+    # variance non-increasing across components
+    var = got.astype(np.float64).var(axis=0)
+    assert var[0] >= var[1] >= var[2]
+
+    # bit-identical under a different blocking (int64 scatter is exact)
+    out2 = {
+        r["vec_id"]: np.array(r["pc"])
+        for r in pca_project(ray.data.from_arrow(tbl).repartition(7), k=3).take_all()
+    }
+    assert all(np.array_equal(out[i], out2[i]) for i in out)
+
+
+def test_pca_project_real_table(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import pca_project
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = pca_project(ds, k=4)
+    assert out.count() == 500
+    assert set(out.schema().names) == {"vec_id", "pc"}
