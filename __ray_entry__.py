@@ -2165,6 +2165,29 @@ def q_q4_late_ship(sf_dir: str):
     return q4_late_ship_priority(sf_dir)
 
 
+def q_chi2_cells(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import chi2_independence_cells
+
+    return chi2_independence_cells(sf_dir)
+
+
+def q_q8_market_share(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q8_market_share_ppm
+
+    return q8_market_share_ppm(sf_dir)
+
+
+def q_lexical_diversity(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import lexical_diversity_by_source
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return lexical_diversity_by_source(ds)
+
+
 def q_q17_small_quantity(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q17_small_quantity_revenue
 
@@ -2250,6 +2273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_late_ship_priority": q_q4_late_ship,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q17_small_quantity_revenue": q_q17_small_quantity,
+        "q8_market_share_ppm": q_q8_market_share,
+        "chi2_independence_cells": q_chi2_cells,
+        "lexical_diversity_by_source": q_lexical_diversity,
         "q22_idle_balance_census": q_q22_idle_balance,
         "q9_nation_year_revenue": q_q9_nation_year,
         "q12_priority_by_status": q_q12_priority_by_status,
@@ -4191,6 +4217,75 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(c_count AS BIGINT) AS c_count,
                CAST(COUNT(*) AS BIGINT) AS custdist
         FROM per_cust GROUP BY 1
+    """
+    out["chi2_independence_cells"] = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS observed
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, dow, observed,
+               CAST(SUM(observed) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS row_total,
+               CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT)
+                   AS col_total,
+               CAST(SUM(observed) OVER () AS BIGINT) AS grand_total
+        FROM cells
+    """
+    out["q8_market_share_ppm"] = """
+        WITH rn AS (
+            SELECT n_nationkey FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        j AS (
+            SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                       AS rev_e4,
+                   CASE WHEN s.s_nationkey IN
+                        (SELECT n_nationkey FROM nation WHERE n_name = 'JAPAN')
+                        THEN 1 ELSE 0 END AS is_target
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey IN (SELECT n_nationkey FROM rn)
+        )
+        SELECT o_year,
+               CAST(1000000 * SUM(rev_e4 * is_target) // SUM(rev_e4) AS BIGINT)
+                   AS share_ppm,
+               CAST(SUM(rev_e4 * is_target) AS BIGINT) AS num_rev_e4,
+               CAST(SUM(rev_e4) AS BIGINT) AS den_rev_e4
+        FROM j GROUP BY 1
+    """
+    out["lexical_diversity_by_source"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS tok, COUNT(DISTINCT term) AS dis
+            FROM toks WHERE term <> '' GROUP BY 1
+        ),
+        base AS (
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(p.dis), 0) AS BIGINT)
+                       AS sum_distinct_terms,
+                   CAST(COALESCE(SUM(p.tok), 0) AS BIGINT) AS sum_tokens
+            FROM documents d
+            LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+            GROUP BY 1
+        )
+        SELECT source, n_docs, sum_distinct_terms, sum_tokens,
+               CAST(CASE WHEN sum_tokens > 0
+                         THEN 1000000 * sum_distinct_terms // sum_tokens
+                         ELSE 0 END AS BIGINT) AS ttr_ppm
+        FROM base
     """
     # Q17 shape: strict integer restatement of qty < 0.2·avg(qty) per part
     out["q17_small_quantity_revenue"] = """

@@ -5236,3 +5236,242 @@ def q9_nation_year_revenue(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return cells.map_batches(add_name, batch_format="pyarrow")
+
+
+def chi2_independence_cells(sf_dir: str) -> "ray.data.Dataset":
+    """Chi-square independence audit for (event_type × day-of-week):
+    per cell, the observed count plus its EXACT integer margins (row,
+    column, grand totals — each ≤ N, so int64-safe at any row count,
+    unlike a premultiplied (O·N − R·C)² which overflows near N ≈ 3·10⁹).
+    The consumer computes χ² = Σ (O − R·C/N)² / (R·C/N) in one float pass
+    over the |types|×7 result; the cells themselves are bit-exact under
+    any blocking — the audit equivalent of the engine's cents-domain rule.
+
+    Combiner-first: blocks reduce to per-(type, dow) partial counts; the
+    margins are derived from the |types|×7 cell table on the driver
+    (result-sized by construction).
+
+    Output: event_type, dow, observed, row_total, col_total, grand_total
+    (BIGINTs).
+    """
+    import ray
+
+    from ..util import collect_table
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        # 0=Sunday (DuckDB EXTRACT(dow) convention, as dow_hour_activity)
+        dow = pc.day_of_week(batch["ts"], count_from_zero=True, week_start=7)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pc.cast(dow, pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "dow"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "dow": g["dow"],
+                "observed": pc.cast(g["one_sum"], pa.int64()),
+            }
+        )
+
+    cells = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+        .map_batches(cell_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("observed", alias_name="observed"))
+    )
+    et = cells["event_type"].to_pylist()
+    dw = cells["dow"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ob = cells["observed"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(ob.sum())
+    row_tot: dict[str, int] = {}
+    col_tot: dict[int, int] = {}
+    for e, d, o in zip(et, dw, ob):
+        row_tot[e] = row_tot.get(e, 0) + int(o)
+        col_tot[int(d)] = col_tot.get(int(d), 0) + int(o)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "dow": pa.array(dw, pa.int64()),
+                "observed": pa.array(ob, pa.int64()),
+                "row_total": pa.array(
+                    [row_tot[e] for e in et], pa.int64()
+                ),
+                "col_total": pa.array(
+                    [col_tot[int(d)] for d in dw], pa.int64()
+                ),
+                "grand_total": pa.array(np.full(len(et), n, np.int64)),
+            }
+        )
+    )
+
+
+def q8_market_share_ppm(
+    sf_dir: str, nation: str = "JAPAN", region: str = "ASIA"
+) -> "ray.data.Dataset":
+    """TPC-H Q8 shape (national market share): per order year, the ppm
+    share of discounted revenue supplied by ``nation`` among orders placed
+    by customers in ``region``.
+
+    Ray-Data-first: nation/region/supplier are dimension-sized broadcast
+    lookups applied map-side; customer→regionkey is itself a broadcast
+    (customer is dim-scale next to lineitem at TPC-H shape). The only
+    exchange is lineitem⋈orders on orderkey carrying fixed-width
+    (orderkey, rev_e4, is_target) vs (orderkey, year) — then a
+    calendar-sized groupby. Share is integer ppm: ``10⁶·num // den``.
+
+    Output: o_year, share_ppm, num_rev_e4, den_rev_e4 (BIGINTs).
+    """
+    import ray
+
+    from ..util import collect_table
+    from .joins import hash_join
+
+    nation_t = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name", "n_regionkey"],
+        )
+    )
+    region_t = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        )
+    )
+    region_keys = {
+        int(k)
+        for k, nm in zip(
+            region_t["r_regionkey"].to_pylist(), region_t["r_name"].to_pylist()
+        )
+        if nm == region
+    }
+    target_nationkeys = {
+        int(k)
+        for k, nm in zip(
+            nation_t["n_nationkey"].to_pylist(), nation_t["n_name"].to_pylist()
+        )
+        if nm == nation
+    }
+    region_nationkeys = {
+        int(k)
+        for k, rk in zip(
+            nation_t["n_nationkey"].to_pylist(),
+            nation_t["n_regionkey"].to_pylist(),
+        )
+        if int(rk) in region_keys
+    }
+
+    cust_t = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+    )
+    ck = cust_t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust_t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    in_region = np.isin(cn, np.array(sorted(region_nationkeys), np.int64))
+    region_cust = np.sort(ck[in_region])
+    cust_ref = ray.put(region_cust)
+
+    supp_t = collect_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+    )
+    sk = supp_t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp_t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    target_supp = np.sort(sk[np.isin(sn, np.array(sorted(target_nationkeys), np.int64))])
+    supp_ref = ray.put(target_supp)
+
+    def o_project(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        okc = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, okc)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        sel = (keys[pos_c] == okc) if len(keys) else np.zeros(len(okc), bool)
+        out = batch.filter(pa.array(sel))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(out["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(out["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        tsupp = ray.get(supp_ref)
+        lk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(tsupp, lk)
+        pos_c = np.clip(pos, 0, max(len(tsupp) - 1, 0))
+        is_target = (tsupp[pos_c] == lk) if len(tsupp) else np.zeros(len(lk), bool)
+        price_c = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "rev_e4": pa.array(price_c * (100 - disc_c), pa.int64()),
+                "is_target": pa.array(is_target.astype(np.int64), pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(li, orders, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        num = pc.multiply(batch["rev_e4"], batch["is_target"])
+        t = pa.table(
+            {
+                "o_year": batch["o_year"],
+                "num": num,
+                "den": batch["rev_e4"],
+            }
+        )
+        g = t.group_by(["o_year"]).aggregate([("num", "sum"), ("den", "sum")])
+        return pa.table(
+            {
+                "o_year": pc.cast(g["o_year"], pa.int64()),
+                "num_rev_e4": pc.cast(g["num_sum"], pa.int64()),
+                "den_rev_e4": pc.cast(g["den_sum"], pa.int64()),
+            }
+        )
+
+    years = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("num_rev_e4", alias_name="num_rev_e4"),
+            Sum("den_rev_e4", alias_name="den_rev_e4"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        num = batch["num_rev_e4"].to_numpy(zero_copy_only=False)
+        den = batch["den_rev_e4"].to_numpy(zero_copy_only=False)
+        ppm = np.where(den > 0, (1_000_000 * num) // np.maximum(den, 1), 0)
+        return pa.table(
+            {
+                "o_year": batch["o_year"],
+                "share_ppm": pa.array(ppm, pa.int64()),
+                "num_rev_e4": batch["num_rev_e4"],
+                "den_rev_e4": batch["den_rev_e4"],
+            }
+        )
+
+    return years.map_batches(finish, batch_format="pyarrow")

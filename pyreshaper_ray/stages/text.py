@@ -1468,3 +1468,86 @@ def curation_funnel(
         Sum("n_qual_ok", alias_name="n_qual_ok"),
         Sum("n_kept", alias_name="n_kept"),
     )
+
+
+def lexical_diversity_by_source(docs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source lexical diversity census: document count, summed per-doc
+    DISTINCT term counts, summed token counts, and the aggregate
+    type-token ratio in integer ppm (``10⁶·Σdistinct // Σtokens``) — the
+    corpus-mix health metric a training-data pipeline tracks per source.
+
+    Combiner-first and block-split-safe: tokenize + per-doc distinct are
+    FUSED in one kernel (a doc's tokens never span map outputs — the same
+    rule as ``tfidf_top_term``), each block reduces to |sources| partial
+    rows, and the final groupby is source-domain sized. No token ever
+    crosses the exchange.
+
+    Output: source, n_docs, sum_distinct_terms, sum_tokens, ttr_ppm
+    (BIGINTs).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"i": pc.take(pa.array(np.arange(batch.num_rows)), parent), "t": flat}
+        ).filter(keep)
+        n_tok = pairs.group_by(["i"]).aggregate([("t", "count")])
+        n_dis = (
+            pairs.group_by(["i", "t"])
+            .aggregate([])
+            .group_by(["i"])
+            .aggregate([("t", "count")])
+        )
+        tok_arr = np.zeros(batch.num_rows, np.int64)
+        tok_arr[n_tok["i"].to_numpy(zero_copy_only=False).astype(np.int64)] = (
+            n_tok["t_count"].to_numpy(zero_copy_only=False)
+        )
+        dis_arr = np.zeros(batch.num_rows, np.int64)
+        dis_arr[n_dis["i"].to_numpy(zero_copy_only=False).astype(np.int64)] = (
+            n_dis["t_count"].to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "dis": pa.array(dis_arr, pa.int64()),
+                "tok": pa.array(tok_arr, pa.int64()),
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [("one", "sum"), ("dis", "sum"), ("tok", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": pc.cast(g["one_sum"], pa.int64()),
+                "sum_distinct_terms": pc.cast(g["dis_sum"], pa.int64()),
+                "sum_tokens": pc.cast(g["tok_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_distinct_terms", alias_name="sum_distinct_terms"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dis = batch["sum_distinct_terms"].to_numpy(zero_copy_only=False)
+        tok = batch["sum_tokens"].to_numpy(zero_copy_only=False)
+        ppm = np.where(tok > 0, (1_000_000 * dis) // np.maximum(tok, 1), 0)
+        return batch.append_column("ttr_ppm", pa.array(ppm, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

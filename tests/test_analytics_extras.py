@@ -1532,3 +1532,118 @@ def test_q9_nation_year_revenue_hand(ray_session, tmp_path):
         ("FRANCE", 1996): 2000 * 100,
         ("JAPAN", 1997): 3000 * 90,
     }
+
+
+def test_chi2_independence_cells_hand(ray_session, tmp_path):
+    """Margins are exact and consistent: row/col/grand totals recompose."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import chi2_independence_cells
+
+    # Mon 2024-01-01, Tue 2024-01-02 (dow: Mon=1, Tue=2 in EXTRACT(dow))
+    ts = pa.array(
+        [
+            np.datetime64("2024-01-01 10:00", "us"),
+            np.datetime64("2024-01-01 11:00", "us"),
+            np.datetime64("2024-01-02 10:00", "us"),
+            np.datetime64("2024-01-02 11:00", "us"),
+            np.datetime64("2024-01-02 12:00", "us"),
+        ],
+        pa.timestamp("us"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "ts": ts,
+                "event_type": pa.array(["a", "b", "a", "a", "b"]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = chi2_independence_cells(str(tmp_path)).to_pandas()
+    cells = {
+        (r.event_type, r.dow): (r.observed, r.row_total, r.col_total, r.grand_total)
+        for r in out.itertuples()
+    }
+    assert cells[("a", 1)] == (1, 3, 2, 5)
+    assert cells[("a", 2)] == (2, 3, 3, 5)
+    assert cells[("b", 1)] == (1, 2, 2, 5)
+    assert cells[("b", 2)] == (1, 2, 3, 5)
+
+
+def test_q8_market_share_hand(ray_session, tmp_path):
+    """Share counts only target-nation supplier revenue within region-
+    customer orders; out-of-region customers drop entirely."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import q8_market_share_ppm
+
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["ASIA", "EUROPE"]),
+            }
+        ),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([1, 2, 3], pa.int32()),
+                "n_name": pa.array(["JAPAN", "INDIA", "FRANCE"]),
+                "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_nationkey": pa.array([2, 3], pa.int32()),  # INDIA, FRANCE
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 11], pa.int64()),
+                "s_nationkey": pa.array([1, 2], pa.int32()),  # JAPAN, INDIA
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101], pa.int64()),
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [np.datetime64("1996-03-01", "us")] * 2, pa.timestamp("us")
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # order 100 (ASIA cust): JAPAN supp 10.00, INDIA supp 30.00
+                # order 101 (EUROPE cust): JAPAN supp 99.00 -> dropped
+                "l_orderkey": pa.array([100, 100, 101], pa.int64()),
+                "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 30.0, 99.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = q8_market_share_ppm(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.o_year == 1996
+    assert r.num_rev_e4 == 1000 * 100
+    assert r.den_rev_e4 == 4000 * 100
+    assert r.share_ppm == 250000

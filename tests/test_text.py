@@ -526,3 +526,34 @@ def test_curation_funnel_monotone_on_corpus(ray_session):
     )
     for r in curation_funnel(ds).take_all():
         assert r["n_total"] >= r["n_len_ok"] >= r["n_qual_ok"] >= r["n_kept"] >= 0
+
+
+def test_lexical_diversity_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import lexical_diversity_by_source
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b"]),
+            "text": pa.array(
+                [
+                    "the cat the cat runs",  # tok 5, dis 3
+                    "dog!",                  # tok 1, dis 1
+                    "",                      # tok 0, dis 0
+                ]
+            ),
+        }
+    )
+    rows = {
+        r["source"]: r
+        for r in lexical_diversity_by_source(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    a, b = rows["a"], rows["b"]
+    assert (a["n_docs"], a["sum_distinct_terms"], a["sum_tokens"]) == (2, 4, 6)
+    assert a["ttr_ppm"] == 1_000_000 * 4 // 6
+    assert (b["n_docs"], b["sum_distinct_terms"], b["sum_tokens"], b["ttr_ppm"]) == (
+        1, 0, 0, 0,
+    )
