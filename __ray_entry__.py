@@ -2271,15 +2271,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_neardup_documents": q_snm_neardup,
         "hll_users_1h_cascade": q_hll_users_cascade,
         "q4_late_ship_priority": q_q4_late_ship,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q17_small_quantity_revenue": q_q17_small_quantity,
-        "q8_market_share_ppm": q_q8_market_share,
-        "chi2_independence_cells": q_chi2_cells,
-        "lexical_diversity_by_source": q_lexical_diversity,
-        "q22_idle_balance_census": q_q22_idle_balance,
-        "q9_nation_year_revenue": q_q9_nation_year,
-        "q12_priority_by_status": q_q12_priority_by_status,
-        "q13_customer_distribution": q_q13_customer_distribution,
         "q19_brand_revenue": q_q19_brand_revenue,
         "encode_roles": q_encode_roles,
         "profile_events": q_profile_events,
@@ -2313,6 +2304,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized_documents": q_dedup_normalized,
         "pack_sequences_ffd": q_pack_sequences_ffd,
         "lead_lag_daily_xcorr": q_lead_lag_xcorr,
+        # --- round-3 new ops filling the remaining driver-prefix slots ---
+        "q9_nation_year_revenue": q_q9_nation_year,
+        "chi2_independence_cells": q_chi2_cells,
+        "lexical_diversity_by_source": q_lexical_diversity,
+        "curation_funnel": q_curation_funnel,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q8_market_share_ppm": q_q8_market_share,
+        # --- past the 50-prefix: remaining round-3 additions ---
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q12_priority_by_status": q_q12_priority_by_status,
+        "q17_small_quantity_revenue": q_q17_small_quantity,
+        "q22_idle_balance_census": q_q22_idle_balance,
         "value_histogram": q_value_histogram,
         "pivot_roles_wide": q_pivot_roles_wide,
         "corr_qty_price": q_corr_qty_price,
@@ -2404,7 +2407,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_upsert_late": q_tier_upsert_late,
         "orphan_lineitems": q_orphan_lineitems,
         "corpus_intake_counts": q_corpus_intake,
-        "curation_funnel": q_curation_funnel,
         "percent_rank_convs": q_percent_rank_convs,
         "calendarize_spans": q_calendarize_spans,
         "cusum_shift_users": q_cusum_shift,
