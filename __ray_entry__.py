@@ -2188,6 +2188,50 @@ def q_lexical_diversity(sf_dir: str):
     return lexical_diversity_by_source(ds)
 
 
+def q_adaptive_join_container_revenue(sf_dir: str):
+    """Cost-based adaptive join: the planner reads ONLY parquet footer
+    metadata (rows + projected compressed bytes of the pruned column set)
+    and picks broadcast vs hash-shuffle per join — at this sf the part side
+    fits the broadcast threshold, so the lineitem fact scan crosses NO
+    shuffle; at 100 TB the same call flips to the hash plan automatically.
+    Result rows are plan-invariant (equality-gated in tests)."""
+    from ray.data.aggregate import Sum
+
+    from pyreshaper_ray.stages.analytics import to_cents
+    from pyreshaper_ray.stages.joins import adaptive_join
+
+    joined = adaptive_join(
+        f"{sf_dir}/lineitem.parquet",
+        f"{sf_dir}/part.parquet",
+        on="l_partkey",
+        right_on="p_partkey",
+        left_columns=["l_partkey", "l_extendedprice"],
+        right_columns=["p_partkey", "p_brand"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"p_brand": b["p_brand"], "c": to_cents(b["l_extendedprice"])}
+        )
+        g = t.group_by(["p_brand"]).aggregate([("c", "sum"), ("c", "count")])
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "revenue_c": g["c_sum"],
+                "n_items": pc.cast(g["c_count"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(
+            Sum("revenue_c", alias_name="revenue_c"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
 def q_q17_small_quantity(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q17_small_quantity_revenue
 
@@ -2308,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_nation_year_revenue": q_q9_nation_year,
         "chi2_independence_cells": q_chi2_cells,
         "lexical_diversity_by_source": q_lexical_diversity,
+        "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
         "curation_funnel": q_curation_funnel,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q8_market_share_ppm": q_q8_market_share,
@@ -4261,6 +4306,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(rev_e4 * is_target) AS BIGINT) AS num_rev_e4,
                CAST(SUM(rev_e4) AS BIGINT) AS den_rev_e4
         FROM j GROUP BY 1
+    """
+    out["adaptive_join_container_revenue"] = """
+        SELECT p.p_brand AS p_brand,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
     """
     out["lexical_diversity_by_source"] = """
         WITH toks AS (

@@ -406,6 +406,142 @@ def bloom_hash_join(
     return hash_join(pruned, right, on, join_type=join_type, right_on=right_on)
 
 
+def parquet_footer_stats(
+    path: str, columns: list[str] | None = None
+) -> dict:
+    """Row count + byte sizes for a parquet file/dir from FOOTER METADATA
+    only — no data pages are read, so this is O(row groups), not O(rows),
+    and safe to call on the driver for a 100-TB table.
+
+    ``projected_bytes`` sums the compressed column-chunk sizes of just the
+    ``columns`` requested (what a pruned read would actually move); falls
+    back to ``total_bytes`` when columns=None.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            paths.extend(os.path.join(root, f) for f in files
+                         if f.endswith(".parquet"))
+    else:
+        paths = [path]
+    rows = 0
+    total = 0
+    projected = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            total += g.total_byte_size
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema.split(".")[0]
+                if columns is None or name in columns:
+                    projected += col.total_compressed_size
+    return {"rows": rows, "total_bytes": total, "projected_bytes": projected}
+
+
+def plan_equi_join(
+    left_path: str,
+    right_path: str,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    broadcast_threshold_bytes: int = 64 << 20,
+) -> dict:
+    """Pick a physical join strategy from parquet footer statistics.
+
+    Decision rule (classic cost-based selector, e.g. Spark's
+    autoBroadcastJoinThreshold): if one side's PROJECTED compressed size is
+    under ``broadcast_threshold_bytes``, broadcast that side (ship it once
+    via ``ray.put``, join map-side in every batch — zero shuffle of the big
+    side); otherwise hash-partition both sides. The estimate is the pruned
+    column set's compressed bytes — the actual exchange cost — not the
+    table's full width.
+
+    Returns ``{"strategy", "left", "right"}`` where strategy ∈
+    {"broadcast_right", "broadcast_left", "hash_shuffle"} and left/right
+    are the footer stats dicts (kept for logging/tests).
+    """
+    ls = parquet_footer_stats(left_path, left_columns)
+    rs = parquet_footer_stats(right_path, right_columns)
+    if rs["projected_bytes"] <= broadcast_threshold_bytes and rs[
+        "projected_bytes"
+    ] <= ls["projected_bytes"]:
+        strategy = "broadcast_right"
+    elif ls["projected_bytes"] <= broadcast_threshold_bytes:
+        strategy = "broadcast_left"
+    else:
+        strategy = "hash_shuffle"
+    return {"strategy": strategy, "left": ls, "right": rs}
+
+
+def adaptive_join(
+    left_path: str,
+    right_path: str,
+    on: str,
+    right_on: str | None = None,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    broadcast_threshold_bytes: int = 64 << 20,
+) -> "ray.data.Dataset":
+    """INNER equi-join whose physical plan is chosen by ``plan_equi_join``
+    from footer metadata: broadcast the small side when one fits under the
+    threshold, else Ray's hash-shuffle ``Dataset.join``. Result rows are
+    identical under every plan (equality-gated in tests/test_queries) —
+    only the data movement differs.
+
+    The broadcast path uses Arrow's in-memory hash join PER BATCH
+    (``batch.join(dim)``) rather than ``broadcast_enrich``'s first-match
+    ``index_in`` take, so duplicate keys on the broadcast side multiply
+    rows exactly like a real inner join.
+    """
+    import ray
+    import ray.data
+
+    if right_on is None:
+        right_on = on
+    plan = plan_equi_join(left_path, right_path, left_columns, right_columns,
+                          broadcast_threshold_bytes)
+    strategy = plan["strategy"]
+
+    def bcast(big: "ray.data.Dataset", small_path: str, small_cols,
+              big_key: str, small_key: str, small_is_right: bool):
+        import pyarrow.parquet as pq
+
+        dim = pq.read_table(small_path, columns=small_cols).combine_chunks()
+        ref = ray.put(dim)
+
+        def join_batch(batch: pa.Table) -> pa.Table:
+            from ..util import cached_get
+
+            d: pa.Table = cached_get(ref)
+            out = batch.join(d, keys=[big_key], right_keys=[small_key],
+                             join_type="inner")
+            if not small_is_right and big_key != small_key:
+                # keep the logical LEFT side's key name regardless of plan
+                out = out.rename_columns(
+                    [small_key if c == big_key else c for c in out.column_names]
+                )
+            return out
+
+        return big.map_batches(join_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    if strategy == "broadcast_right":
+        left = ray.data.read_parquet(left_path, columns=left_columns)
+        return bcast(left, right_path, right_columns, on, right_on, True)
+    if strategy == "broadcast_left":
+        right = ray.data.read_parquet(right_path, columns=right_columns)
+        return bcast(right, left_path, left_columns, right_on, on, False)
+    left = ray.data.read_parquet(left_path, columns=left_columns)
+    right = ray.data.read_parquet(right_path, columns=right_columns)
+    return hash_join(left, right, on=on, right_on=right_on, coalesce="none")
+
+
 def skew_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

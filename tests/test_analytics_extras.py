@@ -274,6 +274,73 @@ def test_skew_join_equals_hash_join(ray_session):
     assert plain.equals(hybrid)
 
 
+def test_adaptive_join_plan_selection():
+    """Footer-metadata planner: the small part side broadcasts under the
+    default threshold; a tiny threshold forces the hash-shuffle plan."""
+    from pyreshaper_ray.stages.joins import plan_equi_join
+
+    sf = "/root/testdata/sf0.001"
+    plan = plan_equi_join(
+        f"{sf}/lineitem.parquet",
+        f"{sf}/part.parquet",
+        left_columns=["l_partkey", "l_extendedprice"],
+        right_columns=["p_partkey", "p_brand"],
+    )
+    assert plan["strategy"] == "broadcast_right"
+    assert plan["right"]["rows"] > 0 and plan["right"]["projected_bytes"] > 0
+    # projected bytes must be a strict subset of the full table's bytes
+    assert plan["left"]["projected_bytes"] < plan["left"]["total_bytes"]
+    forced = plan_equi_join(
+        f"{sf}/lineitem.parquet",
+        f"{sf}/part.parquet",
+        left_columns=["l_partkey", "l_extendedprice"],
+        right_columns=["p_partkey", "p_brand"],
+        broadcast_threshold_bytes=1,
+    )
+    assert forced["strategy"] == "hash_shuffle"
+    # asymmetric case: swap sides -> broadcast_left
+    swapped = plan_equi_join(
+        f"{sf}/part.parquet",
+        f"{sf}/lineitem.parquet",
+        left_columns=["p_partkey", "p_brand"],
+        right_columns=["l_partkey", "l_extendedprice"],
+    )
+    assert swapped["strategy"] in ("broadcast_left", "broadcast_right")
+
+
+def test_adaptive_join_plan_invariant_rows(ray_session):
+    """Both physical plans (broadcast vs hash) must return identical rows."""
+    from pyreshaper_ray.stages.joins import adaptive_join
+
+    sf = "/root/testdata/sf0.001"
+    kw = dict(
+        on="l_partkey",
+        right_on="p_partkey",
+        left_columns=["l_partkey", "l_extendedprice"],
+        right_columns=["p_partkey", "p_brand"],
+    )
+    bcast = (
+        adaptive_join(f"{sf}/lineitem.parquet", f"{sf}/part.parquet", **kw)
+        .to_pandas()
+        .sort_values(["l_partkey", "l_extendedprice", "p_brand"])
+        .reset_index(drop=True)
+    )
+    hashp = (
+        adaptive_join(
+            f"{sf}/lineitem.parquet",
+            f"{sf}/part.parquet",
+            broadcast_threshold_bytes=1,
+            **kw,
+        )
+        .to_pandas()
+        .sort_values(["l_partkey", "l_extendedprice", "p_brand"])
+        .reset_index(drop=True)
+    )
+    assert list(bcast.columns) == sorted(bcast.columns, key=list(bcast.columns).index)
+    assert bcast[sorted(bcast.columns)].equals(hashp[sorted(hashp.columns)])
+    assert len(bcast) > 0
+
+
 def test_props_k_stats_missing_field_rows_drop(ray_session):
     import ray.data
 
