@@ -2232,6 +2232,36 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_q15_top_supplier(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q15_top_supplier
+
+    return q15_top_supplier(sf_dir)
+
+
+def q_gini_user_activity(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import gini_user_activity
+
+    return gini_user_activity(_events_value_ds(sf_dir, ["user_id"]))
+
+
+def q_mannwhitney_value(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import mannwhitney_components
+
+    return mannwhitney_components(
+        _events_value_ds(sf_dir, ["event_type", "value"])
+    )
+
+
+def q_source_mix_weights(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import source_mix_weights
+
+    return source_mix_weights(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    )
+
+
 def q_q17_small_quantity(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q17_small_quantity_revenue
 
@@ -2353,6 +2383,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence_cells": q_chi2_cells,
         "lexical_diversity_by_source": q_lexical_diversity,
         "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
+        "q15_top_supplier": q_q15_top_supplier,
+        "gini_user_activity": q_gini_user_activity,
+        "mannwhitney_value_purchase_click": q_mannwhitney_value,
+        "source_mix_weights": q_source_mix_weights,
         "curation_funnel": q_curation_funnel,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q8_market_share_ppm": q_q8_market_share,
@@ -4314,6 +4348,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1
+    """
+    out["q15_top_supplier"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS total_rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+               s.s_name AS s_name,
+               CAST(r.total_rev_e4 AS BIGINT) AS total_rev_e4
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+    """
+    out["gini_user_activity"] = """
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        r AS (
+            SELECT n,
+                   ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+                   COUNT(*) OVER () AS k,
+                   SUM(n) OVER () AS tot
+            FROM c
+        )
+        SELECT CAST(MAX(k) AS BIGINT) AS n_users,
+               CAST(MAX(tot) AS BIGINT) AS total_events,
+               CAST(SUM((2 * i - k - 1) * n) AS BIGINT) AS gini_num,
+               CAST(1000000 * SUM((2 * i - k - 1) * n)
+                    // (MAX(k) * MAX(tot)) AS BIGINT) AS gini_ppm
+        FROM r
+    """
+    out["mannwhitney_value_purchase_click"] = """
+        WITH v AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        g AS (
+            SELECT c, SUM(a) AS na, COUNT(*) AS cnt FROM v GROUP BY 1
+        ),
+        r AS (
+            SELECT na, cnt,
+                   COALESCE(SUM(cnt) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+            FROM g
+        )
+        SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+               CAST(SUM(cnt - na) AS BIGINT) AS n_b,
+               CAST(SUM(na * (2 * cb + cnt + 1)) AS BIGINT) AS ranksum2_a,
+               CAST(SUM(na * (2 * cb + cnt + 1))
+                    - SUM(na) * (SUM(na) + 1) AS BIGINT) AS u2_a
+        FROM r
+    """
+    out["source_mix_weights"] = """
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        )
+        SELECT source, n_docs,
+               CAST(300000 // COUNT(*) OVER ()
+                    + (700000 * n_docs) // SUM(n_docs) OVER () AS BIGINT)
+                   AS weight_ppm
+        FROM c
     """
     out["lexical_diversity_by_source"] = """
         WITH toks AS (

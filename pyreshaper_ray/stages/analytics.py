@@ -5475,3 +5475,315 @@ def q8_market_share_ppm(
         )
 
     return years.map_batches(finish, batch_format="pyarrow")
+
+
+def q15_top_supplier(
+    sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q15 shape (top supplier by quarterly revenue, ties kept): per-
+    supplier discounted revenue over lineitems shipped in [start, end), then
+    the supplier(s) whose total equals the global max, enriched with the
+    supplier dimension.
+
+    Scale plan: revenue is combiner-reduced per block BEFORE the one
+    supplier-keyed groupby (exchange = suppliers × one int64, never
+    lineitems); the max is an aggregate over the supplier-sized totals
+    (materialized once so the max pass and the filter pass share the
+    execution); the supplier name lookup is a broadcast dim join. Revenue in
+    exact integer 1e-4 currency units (round(price·100)·(100−round(disc·100))).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum as _Sum
+
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        m = (ts >= lo) & (ts < hi)
+        if not m.any():
+            return pa.table(
+                {"l_suppkey": pa.array([], pa.int64()),
+                 "rev_e4": pa.array([], pa.int64())}
+            )
+        t = b.filter(pa.array(m))
+        price = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "rev_e4": pa.array(price * (100 - disc), pa.int64()),
+            }
+        ).group_by(["l_suppkey"]).aggregate([("rev_e4", "sum")])
+        return pa.table(
+            {"l_suppkey": g["l_suppkey"], "rev_e4": g["rev_e4_sum"]}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    totals = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(_Sum("rev_e4", alias_name="total_rev_e4"))
+        .materialize()  # supplier-sized; shared by the max pass + filter pass
+    )
+    best = totals.max("total_rev_e4")
+
+    import pyarrow.parquet as _pq
+
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).combine_chunks()
+    ref = ray.put(supp)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        keep = batch.filter(pc.equal(batch["total_rev_e4"], best))
+        d: pa.Table = cached_get(ref)
+        pos = pc.index_in(keep["l_suppkey"], value_set=d["s_suppkey"])
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(keep["l_suppkey"], pa.int64()),
+                "s_name": pc.take(d["s_name"], pos),
+                "total_rev_e4": keep["total_rev_e4"],
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")
+
+
+def gini_user_activity(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact Gini coefficient of per-user event counts — the activity-
+    concentration audit (how unevenly traffic spreads over users).
+
+    Gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over the ASCENDING-sorted per-user
+    counts xᵢ (1-based rank i). The rank-weighted sum is invariant under
+    tie order (equal x swap freely), so any stable total order works.
+
+    Scale plan: raw events reduce combiner-first to one row per user; the
+    irreducible distributed sort runs over that user-sized table; exact
+    global ranks come from block-offset bookkeeping (pass 1 reduces each
+    block to (first_key, n_rows) — block-count-sized on the driver — pass 2
+    assigns rank = offset + arange), the same machinery as NTILE. Per-block
+    partials accumulate as Python ints (products bounded by int64 —
+    n_users·max_user_count < 2⁶³ — but their SUM is not at planet scale).
+
+    Output: one row — n_users, total_events, gini_num (Σ(2i−n−1)xᵢ),
+    gini_ppm (⌊1e6·num/(n·total)⌋). All BIGINT-exact.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id"]).group_by(["user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "n": pc.cast(g["user_id_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    ordered = counts.sort(["n", "user_id"]).materialize()
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n": batch["n"][:1],
+                "user_id": batch["user_id"][:1],
+                "rows": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    heads = ordered.map_batches(
+        block_head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    heads.sort(key=lambda r: (r["n"], r["user_id"]))
+    n_users = sum(r["rows"] for r in heads)
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for r in heads:
+        offsets[(r["n"], r["user_id"])] = acc
+        acc += r["rows"]
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"num": pa.array([], pa.int64()), "tot": pa.array([], pa.int64())}
+            )
+        first = (batch["n"][0].as_py(), batch["user_id"][0].as_py())
+        rank0 = offsets[first] + np.arange(batch.num_rows, dtype=np.int64)
+        x = batch["n"].to_numpy(zero_copy_only=False)
+        coeff = 2 * rank0 + 1 - n_users  # (2i − n − 1) with i = rank0 + 1
+        # products fit int64; their sum accumulates as a Python int
+        num = int(np.add.reduce((coeff * x).astype(object))) if batch.num_rows else 0
+        return pa.table(
+            {
+                "num": pa.array([num], pa.int64()),
+                "tot": pa.array([int(x.sum())], pa.int64()),
+            }
+        )
+
+    parts = ordered.map_batches(
+        block_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    gini_num = sum(r["num"] for r in parts)
+    total = sum(r["tot"] for r in parts)
+    den = n_users * total
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n_users], pa.int64()),
+                "total_events": pa.array([total], pa.int64()),
+                "gini_num": pa.array([gini_num], pa.int64()),
+                "gini_ppm": pa.array(
+                    [(1_000_000 * gini_num) // den if den else 0], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def mannwhitney_components(
+    events_ds: "ray.data.Dataset",
+    type_a: str = "purchase",
+    type_b: str = "click",
+) -> "ray.data.Dataset":
+    """Exact Mann-Whitney rank-sum components comparing the ``value``
+    distributions of two event types — the distribution-shift test a data
+    pipeline runs between cohorts/sources. Midranks (the tie correction)
+    stay integer by carrying 2× the rank sum.
+
+    For each distinct cents value v with group-A count na(v) and total
+    count cnt(v), the doubled tie-adjusted rank sum of A is
+    Σ_v na(v)·(2·cum_before(v) + cnt(v) + 1) where cum_before is the count
+    of strictly smaller values. U₂ (doubled U statistic) follows as
+    ranksum2_a − n_a(n_a+1).
+
+    Scale plan: events reduce combiner-first to one row per distinct cents
+    value (na, cnt) — value-domain-sized, not event-sized; the sort +
+    exact prefix counts reuse the block-offset machinery (driver holds one
+    (first_key, block_count_sum) pair per block).
+
+    Output: one row — n_a, n_b, ranksum2_a, u2_a. BIGINT-exact.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array([type_a, type_b]))
+        t = b.filter(m)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        cents = to_cents(t["value"])
+        is_a = pc.cast(pc.equal(t["event_type"], type_a), pa.int64())
+        g = pa.table({"c": cents, "na": is_a, "one": pa.array(
+            np.ones(t.num_rows, np.int64))}).group_by(["c"]).aggregate(
+            [("na", "sum"), ("one", "sum")]
+        )
+        return pa.table(
+            {"c": g["c"], "na": g["na_sum"], "cnt": g["one_sum"]}
+        )
+
+    per_value = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .aggregate(_Sum("na", alias_name="na"), _Sum("cnt", alias_name="cnt"))
+    )
+    ordered = per_value.sort(["c"]).materialize()
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "rows_cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "c": batch["c"][:1],
+                "rows_cnt": pa.array(
+                    [int(batch["cnt"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    heads = ordered.map_batches(
+        block_head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    heads.sort(key=lambda r: r["c"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in heads:
+        offsets[r["c"]] = acc
+        acc += r["rows_cnt"]
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "rs2": pa.array([], pa.int64()),
+                }
+            )
+        na = batch["na"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        cum_before = offsets[batch["c"][0].as_py()] + np.concatenate(
+            ([0], np.cumsum(cnt)[:-1])
+        )
+        terms = (na * (2 * cum_before + cnt + 1)).astype(object)
+        rs2 = int(np.add.reduce(terms)) if len(terms) else 0
+        return pa.table(
+            {
+                "n_a": pa.array([int(na.sum())], pa.int64()),
+                "n_b": pa.array([int((cnt - na).sum())], pa.int64()),
+                "rs2": pa.array([rs2], pa.int64()),
+            }
+        )
+
+    parts = ordered.map_batches(
+        block_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    n_a = sum(r["n_a"] for r in parts)
+    n_b = sum(r["n_b"] for r in parts)
+    rs2 = sum(r["rs2"] for r in parts)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "ranksum2_a": pa.array([rs2], pa.int64()),
+                "u2_a": pa.array([rs2 - n_a * (n_a + 1)], pa.int64()),
+            }
+        )
+    )

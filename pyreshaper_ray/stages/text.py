@@ -1551,3 +1551,56 @@ def lexical_diversity_by_source(docs_ds: "ray.data.Dataset") -> "ray.data.Datase
         return batch.append_column("ttr_ppm", pa.array(ppm, pa.int64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_mix_weights(
+    ds_documents: "ray.data.Dataset", lam_ppm: int = 300_000
+) -> "ray.data.Dataset":
+    """Smoothed per-source sampling weights for training-data mixing: a
+    convex blend of uniform-over-sources and proportional-to-size,
+    weight(s) = λ/K + (1−λ)·n_s/N, in exact integer ppm (λ = ``lam_ppm``).
+    The uniform term keeps small high-quality sources from vanishing; the
+    proportional term keeps the mix close to natural frequency — the
+    standard knob a 100-TB corpus assembler exposes.
+
+    Scale plan: documents reduce combiner-first to one row per source; the
+    source-domain table is result-sized, so the K/N constants and the final
+    weights compute on the driver with Python-int exactness.
+
+    Output: source, n_docs, weight_ppm (BIGINT, floor semantics).
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["source"]).group_by(["source"]).aggregate(
+            [("source", "count")]
+        )
+        return pa.table(
+            {"source": g["source"], "n": pc.cast(g["source_count"], pa.int64())}
+        )
+
+    counts = (
+        ds_documents.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    from ..util import collect_table
+
+    t = collect_table(counts)
+    k = t.num_rows
+    total = int(pc.sum(t["n"]).as_py() or 0)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    if k and total:
+        w = lam_ppm // k + ((1_000_000 - lam_ppm) * n) // total
+    else:
+        w = np.zeros(0, np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n"],
+                "weight_ppm": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+    )

@@ -1714,3 +1714,48 @@ def test_q8_market_share_hand(ray_session, tmp_path):
     assert r.num_rev_e4 == 1000 * 100
     assert r.den_rev_e4 == 4000 * 100
     assert r.share_ppm == 250000
+
+
+def test_gini_user_activity_hand_values(ray_session):
+    """Uniform counts → gini 0; a hand-computed skewed case is exact."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import gini_user_activity
+
+    uniform = pa.table({"user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64())})
+    row = gini_user_activity(ray.data.from_arrow(uniform)).take_all()[0]
+    assert row["n_users"] == 3 and row["total_events"] == 6
+    assert row["gini_num"] == 0 and row["gini_ppm"] == 0
+
+    # counts x = [1, 2, 5] ascending; n=3, total=8
+    # num = (2*1-4)*1 + (2*2-4)*2 + (2*3-4)*5 = -2 + 0 + 10 = 8
+    # gini = 8 / (3*8) = 1/3
+    skew = pa.table(
+        {"user_id": pa.array([7] * 5 + [8] * 2 + [9], pa.int64())}
+    )
+    row = gini_user_activity(ray.data.from_arrow(skew)).take_all()[0]
+    assert row["n_users"] == 3 and row["total_events"] == 8
+    assert row["gini_num"] == 8
+    assert row["gini_ppm"] == 1_000_000 * 8 // 24
+
+
+def test_mannwhitney_hand_values(ray_session):
+    """Tied values use midranks: hand case A={1,3,3}, B={2,3}."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import mannwhitney_components
+
+    ev = pa.table(
+        {
+            "event_type": pa.array(
+                ["purchase", "purchase", "purchase", "click", "click"]
+            ),
+            "value": pa.array([0.01, 0.03, 0.03, 0.02, 0.03], pa.float64()),
+        }
+    )
+    row = mannwhitney_components(ray.data.from_arrow(ev)).take_all()[0]
+    # sorted cents: 1(A) 2(B) 3 3 3 (A,A,B share midrank (3+4+5)/3 = 4)
+    # ranksum_A = 1 + 4 + 4 = 9 → doubled 18; U2 = 18 − 3·4 = 6 (U = 3)
+    assert row["n_a"] == 3 and row["n_b"] == 2
+    assert row["ranksum2_a"] == 18
+    assert row["u2_a"] == 6

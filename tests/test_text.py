@@ -557,3 +557,20 @@ def test_lexical_diversity_hand(ray_session):
     assert (b["n_docs"], b["sum_distinct_terms"], b["sum_tokens"], b["ttr_ppm"]) == (
         1, 0, 0, 0,
     )
+
+
+def test_source_mix_weights_degenerate_and_blend(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import source_mix_weights
+
+    one = pa.table({"source": pa.array(["web"] * 4)})
+    row = source_mix_weights(ray.data.from_arrow(one)).take_all()[0]
+    assert row["n_docs"] == 4 and row["weight_ppm"] == 1_000_000
+
+    two = pa.table({"source": pa.array(["web"] * 3 + ["book"])})
+    rows = {r["source"]: r for r in
+            source_mix_weights(ray.data.from_arrow(two)).take_all()}
+    # λ=0.3: uniform share 150000 each; proportional 700000·3/4 and ·1/4
+    assert rows["web"]["weight_ppm"] == 150_000 + 525_000
+    assert rows["book"]["weight_ppm"] == 150_000 + 175_000
