@@ -2232,6 +2232,15 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic near-dup pruning (cluster → within-cell greedy
+    cosine drop) — algorithmic keep choice, rows-only; planted-dup and
+    determinism gates in tests/test_similarity.py."""
+    from pyreshaper_ray.stages.similarity import semdedup_embeddings
+
+    return semdedup_embeddings(sf_dir)
+
+
 def q_q15_top_supplier(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q15_top_supplier
 
@@ -2384,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity_by_source": q_lexical_diversity,
         "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
         "q15_top_supplier": q_q15_top_supplier,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "gini_user_activity": q_gini_user_activity,
         "mannwhitney_value_purchase_click": q_mannwhitney_value,
         "source_mix_weights": q_source_mix_weights,

@@ -18,6 +18,25 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def ts_range_filter(col: str, start: str, end: str):
+    """Parquet predicate-pushdown expression for ``start <= col < end``
+    (timestamp domain). Passed as ``read_parquet(filter=...)`` so row
+    groups outside the range never leave storage — the "prune at the read"
+    rule for selective date-windowed scans. Callers keep their exact
+    in-kernel filter too (the pushdown is a superset prefilter; row-group
+    stats only bound, never decide, membership).
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as _pads
+
+    lo = _dt.datetime.fromisoformat(start)
+    hi = _dt.datetime.fromisoformat(end)
+    return (_pads.field(col) >= _pads.scalar(lo)) & (
+        _pads.field(col) < _pads.scalar(hi)
+    )
+
+
 def to_cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Exact integer cents from a 2-decimal double column."""
     if isinstance(col, pa.ChunkedArray):
@@ -3844,6 +3863,7 @@ def q4_late_ship_priority(sf_dir: str) -> "ray.data.Dataset":
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=ts_range_filter("o_orderdate", "1996-01-01", "1996-04-01"),
     ).map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     max_ship = (
         ray.data.read_parquet(
@@ -4743,6 +4763,7 @@ def q6_forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=ts_range_filter("l_shipdate", "1996-01-01", "1997-01-01"),
     )
     return (
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -4805,6 +4826,7 @@ def q12_priority_by_status(sf_dir: str) -> "ray.data.Dataset":
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=ts_range_filter("l_shipdate", "1996-01-01", "1997-01-01"),
     ).map_batches(prune_li, batch_format="pyarrow", zero_copy_batch=True)
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
@@ -5529,6 +5551,7 @@ def q15_top_supplier(
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=ts_range_filter("l_shipdate", start, end),
     )
     totals = (
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -1064,3 +1064,106 @@ def pca_project(ds_emb: "ray.data.Dataset", k: int = 4) -> "ray.data.Dataset":
         )
 
     return ds_emb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup_embeddings(
+    sf_dir: str,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    pairwise_cap: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): cluster the embedding corpus into ``n_cells`` cells, then
+    within each cell greedily drop vectors whose cosine to an
+    already-kept cell member exceeds ``threshold`` — near-duplicate
+    *meanings*, not just near-duplicate bytes.
+
+    Scale plan mirrors ``knn_ivf``: centroids are a seed-fixed sample
+    (broadcast once via ``ray.put``); assignment is one matmul per batch;
+    the quadratic dedup runs only WITHIN a cell
+    (``groupby("cell").map_groups``), so work is Σ|cell|², bounded by
+    choosing n_cells ∝ corpus size (the paper's regime) — never corpus².
+    Cells above ``pairwise_cap`` switch to a chunked kept-matrix scan
+    (O(n·kept) memory) instead of the full n² matrix.
+
+    Determinism: greedy order is ascending vec_id and assignment ties take
+    the lowest cell index, so the kept set is unique for a given corpus —
+    identical vectors always share a cell and all but the lowest id drop.
+
+    Output: vec_id, cell, kept (1/0) for EVERY vector.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    meta = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    all_ids = np.sort(np.array(meta["vec_id"].to_pylist(), dtype=np.int64))
+    rng = np.random.default_rng(seed)
+    cent_ids = np.sort(
+        rng.choice(all_ids, size=min(n_cells, len(all_ids)), replace=False)
+    )
+    cent_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cent_ids.tolist())],
+    )
+    cmat = _batch_matrix(cent_t)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = 1.0
+    cent_ref = ray.put(cmat / cn[:, None])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        c: np.ndarray = cached_get(cent_ref)
+        m = _batch_matrix(batch)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sims = (m / n[:, None]) @ c.T
+        cell = np.argmax(sims, axis=1).astype(np.int64)  # ties → lowest index
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_cell(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("vec_id", "ascending")])
+        g = group.take(order)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        m = _batch_matrix(g)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        nrows = len(ids)
+        kept = np.zeros(nrows, dtype=bool)
+        if nrows <= pairwise_cap:
+            sims = m @ m.T
+            for i in range(nrows):
+                kept[i] = not (sims[i, :i][kept[:i]] > threshold).any()
+        else:
+            kept_rows: list[int] = []
+            for i in range(nrows):
+                if kept_rows:
+                    s = m[kept_rows] @ m[i]
+                    if (s > threshold).any():
+                        continue
+                kept[i] = True
+                kept_rows.append(i)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": g["cell"],
+                "kept": pa.array(kept.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")

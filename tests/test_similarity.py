@@ -329,3 +329,82 @@ def test_pca_project_real_table(ray_session):
     out = pca_project(ds, k=4)
     assert out.count() == 500
     assert set(out.schema().names) == {"vec_id", "pc"}
+
+
+def test_semdedup_planted_duplicates(ray_session, tmp_path):
+    """Identical vectors share a cell; only the lowest vec_id survives.
+    Orthogonal vectors all survive. The kept set is block-layout-invariant
+    (greedy order is vec_id, not arrival order)."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.similarity import semdedup_embeddings
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8))
+    # vec 20/21 duplicate vec 0 exactly; vec 22 duplicates vec 5 scaled
+    vecs = np.vstack([base, base[0], base[0], base[5] * 3.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = (
+        semdedup_embeddings(str(tmp_path), n_cells=4, threshold=0.95)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(vecs)  # every vector gets a verdict
+    kept = {int(r.vec_id): int(r.kept) for r in out.itertuples()}
+    assert kept[0] == 1 and kept[20] == 0 and kept[21] == 0
+    assert kept[5] == 1 and kept[22] == 0  # scale-invariant (cosine)
+    # dups share their original's cell
+    cell = {int(r.vec_id): int(r.cell) for r in out.itertuples()}
+    assert cell[20] == cell[0] and cell[22] == cell[5]
+    # run again with a different block layout (tiny row groups): same verdicts
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    pq.write_table(t, str(alt / "embeddings.parquet"), row_group_size=5)
+    out2 = (
+        semdedup_embeddings(str(alt), n_cells=4, threshold=0.95)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out[["vec_id", "kept"]].equals(out2[["vec_id", "kept"]])
+
+
+def test_semdedup_chunked_path_matches_pairwise(ray_session, tmp_path):
+    """The O(n·kept) chunked scan must pick the same kept set as the n²
+    pairwise matrix."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.similarity import semdedup_embeddings
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 6))
+    vecs[30:40] = vecs[0:10]  # planted dup block
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    kw = dict(n_cells=2, threshold=0.98)
+    a = (
+        semdedup_embeddings(str(tmp_path), pairwise_cap=4096, **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semdedup_embeddings(str(tmp_path), pairwise_cap=1, **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["kept"] == 0).sum() >= 10  # the planted dups dropped
