@@ -2232,6 +2232,21 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights vs the src0 target domain — hash-model
+    scoring, rows-only; planted-domain + layout-invariance gates in
+    tests/test_text.py."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import dsir_importance_weights
+
+    return dsir_importance_weights(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+    )
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup semantic near-dup pruning (cluster → within-cell greedy
     cosine drop) — algorithmic keep choice, rows-only; planted-dup and
@@ -2394,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
         "q15_top_supplier": q_q15_top_supplier,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "dsir_weights_documents": q_dsir_weights,
         "gini_user_activity": q_gini_user_activity,
         "mannwhitney_value_purchase_click": q_mannwhitney_value,
         "source_mix_weights": q_source_mix_weights,

@@ -291,6 +291,26 @@ def run_bench(headline_only: bool = False) -> dict:
         "dewma_chars_8",
         "posting_stats_documents",
         "skew_census_events",
+        "q6_forecast_revenue",
+        "q12_priority_by_status",
+        "q4_late_ship_priority",
+        "q8_market_share_ppm",
+        "q15_top_supplier",
+        "chi2_independence_cells",
+        "lexical_diversity_by_source",
+        "adaptive_join_container_revenue",
+        "gini_user_activity",
+        "mannwhitney_value_purchase_click",
+        "source_mix_weights",
+        "semdedup_embeddings",
+        "dsir_weights_documents",
+        "pca_embeddings_top4",
+        "quantize_embeddings_int8",
+        "rag_chunks_512_448",
+        "gopher_repetition_documents",
+        "pack_sequences_ffd",
+        "dedup_normalized_documents",
+        "curation_funnel",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -1604,3 +1604,106 @@ def source_mix_weights(
             }
         )
     )
+
+
+def dsir_importance_weights(
+    ds_documents: "ray.data.Dataset",
+    target_source: str = "src0",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> "ray.data.Dataset":
+    """DSIR-style importance weights (Xie et al. 2023, public paper): score
+    every document by how much more likely its hashed-token bag is under
+    the TARGET corpus' unigram model than under the RAW (non-target)
+    corpus' — the standard recipe for selecting pretraining data that
+    "looks like" a high-quality target domain.
+
+    Two passes, both combiner-first:
+      1. train — each block scatter-adds its token hashes (vectorized
+         CRC-32, bucket = hash % n_buckets) into sparse per-bucket
+         (target_count, raw_count) partials; one groupby reduces them to
+         the ≤ n_buckets model table (exchange ∝ blocks × buckets, never
+         corpus-sized). The smoothed log-ratio vector is built on the
+         driver and broadcast via ``ray.put``.
+      2. score — each block computes Σ_tokens log-ratio per document with
+         one gather + segmented reduce in document token order, so the
+         float sum is identical under any block layout.
+
+    Output: doc_id, n_tokens, weight_unat (importance log-weight in
+    integer micro-nats, round-half-even). Rows-only by nature (hash-model
+    scoring); gated by planted-domain + layout-invariance tests.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dedup import _token_hashes_column
+
+    def train_partial(b: pa.Table) -> pa.Table:
+        hashes, per_row = _token_hashes_column(b["text"])
+        buckets = (hashes % np.uint64(n_buckets)).astype(np.int64)
+        is_t = pc.equal(b["source"], target_source).to_numpy(
+            zero_copy_only=False
+        )
+        doc_of_tok = np.repeat(np.arange(len(per_row)), per_row)
+        tok_is_t = is_t[doc_of_tok]
+        t_cnt = np.bincount(buckets[tok_is_t], minlength=n_buckets)
+        r_cnt = np.bincount(buckets[~tok_is_t], minlength=n_buckets)
+        nz = (t_cnt + r_cnt).nonzero()[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "t_cnt": pa.array(t_cnt[nz], pa.int64()),
+                "r_cnt": pa.array(r_cnt[nz], pa.int64()),
+            }
+        )
+
+    model_t = (
+        ds_documents.map_batches(
+            train_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .aggregate(_Sum("t_cnt", alias_name="t_cnt"),
+                   _Sum("r_cnt", alias_name="r_cnt"))
+    )
+    from ..util import collect_table
+
+    mt = collect_table(model_t)
+    t_vec = np.zeros(n_buckets, np.float64)
+    r_vec = np.zeros(n_buckets, np.float64)
+    if mt.num_rows:
+        idx = mt["bucket"].to_numpy(zero_copy_only=False)
+        t_vec[idx] = mt["t_cnt"].to_numpy(zero_copy_only=False)
+        r_vec[idx] = mt["r_cnt"].to_numpy(zero_copy_only=False)
+    t_tot = t_vec.sum() + alpha * n_buckets
+    r_tot = r_vec.sum() + alpha * n_buckets
+    log_ratio = np.log((t_vec + alpha) / t_tot) - np.log(
+        (r_vec + alpha) / r_tot
+    )
+    lr_ref = ray.put(log_ratio)
+
+    def score(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        lr: np.ndarray = cached_get(lr_ref)
+        hashes, per_row = _token_hashes_column(b["text"])
+        buckets = (hashes % np.uint64(n_buckets)).astype(np.int64)
+        vals = lr[buckets]
+        starts = np.concatenate(([0], np.cumsum(per_row)[:-1])).astype(np.int64)
+        w = np.zeros(len(per_row), np.float64)
+        nonempty = per_row > 0
+        if vals.size:
+            sums = np.add.reduceat(vals, starts[nonempty])
+            w[nonempty] = sums
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_tokens": pa.array(per_row, pa.int64()),
+                "weight_unat": pa.array(
+                    np.rint(w * 1_000_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds_documents.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 from pyreshaper_ray.stages.text import (
@@ -574,3 +575,84 @@ def test_source_mix_weights_degenerate_and_blend(ray_session):
     # λ=0.3: uniform share 150000 each; proportional 700000·3/4 and ·1/4
     assert rows["web"]["weight_ppm"] == 150_000 + 525_000
     assert rows["book"]["weight_ppm"] == 150_000 + 175_000
+
+
+def test_dsir_weights_prefer_target_domain(ray_session):
+    """Docs written in the target domain's vocabulary must outscore docs
+    in the raw-only vocabulary; empty docs score 0."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import dsir_importance_weights
+
+    target_docs = ["quantum flux entangles qubit lattices"] * 6
+    raw_docs = ["market futures rally on cheap crude oil"] * 6
+    probe_target = "qubit lattices entangles flux"
+    probe_raw = "crude oil futures market"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(14), pa.int64()),
+            "source": pa.array(
+                ["tgt"] * 6 + ["raw"] * 6 + ["probe", "probe"]
+            ),
+            "text": pa.array(
+                target_docs + raw_docs + [probe_target, probe_raw]
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r["weight_unat"]
+        for r in dsir_importance_weights(
+            ray.data.from_arrow(t), target_source="tgt"
+        ).take_all()
+    }
+    assert out[12] > 0 > out[13]
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "source": pa.array(["x"]),
+            "text": pa.array([""]),
+        }
+    )
+    row = dsir_importance_weights(
+        ray.data.from_arrow(empty), target_source="x"
+    ).take_all()[0]
+    assert row["n_tokens"] == 0 and row["weight_unat"] == 0
+
+
+def test_dsir_weights_block_layout_invariant(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from pyreshaper_ray.stages.text import dsir_importance_weights
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 12)))
+        for _ in range(40)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "source": pa.array(["src0" if i % 3 == 0 else "srcX"
+                                for i in range(40)]),
+            "text": pa.array(texts),
+        }
+    )
+    a_path, b_path = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    pq.write_table(t, str(a_path))
+    pq.write_table(t, str(b_path), row_group_size=7)
+
+    def run(p):
+        return (
+            dsir_importance_weights(
+                ray.data.read_parquet(str(p)), target_source="src0"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    assert run(a_path).equals(run(b_path))
