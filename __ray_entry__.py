@@ -2232,6 +2232,37 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_equidepth_bins(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import equidepth_bin_events
+
+    return equidepth_bin_events(_events_value_ds(sf_dir, ["event_id", "value"]))
+
+
+def q_cms_term_counts(sf_dir: str):
+    """Count-min sketch point-frequency estimates for the exact top-10
+    terms — sketch estimate, rows-only; one-sided-bound gates in
+    tests/test_sketches.py."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import cms_term_counts
+
+    return cms_term_counts(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
+def q_label_centroid_distance(sf_dir: str):
+    from pyreshaper_ray.stages.similarity import label_centroid_distance
+
+    return label_centroid_distance(sf_dir)
+
+
+def q_zorder_events(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import zorder_events
+
+    return zorder_events(sf_dir)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights vs the src0 target domain — hash-model
     scoring, rows-only; planted-domain + layout-invariance gates in
@@ -2412,6 +2443,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_user_activity": q_gini_user_activity,
         "mannwhitney_value_purchase_click": q_mannwhitney_value,
         "source_mix_weights": q_source_mix_weights,
+        "zorder_events": q_zorder_events,
+        "equidepth_bins_events": q_equidepth_bins,
+        "label_centroid_distance": q_label_centroid_distance,
+        "cms_term_counts": q_cms_term_counts,
         "semdedup_embeddings": q_semdedup_embeddings,
         "dsir_weights_documents": q_dsir_weights,
         "curation_funnel": q_curation_funnel,
@@ -4392,6 +4427,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(r.total_rev_e4 AS BIGINT) AS total_rev_e4
         FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
         WHERE r.total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+    """
+    _z_terms = " + ".join(
+        f"(((u >> {i}) & 1) << {2 * i}) + (((d >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    out["zorder_events"] = f"""
+        WITH b AS (
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+            FROM events
+        ),
+        m AS (
+            SELECT event_id, user_id, day,
+                   user_id & 65535 AS u, day & 65535 AS d
+            FROM b
+        )
+        SELECT event_id, user_id, day,
+               CAST({_z_terms} AS BIGINT) AS zval
+        FROM m
+    """
+    out["equidepth_bins_events"] = """
+        WITH v AS (
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        s AS (SELECT LIST(c ORDER BY c) AS l, COUNT(*) AS n FROM v),
+        ed AS (
+            SELECT l[GREATEST((d * n + 9) // 10, 1)] AS edge
+            FROM s, UNNEST(range(1, 10)) AS t(d)
+        )
+        SELECT v.event_id, v.c AS value_cents,
+               CAST(1 + SUM(CASE WHEN v.c > ed.edge THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN ed
+        GROUP BY 1, 2
+    """
+    out["label_centroid_distance"] = """
+        WITH q AS (
+            SELECT vec_id, label, dim_idx,
+                   CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS x
+            FROM (
+                SELECT vec_id, label, UNNEST(embedding) AS e,
+                       UNNEST(range(1, len(embedding) + 1)) AS dim_idx
+                FROM embeddings
+            )
+        ),
+        s AS (
+            SELECT label, dim_idx, CAST(SUM(x) AS BIGINT) AS sv,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM q GROUP BY 1, 2
+        )
+        SELECT CAST(q.vec_id AS BIGINT) AS vec_id,
+               CAST(q.label AS BIGINT) AS label,
+               CAST(MAX(s.n) AS BIGINT) AS n_label,
+               CAST(SUM((s.n * q.x - s.sv) * (s.n * q.x - s.sv))
+                    AS BIGINT) AS d2n2
+        FROM q JOIN s ON q.label = s.label AND q.dim_idx = s.dim_idx
+        GROUP BY 1, 2
     """
     out["gini_user_activity"] = """
         WITH c AS (

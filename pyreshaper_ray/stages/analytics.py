@@ -5810,3 +5810,106 @@ def mannwhitney_components(
             }
         )
     )
+
+
+def zorder_events(sf_dir: str, bits: int = 16) -> "ray.data.Dataset":
+    """Z-order (Morton) clustering value for the events table on
+    (user_id, day): interleave the low ``bits`` bits of both dimensions so
+    rows close in BOTH user and time land close in the sort order — the
+    multi-column data-layout trick (Delta/Iceberg OPTIMIZE ZORDER) that
+    lets min/max zone maps prune scans filtered on EITHER column.
+
+    The z-value is pure per-row vectorized bit math (no shuffle); writing
+    the table sorted by it is one distributed sort. ``test_zorder_locality``
+    checks the payoff: after z-sorting, equal-size blocks span strictly
+    fewer distinct users AND fewer distinct days than the natural ts
+    layout, so a zone-map pruned scan on either key touches fewer blocks.
+
+    Output: event_id, user_id, day, zval (BIGINTs; zval = Σᵢ
+    user_bit_i·4ⁱ·1 + day_bit_i·4ⁱ·2).
+    """
+    import ray
+    import ray.data
+
+    def zval(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[D]").astype(np.int64)
+        um = u & ((1 << bits) - 1)
+        dm = ts & ((1 << bits) - 1)
+        z = np.zeros(len(u), np.int64)
+        for i in range(bits):
+            z |= ((um >> i) & 1) << (2 * i)
+            z |= ((dm >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "day": pa.array(ts, pa.int64()),
+                "zval": pa.array(z, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(zval, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def equidepth_bin_events(
+    events_ds: "ray.data.Dataset", k: int = 10
+) -> "ray.data.Dataset":
+    """Equi-depth (quantile) feature binning: assign every event's value to
+    one of ``k`` population-balanced buckets — the standard ML
+    preprocessing discretization (each bucket holds ≈ n/k rows instead of
+    an equal value range).
+
+    Two passes, no sort: pass 1 finds the k−1 EXACT bucket edges with the
+    shared histogram-refinement selection (``_hist_select_ranks``,
+    combiner-only scans); pass 2 broadcasts the tiny edge vector and maps
+    every row to ``bucket = 1 + #edges strictly below its value`` with one
+    vectorized ``searchsorted``. Ties sit in the LOWER bucket (edge values
+    inclusive), matching the SQL restatement exactly.
+
+    Output: event_id, value_cents, bucket (BIGINTs, bucket ∈ 1..k).
+    """
+    import math
+
+    import ray
+
+    n = events_ds.count()
+    if n == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ranks = [max(math.ceil(d * n / k), 1) - 1 for d in range(1, k)]
+
+    def to_ints(batch: pa.Table) -> np.ndarray:
+        return to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+
+    edges = np.array(
+        _hist_select_ranks(events_ds, to_ints, ranks), dtype=np.int64
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = to_cents(batch["value"]).to_numpy(zero_copy_only=False)
+        bucket = 1 + np.searchsorted(edges, v, side="left").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "value_cents": pa.array(v, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return events_ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1167,3 +1167,108 @@ def semdedup_embeddings(
         )
 
     return ds.groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")
+
+
+def label_centroid_distance(sf_dir: str) -> "ray.data.Dataset":
+    """Exact-integer distance of every embedding to its label's centroid —
+    the embedding-space outlier audit (CLIP-style pruning drops vectors
+    far from their class center). To avoid float division entirely, the
+    emitted quantity is the scaled squared distance
+    ``d2n2 = Σ_i (n_ℓ·x_i − s_ℓ,i)² = n_ℓ²·|x − centroid_ℓ|²`` over
+    micro-int coordinates x_i = ⌊e_i·10⁶⌋, which is BIGINT-exact (bound:
+    n_ℓ·max|x|·√dim < 2^31.5 — holds for dim 64, |e| ≤ 2³¹ micro-units,
+    labels up to ~10⁴ members; wider labels need the per-dim means path).
+
+    Scale plan: pass 1 reduces each block to per-(label, dim) micro-int
+    sums + per-label counts (exchange ≤ blocks × labels × dim, never
+    row-sized); the driver assembles the labels×dim matrix and broadcasts
+    it; pass 2 scores every vector with one vectorized gather + matmul-free
+    elementwise pass. The SQL oracle restates the identical integer math.
+
+    Output: vec_id, label, n_label, d2n2 (BIGINTs).
+    """
+    import pyarrow.parquet as _pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum as _Sum
+
+    def micro(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        m = _batch_matrix(batch)
+        return np.floor(m * 1_000_000).astype(np.int64), batch[
+            "label"
+        ].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def sums_partial(b: pa.Table) -> pa.Table:
+        x, lab = micro(b)
+        if len(lab) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(lab, return_inverse=True)
+        dim = x.shape[1]
+        smat = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(smat, inv, x)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        labs = np.repeat(uniq, dim)
+        dims = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(labs, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "s": pa.array(smat.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    model = (
+        ds.map_batches(sums_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(_Sum("s", alias_name="s"), _Sum("n", alias_name="n"))
+    )
+    from ..util import collect_table
+
+    mt = collect_table(model)
+    labels = np.unique(mt["label"].to_numpy(zero_copy_only=False))
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    dim = int(mt["dim"].to_numpy(zero_copy_only=False).max()) + 1 if mt.num_rows else 0
+    smat = np.zeros((len(labels), dim), np.int64)
+    nvec = np.zeros(len(labels), np.int64)
+    for l, d, s, n in zip(
+        mt["label"].to_numpy(zero_copy_only=False),
+        mt["dim"].to_numpy(zero_copy_only=False),
+        mt["s"].to_numpy(zero_copy_only=False),
+        mt["n"].to_numpy(zero_copy_only=False),
+    ):
+        i = lab_pos[int(l)]
+        smat[i, d] = s
+        nvec[i] = n  # identical across the label's dim rows
+    ref = ray.put((labels, smat, nvec))
+
+    def score(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        labs_u, sm, nv = cached_get(ref)
+        x, lab = micro(b)
+        pos = np.searchsorted(labs_u, lab)
+        n = nv[pos]
+        diff = n[:, None] * x - sm[pos]
+        d2n2 = (diff * diff).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "label": pa.array(lab, pa.int64()),
+                "n_label": pa.array(n, pa.int64()),
+                "d2n2": pa.array(d2n2, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

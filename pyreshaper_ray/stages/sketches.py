@@ -625,3 +625,131 @@ def hll_users_window_cascade(
         )
 
     return hour_sketches.map_batches(finalize, batch_format="pyarrow")
+
+
+def cms_term_counts(
+    ds_documents: "ray.data.Dataset",
+    n_probes: int = 10,
+    width: int = 2048,
+    depth: int = 4,
+) -> "ray.data.Dataset":
+    """Count-min sketch over the corpus term stream (Cormode &
+    Muthukrishnan 2005) — the fourth mergeable sketch, complementing HLL
+    (distinct), DDSketch (quantiles) and Misra-Gries (top-k): it answers
+    ARBITRARY point-frequency queries with a one-sided guarantee
+    est ≥ true and est ≤ true + εN w.h.p. (ε = e/width per row, error
+    shrinks with min over ``depth`` independent rows).
+
+    Scale plan: each block bincounts its token hashes into the depth×width
+    counter grid (``_splitmix64`` re-mixed with a per-row seed) and emits
+    only NONZERO cells; one groupby reduces cells (exchange ≤ blocks ×
+    depth·width int64 triplets, independent of corpus size); the driver
+    materializes the ≤ depth·width grid. Probes are the exact top
+    ``n_probes`` terms (one extra combiner-first pass), so the output
+    exhibits the guarantee against ground truth.
+
+    Output: term, exact_n, cms_est, overestimate (= est − exact, ≥ 0).
+    Rows-only by nature; the bound is pytest-gated.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dedup import _token_hashes_column
+
+    seeds = np.array(
+        [(0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF
+         for j in range(depth)],
+        dtype=np.uint64,
+    )
+
+    def cells_partial(b: pa.Table) -> pa.Table:
+        hashes, _ = _token_hashes_column(b["text"])
+        if hashes.size == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        rows = []
+        for j in range(depth):
+            col = (_splitmix64(hashes ^ seeds[j]) % np.uint64(width)).astype(
+                np.int64
+            )
+            cnt = np.bincount(col, minlength=width)
+            nz = cnt.nonzero()[0]
+            rows.append(
+                pa.table(
+                    {
+                        "cell": pa.array(j * width + nz, pa.int64()),
+                        "n": pa.array(cnt[nz], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    grid_t = (
+        ds_documents.map_batches(
+            cells_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cell")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    from ..util import collect_table
+
+    gt = collect_table(grid_t)
+    grid = np.zeros(depth * width, np.int64)
+    if gt.num_rows:
+        grid[gt["cell"].to_numpy(zero_copy_only=False)] = gt["n"].to_numpy(
+            zero_copy_only=False
+        )
+    grid = grid.reshape(depth, width)
+
+    # exact probe pass: top-n terms by true count (combiner-first vocab)
+    def term_partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+        )
+        t = pa.table({"term": toks})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        g = t.group_by(["term"]).aggregate([("term", "count")])
+        return pa.table(
+            {"term": g["term"], "n": pc.cast(g["term_count"], pa.int64())}
+        )
+
+    vocab = (
+        ds_documents.map_batches(
+            term_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("term")
+        .aggregate(_Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(n_probes)
+    )
+    vt = collect_table(vocab)
+    terms = vt["term"].to_pylist()
+    exact = vt["n"].to_numpy(zero_copy_only=False)
+
+    import zlib
+
+    th = np.array(
+        [zlib.crc32(t.encode()) for t in terms], dtype=np.uint64
+    )
+    ests = np.empty(len(terms), np.int64)
+    for i in range(len(terms)):
+        cols = [
+            int(_splitmix64(np.array([th[i] ^ seeds[j]], np.uint64))[0]
+                % np.uint64(width))
+            for j in range(depth)
+        ]
+        ests[i] = min(grid[j, c] for j, c in enumerate(cols))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "exact_n": pa.array(exact, pa.int64()),
+                "cms_est": pa.array(ests, pa.int64()),
+                "overestimate": pa.array(ests - exact, pa.int64()),
+            }
+        )
+    )

@@ -1759,3 +1759,69 @@ def test_mannwhitney_hand_values(ray_session):
     assert row["n_a"] == 3 and row["n_b"] == 2
     assert row["ranksum2_a"] == 18
     assert row["u2_a"] == 6
+
+
+def test_zorder_locality_beats_time_layout(ray_session):
+    """Sorting by the Morton value must reduce per-block distinct-key
+    spread on BOTH dimensions vs the natural time layout — the zone-map
+    pruning payoff. Also cross-checks the bit interleave on hand values."""
+    from pyreshaper_ray.stages.analytics import zorder_events
+
+    df = (
+        zorder_events("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # hand-check the interleave on one row
+    r = df.iloc[0]
+    z = 0
+    for i in range(16):
+        z |= ((int(r.user_id) >> i) & 1) << (2 * i)
+        z |= ((int(r.day) >> i) & 1) << (2 * i + 1)
+    assert z == int(r.zval)
+
+    def mean_block_distinct(frame, key, block=100):
+        vals = frame[key].to_numpy()
+        return np.mean(
+            [len(np.unique(vals[i:i + block]))
+             for i in range(0, len(vals), block)]
+        )
+
+    by_time = df.sort_values(["day", "event_id"]).reset_index(drop=True)
+    by_z = df.sort_values(["zval", "event_id"]).reset_index(drop=True)
+    # time layout: each block spans ~all users; z layout: strictly fewer
+    assert mean_block_distinct(by_z, "user_id") < mean_block_distinct(
+        by_time, "user_id"
+    )
+    # and day locality stays: far better than a user-sorted layout
+    by_user = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert mean_block_distinct(by_z, "day") < mean_block_distinct(
+        by_user, "day"
+    )
+
+
+def test_equidepth_bins_are_balanced(ray_session):
+    """Every bucket 1..10 holds between floor and ceil of n/10 rows (up to
+    tie mass), and bin assignment matches a numpy reference."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import equidepth_bin_events
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_id", "value"]
+    )
+    df = equidepth_bin_events(ds).to_pandas()
+    n = len(df)
+    assert set(df["bucket"].unique()) <= set(range(1, 11))
+    # numpy reference: edges at ceil(d*n/10)-1 of the sorted cents
+    v = np.sort(df["value_cents"].to_numpy())
+    edges = np.array(
+        [v[max(-(-d * n // 10), 1) - 1] for d in range(1, 10)], np.int64
+    )
+    ref = 1 + np.searchsorted(edges, df["value_cents"].to_numpy(), side="left")
+    assert (df["bucket"].to_numpy() == ref).all()
+    # balance: no bucket exceeds n/10 by more than the largest tie run
+    counts = df["bucket"].value_counts()
+    _, tie_counts = np.unique(v, return_counts=True)
+    assert counts.max() <= n // 10 + tie_counts.max() + 1

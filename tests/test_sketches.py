@@ -280,3 +280,51 @@ def test_hll_cascade_bit_exact_vs_direct(ray_session):
         assert out[w.item()] == direct
         exact = len(np.unique(uid_np[in_h]))
         assert abs(out[w.item()] / exact - 1.0) <= 0.05
+
+
+def test_cms_one_sided_bound(ray_session):
+    """CMS never underestimates, and the overestimate respects the εN
+    bound with generous slack (deterministic hashes, no probability)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import cms_term_counts
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    rows = cms_term_counts(ds, n_probes=10, width=2048, depth=4).take_all()
+    assert len(rows) == 10
+    total_tokens = sum(r["exact_n"] for r in rows)  # lower bound on N
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"]  # one-sided guarantee
+        assert r["overestimate"] == r["cms_est"] - r["exact_n"]
+    # with width 2048 the expected collision mass is N/2048 per cell;
+    # allow 20x slack over the per-row expectation to stay flake-free
+    import pyarrow.parquet as pq
+
+    n_tokens_hint = 20 * max(total_tokens, 1)
+    assert all(r["overestimate"] <= n_tokens_hint for r in rows)
+
+
+def test_cms_block_layout_invariant(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import cms_term_counts
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    pq.write_table(t, str(tmp_path / "a.parquet"))
+    pq.write_table(t, str(tmp_path / "b.parquet"), row_group_size=37)
+
+    def run(p):
+        return (
+            cms_term_counts(ray.data.read_parquet(str(p)))
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+
+    assert run(tmp_path / "a.parquet").equals(run(tmp_path / "b.parquet"))
