@@ -1587,9 +1587,14 @@ def source_mix_weights(
     )
     from ..util import collect_table
 
-    t = collect_table(counts)
+    t = collect_table(
+        counts,
+        fallback_schema=pa.schema(
+            [("source", pa.string()), ("n", pa.int64())]
+        ),
+    )
     k = t.num_rows
-    total = int(pc.sum(t["n"]).as_py() or 0)
+    total = int(pc.sum(t["n"]).as_py() or 0) if k else 0
     n = t["n"].to_numpy(zero_copy_only=False)
     if k and total:
         w = lam_ppm // k + ((1_000_000 - lam_ppm) * n) // total

@@ -856,3 +856,45 @@ def test_empty_inputs_no_crash_batch3(ray_session):
     assert paa_segments(empty_events).count() == 0
     assert context_assembly(empty_turns).count() == 0
     assert pack_sequences(empty_docs).count() == 0
+
+
+def test_empty_inputs_no_crash_batch4(ray_session):
+    """Session-new ops on EMPTY inputs: no crashes, sane degenerate rows."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import (
+        equidepth_bin_events,
+        gini_user_activity,
+        mannwhitney_components,
+    )
+    from pyreshaper_ray.stages.text import (
+        dsir_importance_weights,
+        source_mix_weights,
+    )
+
+    empty_events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    )
+    empty_docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert equidepth_bin_events(empty_events).count() == 0
+    row = gini_user_activity(empty_events).take_all()[0]
+    assert row["n_users"] == 0 and row["gini_ppm"] == 0
+    row = mannwhitney_components(empty_events).take_all()[0]
+    assert row["n_a"] == 0 and row["n_b"] == 0 and row["u2_a"] == 0
+    assert source_mix_weights(empty_docs).count() == 0
+    assert dsir_importance_weights(empty_docs).count() == 0
