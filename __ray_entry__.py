@@ -2232,6 +2232,22 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_event_type_venn(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import event_type_venn
+
+    return event_type_venn(
+        _events_value_ds(sf_dir, ["user_id", "ts", "event_type"])
+    )
+
+
+def q_median2_value_per_type(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import median2_value_per_type
+
+    return median2_value_per_type(
+        _events_value_ds(sf_dir, ["event_type", "value"])
+    )
+
+
 def q_equidepth_bins(sf_dir: str):
     from pyreshaper_ray.stages.analytics import equidepth_bin_events
 
@@ -2445,6 +2461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_weights": q_source_mix_weights,
         "zorder_events": q_zorder_events,
         "equidepth_bins_events": q_equidepth_bins,
+        "event_type_venn": q_event_type_venn,
+        "median2_value_per_type": q_median2_value_per_type,
         "label_centroid_distance": q_label_centroid_distance,
         "cms_term_counts": q_cms_term_counts,
         "semdedup_embeddings": q_semdedup_embeddings,
@@ -4447,6 +4465,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, day,
                CAST({_z_terms} AS BIGINT) AS zval
         FROM m
+    """
+    out["event_type_venn"] = """
+        WITH m AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   CAST(SUM(DISTINCT CASE event_type
+                       WHEN 'view' THEN 1
+                       WHEN 'click' THEN 2
+                       WHEN 'purchase' THEN 4 END) AS BIGINT) AS mask
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY 1, 2
+        )
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM m GROUP BY 1
+    """
+    out["median2_value_per_type"] = """
+        WITH v AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, LIST(c ORDER BY c) AS l,
+                   COUNT(*) AS n
+            FROM v GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(l[(n + 1) // 2] + l[n // 2 + 1] AS BIGINT)
+                   AS median2_cents
+        FROM s
     """
     out["equidepth_bins_events"] = """
         WITH v AS (

@@ -86,6 +86,29 @@ def build_input(spec: JobSpec) -> "ray.data.Dataset":
     return ray.data.read_parquet(paths, columns=TRANSCRIPT_COLUMNS)
 
 
+def _auto_buckets(spec: JobSpec, target_bucket_bytes: int = 64 << 20) -> int:
+    """Resolve ``n_buckets=0`` (auto) from INPUT SIZE, not a constant: one
+    bucket per ~64 MB of input (a bucket's working set must fit a worker
+    heap), floored at 2 blocks per CPU so every core has work, capped at
+    4096 so the per-bucket fixed cost (file create, manifest row) stays
+    amortized. Uses the already-resolved input signature (file sizes from
+    stat, no data read) — the same auto-sizing a 100-TB run needs, where a
+    hand-picked constant is wrong at both ends.
+    """
+    sizes = [e[1] for e in _input_signature(spec.input) if len(e) > 1]
+    total = sum(sizes)
+    by_size = -(-total // target_bucket_bytes) if total else 1
+    cpus = 8.0
+    try:
+        import ray as _ray
+
+        if _ray.is_initialized():
+            cpus = _ray.cluster_resources().get("CPU", 8.0)
+    except Exception:
+        pass
+    return int(min(4096, max(16, int(cpus) * 2, by_size)))
+
+
 def _spill_fingerprint(spec: JobSpec, signature: tuple | None = None) -> str:
     """Identity of a spill: input paths + resolved file (size, mtime) list +
     every field that changes bucketing or the spilled row set."""
@@ -266,6 +289,8 @@ def _execute_exchange(
 def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Table:
     """Run the flagship conversion. Returns the per-bucket metrics table."""
     spec.validate()
+    if spec.n_buckets == 0:  # auto: size from input bytes + cluster CPUs
+        spec.n_buckets = _auto_buckets(spec)
     os.makedirs(spec.out_dir, exist_ok=True)
     if spec.wmode == "o":
         mf.clear(spec.out_dir)

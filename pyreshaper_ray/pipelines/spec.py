@@ -38,7 +38,7 @@ VALID_WMODES = ("s", "o", "a")  # skip-if-done / overwrite / append
 class JobSpec:
     input: str | list[str]
     out_dir: str
-    n_buckets: int = 64
+    n_buckets: int = 64  # 0 = auto-size from input bytes + cluster CPUs
     tiers: tuple[str, ...] = ("1m", "1h", "1d")  # "1w" is opt-in
     include_turns: bool = True  # False = rollups/series only: text never
     # enters the exchange (the 'project text away from metric paths early'
@@ -68,8 +68,8 @@ class JobSpec:
             raise TypeError("input must be a path string or list of paths")
         if not isinstance(self.out_dir, str) or not self.out_dir:
             raise ValueError("out_dir must be a non-empty path")
-        if not isinstance(self.n_buckets, int) or self.n_buckets < 1:
-            raise ValueError("n_buckets must be a positive int")
+        if not isinstance(self.n_buckets, int) or self.n_buckets < 0:
+            raise ValueError("n_buckets must be a positive int (0 = auto)")
         bad = [t for t in self.tiers if t not in VALID_TIERS]
         if bad:
             raise ValueError(f"unknown tiers {bad}; valid: {VALID_TIERS}")

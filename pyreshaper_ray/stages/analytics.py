@@ -5913,3 +5913,162 @@ def equidepth_bin_events(
     return events_ds.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def event_type_venn(
+    events_ds: "ray.data.Dataset",
+    types: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> "ray.data.Dataset":
+    """Three-set Venn census over USER-DAYS: for each of the 7 non-empty
+    membership combinations of ``types`` (bit 0 = first type, …), how many
+    (user, day) cells hold exactly that combination — the daily
+    audience-overlap audit that generalizes the 2-set INTERSECT/EXCEPT
+    ops (per-lifetime masks are degenerate on an active corpus: every
+    user eventually touches everything).
+
+    Scale plan: each block reduces to its DISTINCT (user, day, bit)
+    triples (vectorized ``index_in`` + shift, Arrow group_by); one groupby
+    deduplicates triples globally (exchange ≤ 3 rows per user-day); a
+    per-cell sum of distinct bits IS the OR mask; the final census is ≤ 7
+    rows.
+
+    Output: mask (BIGINT 1..7), n_cells (BIGINT).
+    """
+    import ray
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    tarr = pa.array(list(types))
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=tarr)
+        t = b.filter(m)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "bit": pa.array([], pa.int64()),
+                }
+            )
+        pos = pc.index_in(t["event_type"], value_set=tarr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        day = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[D]").astype(np.int64)
+        pairs = pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "bit": pa.array(np.int64(1) << pos, pa.int64()),
+            }
+        )
+        g = pairs.group_by(["user_id", "day", "bit"]).aggregate(
+            [("bit", "count")]
+        )
+        return g.select(["user_id", "day", "bit"])
+
+    pairs = (
+        events_ds.map_batches(
+            pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["user_id", "day", "bit"])
+        .aggregate(_Count(alias_name="_c"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.select(["user_id", "day", "bit"]).group_by(
+            ["user_id", "day"]
+        ).aggregate([("bit", "sum")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "day": g["day"],
+                "mask": pc.cast(g["bit_sum"], pa.int64()),
+            }
+        )
+
+    masks = (
+        pairs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(_Sum("mask", alias_name="mask"))
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        g = b.select(["mask"]).group_by(["mask"]).aggregate([("mask", "count")])
+        return pa.table(
+            {
+                "mask": g["mask"],
+                "n_cells": pc.cast(g["mask_count"], pa.int64()),
+            }
+        )
+
+    return (
+        masks.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("mask")
+        .aggregate(_Sum("n_cells", alias_name="n_cells"))
+    )
+
+
+def median2_value_per_type(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Interpolated (PERCENTILE_CONT-style) median of ``value`` per event
+    type, kept integer-exact by emitting DOUBLED units: median2 = the sum
+    of the two middle cents values for even group sizes, or 2× the middle
+    value for odd — ⟨median⟩ = median2 / 2 without any float division.
+    Complements ``median_value_per_type`` (the lower/discrete median).
+
+    Scale plan: per-(type, cents) combiner counts (exchange is
+    value-domain-sized), then per-type the two order statistics come from
+    one cumulative pass over the type's sorted distinct values inside
+    ``map_groups`` — group payload is that type's distinct cents, never
+    its rows.
+
+    Output: event_type, n, median2_cents (BIGINTs).
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "c": to_cents(b["value"]),
+            }
+        )
+        g = t.group_by(["event_type", "c"]).aggregate([("c", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "c": g["c"],
+                "n": pc.cast(g["c_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "c"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("c", "ascending")])
+        g = group.take(order)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        cum = np.cumsum(n)
+        # 1-based ranks of the two middles: (total+1)//2 and total//2 + 1
+        lo_r, hi_r = (total + 1) // 2, total // 2 + 1
+        lo_v = int(c[np.searchsorted(cum, lo_r)])
+        hi_v = int(c[np.searchsorted(cum, hi_r)])
+        return pa.table(
+            {
+                "event_type": g["event_type"][:1],
+                "n": pa.array([total], pa.int64()),
+                "median2_cents": pa.array([lo_v + hi_v], pa.int64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        resolve, batch_format="pyarrow"
+    )

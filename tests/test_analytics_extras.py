@@ -1825,3 +1825,48 @@ def test_equidepth_bins_are_balanced(ray_session):
     counts = df["bucket"].value_counts()
     _, tie_counts = np.unique(v, return_counts=True)
     assert counts.max() <= n // 10 + tie_counts.max() + 1
+
+
+def test_event_type_venn_hand_case(ray_session):
+    """OR-mask semantics per (user, day): repeats never double-count, the
+    same user on two days contributes two cells."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import event_type_venn
+
+    d0 = np.datetime64("2024-01-01T10:00", "us").item()
+    d1 = np.datetime64("2024-01-02T10:00", "us").item()
+    ev = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([d0, d0, d0, d1, d0, d0, d0], pa.timestamp("us")),
+            "event_type": pa.array(
+                ["view", "view", "click", "purchase",
+                 "purchase", "purchase", "view"]
+            ),
+        }
+    )
+    rows = {r["mask"]: r["n_cells"]
+            for r in event_type_venn(ray.data.from_arrow(ev)).take_all()}
+    # user1@d0: view+click=3; user1@d1: purchase=4; user2@d0: 4; user3@d0: 1
+    assert rows == {3: 1, 4: 2, 1: 1}
+
+
+def test_median2_interpolated_semantics(ray_session):
+    """Even group: sum of the two middles; odd group: twice the middle."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import median2_value_per_type
+
+    ev = pa.table(
+        {
+            "event_type": pa.array(["a"] * 4 + ["b"] * 3),
+            "value": pa.array([0.10, 0.20, 0.30, 0.40, 0.05, 0.07, 0.09]),
+        }
+    )
+    rows = {r["event_type"]: r
+            for r in median2_value_per_type(
+                ray.data.from_arrow(ev)).take_all()}
+    assert rows["a"]["median2_cents"] == 20 + 30  # (0.20+0.30)/2 doubled
+    assert rows["b"]["median2_cents"] == 2 * 7
+    assert rows["a"]["n"] == 4 and rows["b"]["n"] == 3

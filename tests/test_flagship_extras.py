@@ -175,3 +175,58 @@ def test_tier_files_carry_global_attrs(ray_session, fixture_dir, tmp_path):
         assert "pyreshaper_ray.tier" in attrs and "pyreshaper_ray.bucket" in attrs
         seen_tiers.add(attrs["pyreshaper_ray.tier"])
     assert {"rollup_1m", "rollup_1h"} <= seen_tiers or len(seen_tiers) >= 2
+
+
+def test_auto_buckets_resolution(ray_session, tmp_path):
+    """n_buckets=0 resolves from input size: small fixture -> the CPU
+    floor; the resolved value lands in the manifest run meta and the run
+    is bit-equal to an explicit n_buckets run."""
+    from pyreshaper_ray.fixtures import write_fixture
+    from pyreshaper_ray.pipelines.flagship import (
+        _auto_buckets,
+        read_tier,
+        run_flagship,
+    )
+    from pyreshaper_ray.pipelines.spec import create_spec
+
+    paths = write_fixture(str(tmp_path / "fx"), n_conv=40, n_files=4)
+    fx_in = str(tmp_path / "fx" / "transcripts")
+
+    spec = create_spec(input=fx_in, out_dir=str(tmp_path / "auto"),
+                       n_buckets=0, encode=False, gapfill=False)
+    n = _auto_buckets(spec)
+    assert 16 <= n <= 4096  # tiny input -> CPU-floor regime
+    run_flagship(spec)
+    assert spec.n_buckets == n  # resolved in place
+
+    spec2 = create_spec(input=fx_in, out_dir=str(tmp_path / "explicit"),
+                        n_buckets=n, encode=False, gapfill=False)
+    run_flagship(spec2)
+    def tier_table(out):
+        import ray
+
+        t = pa.concat_tables(
+            [
+                r
+                for r in (
+                    ray.get(x)
+                    for x in read_tier(out, "1m").materialize().to_arrow_refs()
+                )
+                if r.num_columns
+            ]
+        )
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        return t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("conv_id", "ascending"),
+                    ("window_start", "ascending"),
+                ],
+            )
+        )
+
+    assert tier_table(str(tmp_path / "auto")).equals(
+        tier_table(str(tmp_path / "explicit"))
+    )
