@@ -2254,6 +2254,21 @@ def q_equidepth_bins(sf_dir: str):
     return equidepth_bin_events(_events_value_ds(sf_dir, ["event_id", "value"]))
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Efraimidis-Spirakis weighted sample (k=10, weight = char length) —
+    algorithmic seeded draw, rows-only; reference-equality and determinism
+    gates in tests/test_sketches.py."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import weighted_sample_docs
+
+    return weighted_sample_docs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
 def q_cms_term_counts(sf_dir: str):
     """Count-min sketch point-frequency estimates for the exact top-10
     terms — sketch estimate, rows-only; one-sided-bound gates in
@@ -2465,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median2_value_per_type": q_median2_value_per_type,
         "label_centroid_distance": q_label_centroid_distance,
         "cms_term_counts": q_cms_term_counts,
+        "weighted_sample_documents": q_weighted_sample_docs,
         "semdedup_embeddings": q_semdedup_embeddings,
         "dsir_weights_documents": q_dsir_weights,
         "curation_funnel": q_curation_funnel,

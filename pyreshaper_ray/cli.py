@@ -187,6 +187,62 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Describe the physical plan for a spec WITHOUT running it — the
+    diagnostics/verbosity analog (PyReshaper's -v inspection), built from
+    parquet footer statistics only (no data pages read, no Ray session):
+    input size/rows, the resolved bucket count (including n_buckets=0
+    auto-sizing), exchange strategy, what crosses it (text projected away
+    under metrics-only), and the per-bucket working-set estimate the
+    auto-sizer targets. Prints one JSON object.
+    """
+    from .pipelines.flagship import _auto_buckets, _input_signature
+    from .pipelines.spec import JobSpec
+    from .stages.joins import parquet_footer_stats
+
+    spec = JobSpec.read(args.specfile)
+    sig = _input_signature(spec.input)
+    files = [e[0] for e in sig if len(e) > 1]
+    total_bytes = sum(e[1] for e in sig if len(e) > 1)
+    rows = 0
+    for f in files:
+        try:
+            rows += parquet_footer_stats(f)["rows"]
+        except Exception:
+            rows = -1
+            break
+    n_buckets = spec.n_buckets if spec.n_buckets else _auto_buckets(spec)
+    plan = {
+        "input_files": len(files),
+        "input_bytes": total_bytes,
+        "input_rows": rows,
+        "n_buckets": n_buckets,
+        "n_buckets_mode": "auto" if spec.n_buckets == 0 else "explicit",
+        "exchange": spec.exchange,
+        "exchange_payload": (
+            "turns+text" if spec.include_turns else "metrics only (text pruned)"
+        ),
+        "est_bucket_bytes": total_bytes // max(n_buckets, 1),
+        "tiers": list(spec.tiers),
+        "gapfill": spec.gapfill,
+        "encode": spec.encode,
+        "salt_threshold": spec.salt_threshold,
+        "segment_threshold": spec.segment_threshold,
+        "stages": [
+            "read_parquet(columns pruned)",
+            "normalize (map_batches, arrow)",
+            f"{spec.exchange} exchange on hash(conv_id) % {n_buckets}",
+            "bucket kernel: pivot sort + dedup"
+            + (" + gapfill" if spec.gapfill else "")
+            + (" + DoD/Gorilla encode" if spec.encode else ""),
+            "tier cascade " + "→".join(spec.tiers),
+            "partitioned parquet + manifest",
+        ],
+    }
+    print(json.dumps(plan))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyreshaper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -242,6 +298,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--dest", required=True, help="destination directory")
     ex.add_argument("--num-cpus", type=int, default=8)
     ex.set_defaults(fn=cmd_export)
+
+    xp = sub.add_parser("explain", help="describe the physical plan (no run)")
+    xp.add_argument("specfile")
+    xp.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

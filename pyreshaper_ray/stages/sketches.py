@@ -753,3 +753,76 @@ def cms_term_counts(
             }
         )
     )
+
+
+def weighted_sample_docs(
+    ds_documents: "ray.data.Dataset", k: int = 10, seed: int = 42
+) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res,
+    2006): each document draws key = u^(1/w) from a deterministic uniform
+    u = splitmix64(doc_id ⊕ seed)/2⁶⁴ with weight w = max(char_len, 1); the
+    k largest keys ARE an exact weighted sample — longer (weight ∝ size)
+    documents are proportionally likelier, and the whole draw is
+    reproducible from the seed (the property a distributed corpus sampler
+    needs: no coordination, no RNG state).
+
+    Scale plan: keys are pure per-row math; each block keeps only its
+    local top-k (combiner), the driver merges ≤ k·blocks candidate rows.
+    log-domain keys (ln u / w) avoid underflow for huge weights.
+
+    Output: doc_id, weight, key_micro (BIGINT, ⌊10⁶·ln(u)/w⌋ — larger is
+    better) for the k winners.
+    """
+    import ray
+
+    from .dedup import _splitmix64
+
+    def candidates(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.int64()),
+                    "key_micro": pa.array([], pa.int64()),
+                }
+            )
+        w = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        w = np.maximum(w, 1)
+        h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        # u in (0,1): (h + 1) / (2^64 + 2) keeps both endpoints open
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551618.0
+        key = np.log(u) / w  # monotone transform of u^(1/w); larger wins
+        key_micro = np.floor(key * 1_000_000).astype(np.int64)
+        top = np.argsort(key_micro, kind="stable")[::-1][:k]
+        top = np.sort(top)  # deterministic row order within the block
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "weight": pa.array(w[top], pa.int64()),
+                "key_micro": pa.array(key_micro[top], pa.int64()),
+            }
+        )
+
+    cand = ds_documents.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ..util import collect_table
+
+    t = collect_table(
+        cand,
+        fallback_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("weight", pa.int64()),
+                ("key_micro", pa.int64()),
+            ]
+        ),
+    )
+    order = pc.sort_indices(
+        t,
+        sort_keys=[("key_micro", "descending"), ("doc_id", "ascending")],
+    )
+    return ray.data.from_arrow(t.take(order[:k]))

@@ -130,3 +130,26 @@ def test_cli_export_csv_roundtrip(tmp_path):
         f"SELECT COUNT(*), SUM(turn_count) FROM read_parquet('{out}/rollup_1m/**/*.parquet')"
     ).fetchone()
     assert got == want and info["rows"] == got[0]
+
+
+def test_cli_explain_reports_plan(tmp_path, capsys):
+    import json as _json
+
+    from pyreshaper_ray.cli import main
+    from pyreshaper_ray.fixtures import write_fixture
+
+    write_fixture(str(tmp_path / "fx"), n_conv=20, n_files=2)
+    spec = str(tmp_path / "spec.json")
+    assert main([
+        "make", spec,
+        "--input", str(tmp_path / "fx" / "transcripts"),
+        "--out", str(tmp_path / "out"),
+        "--n-buckets", "0",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["explain", spec]) == 0
+    plan = _json.loads(capsys.readouterr().out.strip())
+    assert plan["input_files"] == 2 and plan["input_rows"] > 0
+    assert plan["n_buckets_mode"] == "auto" and plan["n_buckets"] >= 16
+    assert plan["exchange"] == "spill"
+    assert any("exchange" in s for s in plan["stages"])

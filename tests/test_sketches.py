@@ -328,3 +328,56 @@ def test_cms_block_layout_invariant(ray_session, tmp_path):
         )
 
     assert run(tmp_path / "a.parquet").equals(run(tmp_path / "b.parquet"))
+
+
+def test_weighted_sample_matches_reference(ray_session):
+    """The distributed top-k equals a single-process numpy A-Res draw, and
+    reruns are identical (seeded, no RNG state)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import _splitmix64
+    from pyreshaper_ray.stages.sketches import weighted_sample_docs
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = np.array(t["doc_id"].to_pylist(), np.int64)
+    w = np.maximum(
+        np.array([len(x) for x in t["text"].to_pylist()], np.int64), 1
+    )
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(42))
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551618.0
+    key = np.floor(np.log(u) / w * 1_000_000).astype(np.int64)
+    order = np.lexsort((ids, -key))
+    want = set(ids[order[:10]].tolist())
+
+    ds = ray.data.from_arrow(t)
+    got = weighted_sample_docs(ds, k=10).take_all()
+    assert {r["doc_id"] for r in got} == want
+    got2 = weighted_sample_docs(ray.data.from_arrow(t), k=10).take_all()
+    assert got == got2
+
+
+def test_weighted_sample_weight_monotonicity(ray_session):
+    """A document with overwhelming weight is (near-)always drawn: the
+    A-Res key of a huge-weight doc dominates across seeds."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import weighted_sample_docs
+
+    texts = ["x" * 5] * 50 + ["y" * 100000]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(51), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    hits = 0
+    for seed in range(5):
+        got = weighted_sample_docs(
+            ray.data.from_arrow(t), k=3, seed=seed
+        ).take_all()
+        hits += any(r["doc_id"] == 50 for r in got)
+    assert hits == 5
