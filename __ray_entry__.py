@@ -2232,6 +2232,30 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_q16_supplier_census(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q16_supplier_census
+
+    return q16_supplier_census(sf_dir)
+
+
+def q_q11_important_parts(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q11_important_parts
+
+    return q11_important_parts(sf_dir)
+
+
+def q_boilerplate_census(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import boilerplate_line_census
+
+    return boilerplate_line_census(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+    )
+
+
 def q_event_type_venn(sf_dir: str):
     from pyreshaper_ray.stages.analytics import event_type_venn
 
@@ -2478,6 +2502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equidepth_bins_events": q_equidepth_bins,
         "event_type_venn": q_event_type_venn,
         "median2_value_per_type": q_median2_value_per_type,
+        "q16_supplier_census": q_q16_supplier_census,
+        "q11_important_parts": q_q11_important_parts,
+        "boilerplate_line_census": q_boilerplate_census,
         "label_centroid_distance": q_label_centroid_distance,
         "cms_term_counts": q_cms_term_counts,
         "weighted_sample_documents": q_weighted_sample_docs,
@@ -4481,6 +4508,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, day,
                CAST({_z_terms} AS BIGINT) AS zval
         FROM m
+    """
+    out["q16_supplier_census"] = """
+        WITH t AS (
+            SELECT DISTINCT p.p_brand, p.p_size // 10 AS size_band,
+                            l.l_suppkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+        )
+        SELECT p_brand, CAST(size_band AS BIGINT) AS size_band,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM t GROUP BY 1, 2
+    """
+    out["q11_important_parts"] = """
+        WITH pp AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS v
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT SUM(v) AS t FROM pp)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(v AS BIGINT) AS value_c,
+               CAST(1000000 * v // t AS BIGINT) AS share_ppm
+        FROM pp, tot
+        WHERE 1000000 * v > 500 * t
+    """
+    out["boilerplate_line_census"] = """
+        WITH l AS (
+            SELECT source, doc_id,
+                   TRIM(UNNEST(string_split(text, chr(10)))) AS line
+            FROM documents
+        ),
+        nz AS (
+            SELECT DISTINCT source, doc_id, line FROM l WHERE line <> ''
+        ),
+        df AS (
+            SELECT source, line, CAST(COUNT(*) AS BIGINT) AS df
+            FROM nz GROUP BY 1, 2
+        ),
+        nd AS (
+            SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        )
+        SELECT nd.source, nd.n_docs,
+               CAST(COUNT(df.line) AS BIGINT) AS n_distinct_lines,
+               CAST(COALESCE(SUM(CASE WHEN 1000000 * df.df
+                    > 200000 * nd.n_docs THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_boilerplate_lines,
+               CAST(COALESCE(SUM(CASE WHEN 1000000 * df.df
+                    > 200000 * nd.n_docs THEN df.df ELSE 0 END), 0) AS BIGINT)
+                   AS boilerplate_doc_hits
+        FROM nd LEFT JOIN df ON nd.source = df.source
+        GROUP BY 1, 2
     """
     out["event_type_venn"] = """
         WITH m AS (

@@ -6072,3 +6072,154 @@ def median2_value_per_type(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return counts.groupby("event_type").map_groups(
         resolve, batch_format="pyarrow"
     )
+
+
+def q16_supplier_census(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q16 shape restated over this corpus (no partsupp table):
+    distinct-supplier count per (p_brand, p_size band) from lineitem
+    part↔supplier co-occurrence, EXCLUDING "complaint" suppliers
+    (s_acctbal < 0) via an anti-join-style broadcast blocklist.
+
+    Scale plan: the complaint supplier set and the part attribute map are
+    both dimension-sized broadcasts (``ray.put`` once); lineitem reduces
+    per block to DISTINCT (brand, band, suppkey) triples before the one
+    dedup groupby — exchange ∝ distinct triples, never lineitems.
+
+    Output: p_brand, size_band (BIGINT p_size // 10), n_suppliers.
+    """
+    import pyarrow.parquet as _pq
+
+    import ray
+    from ray.data.aggregate import Count as _Count
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = supp.filter(pc.less(supp["s_acctbal"], 0.0))["s_suppkey"]
+    part_ref = ray.put(
+        pa.table(
+            {
+                "p_partkey": pc.cast(part["p_partkey"], pa.int64()),
+                "p_brand": part["p_brand"],
+                "band": pc.cast(
+                    pc.divide(part["p_size"], 10), pa.int64()
+                ),
+            }
+        ).combine_chunks()
+    )
+    bad_ref = ray.put(pc.cast(bad, pa.int64()).combine_chunks())
+
+    def triples(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        pmap: pa.Table = cached_get(part_ref)
+        badk = cached_get(bad_ref)
+        keep = pc.invert(
+            pc.is_in(pc.cast(b["l_suppkey"], pa.int64()), value_set=badk)
+        )
+        t = b.filter(keep)
+        pos = pc.index_in(
+            pc.cast(t["l_partkey"], pa.int64()), value_set=pmap["p_partkey"]
+        )
+        tt = pa.table(
+            {
+                "p_brand": pc.take(pmap["p_brand"], pos),
+                "size_band": pc.take(pmap["band"], pos),
+                "s": pc.cast(t["l_suppkey"], pa.int64()),
+            }
+        )
+        g = tt.group_by(["p_brand", "size_band", "s"]).aggregate(
+            [("s", "count")]
+        )
+        return g.select(["p_brand", "size_band", "s"])
+
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    distinct = (
+        li.map_batches(triples, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "size_band", "s"])
+        .aggregate(_Count(alias_name="_c"))
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        g = b.select(["p_brand", "size_band", "s"]).group_by(
+            ["p_brand", "size_band"]
+        ).aggregate([("s", "count")])
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "size_band": g["size_band"],
+                "n_suppliers": pc.cast(g["s_count"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        distinct.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "size_band"])
+        .aggregate(_Sum("n_suppliers", alias_name="n_suppliers"))
+    )
+
+
+def q11_important_parts(sf_dir: str, fraction_ppm: int = 500) -> "ray.data.Dataset":
+    """TPC-H Q11 shape (important stock) restated over lineitem: parts
+    whose total extended-price value exceeds ``fraction_ppm`` parts-per-
+    million of the GLOBAL total — the HAVING-against-a-scalar-subquery
+    pattern, decided in exact integer cross-multiplication
+    (10⁶ · part_value > fraction_ppm · total_value).
+
+    Scale plan: one combiner-first per-part aggregate (exchange is
+    part-domain-sized); the global total is a Sum over the same partials'
+    dataset; the filter broadcasts just two scalars.
+
+    Output: l_partkey, value_c, share_ppm (BIGINTs).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+                "v": to_cents(b["l_extendedprice"]),
+            }
+        )
+        g = t.group_by(["l_partkey"]).aggregate([("v", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"], "v": g["v_sum"]})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(_Sum("v", alias_name="value_c"))
+        .materialize()  # part-sized; shared by the total pass + the filter
+    )
+    total = per_part.sum("value_c")
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = b["value_c"].to_numpy(zero_copy_only=False)
+        keep = 1_000_000 * v > fraction_ppm * total
+        t = pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "value_c": b["value_c"],
+                "share_ppm": pa.array(
+                    (1_000_000 * v) // max(total, 1), pa.int64()
+                ),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return per_part.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

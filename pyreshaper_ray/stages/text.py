@@ -1712,3 +1712,110 @@ def dsir_importance_weights(
     return ds_documents.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def boilerplate_line_census(
+    ds_documents: "ray.data.Dataset",
+    min_doc_frac_ppm: int = 200_000,
+) -> "ray.data.Dataset":
+    """CCNet-style boilerplate detection per source: a LINE (newline-split,
+    trimmed, non-empty) is boilerplate within a source when it appears in
+    more than ``min_doc_frac_ppm`` ppm of that source's documents —
+    headers, footers, nav chrome. Reports the per-source damage census a
+    cleaning pass would apply.
+
+    Scale plan: pass 1 reduces each block to DISTINCT (source, line-hash)
+    → doc-count partials (Arrow split + group_by, exchange ∝ distinct
+    lines); a groupby sums DF per line; per-source doc totals ride the
+    same partials. The frequent-line verdict joins back WITHOUT
+    re-reading text: the census is computed from the same reduced table.
+
+    Output per source: n_docs, n_distinct_lines, n_boilerplate_lines
+    (distinct lines over threshold), boilerplate_doc_hits (Σ DF of those
+    lines — the number of (doc, line) removals a cleaner would make).
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(b["text"], pattern="\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines)
+        trimmed = pc.utf8_trim_whitespace(flat)
+        t = pa.table(
+            {
+                "source": pc.take(b["source"], parent),
+                "doc_id": pc.take(b["doc_id"], parent),
+                "line": trimmed,
+            }
+        ).filter(pc.not_equal(trimmed, ""))
+        # distinct (source, doc, line) then reduce to (source, line) DF parts
+        d = t.group_by(["source", "doc_id", "line"]).aggregate(
+            [("line", "count")]
+        )
+        df = pa.table(
+            {
+                "source": d["source"],
+                "line": d["line"],
+                "df": pa.array(np.ones(d.num_rows, np.int64)),
+            }
+        ).group_by(["source", "line"]).aggregate([("df", "sum")])
+        docs = b.select(["source", "doc_id"]).group_by(
+            ["source", "doc_id"]
+        ).aggregate([("doc_id", "count")])
+        ndocs = docs.select(["source"]).group_by(["source"]).aggregate(
+            [("source", "count")]
+        )
+        left = pa.table(
+            {
+                "source": df["source"],
+                "line": df["line"],
+                "df": df["df_sum"],
+                "docs": pa.array(np.zeros(df.num_rows, np.int64)),
+            }
+        )
+        right = pa.table(
+            {
+                "source": ndocs["source"],
+                "line": pa.array([""] * ndocs.num_rows, pa.string()),
+                "df": pa.array(np.zeros(ndocs.num_rows, np.int64)),
+                "docs": pc.cast(ndocs["source_count"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([left, right])
+
+    merged = (
+        ds_documents.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["source", "line"])
+        .aggregate(_Sum("df", alias_name="df"), _Sum("docs", alias_name="docs"))
+    )
+    # NOTE: per-block partial DF treats a line seen in the same doc across
+    # TWO blocks as two docs; documents.text rows are atomic within a block
+    # (one row never splits), so (source, doc, line) distinct per block is
+    # globally distinct — same invariant every per-doc op here relies on.
+
+    def census(group: pa.Table) -> pa.Table:
+        is_total = pc.equal(group["line"], "")
+        n_docs = int(
+            pc.sum(group.filter(is_total)["docs"]).as_py() or 0
+        )
+        lines = group.filter(pc.invert(is_total))
+        df = lines["df"].to_numpy(zero_copy_only=False)
+        thr_hits = 1_000_000 * df > min_doc_frac_ppm * n_docs
+        return pa.table(
+            {
+                "source": group["source"][:1],
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_distinct_lines": pa.array([len(df)], pa.int64()),
+                "n_boilerplate_lines": pa.array(
+                    [int(thr_hits.sum())], pa.int64()
+                ),
+                "boilerplate_doc_hits": pa.array(
+                    [int(df[thr_hits].sum())], pa.int64()
+                ),
+            }
+        )
+
+    return merged.groupby("source").map_groups(census, batch_format="pyarrow")

@@ -656,3 +656,35 @@ def test_dsir_weights_block_layout_invariant(ray_session, tmp_path):
         )
 
     assert run(a_path).equals(run(b_path))
+
+
+def test_boilerplate_census_planted_lines(ray_session):
+    """A line planted in >20% of a source's docs counts as boilerplate;
+    rare lines do not; repeats within one doc count once toward DF."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import boilerplate_line_census
+
+    footer = "(c) example corp"
+    docs = []
+    for i in range(10):
+        body = f"unique line {i}"
+        text = body + "\n" + footer if i < 3 else body
+        if i == 0:
+            text += "\n" + footer  # repeat within the same doc: DF += 1 only
+        docs.append(text)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "source": pa.array(["web"] * 10),
+            "text": pa.array(docs),
+        }
+    )
+    row = boilerplate_line_census(
+        ray.data.from_arrow(t), min_doc_frac_ppm=200_000
+    ).take_all()[0]
+    assert row["n_docs"] == 10
+    # 10 unique body lines + the footer
+    assert row["n_distinct_lines"] == 11
+    assert row["n_boilerplate_lines"] == 1  # footer in 3/10 docs > 20%
+    assert row["boilerplate_doc_hits"] == 3
