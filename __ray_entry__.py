@@ -2232,6 +2232,21 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_q20_dominant_suppliers(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q20_dominant_suppliers
+
+    return q20_dominant_suppliers(sf_dir)
+
+
+def q_haar_minute_counts(sf_dir: str):
+    """Haar wavelet energy profile of the minute-count series —
+    numpy-reference-gated in tests/test_timeseries.py, rows-only (the
+    transform is not practically SQL-restatable)."""
+    from pyreshaper_ray.stages.timeseries import haar_minute_counts
+
+    return haar_minute_counts(read_events_as_transcripts(sf_dir))
+
+
 def q_q16_supplier_census(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q16_supplier_census
 
@@ -2505,6 +2520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_census": q_q16_supplier_census,
         "q11_important_parts": q_q11_important_parts,
         "boilerplate_line_census": q_boilerplate_census,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
+        "haar_minute_counts": q_haar_minute_counts,
         "label_centroid_distance": q_label_centroid_distance,
         "cms_term_counts": q_cms_term_counts,
         "weighted_sample_documents": q_weighted_sample_docs,
@@ -4508,6 +4525,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, day,
                CAST({_z_terms} AS BIGINT) AS zval
         FROM m
+    """
+    out["q20_dominant_suppliers"] = """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        pt AS (
+            SELECT l_partkey, SUM(qty) AS part_qty FROM ps GROUP BY 1
+        )
+        SELECT CAST(ps.l_partkey AS BIGINT) AS l_partkey,
+               CAST(ps.l_suppkey AS BIGINT) AS s_suppkey,
+               s.s_name AS s_name,
+               CAST(ps.qty AS BIGINT) AS qty,
+               CAST(pt.part_qty AS BIGINT) AS part_qty,
+               CAST(1000000 * ps.qty // pt.part_qty AS BIGINT) AS share_ppm
+        FROM ps
+        JOIN pt ON ps.l_partkey = pt.l_partkey
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        WHERE 1000000 * ps.qty > 200000 * pt.part_qty
     """
     out["q16_supplier_census"] = """
         WITH t AS (

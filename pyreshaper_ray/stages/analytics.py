@@ -6223,3 +6223,107 @@ def q11_important_parts(sf_dir: str, fraction_ppm: int = 500) -> "ray.data.Datas
     return per_part.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q20_dominant_suppliers(
+    sf_dir: str, share_ppm: int = 200_000
+) -> "ray.data.Dataset":
+    """TPC-H Q20 shape restated over this corpus (no partsupp): suppliers
+    who shipped MORE THAN ``share_ppm`` ppm (default 20%) of some part's total quantity
+    — the two-level aggregate + ratio filter (per-(part, supplier) volume
+    vs per-part volume), decided in exact integer cross-multiplication.
+
+    Scale plan: one combiner pass reduces lineitem to (part, supplier)
+    quantity partials; ONE groupby keyed on (part, supplier) finishes the
+    fine level, and the part totals derive from the SAME reduced table
+    with a map-side re-reduce + second small groupby — raw rows cross one
+    exchange exactly once. The supplier name attaches via broadcast.
+
+    Output: l_partkey, s_suppkey, s_name, qty, part_qty, share_ppm.
+    """
+    import pyarrow.parquet as _pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.rint(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+                "s_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                "qty": pa.array(q, pa.int64()),
+            }
+        )
+        g = t.group_by(["l_partkey", "s_suppkey"]).aggregate([("qty", "sum")])
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "s_suppkey": g["s_suppkey"],
+                "qty": g["qty_sum"],
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    fine = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "s_suppkey"])
+        .aggregate(_Sum("qty", alias_name="qty"))
+        .materialize()  # (part, supplier)-sized; feeds both levels below
+    )
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["l_partkey", "qty"]).group_by(["l_partkey"]).aggregate(
+            [("qty", "sum")]
+        )
+        return pa.table(
+            {"l_partkey": g["l_partkey"], "part_qty": g["qty_sum"]}
+        )
+
+    from ..util import collect_table
+
+    totals = collect_table(
+        fine.map_batches(
+            part_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_partkey")
+        .aggregate(_Sum("part_qty", alias_name="part_qty"))
+    )
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).combine_chunks()
+    tot_ref = ray.put(totals.combine_chunks())
+    supp_ref = ray.put(supp)
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        tot: pa.Table = cached_get(tot_ref)
+        sdim: pa.Table = cached_get(supp_ref)
+        pos = pc.index_in(b["l_partkey"], value_set=tot["l_partkey"])
+        part_qty = pc.take(tot["part_qty"], pos).to_numpy(
+            zero_copy_only=False
+        )
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        keep = 1_000_000 * qty > share_ppm * part_qty
+        t = pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "s_suppkey": b["s_suppkey"],
+                "qty": b["qty"],
+                "part_qty": pa.array(part_qty, pa.int64()),
+                "share_ppm": pa.array(
+                    (1_000_000 * qty) // np.maximum(part_qty, 1), pa.int64()
+                ),
+            }
+        ).filter(pa.array(keep))
+        spos = pc.index_in(t["s_suppkey"], value_set=sdim["s_suppkey"])
+        return t.append_column("s_name", pc.take(sdim["s_name"], spos))
+
+    return fine.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -910,3 +910,52 @@ def lead_lag_daily_xcorr(
         rows["sum_x"].append(int(xc[hit].sum()))
         rows["sum_y"].append(int(yc[pos_c[hit]].sum()))
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+def haar_minute_counts(
+    ds_transcripts: "ray.data.Dataset", max_len: int = 1024
+) -> pa.Table:
+    """Unnormalized Haar wavelet decomposition of the corpus-wide
+    per-minute turn-count series — the multi-resolution energy profile
+    (which time scales carry the activity) used for similarity search and
+    compression over time series.
+
+    The dense zero-filled minute grid (same convention as ``acf``) is
+    truncated to the first ``max_len`` minutes and zero-padded to a power
+    of two; each level emits pair sums and pair differences WITHOUT the
+    /2 normalization, so every coefficient is an exact integer (level-ℓ
+    coefficients carry an implicit 2^ℓ scale the caller divides off).
+    The combiner-reduced minute-count table is the only thing that crosses
+    the exchange; the O(n) transform runs on the driver over the
+    grid-sized vector.
+
+    Output: level (BIGINT, 0 = finest detail), idx, coeff (BIGINTs);
+    the final row (level = n_levels, idx = 0) is the total sum.
+    """
+    dense = _minute_counts_dense(ds_transcripts)[:max_len]
+    n = 1
+    while n < max(len(dense), 1):
+        n *= 2
+    x = np.zeros(n, np.int64)
+    x[: len(dense)] = dense
+    levels, idxs, coeffs = [], [], []
+    level = 0
+    cur = x
+    while len(cur) > 1:
+        a, b = cur[0::2], cur[1::2]
+        diff = a - b
+        levels.append(np.full(len(diff), level, np.int64))
+        idxs.append(np.arange(len(diff), dtype=np.int64))
+        coeffs.append(diff)
+        cur = a + b
+        level += 1
+    levels.append(np.array([level], np.int64))
+    idxs.append(np.array([0], np.int64))
+    coeffs.append(cur[:1] if len(cur) else np.array([0], np.int64))
+    return pa.table(
+        {
+            "level": pa.array(np.concatenate(levels), pa.int64()),
+            "idx": pa.array(np.concatenate(idxs), pa.int64()),
+            "coeff": pa.array(np.concatenate(coeffs), pa.int64()),
+        }
+    )

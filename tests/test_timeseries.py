@@ -358,3 +358,43 @@ def test_lead_lag_daily_xcorr_hand_computed(ray_session):
     # lag -1: pairs (d1,d0)? y at d0 absent; (d2,d1): x at d2 absent -> 0
     i = d[-1]
     assert out["n_days"][i].as_py() == 0 and out["sum_xy"][i].as_py() == 0
+
+
+def test_haar_matches_numpy_reference(ray_session):
+    """The distributed minute grid feeds a driver Haar transform; verify
+    the full coefficient set against a direct numpy pyramid, and the
+    top coefficient equals the grid total."""
+    import ray.data
+
+    from pyreshaper_ray.sources.adapters import read_events_as_transcripts
+    from pyreshaper_ray.stages.timeseries import (
+        _minute_counts_dense,
+        haar_minute_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = haar_minute_counts(read_events_as_transcripts(sf))
+    dense = _minute_counts_dense(read_events_as_transcripts(sf))[:1024]
+    n = 1
+    while n < max(len(dense), 1):
+        n *= 2
+    x = np.zeros(n, np.int64)
+    x[: len(dense)] = dense
+    want = {}
+    cur, level = x, 0
+    while len(cur) > 1:
+        a, b = cur[0::2], cur[1::2]
+        for i, d in enumerate(a - b):
+            want[(level, i)] = int(d)
+        cur = a + b
+        level += 1
+    want[(level, 0)] = int(cur[0])
+    got = {
+        (l, i): c
+        for l, i, c in zip(
+            out["level"].to_pylist(), out["idx"].to_pylist(),
+            out["coeff"].to_pylist()
+        )
+    }
+    assert got == want
+    assert got[(level, 0)] == int(x.sum())
