@@ -2232,6 +2232,23 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_response_latency(sf_dir: str):
+    from pyreshaper_ray.stages.windows import response_latency
+
+    return response_latency(
+        read_events_as_transcripts(sf_dir), from_role="view", to_role="purchase"
+    )
+
+
+def q_knn_int8(sf_dir: str):
+    """SQ8 quantized ANN (integer dot products over int8 vectors) —
+    algorithmic quantized ranking, rows-only; recall-vs-float gate in
+    tests/test_similarity.py."""
+    from pyreshaper_ray.stages.similarity import knn_int8_top5
+
+    return knn_int8_top5(sf_dir)
+
+
 def q_q20_dominant_suppliers(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q20_dominant_suppliers
 
@@ -2522,6 +2539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_line_census": q_boilerplate_census,
         "q20_dominant_suppliers": q_q20_dominant_suppliers,
         "haar_minute_counts": q_haar_minute_counts,
+        "response_latency_view_purchase": q_response_latency,
+        "knn_int8_top5": q_knn_int8,
         "label_centroid_distance": q_label_centroid_distance,
         "cms_term_counts": q_cms_term_counts,
         "weighted_sample_documents": q_weighted_sample_docs,
@@ -4525,6 +4544,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, day,
                CAST({_z_terms} AS BIGINT) AS zval
         FROM m
+    """
+    out["response_latency_view_purchase"] = f"""
+        WITH t AS ({_T}),
+        w AS (
+            SELECT conv_id, turn_idx, role, ts,
+                   MIN(CASE WHEN role = 'purchase' THEN turn_idx END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN 1 FOLLOWING
+                             AND UNBOUNDED FOLLOWING) AS na
+            FROM t
+        ),
+        p AS (
+            SELECT w.conv_id,
+                   epoch_us(a.ts) - epoch_us(w.ts) AS lat
+            FROM w JOIN t a
+              ON a.conv_id = w.conv_id AND a.turn_idx = w.na
+            WHERE w.role = 'view'
+        )
+        SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_responses,
+               CAST(SUM(lat) AS BIGINT) AS sum_latency_us,
+               CAST(MAX(lat) AS BIGINT) AS max_latency_us
+        FROM p GROUP BY 1
     """
     out["q20_dominant_suppliers"] = """
         WITH ps AS (

@@ -1272,3 +1272,174 @@ def label_centroid_distance(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_int8_top5(
+    sf_dir: str, n_queries: int = 5, k: int = 5
+) -> "ray.data.Dataset":
+    """ANN over int8-QUANTIZED vectors: cosine ranking by integer dot
+    products q_a·q_b (the per-vector scales cancel in cosine up to
+    quantization error) — the serving-side compute path SQ8 indexes run,
+    4× less memory traffic than float32 and exact-integer deterministic.
+
+    Chains ``quantize_embeddings_int8`` → per-block integer top-k against
+    the broadcast quantized query matrix (int32 matmul); the driver merges
+    k·blocks candidates. Recall vs the float path is pytest-gated (≥ 0.8
+    top-5 overlap on the fixture corpus).
+
+    Output: query_id, neighbor_id, dot (BIGINT), rank (1..k).
+    """
+    import ray
+    import ray.data
+
+    qds = quantize_embeddings_int8(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    ).materialize()  # quantize once; feeds the query fetch + the scan
+
+    def fetch_queries(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["vec_id"], n_queries))
+
+    qt = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                qds.map_batches(
+                    fetch_queries, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    order = pc.sort_indices(qt, sort_keys=[("vec_id", "ascending")])
+    qt = qt.take(order)
+    qids = np.array(qt["vec_id"].to_pylist(), np.int64)
+    qv = qt["qvec"].combine_chunks()
+    qdim = len(qv[0]) if len(qv) else 0
+    qmat = (
+        qv.flatten().to_numpy(zero_copy_only=False)
+        .astype(np.int32)
+        .reshape(len(qv), qdim)
+    )
+    # int8 norms for cosine denominator (integer, exact)
+    qnorm = np.sqrt((qmat.astype(np.int64) ** 2).sum(axis=1))
+    qnorm[qnorm == 0] = 1.0
+    ref = ray.put((qids, qmat, qnorm))
+
+    def candidates(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        ids_q, qm, qn = cached_get(ref)
+        col = b["qvec"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0 or qm.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.int64()),
+                }
+            )
+        m = (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.int32)
+            .reshape(n, -1)
+        )
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dots = m.astype(np.int64) @ qm.astype(np.int64).T  # (n, nq) exact
+        nn = np.sqrt((m.astype(np.int64) ** 2).sum(axis=1))
+        nn[nn == 0] = 1.0
+        cos = dots / (nn[:, None] * qn[None, :])
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(ids_q)):
+            mask = ids != ids_q[j]
+            cj = np.where(mask, cos[:, j], -np.inf)
+            top = np.argsort(-cj, kind="stable")[:k]
+            out_q.append(np.full(len(top), ids_q[j], np.int64))
+            out_n.append(ids[top])
+            out_d.append(dots[top, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "dot": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    cand = qds.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ..util import collect_table
+
+    t = collect_table(
+        cand,
+        fallback_schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("dot", pa.int64()),
+            ]
+        ),
+    )
+    # final per-query top-k by the same cosine rule needs norms again — the
+    # candidate dot is kept for output; recompute cosine on the merged,
+    # result-sized table via the quantized norms of both sides
+    qn_map = {int(i): float(x) for i, x in zip(qids, qnorm)}
+    # neighbor norms: fetch from the quantized dataset once (result-sized:
+    # only candidate ids)
+    cand_ids = pa.array(sorted({int(x) for x in t["neighbor_id"].to_pylist()}))
+
+    def fetch_norms(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.is_in(b["vec_id"], value_set=cand_ids))
+        col = sel["qvec"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "nrm": pa.array([], pa.float64()),
+                }
+            )
+        m = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = len(col[0])
+        nrm = np.sqrt((m.reshape(len(col), dim) ** 2).sum(axis=1)).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "vec_id": pc.cast(sel["vec_id"], pa.int64()),
+                "nrm": pa.array(nrm, pa.float64()),
+            }
+        )
+
+    nt = collect_table(
+        qds.map_batches(fetch_norms, batch_format="pyarrow", zero_copy_batch=True),
+        fallback_schema=pa.schema(
+            [("vec_id", pa.int64()), ("nrm", pa.float64())]
+        ),
+    )
+    n_map = {
+        int(i): float(x)
+        for i, x in zip(nt["vec_id"].to_pylist(), nt["nrm"].to_pylist())
+    }
+    import pandas as pd
+
+    df = t.to_pandas()
+    df["cos"] = [
+        d / (max(n_map.get(int(nb), 1.0), 1e-12) * qn_map[int(q)])
+        for q, nb, d in zip(df["query_id"], df["neighbor_id"], df["dot"])
+    ]
+    df = df.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "neighbor_id", "dot", "rank"]]
+    import ray.data as _rd
+
+    return _rd.from_pandas(df.reset_index(drop=True))

@@ -1370,3 +1370,71 @@ def arrival_disorder_census(events_ds: "ray.data.Dataset") -> "ray.data.Dataset"
         )
 
     return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def response_latency(
+    ds_transcripts: "ray.data.Dataset",
+    from_role: str = "user",
+    to_role: str = "assistant",
+) -> "ray.data.Dataset":
+    """Per-conversation response latency: for every ``from_role`` turn,
+    the time to the NEXT ``to_role`` turn (by turn order) — the
+    conversational-quality metric a transcript store reports per tier
+    (user→assistant on chat transcripts; view→purchase on the events
+    adapter).
+
+    Kernel: within the sorted conversation, ``searchsorted`` maps each
+    user turn's position to the first later assistant position — one
+    vectorized pass, no per-row Python. User turns with no following
+    assistant turn are excluded (matching the SQL inner join).
+
+    Output: conv_id, n_responses, sum_latency_us, max_latency_us
+    (BIGINTs; conversations with zero user→assistant transitions emit no
+    row, like a SQL GROUP BY over the joined pairs).
+    """
+
+    def lat(group: pa.Table) -> pa.Table:
+        g = _sorted_group(group)
+        ts = (
+            g["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        pos = np.arange(len(roles))
+        a_pos = pos[roles == to_role]
+        u_pos = pos[roles == from_role]
+        if len(a_pos) == 0 or len(u_pos) == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_responses": pa.array([], pa.int64()),
+                    "sum_latency_us": pa.array([], pa.int64()),
+                    "max_latency_us": pa.array([], pa.int64()),
+                }
+            )
+        nxt = np.searchsorted(a_pos, u_pos, side="left")
+        has = nxt < len(a_pos)
+        if not has.any():
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_responses": pa.array([], pa.int64()),
+                    "sum_latency_us": pa.array([], pa.int64()),
+                    "max_latency_us": pa.array([], pa.int64()),
+                }
+            )
+        d = ts[a_pos[nxt[has]]] - ts[u_pos[has]]
+        return pa.table(
+            {
+                "conv_id": pa.array([g["conv_id"][0].as_py()], pa.string()),
+                "n_responses": pa.array([int(has.sum())], pa.int64()),
+                "sum_latency_us": pa.array([int(d.sum())], pa.int64()),
+                "max_latency_us": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        lat, batch_format="pyarrow"
+    )

@@ -408,3 +408,28 @@ def test_semdedup_chunked_path_matches_pairwise(ray_session, tmp_path):
     )
     assert a.equals(b)
     assert (a["kept"] == 0).sum() >= 10  # the planted dups dropped
+
+
+def test_knn_int8_recall_vs_float(ray_session):
+    """SQ8 quantized top-5 must overlap the float top-5 heavily (the
+    quantization-error budget), be deterministic, and never return self."""
+    from pyreshaper_ray.stages.similarity import knn_bruteforce, knn_int8_top5
+
+    sf = "/root/testdata/sf0.001"
+    f = knn_bruteforce(sf, n_queries=5, k=5)
+    float_nbrs = {}
+    for q, n in zip(f["query_id"].to_pylist(), f["neighbor_id"].to_pylist()):
+        float_nbrs.setdefault(q, set()).add(n)
+
+    got = knn_int8_top5(sf, n_queries=5, k=5).take_all()
+    int8_nbrs = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        int8_nbrs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(int8_nbrs) == set(float_nbrs)
+    overlap = sum(
+        len(int8_nbrs[q] & float_nbrs[q]) for q in float_nbrs
+    ) / sum(len(v) for v in float_nbrs.values())
+    assert overlap >= 0.8, overlap
+    got2 = knn_int8_top5(sf, n_queries=5, k=5).take_all()
+    assert got == got2

@@ -540,3 +540,37 @@ def test_arrival_disorder_census_hand_computed(ray_session):
     assert out[1]["max_backstep_us"] == 50_000_000
     assert out[2]["n_events"] == 2 and out[2]["n_inversions"] == 0
     assert out[2]["max_backstep_us"] == 0
+
+
+def test_response_latency_hand_case(ray_session):
+    """Each from-turn pairs with the FIRST later to-turn; unmatched
+    from-turns drop; conversations without a transition emit nothing."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import response_latency
+
+    us = 1_000_000
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 5 + ["c2"] * 2, pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1], pa.int32()),
+            "role": pa.array(
+                ["user", "user", "assistant", "user", "assistant",
+                 "user", "user"]
+            ),
+            "ts": pa.array(
+                np.array(
+                    [0, 1 * us, 3 * us, 4 * us, 10 * us, 0, us],
+                    np.int64,
+                ),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    rows = {r["conv_id"]: r for r in response_latency(
+        ray.data.from_arrow(t)).take_all()}
+    # c1: user@0 -> asst@3s (3s), user@1s -> asst@3s (2s), user@4s -> asst@10s (6s)
+    assert rows["c1"]["n_responses"] == 3
+    assert rows["c1"]["sum_latency_us"] == (3 + 2 + 6) * us
+    assert rows["c1"]["max_latency_us"] == 6 * us
+    assert "c2" not in rows  # no assistant turn at all
