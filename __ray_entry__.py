@@ -2232,6 +2232,24 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_q2_cheapest_supplier(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q2_cheapest_supplier
+
+    return q2_cheapest_supplier(sf_dir)
+
+
+def q_codeblock_census(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import codeblock_census
+
+    return codeblock_census(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+    )
+
+
 def q_response_latency(sf_dir: str):
     from pyreshaper_ray.stages.windows import response_latency
 
@@ -2541,6 +2559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_minute_counts": q_haar_minute_counts,
         "response_latency_view_purchase": q_response_latency,
         "knn_int8_top5": q_knn_int8,
+        "q2_cheapest_supplier": q_q2_cheapest_supplier,
+        "codeblock_census": q_codeblock_census,
         "label_centroid_distance": q_label_centroid_distance,
         "cms_term_counts": q_cms_term_counts,
         "weighted_sample_documents": q_weighted_sample_docs,
@@ -4544,6 +4564,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, day,
                CAST({_z_terms} AS BIGINT) AS zval
         FROM m
+    """
+    out["q2_cheapest_supplier"] = """
+        WITH c AS (
+            SELECT l_partkey, l_suppkey,
+                   (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000)
+                       // GREATEST(CAST(ROUND(l_quantity) AS BIGINT), 1)
+                       AS cost_micro
+            FROM lineitem
+        ),
+        w AS (
+            SELECT l_partkey, l_suppkey, MIN(cost_micro) AS cost_micro
+            FROM c GROUP BY 1, 2
+        )
+        SELECT CAST(w.l_partkey AS BIGINT) AS l_partkey,
+               CAST(w.l_suppkey AS BIGINT) AS s_suppkey,
+               s.s_name AS s_name,
+               CAST(w.cost_micro AS BIGINT) AS cost_micro
+        FROM w
+        JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY w.l_partkey ORDER BY w.cost_micro, w.l_suppkey
+        ) = 1
+    """
+    out["codeblock_census"] = """
+        WITH d AS (
+            SELECT source,
+                   (LENGTH(text) - LENGTH(REPLACE(text, '```', ''))) // 3
+                       AS fences,
+                   LENGTH(text) - LENGTH(REPLACE(text, '`', '')) AS ticks
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN fences >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_code,
+               CAST(SUM(fences) AS BIGINT) AS total_fences,
+               CAST(SUM(fences // 2) AS BIGINT) AS total_blocks,
+               CAST(SUM(ticks - 3 * fences) AS BIGINT) AS total_inline_ticks
+        FROM d GROUP BY 1
     """
     out["response_latency_view_purchase"] = f"""
         WITH t AS ({_T}),

@@ -6327,3 +6327,82 @@ def q20_dominant_suppliers(
         return t.append_column("s_name", pc.take(sdim["s_name"], spos))
 
     return fine.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q2_cheapest_supplier(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q2 shape restated over lineitem (no partsupp): per part, the
+    supplier offering the LOWEST observed unit cost — the grouped-argmin-
+    with-attribute-fetch pattern (min over a group, then the winning ROW's
+    attributes, ties to the lowest suppkey).
+
+    Unit cost compares as ⌊price_e4·100 / round(qty)⌋ (integer micro-units
+    per unit; floor division restated identically in SQL), and the argmin
+    packs (cost_micro, suppkey) into ONE int64 so a plain Min aggregate
+    resolves both the value and the deterministic tie — no per-group sort,
+    no row_number window. Combiner-first: each block pre-reduces to its
+    per-part min before the single part-keyed groupby.
+
+    Output: l_partkey, s_suppkey, s_name, cost_micro (BIGINTs).
+    """
+    import pyarrow.parquet as _pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min as _Min
+
+    KEY_BITS = 20  # suppkey < 2^20 (10^6 suppliers per SF unit at SF~100)
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.rint(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        price_c = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cost = (price_c * 10_000) // np.maximum(qty, 1)  # micro-$/unit
+        packed = (cost << KEY_BITS) | b["l_suppkey"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+        g = t.group_by(["l_partkey"]).aggregate([("packed", "min")])
+        return pa.table(
+            {"l_partkey": g["l_partkey"], "packed": g["packed_min"]}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+    mins = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(_Min("packed", alias_name="packed"))
+    )
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).combine_chunks()
+    ref = ray.put(supp)
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        sdim: pa.Table = cached_get(ref)
+        packed = b["packed"].to_numpy(zero_copy_only=False)
+        cost = packed >> KEY_BITS
+        sk = packed & ((1 << KEY_BITS) - 1)
+        pos = pc.index_in(pa.array(sk, pa.int64()), value_set=sdim["s_suppkey"])
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "s_name": pc.take(sdim["s_name"], pos),
+                "cost_micro": pa.array(cost, pa.int64()),
+            }
+        )
+
+    return mins.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
