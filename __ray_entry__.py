@@ -2232,6 +2232,15 @@ def q_adaptive_join_container_revenue(sf_dir: str):
     )
 
 
+def q_dp_event_counts(sf_dir: str):
+    """ε-DP noisy event-type histogram (seeded Laplace) — noise is not
+    SQL-restatable, rows-only; reference-formula + determinism gates in
+    tests/test_sketches.py."""
+    from pyreshaper_ray.stages.sketches import dp_event_counts
+
+    return dp_event_counts(_events_value_ds(sf_dir, ["event_type"]))
+
+
 def q_q2_cheapest_supplier(sf_dir: str):
     from pyreshaper_ray.stages.analytics import q2_cheapest_supplier
 
@@ -2561,6 +2570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_top5": q_knn_int8,
         "q2_cheapest_supplier": q_q2_cheapest_supplier,
         "codeblock_census": q_codeblock_census,
+        "dp_event_counts": q_dp_event_counts,
         "label_centroid_distance": q_label_centroid_distance,
         "cms_term_counts": q_cms_term_counts,
         "weighted_sample_documents": q_weighted_sample_docs,

@@ -76,7 +76,30 @@ def _decode_image_headers(payload: bytes) -> tuple[int, int, int]:
             int.from_bytes(payload[8:10], "little"),
             n,
         )
-    raise ValueError("unsupported image container (expected PNG/BMP/GIF)")
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF segment
+        i = 2
+        while i + 9 <= n:
+            if payload[i] != 0xFF:
+                i += 1  # fill bytes between markers are legal
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            # SOF0–SOF15 except DHT(C4)/DAC(CC)/JPG(C8) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h, n)
+            if marker == 0xDA:  # start of scan: no SOF seen, give up
+                break
+            i += 2 + seg_len
+        raise ValueError("JPEG without a SOF marker before SOS")
+    raise ValueError("unsupported image container (expected PNG/BMP/GIF/JPEG)")
 
 
 class ImageDecodeStage:

@@ -826,3 +826,71 @@ def weighted_sample_docs(
         sort_keys=[("key_micro", "descending"), ("doc_id", "ascending")],
     )
     return ray.data.from_arrow(t.take(order[:k]))
+
+
+def dp_event_counts(
+    events_ds: "ray.data.Dataset", epsilon_micro: int = 1_000_000, seed: int = 42
+) -> "ray.data.Dataset":
+    """Differentially-private event-type counts: exact combiner counts plus
+    seeded Laplace(1/ε) noise — the ε-DP histogram release (sensitivity 1
+    per event for count queries). Noise is DETERMINISTIC given the seed:
+    u = splitmix64(crc32(key) ⊕ seed)/2⁶⁴ through the Laplace inverse CDF,
+    so releases are reproducible across runs and cluster shapes (the
+    property an auditable DP pipeline needs; rotate the seed per release).
+
+    Scale plan: the count is the standard combiner-first groupby; noise is
+    O(groups) driver math on the result-sized table.
+
+    Output: event_type, noisy_count (BIGINT, clamped ≥ 0), epsilon_micro.
+    Rows-only by nature; reference-formula + determinism gates in tests.
+    """
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["event_type"]).group_by(["event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["event_type_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    from ..util import collect_table
+
+    t = collect_table(
+        counts,
+        fallback_schema=pa.schema(
+            [("event_type", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    keys = t["event_type"].to_pylist()
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    kh = np.array([zlib.crc32(k.encode()) for k in keys], np.uint64)
+    u = (
+        _splitmix64(kh ^ np.uint64(seed)).astype(np.float64) + 1.0
+    ) / 18446744073709551618.0
+    b_scale = 1_000_000.0 / max(epsilon_micro, 1)
+    centered = u - 0.5
+    noise = -b_scale * np.sign(centered) * np.log1p(-2.0 * np.abs(centered))
+    noisy = np.maximum(np.rint(n + noise), 0).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "noisy_count": pa.array(noisy, pa.int64()),
+                "epsilon_micro": pa.array(
+                    np.full(len(keys), epsilon_micro, np.int64), pa.int64()
+                ),
+            }
+        )
+    )

@@ -148,6 +148,22 @@ def _minimal_bmp(w: int, h: int, top_down: bool = False) -> bytes:
     return header + info + pixels
 
 
+def _minimal_jpeg(w, h):
+    """Smallest JPEG prefix with APP0 + a baseline SOF0: enough for the
+    marker-scan header parse (no entropy-coded data needed)."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x01\x01" + b"\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    sof = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x01"
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
 def test_image_headers_backend_real_bytes(ray_session):
     """The REAL image path runs in this container: genuine PNG/BMP/GIF bytes
     through the actor-pool stage with backend='headers' (and 'auto', which
@@ -164,11 +180,20 @@ def test_image_headers_backend_real_bytes(ray_session):
     bmp = _minimal_bmp(12, 9)
     bmp_td = _minimal_bmp(5, 7, top_down=True)
     gif = b"GIF89a" + (44).to_bytes(2, "little") + (33).to_bytes(2, "little") + b"\x00" * 6
+    jpg = _minimal_jpeg(63, 41)
 
     assert _decode_image_headers(png)[:2] == (31, 17)
     assert _decode_image_headers(bmp)[:2] == (12, 9)
     assert _decode_image_headers(bmp_td)[:2] == (5, 7)
     assert _decode_image_headers(gif)[:2] == (44, 33)
+    assert _decode_image_headers(jpg)[:2] == (63, 41)
+    # JPEG with no SOF before start-of-scan is rejected, not mis-parsed
+    bad_jpg = b"\xff\xd8" + b"\xff\xda" + b"\x00\x04" + b"\x00" * 8
+    try:
+        _decode_image_headers(bad_jpg)
+        raise AssertionError("expected ValueError on SOF-less JPEG")
+    except ValueError:
+        pass
     try:
         _decode_image_headers(b"plain text payload")
         raise AssertionError("expected ValueError on non-image bytes")
@@ -177,8 +202,8 @@ def test_image_headers_backend_real_bytes(ray_session):
 
     batch = pa.table(
         {
-            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
-            "payload": pa.array([png, bmp, bmp_td, gif], pa.binary()),
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "payload": pa.array([png, bmp, bmp_td, gif, jpg], pa.binary()),
         }
     )
     out = (
@@ -197,6 +222,7 @@ def test_image_headers_backend_real_bytes(ray_session):
     assert dims[2] == (12, 9, len(bmp))
     assert dims[3] == (5, 7, len(bmp_td))
     assert dims[4] == (44, 33, len(gif))
+    assert dims[5] == (63, 41, len(jpg))
     if not PIL_AVAILABLE:
         assert ImageDecodeStage(backend="auto").backend == "headers"
 

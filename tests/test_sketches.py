@@ -381,3 +381,53 @@ def test_weighted_sample_weight_monotonicity(ray_session):
         ).take_all()
         hits += any(r["doc_id"] == 50 for r in got)
     assert hits == 5
+
+
+def test_dp_event_counts_reference_and_determinism(ray_session):
+    """Noisy counts equal the closed-form seeded-Laplace reference over the
+    exact counts; reruns identical; higher epsilon means less noise."""
+    import zlib
+
+    import duckdb
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import _splitmix64
+    from pyreshaper_ray.stages.sketches import dp_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        k: v
+        for k, v in duckdb.sql(
+            f"SELECT event_type, COUNT(*) FROM "
+            f"read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    ds = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_type"])
+    got = {r["event_type"]: r["noisy_count"]
+           for r in dp_event_counts(ds, epsilon_micro=1_000_000).take_all()}
+    assert set(got) == set(exact)
+    for k, noisy in got.items():
+        kh = np.array([zlib.crc32(k.encode())], np.uint64)
+        u = (_splitmix64(kh ^ np.uint64(42)).astype(np.float64) + 1.0) \
+            / 18446744073709551618.0
+        c = u[0] - 0.5
+        noise = -1.0 * np.sign(c) * np.log1p(-2.0 * abs(c))
+        assert noisy == max(int(np.rint(exact[k] + noise)), 0)
+    got2 = {r["event_type"]: r["noisy_count"]
+            for r in dp_event_counts(
+                ray.data.read_parquet(
+                    f"{sf}/events.parquet", columns=["event_type"]
+                ), epsilon_micro=1_000_000).take_all()}
+    assert got == got2
+    # tighter privacy (smaller epsilon) -> larger expected deviation
+    loose = dp_event_counts(
+        ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_type"]),
+        epsilon_micro=10_000_000,
+    ).take_all()
+    tight = dp_event_counts(
+        ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_type"]),
+        epsilon_micro=10_000,
+    ).take_all()
+    dev_loose = sum(abs(r["noisy_count"] - exact[r["event_type"]]) for r in loose)
+    dev_tight = sum(abs(r["noisy_count"] - exact[r["event_type"]]) for r in tight)
+    assert dev_tight > dev_loose
