@@ -4932,21 +4932,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
         UNION ALL
-        SELECT 'user_id', COUNT(*),
-               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
-               COUNT(DISTINCT user_id) FROM events
+        SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
         UNION ALL
-        SELECT 'event_type', COUNT(*),
-               SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
-               COUNT(DISTINCT event_type) FROM events
+        SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
         UNION ALL
-        SELECT 'value', COUNT(*),
-               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
-               COUNT(DISTINCT value) FROM events
+        SELECT 'value', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
         UNION ALL
-        SELECT 'props', COUNT(*),
-               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
-               COUNT(DISTINCT props) FROM events
+        SELECT 'props', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
     """
     out["sentence_stats_documents"] = """
         WITH s AS (
