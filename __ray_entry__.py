@@ -2407,6 +2407,12 @@ def q_q15_top_supplier(sf_dir: str):
     return q15_top_supplier(sf_dir)
 
 
+def q_q21_last_to_ship(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import q21_last_to_ship
+
+    return q21_last_to_ship(sf_dir)
+
+
 def q_gini_user_activity(sf_dir: str):
     from pyreshaper_ray.stages.analytics import gini_user_activity
 
@@ -2743,6 +2749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_documents": q_top_terms,
         "hash_sample_documents": q_hash_sample,
         "approx_distinct_users": q_approx_distinct_users,
+        "q21_last_to_ship": q_q21_last_to_ship,
     }
 
 
@@ -5484,5 +5491,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_users,
                CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
         FROM ud GROUP BY 1
+    """
+    out["q21_last_to_ship"] = """
+        WITH pair AS (
+            SELECT l_orderkey AS okey, l_suppkey AS skey,
+                   MAX(CAST(l_shipdate AS DATE)) AS mship
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ord AS (
+            SELECT okey, COUNT(*) AS n_supp, MAX(mship) AS omax
+            FROM pair GROUP BY 1
+        ),
+        blamed AS (
+            SELECT p.okey, MIN(p.skey) AS skey
+            FROM pair p JOIN ord o
+              ON p.okey = o.okey AND p.mship = o.omax
+            WHERE o.n_supp >= 2
+            GROUP BY p.okey
+            HAVING COUNT(*) = 1
+        )
+        SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM blamed b JOIN supplier s ON b.skey = s.s_suppkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, s_suppkey
+        LIMIT 20
     """
     return out

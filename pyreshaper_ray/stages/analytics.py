@@ -6406,3 +6406,154 @@ def q2_cheapest_supplier(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return mins.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q21_last_to_ship(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """TPC-H Q21 shape restated on available columns (no commit/receipt
+    dates): per supplier, the number of MULTI-supplier orders where that
+    supplier was strictly the LAST to ship — the "who kept the order
+    waiting" blame census.
+
+    Two combiner-first exchanges, both over reduced keys: (1) per-
+    (order, supplier) max ship DAY (pair-sized, lineitem never crosses),
+    (2) per-order packed argmax reduction. Unique-argmax detection packs
+    (ship_day << 20 | suppkey) and (ship_day << 20 | (MASK − suppkey))
+    into two int64 Max aggregates: they name the same supplier iff the
+    max ship day is held by exactly one supplier (a tie flips the two
+    tie-break directions apart). Distinct-supplier counts per order are
+    exact because pass-1 output is globally distinct pairs. ship_day
+    (days since epoch, < 2^20 until year 4840) and suppkey < 2^20 share
+    the packing budget, same contract as q2_cheapest_supplier.
+
+    Output: s_suppkey, s_name, n_orders (BIGINT) — top-k by
+    (n_orders DESC, s_suppkey).
+    """
+    import pyarrow.parquet as _pq
+
+    import ray
+    from ray.data.aggregate import Max as _Max
+
+    KEY_BITS = 20
+    MASK = (1 << KEY_BITS) - 1
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["l_shipdate"]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        g = pa.table(
+            {
+                "okey": pc.cast(b["l_orderkey"], pa.int64()),
+                "skey": pc.cast(b["l_suppkey"], pa.int64()),
+                "ship_day": pa.array(day, pa.int64()),
+            }
+        ).group_by(["okey", "skey"]).aggregate([("ship_day", "max")])
+        return pa.table(
+            {"okey": g["okey"], "skey": g["skey"], "ship_day": g["ship_day_max"]}
+        )
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["okey", "skey"])
+        .aggregate(_Max("ship_day", alias_name="ship_day"))
+    )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        sd = b["ship_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["skey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "okey": b["okey"],
+                "p_hi": pa.array((sd << KEY_BITS) | sk, pa.int64()),
+                "p_lo": pa.array((sd << KEY_BITS) | (MASK - sk), pa.int64()),
+                "n_supp": pa.array(np.ones(len(sd), np.int64)),
+            }
+        ).group_by(["okey"]).aggregate(
+            [("p_hi", "max"), ("p_lo", "max"), ("n_supp", "sum")]
+        )
+        return pa.table(
+            {
+                "okey": t["okey"],
+                "p_hi": t["p_hi_max"],
+                "p_lo": t["p_lo_max"],
+                "n_supp": t["n_supp_sum"],
+            }
+        )
+
+    per_order = (
+        pairs.map_batches(order_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("okey")
+        .aggregate(
+            _Max("p_hi", alias_name="p_hi"),
+            _Max("p_lo", alias_name="p_lo"),
+            Sum("n_supp", alias_name="n_supp"),
+        )
+    )
+
+    def blame_partial(b: pa.Table) -> pa.Table:
+        hi = b["p_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = b["p_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_hi = hi & MASK
+        s_lo = MASK - (lo & MASK)
+        blamed = (n >= 2) & (s_hi == s_lo)
+        sk = s_hi[blamed]
+        if not len(sk):
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "n_orders": pa.array(np.ones(len(sk), np.int64)),
+            }
+        ).group_by(["s_suppkey"]).aggregate([("n_orders", "sum")])
+        return pa.table(
+            {"s_suppkey": g["s_suppkey"], "n_orders": g["n_orders_sum"]}
+        )
+
+    counts = (
+        per_order.map_batches(
+            blame_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("s_suppkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    supp = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).combine_chunks()
+    ref = ray.put(supp)
+
+    def finish(b: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        sdim: pa.Table = cached_get(ref)
+        pos = pc.index_in(
+            pc.cast(b["s_suppkey"], pa.int64()),
+            value_set=pc.cast(sdim["s_suppkey"], pa.int64()),
+        )
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+                "s_name": pc.take(sdim["s_name"], pos),
+                "n_orders": b["n_orders"],
+            }
+        )
+
+    return (
+        counts.map_batches(finish, batch_format="pyarrow")
+        .sort(["n_orders", "s_suppkey"], descending=[True, False])
+        .limit(k)
+    )

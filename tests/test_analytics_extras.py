@@ -1870,3 +1870,40 @@ def test_median2_interpolated_semantics(ray_session):
     assert rows["a"]["median2_cents"] == 20 + 30  # (0.20+0.30)/2 doubled
     assert rows["b"]["median2_cents"] == 2 * 7
     assert rows["a"]["n"] == 4 and rows["b"]["n"] == 3
+
+
+def _write(tmp_path, name, table):
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def test_q21_unique_last_shipper_only(ray_session, tmp_path):
+    """Blame needs >=2 suppliers AND a strict (untied) last ship day; the
+    per-supplier max is over that supplier's own lines."""
+    from pyreshaper_ray.stages.analytics import q21_last_to_ship
+
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+    }))
+    _write(tmp_path, "lineitem", pa.table({
+        # order 100: supp 1 ships last (day 3 vs 2) -> blame supp 1
+        # order 200: supp 1 and 2 TIE on last day -> nobody blamed
+        # order 300: single supplier -> not a multi-supplier order
+        # order 400: supp 2 last (two own lines, max day 9) -> blame supp 2
+        "l_orderkey": pa.array(
+            [100, 100, 200, 200, 300, 400, 400, 400], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2, 3, 2, 2, 1], pa.int64()),
+        "l_shipdate": pa.array([
+            _ts("2020-01-03T00:00:00"), _ts("2020-01-02T00:00:00"),
+            _ts("2020-01-05T00:00:00"), _ts("2020-01-05T23:00:00"),
+            _ts("2020-01-01T00:00:00"),
+            _ts("2020-01-09T00:00:00"), _ts("2020-01-04T00:00:00"),
+            _ts("2020-01-08T00:00:00"),
+        ], pa.timestamp("us")),
+    }))
+    out = q21_last_to_ship(str(tmp_path)).to_pandas()
+    got = dict(zip(out["s_suppkey"], out["n_orders"]))
+    assert got == {1: 1, 2: 1}
+    assert list(out["s_suppkey"]) == [1, 2]  # n ties -> suppkey ascending
