@@ -2413,6 +2413,36 @@ def q_q21_last_to_ship(sf_dir: str):
     return q21_last_to_ship(sf_dir)
 
 
+def q_shape_census(sf_dir: str):
+    from pyreshaper_ray.stages.windows import shape_census
+
+    return shape_census(read_events_as_transcripts(sf_dir))
+
+
+def q_resample_uniform(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import resample_uniform
+
+    return resample_uniform(_norm_ds(sf_dir))
+
+
+def q_ks_purchase_click(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import ks_statistic
+
+    return ks_statistic(_events_value_ds(sf_dir, ["event_type", "value"]))
+
+
+def q_decayed_user_scores(sf_dir: str):
+    from pyreshaper_ray.stages.analytics import decayed_user_scores
+
+    return decayed_user_scores(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_scan_task_plan(sf_dir: str):
+    from pyreshaper_ray.sources.planner import scan_task_plan
+
+    return scan_task_plan(sf_dir)
+
+
 def q_gini_user_activity(sf_dir: str):
     from pyreshaper_ray.stages.analytics import gini_user_activity
 
@@ -2750,6 +2780,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_documents": q_hash_sample,
         "approx_distinct_users": q_approx_distinct_users,
         "q21_last_to_ship": q_q21_last_to_ship,
+        "ks_value_purchase_click": q_ks_purchase_click,
+        "decayed_user_scores": q_decayed_user_scores,
+        "scan_task_plan": q_scan_task_plan,
+        "shape_census": q_shape_census,
+        "resample_uniform_8": q_resample_uniform,
     }
 
 
@@ -5516,5 +5551,90 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         ORDER BY n_orders DESC, s_suppkey
         LIMIT 20
+    """
+    out["ks_value_purchase_click"] = """
+        WITH e AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, event_type
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        g AS (
+            SELECT v,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_a,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_b
+            FROM e GROUP BY v
+        ),
+        t AS (
+            SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+            FROM g
+        ),
+        c AS (
+            SELECT SUM(c_a) OVER (ORDER BY v) AS f_a,
+                   SUM(c_b) OVER (ORDER BY v) AS f_b
+            FROM g
+        )
+        SELECT n_a, n_b,
+               CAST(MAX(ABS(f_a * n_b - f_b * n_a)) AS BIGINT) AS ks_num,
+               CAST((1000000 * MAX(ABS(f_a * n_b - f_b * n_a))) // (n_a * n_b)
+                    AS BIGINT) AS ks_ppm
+        FROM c, t
+        WHERE n_a > 0 AND n_b > 0
+        GROUP BY n_a, n_b
+    """
+    out["decayed_user_scores"] = """
+        WITH m AS (
+            SELECT MAX(CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT)) AS md FROM events
+        ),
+        e AS (
+            SELECT user_id, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS d FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(SUM(CASE WHEN md - d <= 40
+                             THEN CAST(POWER(2, 40 - (md - d)) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e, m
+        GROUP BY 1
+        ORDER BY score DESC, user_id
+        LIMIT 20
+    """
+    out["shape_census"] = f"""
+        WITH t AS ({_T}),
+        s AS (
+            SELECT conv_id, string_agg(role, ',' ORDER BY turn_idx) AS shape
+            FROM t GROUP BY 1
+        )
+        SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM s GROUP BY 1
+        ORDER BY n_convs DESC, shape
+        LIMIT 20
+    """
+    out["resample_uniform_8"] = f"""
+        WITH t AS ({_T}),
+        s0 AS (
+            SELECT conv_id, epoch_us(ts) AS tu,
+                   CAST(LENGTH(text) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+            FROM t
+        ),
+        s AS (
+            SELECT conv_id, tu, v, LEAD(tu) OVER w AS ntu, LEAD(v) OVER w AS nv
+            FROM s0 WINDOW w AS (PARTITION BY conv_id ORDER BY tu, rn)
+        ),
+        b AS (
+            SELECT conv_id, MIN(tu) AS t0, MAX(tu) AS t1
+            FROM s0 GROUP BY 1 HAVING MAX(tu) > MIN(tu)
+        ),
+        g AS (
+            SELECT b.conv_id, j, t0 + (j * (t1 - t0)) // 7 AS gt
+            FROM b CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS j) js
+        )
+        SELECT g.conv_id, CAST(j AS BIGINT) AS j,
+               make_timestamp(gt) AS grid_ts,
+               CAST(CASE WHEN s.ntu IS NULL THEN s.v
+                    ELSE s.v + ((s.nv - s.v) * (g.gt - s.tu)) // (s.ntu - s.tu)
+                    END AS BIGINT) AS value
+        FROM g JOIN s ON g.conv_id = s.conv_id
+         AND s.tu <= g.gt AND (s.ntu IS NULL OR g.gt < s.ntu)
     """
     return out

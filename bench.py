@@ -311,6 +311,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "pack_sequences_ffd",
         "dedup_normalized_documents",
         "curation_funnel",
+        "ks_value_purchase_click",
+        "decayed_user_scores",
+        "shape_census",
+        "resample_uniform_8",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -6557,3 +6557,206 @@ def q21_last_to_ship(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         .sort(["n_orders", "s_suppkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def ks_statistic(
+    events_ds: "ray.data.Dataset",
+    type_a: str = "purchase",
+    type_b: str = "click",
+) -> "ray.data.Dataset":
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types — the distribution-drift audit a
+    training-data pipeline runs between snapshots (did today's `purchase`
+    value distribution shift vs `click`, or vs yesterday's?).
+
+    KS = sup_v |F_a(v) − F_b(v)|. Everything stays in integers: with
+    per-value counts c_a, c_b and totals n_a, n_b, the supremum of
+    |cum_a/n_a − cum_b/n_b| equals max |cum_a·n_b − cum_b·n_a| / (n_a·n_b),
+    so the reported ``ks_num`` is an exact BIGINT and ``ks_ppm`` its
+    floor-scaled ratio — no float ever enters.
+
+    Scale plan: raw events reduce combiner-first to one row per distinct
+    cents value (two count columns) — the exchange is distinct-value-sized,
+    never event-sized. The irreducible global cumulative runs over that
+    sorted distinct table with the block-offset machinery (pass 1 reduces
+    each block to its first key + per-block count sums — block-count-sized
+    on the driver — pass 2 adds prefix offsets and takes a per-block max
+    partial; a final tiny aggregate reduces the block partials).
+
+    Output: one row — n_a, n_b, ks_num, ks_ppm (all BIGINT).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    OUT = pa.schema(
+        [
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("ks_num", pa.int64()),
+            ("ks_ppm", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array([type_a, type_b]))
+        t = b.filter(m)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.int64()),
+                    "c_a": pa.array([], pa.int64()),
+                    "c_b": pa.array([], pa.int64()),
+                }
+            )
+        is_a = pc.equal(t["event_type"], type_a)
+        g = pa.table(
+            {
+                "v": to_cents(t["value"]),
+                "c_a": pc.cast(is_a, pa.int64()),
+                "c_b": pc.cast(pc.invert(is_a), pa.int64()),
+            }
+        ).group_by(["v"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return pa.table({"v": g["v"], "c_a": g["c_a_sum"], "c_b": g["c_b_sum"]})
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(_Sum("c_a", alias_name="c_a"), _Sum("c_b", alias_name="c_b"))
+    )
+    ordered = counts.sort("v").materialize()
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.int64()),
+                    "s_a": pa.array([], pa.int64()),
+                    "s_b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "v": batch["v"][:1],
+                "s_a": pa.array([pc.sum(batch["c_a"]).as_py() or 0], pa.int64()),
+                "s_b": pa.array([pc.sum(batch["c_b"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    heads = ordered.map_batches(
+        block_head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()  # block-count-sized driver collect, same as NTILE/Gini
+    heads.sort(key=lambda r: r["v"])
+    n_a = sum(r["s_a"] for r in heads)
+    n_b = sum(r["s_b"] for r in heads)
+    if n_a == 0 or n_b == 0:
+        return ray.data.from_arrow(OUT.empty_table())
+    off: dict[int, tuple[int, int]] = {}
+    acc_a = acc_b = 0
+    for r in heads:
+        off[r["v"]] = (acc_a, acc_b)
+        acc_a += r["s_a"]
+        acc_b += r["s_b"]
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        o_a, o_b = off[batch["v"][0].as_py()]
+        cum_a = o_a + np.cumsum(batch["c_a"].to_numpy(zero_copy_only=False))
+        cum_b = o_b + np.cumsum(batch["c_b"].to_numpy(zero_copy_only=False))
+        # int64 bound: cum ≤ n, so |cum_a·n_b − cum_b·n_a| ≤ 2·n_a·n_b —
+        # fine to ~3e9 events per side; beyond that switch to object ints.
+        d = np.abs(cum_a * n_b - cum_b * n_a)
+        return pa.table({"m": pa.array([int(d.max())], pa.int64())})
+
+    parts = ordered.map_batches(
+        block_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return OUT.empty_table()
+        ks = int(pc.max(b["m"]).as_py())
+        return pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "ks_num": pa.array([ks], pa.int64()),
+                "ks_ppm": pa.array([(1_000_000 * ks) // (n_a * n_b)], pa.int64()),
+            }
+        )
+
+    # the block partials are block-count-sized: one repartition(1) + finish
+    return parts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def decayed_user_scores(
+    events_ds: "ray.data.Dataset", w: int = 40, k: int = 20
+) -> "ray.data.Dataset":
+    """Exponentially time-decayed per-user activity score — the freshness-
+    weighted leaderboard (a recency-biased heavy-hitter census: yesterday's
+    burst outweighs last month's).
+
+    Each event contributes ``2^(w − age_days)`` where ``age_days`` is whole
+    days before the corpus' newest event; contributions older than ``w``
+    days decay to exactly 0. Powers of two keep every weight and sum
+    BIGINT-exact (no float decay drift), and the SQL oracle restates the
+    same integers via ``POWER(2, …)`` — exactly representable doubles up
+    to 2^53.
+
+    Scale plan: one tiny aggregate finds the global max day (driver
+    scalar), then a combiner-first per-(user, age) reduction inside each
+    block multiplies counts by the shared weight table — the exchange is
+    user-sized. Top-k by (score desc, user_id asc) bounds the result.
+
+    Output: user_id, score, n_events (BIGINT), k rows.
+    """
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    DAY_US = 86_400_000_000
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        d = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {"d": pa.array([pc.max(pc.divide(d, DAY_US)).as_py()], pa.int64())}
+        )
+
+    md_rows = (
+        events_ds.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(_Max("d", alias_name="max_d"))
+    )
+    max_day = int(md_rows["max_d"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (
+            pc.cast(b["ts"], pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        age = np.minimum(max_day - d, w + 1)
+        wt = np.where(age <= w, np.int64(1) << (w - np.minimum(age, w)), 0)
+        g = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "score": pa.array(wt, pa.int64()),
+                "n_events": pa.array(np.ones(len(wt), np.int64)),
+            }
+        ).group_by(["user_id"]).aggregate([("score", "sum"), ("n_events", "sum")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "score": g["score_sum"],
+                "n_events": g["n_events_sum"],
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(_Sum("score", alias_name="score"), _Sum("n_events", alias_name="n_events"))
+        .sort(["score", "user_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -959,3 +959,81 @@ def haar_minute_counts(
             "coeff": pa.array(np.concatenate(coeffs), pa.int64()),
         }
     )
+
+
+RESAMPLE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("j", pa.int64()),
+        ("grid_ts", pa.timestamp("us")),
+        ("value", pa.int64()),
+    ]
+)
+
+
+def resample_uniform(
+    ds_normalized: "ray.data.Dataset", k: int = 8
+) -> "ray.data.Dataset":
+    """Resample each conversation's char_len series onto a uniform k-point
+    time grid by linear interpolation — the classic `resample()` that turns
+    irregular event series into fixed-length feature vectors (the input
+    shape clustering / sequence models need).
+
+    Grid: ``g_j = t0 + (j·(t1−t0)) // (k−1)`` for j ∈ [0, k) over the
+    conversation's [first, last] turn timestamps — integer microseconds,
+    floor division, so every grid point is exact. Value at g_j is the
+    floor-division lerp between the bracketing samples::
+
+        v = v_i + trunc((v_{i+1} − v_i) · (g − p_i) / (p_{i+1} − p_i))
+
+    all in int64, with division TRUNCATED toward zero — DuckDB's ``//``
+    truncates for negative numerators (measured: ``-7 // 2 = -3``) while
+    numpy floors, so the kernel applies ``sign · (|num| // den)`` to match
+    the SQL bit-for-bit on downward slopes — choosing the LAST
+    sample at ties (searchsorted right − 1) — the same bracket the oracle's
+    ``s.ts ≤ g < s.next_ts`` join picks, so outputs are bit-exact.
+    Single-point conversations (t1 == t0) are excluded on both sides.
+
+    Distributed shape: per-conversation kernel under ``groupby(conv_id)``
+    — the same co-location contract as gap-fill; vectorized searchsorted
+    over all k grid points at once.
+
+    Output: conv_id, j, grid_ts, value (k rows per multi-point conv).
+    """
+
+    def kernel(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("turn_idx", "ascending")]
+        )
+        g = group.take(idx)
+        ts = (
+            g["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        vals = g["char_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t0, t1 = int(ts[0]), int(ts[-1])
+        if t1 <= t0:
+            return RESAMPLE_SCHEMA.empty_table()
+        j = np.arange(k, dtype=np.int64)
+        grid = t0 + (j * (t1 - t0)) // (k - 1)
+        i = np.searchsorted(ts, grid, side="right") - 1
+        at_end = i >= len(ts) - 1
+        i_next = np.minimum(i + 1, len(ts) - 1)
+        num = (vals[i_next] - vals[i]) * (grid - ts[i])
+        den = np.where(at_end, 1, ts[i_next] - ts[i])
+        q = np.sign(num) * (np.abs(num) // den)  # trunc-toward-zero == SQL //
+        v = np.where(at_end, vals[i], vals[i] + q)
+        return pa.table(
+            {
+                "conv_id": pa.array([g["conv_id"][0].as_py()] * k, pa.string()),
+                "j": pa.array(j, pa.int64()),
+                "grid_ts": pa.array(grid, pa.timestamp("us")),
+                "value": pa.array(v, pa.int64()),
+            }
+        )
+
+    return ds_normalized.groupby("conv_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )

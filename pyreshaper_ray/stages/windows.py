@@ -1438,3 +1438,45 @@ def response_latency(
     return ds_transcripts.groupby("conv_id").map_groups(
         lat, batch_format="pyarrow"
     )
+
+
+def shape_census(ds_transcripts: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
+    """Top-k conversation *shapes* — the exact turn-taking pattern
+    (ordered role sequence) ranked by how many conversations share it.
+    The behavioral-census a transcript pipeline runs to find dominant
+    interaction patterns (user→assistant ping-pong vs tool-heavy loops).
+
+    Built on the ordered group-concat (``roles_concat``): one per-conv
+    reduction, then a combiner-first count over the shape strings. The
+    exchange ships one (shape, count) row per distinct shape per block —
+    shape-vocabulary-sized. Giant conversations make giant shape strings;
+    at real scale, group on a shape *hash* and keep one exemplar string
+    per bucket (same trade as the minhash verify prefilter).
+
+    Output: shape (string), n_convs (BIGINT), top-k by (n_convs desc,
+    shape asc).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    shapes = roles_concat(ds_transcripts)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "shape": b["role_seq"],
+                    "n_convs": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            )
+            .group_by(["shape"])
+            .aggregate([("n_convs", "sum")])
+        )
+        return pa.table({"shape": g["shape"], "n_convs": g["n_convs_sum"]})
+
+    return (
+        shapes.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shape")
+        .aggregate(_Sum("n_convs", alias_name="n_convs"))
+        .sort(["n_convs", "shape"], descending=[True, False])
+        .limit(k)
+    )

@@ -1907,3 +1907,100 @@ def test_q21_unique_last_shipper_only(ray_session, tmp_path):
     got = dict(zip(out["s_suppkey"], out["n_orders"]))
     assert got == {1: 1, 2: 1}
     assert list(out["s_suppkey"]) == [1, 2]  # n ties -> suppkey ascending
+
+
+def test_ks_statistic_hand_case(ray_session):
+    """a=[1,2,3], b=[2,3,3,4] → sup|F_a−F_b| at v=2: |2/3 − 1/4| = 5/12."""
+    import ray
+
+    from pyreshaper_ray.stages.analytics import ks_statistic
+
+    vals = [1.0, 2.0, 3.0, 2.0, 3.0, 3.0, 4.0]
+    types = ["purchase"] * 3 + ["click"] * 4
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    out = ks_statistic(ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_a"], r["n_b"], r["ks_num"]) == (3, 4, 5)
+    assert r["ks_ppm"] == (1_000_000 * 5) // 12
+
+
+def test_ks_statistic_one_side_empty(ray_session):
+    import ray
+
+    from pyreshaper_ray.stages.analytics import ks_statistic
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["purchase", "view"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    }))
+    assert ks_statistic(ds).count() == 0
+
+
+def test_decayed_user_scores_weights_and_cutoff(ray_session):
+    """Weight 2^(40−age), hard 0 beyond 40 days; ties break by user_id."""
+    import ray
+
+    from pyreshaper_ray.stages.analytics import decayed_user_scores
+
+    day = 86_400_000_000
+    base = int(_ts("2026-03-01T12:00:00").astype(np.int64))
+    rows = [  # (user, days_old)
+        (1, 0), (1, 1),          # 2^40 + 2^39
+        (2, 40), (2, 41),        # 1 + 0
+        (3, 0),                  # 2^40  (tie-breaks after nobody)
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array(
+            np.array([base - a * day for _, a in rows], np.int64),
+            pa.timestamp("us"),
+        ),
+    }))
+    out = decayed_user_scores(ds).to_pandas()
+    got = list(zip(out["user_id"], out["score"], out["n_events"]))
+    assert got == [
+        (1, (1 << 40) + (1 << 39), 2),
+        (3, 1 << 40, 1),
+        (2, 1, 2),
+    ]
+
+
+def test_scan_task_plan_matches_duckdb_footers(tmp_path):
+    """Plan rows equal DuckDB parquet_metadata; task binning is the
+    cumulative-target rule and tasks cover contiguous row-group runs."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.sources.planner import scan_task_plan
+
+    rng = np.random.default_rng(3)
+    for name, n in [("alpha", 5000), ("beta", 1200), ("gamma", 10)]:
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            "txt": pa.array(["x" * int(v) for v in rng.integers(1, 80, n)]),
+        })
+        pq.write_table(t, str(tmp_path / f"{name}.parquet"), row_group_size=1000)
+
+    target = 64 * 1024
+    plan = scan_task_plan(str(tmp_path), target_bytes=target)
+
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        SELECT regexp_extract(file_name, '([a-z]+)[.]parquet$', 1) AS table_name,
+               CAST(row_group_id AS BIGINT) AS row_group,
+               CAST(MAX(row_group_num_rows) AS BIGINT) AS n_rows,
+               CAST(SUM(total_uncompressed_size) AS BIGINT) AS n_bytes
+        FROM parquet_metadata('{tmp_path}/*.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).arrow()
+    assert plan.select(["table_name", "row_group", "n_rows", "n_bytes"]).equals(
+        ref.combine_chunks()
+    )
+    # cumulative-target binning: task = bytes_before // target, nondecreasing
+    nb = plan["n_bytes"].to_numpy(zero_copy_only=False)
+    before = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    assert (plan["task_id"].to_numpy(zero_copy_only=False) == before // target).all()

@@ -398,3 +398,24 @@ def test_haar_matches_numpy_reference(ray_session):
     }
     assert got == want
     assert got[(level, 0)] == int(x.sum())
+
+
+def test_resample_uniform_lerp_and_single_point(ray_session):
+    """Hand case: conv a (0us,1)→(10us,10)→(20us,0) on an 8-point grid;
+    floor-division lerp incl. the negative slope; single-point conv b
+    excluded; grid endpoints hit the exact first/last samples."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import resample_uniform
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b"]),
+        "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+        "ts": pa.array(np.array([0, 10, 20, 5], np.int64), pa.timestamp("us")),
+        "char_len": pa.array([1, 10, 0, 2], pa.int32()),
+    })
+    out = resample_uniform(ray.data.from_arrow(t).repartition(2)).to_pandas()
+    out = out.sort_values(["conv_id", "j"]).reset_index(drop=True)
+    assert set(out["conv_id"]) == {"a"}
+    assert list(out["value"]) == [1, 2, 5, 8, 9, 6, 3, 0]
+    assert list(out["grid_ts"].astype("int64")) == [0, 2, 5, 8, 11, 14, 17, 20]

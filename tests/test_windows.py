@@ -574,3 +574,24 @@ def test_response_latency_hand_case(ray_session):
     assert rows["c1"]["sum_latency_us"] == (3 + 2 + 6) * us
     assert rows["c1"]["max_latency_us"] == 6 * us
     assert "c2" not in rows  # no assistant turn at all
+
+
+def test_shape_census_counts_and_ties(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import shape_census
+
+    rows = [  # three convs share u,a; one is u,a,tool; tie order by shape
+        ("c1", 0, "user"), ("c1", 1, "assistant"),
+        ("c2", 0, "user"), ("c2", 1, "assistant"),
+        ("c3", 1, "assistant"), ("c3", 0, "user"),  # out-of-order arrival
+        ("c4", 0, "user"), ("c4", 1, "assistant"), ("c4", 2, "tool"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+    })
+    out = shape_census(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got = list(zip(out["shape"], out["n_convs"]))
+    assert got == [("user,assistant", 3), ("user,assistant,tool", 1)]
