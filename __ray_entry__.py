@@ -2413,6 +2413,20 @@ def q_q21_last_to_ship(sf_dir: str):
     return q21_last_to_ship(sf_dir)
 
 
+def q_zone_skip_plan(sf_dir: str):
+    from pyreshaper_ray.sources.planner import zone_skip_plan
+
+    return zone_skip_plan(
+        f"{sf_dir}/events.parquet", "event_id", lo=0, hi=10_000
+    )
+
+
+def q_lsh_parameter_plan(sf_dir: str):
+    from pyreshaper_ray.sources.planner import lsh_parameter_plan
+
+    return lsh_parameter_plan()
+
+
 def q_shape_census(sf_dir: str):
     from pyreshaper_ray.stages.windows import shape_census
 
@@ -2785,6 +2799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_task_plan": q_scan_task_plan,
         "shape_census": q_shape_census,
         "resample_uniform_8": q_resample_uniform,
+        "zone_skip_plan": q_zone_skip_plan,
+        "lsh_parameter_plan": q_lsh_parameter_plan,
     }
 
 

@@ -174,12 +174,35 @@ def cmd_export(args: argparse.Namespace) -> int:
         ds = read_tier(args.out, args.tier)
         if "bucket" in (ds.schema().names or []):
             ds = ds.drop_columns(["bucket"])
-        writer = {
-            "csv": ds.write_csv,
-            "json": ds.write_json,
-            "parquet": ds.write_parquet,
-        }[args.format]
-        writer(args.dest)
+        if args.format == "ipc":
+            # Ray Data has no IPC sink; stream one Arrow IPC file per block
+            # (the mirror of the Arrow-IPC *source* backend) — each task
+            # writes its own part file, nothing funnels through the driver.
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.ipc as pipc
+
+            dest = args.dest
+            os.makedirs(dest, exist_ok=True)
+
+            def write_block(b: "pa.Table") -> "pa.Table":
+                if b.num_rows:
+                    path = os.path.join(dest, f"part-{uuid.uuid4().hex}.arrow")
+                    with pipc.new_file(path, b.schema) as w:
+                        w.write_table(b)
+                return pa.table({"rows": pa.array([b.num_rows], pa.int64())})
+
+            ds.map_batches(
+                write_block, batch_format="pyarrow", batch_size=None
+            ).count()
+        else:
+            writer = {
+                "csv": ds.write_csv,
+                "json": ds.write_json,
+                "parquet": ds.write_parquet,
+            }[args.format]
+            writer(args.dest)
         print(json.dumps({"tier": args.tier, "format": args.format,
                           "rows": ds.count(), "dest": args.dest}))
     finally:
@@ -291,10 +314,10 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--num-cpus", type=int, default=8)
     rt.set_defaults(fn=cmd_retain)
 
-    ex = sub.add_parser("export", help="re-materialize a tier as csv/json/parquet")
+    ex = sub.add_parser("export", help="re-materialize a tier as csv/json/parquet/ipc")
     ex.add_argument("--out", required=True, help="run output directory")
     ex.add_argument("--tier", default="1m", help="tier to export (1m/1h/1d/turns/series)")
-    ex.add_argument("--format", default="csv", choices=("csv", "json", "parquet"))
+    ex.add_argument("--format", default="csv", choices=("csv", "json", "parquet", "ipc"))
     ex.add_argument("--dest", required=True, help="destination directory")
     ex.add_argument("--num-cpus", type=int, default=8)
     ex.set_defaults(fn=cmd_export)

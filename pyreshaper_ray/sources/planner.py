@@ -73,3 +73,103 @@ def scan_task_plan(sf_dir: str, target_bytes: int = 256 * 1024) -> pa.Table:
             "task_id": pa.array(tasks, pa.int64()),
         }
     )
+
+
+ZONE_SCHEMA = pa.schema(
+    [
+        ("table_name", pa.string()),
+        ("row_group", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("null_count", pa.int64()),
+        ("min_v", pa.int64()),
+        ("max_v", pa.int64()),
+        ("skip", pa.bool_()),
+    ]
+)
+
+
+def zone_skip_plan(
+    path: str, column: str, lo: int, hi: int, table_name: str | None = None
+) -> pa.Table:
+    """Zone-map data skipping — decide from footer min/max statistics which
+    row groups of ``path`` can NEVER contain a row with ``lo <= column <=
+    hi`` (``skip`` = max < lo or min > hi). This is the planner half of
+    predicate pushdown: `read_parquet(filter=...)` consumes the decision,
+    this operator makes it inspectable and testable. Footer-only, integer
+    columns (exact zone bounds, no min/max truncation ambiguity).
+    """
+    md = pq.ParquetFile(path).metadata
+    name = table_name or os.path.basename(path).rsplit(".", 1)[0]
+    col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[column]
+    rows = {k: [] for k in ("rg", "n", "nulls", "mn", "mx", "skip")}
+    for g in range(md.num_row_groups):
+        c = md.row_group(g).column(col_idx)
+        st = c.statistics
+        mn, mx = int(st.min), int(st.max)
+        rows["rg"].append(g)
+        rows["n"].append(md.row_group(g).num_rows)
+        rows["nulls"].append(int(st.null_count))
+        rows["mn"].append(mn)
+        rows["mx"].append(mx)
+        rows["skip"].append(mx < lo or mn > hi)
+    return pa.table(
+        {
+            "table_name": pa.array([name] * md.num_row_groups, pa.string()),
+            "row_group": pa.array(rows["rg"], pa.int64()),
+            "n_rows": pa.array(rows["n"], pa.int64()),
+            "null_count": pa.array(rows["nulls"], pa.int64()),
+            "min_v": pa.array(rows["mn"], pa.int64()),
+            "max_v": pa.array(rows["mx"], pa.int64()),
+            "skip": pa.array(rows["skip"], pa.bool_()),
+        }
+    )
+
+
+def lsh_parameter_plan(
+    n_perm: int = 128, thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9)
+) -> pa.Table:
+    """MinHash-LSH banding auto-tuner: for each target Jaccard threshold,
+    pick (bands, rows_per_band) with bands·rows == n_perm minimizing the
+    false-positive + false-negative probability mass around the threshold
+    (the standard integral criterion: FP = ∫₀ᵗ P(hit|s) ds, FN =
+    ∫ₜ¹ 1−P(hit|s) ds with P(hit|s) = 1 − (1 − s^r)^b, trapezoid over
+    1000 points — deterministic, so the plan is reproducible engine
+    config, not a heuristic). Feeds `stages/dedup.py::minhash_neardup`'s
+    (bands, rows) choice; pure metadata, no data touched.
+
+    Output per threshold: bands, rows_per_band, fp_milli, fn_milli
+    (probability mass × 1000, rounded — integer for oracle-free equality
+    testing).
+    """
+    import numpy as np
+
+    s = np.linspace(0.0, 1.0, 1001)
+    out = {k: [] for k in ("t", "b", "r", "fp", "fn")}
+    for t in thresholds:
+        best = None
+        for r in range(1, n_perm + 1):
+            if n_perm % r:
+                continue
+            b = n_perm // r
+            p_hit = 1.0 - (1.0 - s**r) ** b
+            below = s <= t
+            fp = float(np.trapz(p_hit[below], s[below]))
+            fn = float(np.trapz(1.0 - p_hit[~below], s[~below]))
+            key = (fp + fn, r)
+            if best is None or key < best[0]:
+                best = (key, b, r, fp, fn)
+        _, b, r, fp, fn = best
+        out["t"].append(int(round(t * 100)))
+        out["b"].append(b)
+        out["r"].append(r)
+        out["fp"].append(int(round(fp * 1000)))
+        out["fn"].append(int(round(fn * 1000)))
+    return pa.table(
+        {
+            "threshold_pct": pa.array(out["t"], pa.int64()),
+            "bands": pa.array(out["b"], pa.int64()),
+            "rows_per_band": pa.array(out["r"], pa.int64()),
+            "fp_milli": pa.array(out["fp"], pa.int64()),
+            "fn_milli": pa.array(out["fn"], pa.int64()),
+        }
+    )

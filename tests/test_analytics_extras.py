@@ -2004,3 +2004,55 @@ def test_scan_task_plan_matches_duckdb_footers(tmp_path):
     nb = plan["n_bytes"].to_numpy(zero_copy_only=False)
     before = np.concatenate([[0], np.cumsum(nb)[:-1]])
     assert (plan["task_id"].to_numpy(zero_copy_only=False) == before // target).all()
+
+
+def test_zone_skip_plan_flags_and_duckdb_parity(tmp_path):
+    """Key-sorted multi-row-group file: groups wholly outside [lo, hi] are
+    skippable, boundary-straddling groups are not; footer numbers match
+    DuckDB parquet_metadata."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.sources.planner import zone_skip_plan
+
+    t = pa.table({"k": pa.array(range(1000), pa.int64())})
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(t, p, row_group_size=250)  # zones [0,249] ... [750,999]
+
+    plan = zone_skip_plan(p, "k", lo=300, hi=520)
+    assert plan["skip"].to_pylist() == [True, False, False, True]
+    assert plan["min_v"].to_pylist() == [0, 250, 500, 750]
+    assert plan["max_v"].to_pylist() == [249, 499, 749, 999]
+
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        SELECT CAST(row_group_id AS BIGINT) rg,
+               CAST(row_group_num_rows AS BIGINT) n,
+               CAST(stats_min_value AS BIGINT) mn,
+               CAST(stats_max_value AS BIGINT) mx,
+               CAST(stats_null_count AS BIGINT) AS nullcnt
+        FROM parquet_metadata('{p}') WHERE path_in_schema = 'k'
+        ORDER BY 1
+    """).fetchall()
+    got = list(zip(plan["row_group"].to_pylist(), plan["n_rows"].to_pylist(),
+                   plan["min_v"].to_pylist(), plan["max_v"].to_pylist(),
+                   plan["null_count"].to_pylist()))
+    assert got == ref
+
+
+def test_lsh_parameter_plan_properties():
+    """bands·rows == n_perm; rows/band grows with threshold; the implied
+    S-curve midpoint (1/b)^(1/r) tracks the target threshold."""
+    from pyreshaper_ray.sources.planner import lsh_parameter_plan
+
+    plan = lsh_parameter_plan(n_perm=128).to_pydict()
+    rs = plan["rows_per_band"]
+    for b, r in zip(plan["bands"], rs):
+        assert b * r == 128
+    assert rs == sorted(rs)
+    for t_pct, b, r in zip(plan["threshold_pct"], plan["bands"], rs):
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t_pct / 100.0) < 0.17, (t_pct, b, r, mid)
+    # deterministic
+    again = lsh_parameter_plan(n_perm=128).to_pydict()
+    assert again == plan

@@ -153,3 +153,44 @@ def test_cli_explain_reports_plan(tmp_path, capsys):
     assert plan["n_buckets_mode"] == "auto" and plan["n_buckets"] >= 16
     assert plan["exchange"] == "spill"
     assert any("exchange" in s for s in plan["stages"])
+
+
+def test_cli_export_ipc_roundtrip(tmp_path):
+    """ipc export writes per-block Arrow files that read back to the same
+    rows as the tier (the mirror of the IPC source backend)."""
+    import glob
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.ipc as pipc
+
+    from pyreshaper_ray.fixtures import write_fixture
+
+    fx = str(tmp_path / "fx")
+    write_fixture(fx, n_conv=30, n_files=2, skew_turns=100)
+    spec = str(tmp_path / "spec.json")
+    out = str(tmp_path / "out")
+    dest = str(tmp_path / "ipc")
+    run = lambda *a: subprocess.run(
+        [sys.executable, "-m", "pyreshaper_ray.cli", *a],
+        check=True, capture_output=True, text=True,
+    )
+    run("make", spec, "--input", f"{fx}/transcripts", "--out", out,
+        "--n-buckets", "4", "--tiers", "1m", "--no-gapfill", "--no-encode")
+    run("run", spec, "--num-cpus", "4")
+    r = run("export", "--out", out, "--tier", "1m", "--format", "ipc",
+            "--dest", dest, "--num-cpus", "4")
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    parts = sorted(glob.glob(f"{dest}/*.arrow"))
+    assert parts
+    back = pa.concat_tables([pipc.open_file(p).read_all() for p in parts])
+    tier = pads.dataset(f"{out}/1m").to_table()
+    assert back.num_rows == tier.num_rows == info["rows"]
+    cols = [c for c in back.column_names]
+    key = [(c, "ascending") for c in ("conv_id", "window_start")]
+    assert back.select(cols).sort_by(key).equals(
+        tier.select(cols).sort_by(key).combine_chunks()
+    )
