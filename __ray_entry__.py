@@ -2413,6 +2413,20 @@ def q_q21_last_to_ship(sf_dir: str):
     return q21_last_to_ship(sf_dir)
 
 
+def q_join_cardinality_estimate(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import join_cardinality_estimate
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    right = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    return join_cardinality_estimate(left, right, "o_orderkey", "l_orderkey")
+
+
 def q_zone_skip_plan(sf_dir: str):
     from pyreshaper_ray.sources.planner import zone_skip_plan
 
@@ -2801,6 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_uniform_8": q_resample_uniform,
         "zone_skip_plan": q_zone_skip_plan,
         "lsh_parameter_plan": q_lsh_parameter_plan,
+        "join_cardinality_estimate": q_join_cardinality_estimate,
     }
 
 

@@ -117,19 +117,18 @@ def encode_series_bucket(turns: pa.Table) -> pa.Table:
     vals = turns["char_len"].to_numpy(zero_copy_only=False).astype(np.float64)
     conv = turns["conv_id"].combine_chunks()
     n = len(bounds) - 1
-    conv_ids: list[str] = []
-    n_turns = np.empty(n, dtype=np.int64)
+    # one vectorized gather of the run-start conv ids (was a per-conv .as_py())
+    conv_ids = pc.take(conv, pa.array(bounds[:-1], pa.int64()))
+    n_turns = np.diff(bounds).astype(np.int64)
     dod: list[bytes] = []
     gor: list[bytes] = []
     for k in range(n):
         lo, hi = int(bounds[k]), int(bounds[k + 1])
-        conv_ids.append(conv[lo].as_py())
-        n_turns[k] = hi - lo
         dod.append(dod_encode(ts[lo:hi]))
         gor.append(gorilla_encode(vals[lo:hi]))
     return pa.table(
         {
-            "conv_id": pa.array(conv_ids, pa.string()),
+            "conv_id": pc.cast(conv_ids, pa.string()),
             "n_turns": pa.array(n_turns, pa.int64()),
             "dod_ts": pa.array(dod, pa.binary()),
             "gorilla_char_len": pa.array(gor, pa.binary()),

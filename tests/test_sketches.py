@@ -431,3 +431,26 @@ def test_dp_event_counts_reference_and_determinism(ray_session):
     dev_loose = sum(abs(r["noisy_count"] - exact[r["event_type"]]) for r in loose)
     dev_tight = sum(abs(r["noisy_count"] - exact[r["event_type"]]) for r in tight)
     assert dev_tight > dev_loose
+
+
+def test_join_cardinality_estimate_bounds(ray_session):
+    """Skewed fixture (one hot key + uniform tail): the bucketed HLL
+    estimate lands within 30% of the exact join size, and totals are
+    exact."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import join_cardinality_estimate
+
+    rng = np.random.default_rng(5)
+    # left: keys 0..999 once each, plus key 7 another 500 times (hot)
+    lk = np.concatenate([np.arange(1000), np.full(500, 7)]).astype(np.int64)
+    # right: 3000 uniform draws over 0..999
+    rk = rng.integers(0, 1000, 3000).astype(np.int64)
+    exact = int(sum(np.sum(rk == k) for k in np.unique(lk))
+                + 500 * np.sum(rk == 7))
+    lds = ray.data.from_arrow(pa.table({"k": pa.array(lk)})).repartition(4)
+    rds = ray.data.from_arrow(pa.table({"k": pa.array(rk)})).repartition(5)
+    out = join_cardinality_estimate(lds, rds, "k", "k").take_all()[0]
+    assert out["n_left"] == 1500 and out["n_right"] == 3000
+    est = out["est_rows"]
+    assert abs(est - exact) / exact < 0.30, (est, exact)
