@@ -2566,7 +2566,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries, keeps a handful of round-2 greens as canaries inside the
     # prefix, and parks the long green tail at the end.
     return {
-        # --- 44 driver-unchecked as of CORRECTNESS_r02 (oracle these first) ---
+        # --- 3 round-2 greens as regression canaries (CORRECTNESS_r02 hash-green) ---
+        "pivot_turns": q_pivot_turns,
+        "flagship_rollup_1m": q_flagship_rollup_1m,
+        "dedup_exact_documents": q_dedup_exact,
+        # --- driver-unchecked as of CORRECTNESS_r02 (oracle these first) ---
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -2698,7 +2702,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": q_time_weighted_value,
         "latest_event_per_user": q_latest_event_per_user,
         # --- round-3-touched canaries (dedup hash + as-of were rewritten) ---
-        "dedup_exact_documents": q_dedup_exact,
         "asof_last_order": q_asof_last_order,
         # ---------------- tail (51+): new-but-oracled first, so they are
         # next in line if the driver's prefix ever widens ----------------
@@ -2756,9 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_census_events": q_skew_census,
         "q5_local_supplier_volume": q_q5_local_supplier,
         "q18_large_volume_customers": q_q18_large_volume,
-        "flagship_rollup_1m": q_flagship_rollup_1m,
         "rollup_1m": q_rollup_1m,
-        "pivot_turns": q_pivot_turns,
         "knn_cosine_top5": q_knn,
         "pivot_turns_exclude": q_pivot_turns_exclude,
         "retention_1m": q_retention_1m,
