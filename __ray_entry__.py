@@ -2427,6 +2427,31 @@ def q_join_cardinality_estimate(sf_dir: str):
     return join_cardinality_estimate(left, right, "o_orderkey", "l_orderkey")
 
 
+def q_bm25_rank(sf_dir: str):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import bm25_rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_rank(docs, query_terms=("data", "model", "system"), top_n=10)
+
+
+def q_seasonal_naive_error(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import seasonal_naive_error
+
+    return seasonal_naive_error(
+        _events_value_ds(sf_dir, ["event_type", "ts"]), season_days=7
+    )
+
+
+def q_daily_type_entropy(sf_dir: str):
+    from pyreshaper_ray.stages.timeseries import daily_type_entropy
+
+    return daily_type_entropy(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
 def q_zone_skip_plan(sf_dir: str):
     from pyreshaper_ray.sources.planner import zone_skip_plan
 
@@ -2817,6 +2842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_skip_plan": q_zone_skip_plan,
         "lsh_parameter_plan": q_lsh_parameter_plan,
         "join_cardinality_estimate": q_join_cardinality_estimate,
+        "bm25_rank_documents": q_bm25_rank,
+        "seasonal_naive_error_7d": q_seasonal_naive_error,
+        "daily_type_entropy": q_daily_type_entropy,
     }
 
 
@@ -5668,5 +5696,74 @@ def oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS value
         FROM g JOIN s ON g.conv_id = s.conv_id
          AND s.tu <= g.gt AND (s.ntu IS NULL OR g.gt < s.ntu)
+    """
+    out["bm25_rank_documents"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        ), tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+        st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                      CAST(SUM(dl) AS HUGEINT) AS t FROM dl),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+               WHERE term IN ('data', 'model', 'system') GROUP BY 1, 2),
+        df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   (CAST(FLOOR(ln(CAST(st.n AS DOUBLE) / df.df) * 1000000
+                               + 0.5) AS HUGEINT)
+                    * tf.tf * 22 * st.t)
+                   // (10 * tf.tf * st.t + 3 * st.t
+                       + 9 * CAST(dl.dl AS HUGEINT) * st.n) AS s
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN st
+        )
+        SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+        FROM scored GROUP BY 1
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """
+    out["seasonal_naive_error_7d"] = """
+        WITH c AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(ABS(a.n - p.n)) AS BIGINT) AS total_abs_err,
+               CAST(MAX(ABS(a.n - p.n)) AS BIGINT) AS max_abs_err,
+               CAST(SUM(a.n) AS BIGINT) AS total_actual,
+               CAST(SUM(p.n) AS BIGINT) AS total_forecast
+        FROM c a
+        JOIN c p ON p.event_type = a.event_type
+                AND p.day = a.day - INTERVAL 7 DAY
+        GROUP BY 1
+    """
+    out["daily_type_entropy"] = """
+        WITH c AS (
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT day, CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM c GROUP BY 1
+        ),
+        num AS (
+            SELECT c.day,
+                   SUM(c.n * (CAST(FLOOR(ln(t.n_events) * 1000000 + 0.5)
+                                   AS BIGINT)
+                              - CAST(FLOOR(ln(c.n) * 1000000 + 0.5)
+                                     AS BIGINT))) AS h_num
+            FROM c JOIN tot t USING (day) GROUP BY 1
+        )
+        SELECT t.day, t.n_events, t.n_types,
+               CAST(n.h_num // t.n_events AS BIGINT) AS entropy_micro_nats
+        FROM tot t JOIN num n USING (day)
     """
     return out

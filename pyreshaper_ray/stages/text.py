@@ -1891,3 +1891,122 @@ def codeblock_census(ds_documents: "ray.data.Dataset") -> "ray.data.Dataset":
             _Sum("total_inline_ticks", alias_name="total_inline_ticks"),
         )
     )
+
+
+def bm25_rank(
+    ds_docs: "ray.data.Dataset",
+    query_terms: tuple[str, ...] = ("data", "model", "system"),
+    top_n: int = 10,
+) -> pa.Table:
+    """BM25 document ranking for a fixed query — the retrieval scorer every
+    training-data curation pipeline runs to mine topical documents
+    (k1 = 1.2, b = 0.75, classic Robertson/Spärck Jones idf-free variant
+    ``ln(N/df)`` to stay consistent with :func:`tfidf_top_term`).
+
+    Exactness: floats never cross engines. With N docs, corpus token total
+    T, per-doc length dl and per-(doc, term) frequency tf, the per-term
+    score is the EXACT integer
+
+        floor( idf_micro * tf * 22 * T  /  (10*tf*T + 3*T + 9*dl*N) )
+
+    where ``idf_micro = floor(ln(N/df)*1e6 + 0.5)`` (micro-nats, the
+    repo-wide quantization idiom) and the rational form comes from
+    multiplying BM25's numerator and denominator by ``10*T``
+    (k1+1 = 22/10; k1*(1-b) = 3/10; k1*b*N/T = 9*N/(10*T)).  The division
+    runs in arbitrary-precision Python ints on the (candidate doc × query
+    term) rows only — a result-bounded loop, NOT a per-token loop — and in
+    HUGEINT in the DuckDB oracle, so both floors agree bit-for-bit.
+
+    Distribution: one fused tokenize+reduce ``map_batches`` pass emits per
+    block (a) per-doc tf for the query terms, (b) per-doc dl, and (c) the
+    block's (doc, term) pairs reduced for DF — documents are atomic within
+    a block so per-block distinct sets are globally disjoint (same
+    invariant as :func:`tfidf_top_term`).  The exchange carries only
+    query-term-filtered tf rows plus a doc-count-sized dl column; the
+    final top-N select is result-sized on the driver.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    qset = pa.array(sorted(set(query_terms)), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc = pc.take(batch["doc_id"], parent)
+        keep = pc.not_equal(flat, "")
+        ex = pa.table({"doc_id": doc, "term": flat}).filter(keep)
+        # per-doc length (all nonempty tokens)
+        dl = ex.group_by(["doc_id"]).aggregate([("term", "count")])
+        # per-(doc, query-term) tf
+        hit = ex.filter(pc.is_in(ex["term"], value_set=qset))
+        tf = hit.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        dl_rows = pa.table(
+            {
+                "doc_id": dl["doc_id"],
+                # sentinel "" marks dl rows ("" can never be a token: empties
+                # are filtered, and query terms are nonempty by contract)
+                "term": pa.array([""] * dl.num_rows, pa.string()),
+                "n": pc.cast(dl["term_count"], pa.int64()),
+            }
+        )
+        tf_rows = pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "term": tf["term"],
+                "n": pc.cast(tf["term_count"], pa.int64()),
+            }
+        )
+        return pa.concat_tables([dl_rows, tf_rows]).combine_chunks()
+
+    rows = (
+        ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_id", "term"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    t = collect_table(rows)  # (docs + docs×|query| rows) — corpus-doc-sized
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+    term = t["term"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_dl = term == ""
+    dl_doc, dl_n = doc[is_dl], n[is_dl]
+    N = int(len(dl_doc))
+    T = int(dl_n.sum())
+    order = np.argsort(dl_doc)
+    dl_doc_s, dl_n_s = dl_doc[order], dl_n[order]
+    tf_doc, tf_term, tf_n = doc[~is_dl], term[~is_dl], n[~is_dl]
+    # df per query term from the tf rows (distinct docs = row count per term)
+    scores: dict[int, int] = {}
+    for qt in set(tf_term.tolist()):
+        m = tf_term == qt
+        df = int(m.sum())
+        idf_micro = int(np.floor(np.log(float(N) / df) * 1_000_000 + 0.5))
+        docs_q = tf_doc[m]
+        tfs_q = tf_n[m]
+        dls_q = dl_n_s[np.searchsorted(dl_doc_s, docs_q)]
+        for d, tf_i, dl_i in zip(
+            docs_q.tolist(), tfs_q.tolist(), dls_q.tolist()
+        ):  # candidate-row loop, exact big-int floor division
+            s = (idf_micro * tf_i * 22 * T) // (10 * tf_i * T + 3 * T + 9 * dl_i * N)
+            scores[d] = scores.get(d, 0) + s
+    if not scores:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in ranked], pa.int64()),
+            "score": pa.array([s for _, s in ranked], pa.int64()),
+        }
+    )

@@ -1037,3 +1037,200 @@ def resample_uniform(
     return ds_normalized.groupby("conv_id").map_groups(
         kernel, batch_format="pyarrow"
     )
+
+
+def seasonal_naive_error(
+    events_ds: "ray.data.Dataset", season_days: int = 7
+) -> pa.Table:
+    """Seasonal-naive backtest per event type: forecast each day's event
+    count with the count from ``season_days`` earlier (the week-ago naive
+    every anomaly detector benchmarks against), and report the exact
+    integer absolute-error profile — the capacity-planning sanity check a
+    rollup store runs before trusting fancier models.
+
+    Combiner-first per-(event_type, day) counts (per-block Arrow
+    ``group_by`` partials, one domain-sized ``groupby`` exchange —
+    types×days rows, never event-sized), then the lag alignment is a numpy
+    ``searchsorted`` shift on the collected domain-sized table (documented
+    result-sized finalize, same convention as ``hour_dod_delta``). Only
+    (type, day) cells whose week-ago cell EXISTS in the counts table are
+    scored (inner-join semantics — the corpus edge days forecast nothing);
+    missing-vs-zero distinction therefore matches the SQL restatement's
+    self-join exactly.
+
+    Output: one row per event_type with n_days scored, total/max absolute
+    error, and totals of actual vs forecast — all exact int64.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"event_type": batch["event_type"], "day": d})
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    t = collect_table(counts)  # domain-sized: |types| × |days|
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "total_abs_err": pa.array([], pa.int64()),
+            "max_abs_err": pa.array([], pa.int64()),
+            "total_actual": pa.array([], pa.int64()),
+            "total_forecast": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    day = (
+        t["day"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+    )
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # composite sort key (type, day) so searchsorted can find week-ago cells
+    order = np.lexsort((day, et))
+    et_s, day_s, n_s = et[order], day[order], n[order]
+    # encode type as dense rank to build an integer composite key
+    uniq, type_id = np.unique(et_s, return_inverse=True)
+    span = day_s.max() - day_s.min() + 1 + season_days
+    key = type_id * span + (day_s - day_s.min())
+    want = key - season_days
+    pos = np.searchsorted(key, want)
+    pos_c = np.clip(pos, 0, len(key) - 1)
+    has_prev = key[pos_c] == want
+    actual = n_s[has_prev]
+    forecast = n_s[pos_c[has_prev]]
+    err = np.abs(actual - forecast)
+    tid = type_id[has_prev]
+    rows = []
+    for i, name in enumerate(uniq):
+        m = tid == i
+        if not m.any():
+            continue
+        rows.append(
+            (
+                str(name),
+                int(m.sum()),
+                int(err[m].sum()),
+                int(err[m].max()),
+                int(actual[m].sum()),
+                int(forecast[m].sum()),
+            )
+        )
+    if not rows:
+        return empty
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "event_type": pa.array(cols[0], pa.string()),
+            "n_days": pa.array(cols[1], pa.int64()),
+            "total_abs_err": pa.array(cols[2], pa.int64()),
+            "max_abs_err": pa.array(cols[3], pa.int64()),
+            "total_actual": pa.array(cols[4], pa.int64()),
+            "total_forecast": pa.array(cols[5], pa.int64()),
+        }
+    )
+
+
+def daily_type_entropy(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Shannon entropy of the event-type mix per day, in exact micro-nats —
+    the diversity drift monitor a data-curation pipeline alarms on when one
+    source/type starts dominating a day's traffic.
+
+    Float policy (repo-wide idiom): each ``ln(count)`` is quantized ONCE to
+    integer micro-nats (``floor(ln(n)*1e6 + 0.5)``), then the entropy
+
+        H_micro = floor( Σ_t n_t * (L(N) − L(n_t))  //  N )
+
+    is pure integer arithmetic — bit-identical in numpy and the DuckDB
+    oracle as long as both engines' ``ln`` agree within 0.5 micro-nats
+    (the same tolerance :func:`~.text.tfidf_top_term` already relies on).
+
+    Combiner-first per-(day, type) counts; one domain-sized exchange; the
+    entropy fold is a numpy pass over the collected domain-sized table.
+
+    Output: day, n_events (int64), n_types (int64), entropy_micro_nats
+    (int64).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"day": d, "event_type": batch["event_type"]})
+            .group_by(["day", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    t = collect_table(counts)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "day": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "entropy_micro_nats": pa.array([], pa.int64()),
+            }
+        )
+    day = (
+        t["day"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+    )
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    L = np.floor(np.log(n.astype(np.float64)) * 1_000_000 + 0.5).astype(np.int64)
+    order = np.argsort(day, kind="stable")
+    day_s, n_s, L_s = day[order], n[order], L[order]
+    udays, start = np.unique(day_s, return_index=True)
+    bounds = np.append(start, len(day_s))
+    out_day, out_n, out_k, out_h = [], [], [], []
+    for i, d in enumerate(udays):
+        lo, hi = bounds[i], bounds[i + 1]
+        N = int(n_s[lo:hi].sum())
+        LN = int(np.floor(np.log(float(N)) * 1_000_000 + 0.5))
+        num = int((n_s[lo:hi] * (LN - L_s[lo:hi])).sum())
+        out_day.append(int(d))
+        out_n.append(N)
+        out_k.append(int(hi - lo))
+        out_h.append(num // N)
+    return pa.table(
+        {
+            "day": pa.array(
+                np.array(out_day, np.int64).astype("datetime64[D]").astype(
+                    "datetime64[us]"
+                ),
+                pa.timestamp("us"),
+            ),
+            "n_events": pa.array(out_n, pa.int64()),
+            "n_types": pa.array(out_k, pa.int64()),
+            "entropy_micro_nats": pa.array(out_h, pa.int64()),
+        }
+    )

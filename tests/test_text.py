@@ -688,3 +688,56 @@ def test_boilerplate_census_planted_lines(ray_session):
     assert row["n_distinct_lines"] == 11
     assert row["n_boilerplate_lines"] == 1  # footer in 3/10 docs > 20%
     assert row["boilerplate_doc_hits"] == 3
+
+
+def test_bm25_rank_hand_case(ray_session):
+    """3 docs; query hits 2 of them; BM25 fixed-point floors verified
+    against a direct big-int restatement of the rational form."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import bm25_rank
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "data data pipelines move data",      # dl=5, tf(data)=3
+            "a model trains on data",             # dl=5, tf(data)=1, tf(model)=1
+            "nothing relevant here at all",       # dl=5
+        ]),
+    })
+    out = bm25_rank(
+        ray.data.from_arrow(docs).repartition(2),
+        query_terms=("data", "model"),
+        top_n=10,
+    )
+    got = dict(zip(out["doc_id"].to_pylist(), out["score"].to_pylist()))
+    N, T = 3, 15
+
+    def score(tf, dl, df):
+        idf = int(np.floor(np.log(N / df) * 1e6 + 0.5))
+        return (idf * tf * 22 * T) // (10 * tf * T + 3 * T + 9 * dl * N)
+
+    want = {
+        1: score(3, 5, 2),
+        2: score(1, 5, 2) + score(1, 5, 1),
+    }
+    assert got == want
+    # ranking order: higher score first, doc_id tiebreak
+    ranked = out["doc_id"].to_pylist()
+    scores = out["score"].to_pylist()
+    assert scores == sorted(scores, reverse=True)
+    assert len(ranked) == 2
+
+
+def test_bm25_rank_empty_and_no_hits(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import bm25_rank
+
+    docs = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["completely unrelated words"]),
+    })
+    out = bm25_rank(ray.data.from_arrow(docs), query_terms=("zzz",))
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "score"]

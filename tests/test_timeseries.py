@@ -419,3 +419,83 @@ def test_resample_uniform_lerp_and_single_point(ray_session):
     assert set(out["conv_id"]) == {"a"}
     assert list(out["value"]) == [1, 2, 5, 8, 9, 6, 3, 0]
     assert list(out["grid_ts"].astype("int64")) == [0, 2, 5, 8, 11, 14, 17, 20]
+
+
+def test_seasonal_naive_error_hand_case(ray_session):
+    """Type x: days 0..8 with counts 1..9 → 2 scored days (7 and 8):
+    |8-1| + |9-2| = 14 total, max 7. Type y spans < 7 days → no rows."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import seasonal_naive_error
+
+    days, types, reps = [], [], []
+    for d in range(9):
+        days += [d]
+        types += ["x"]
+        reps += [d + 1]
+    for d in range(3):
+        days += [d]
+        types += ["y"]
+        reps += [2]
+    ts, et = [], []
+    for d, t, r in zip(days, types, reps):
+        ts += [d * 86_400_000_000 + i for i in range(r)]
+        et += [t] * r
+    tab = pa.table({
+        "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+        "event_type": pa.array(et),
+    })
+    out = seasonal_naive_error(
+        ray.data.from_arrow(tab).repartition(3), season_days=7
+    ).to_pandas()
+    assert list(out["event_type"]) == ["x"]
+    assert int(out["n_days"][0]) == 2
+    assert int(out["total_abs_err"][0]) == 14
+    assert int(out["max_abs_err"][0]) == 7
+    assert int(out["total_actual"][0]) == 17
+    assert int(out["total_forecast"][0]) == 3
+
+
+def test_seasonal_naive_error_no_cross_type_bleed(ray_session):
+    """A type-y cell exactly 7 days before a type-x cell must NOT serve as
+    x's forecast (the composite-key gap guard)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import seasonal_naive_error
+
+    tab = pa.table({
+        "ts": pa.array(
+            np.array([0, 7 * 86_400_000_000], np.int64), pa.timestamp("us")
+        ),
+        "event_type": pa.array(["y", "x"]),
+    })
+    out = seasonal_naive_error(ray.data.from_arrow(tab), season_days=7)
+    assert out.num_rows == 0
+
+
+def test_daily_type_entropy_exact(ray_session):
+    """Uniform 2-type day → ln(2) micro-nats; single-type day → 0; the
+    integer quantization matches the direct formula."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import daily_type_entropy
+
+    D = 86_400_000_000
+    tab = pa.table({
+        "ts": pa.array(np.array([0, 1, D, D + 1, D + 2, D + 3], np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "a", "a", "a", "b"]),
+    })
+    out = (
+        daily_type_entropy(ray.data.from_arrow(tab).repartition(2))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_events"]) == [2, 4]
+    assert list(out["n_types"]) == [2, 2]
+    # day 0: uniform over 2 types → exactly L(2) = round(ln(2)*1e6)
+    L = lambda n: int(np.floor(np.log(n) * 1e6 + 0.5))
+    assert int(out["entropy_micro_nats"][0]) == L(2)
+    # day 1: 3×a + 1×b → (3*(L(4)-L(3)) + 1*(L(4)-L(1))) // 4
+    assert int(out["entropy_micro_nats"][1]) == (3 * (L(4) - L(3)) + L(4)) // 4
