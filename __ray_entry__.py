@@ -2602,10 +2602,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_term_pairs": q_typo_term_pairs,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
-        "compress_ratio_documents": q_compress_ratio,
-        "bigram_lm_scores_documents": q_bigram_lm_scores,
+        # three round-3 oracled additions promoted into the driver prefix
+        # (displacing rows-only entries — hash signal beats rows-only)
+        "bm25_rank_documents": q_bm25_rank,
+        "seasonal_naive_error_7d": q_seasonal_naive_error,
+        "daily_type_entropy": q_daily_type_entropy,
         "snm_neardup_documents": q_snm_neardup,
-        "hll_users_1h_cascade": q_hll_users_cascade,
         "q4_late_ship_priority": q_q4_late_ship,
         "q19_brand_revenue": q_q19_brand_revenue,
         "encode_roles": q_encode_roles,
@@ -2643,10 +2645,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 new ops filling the remaining driver-prefix slots ---
         "q9_nation_year_revenue": q_q9_nation_year,
         "chi2_independence_cells": q_chi2_cells,
+        # slot 50 — end of the driver's 50-entry CORRECTNESS prefix
         "lexical_diversity_by_source": q_lexical_diversity,
         "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
         "q15_top_supplier": q_q15_top_supplier,
-        # slot 50 of the driver's CORRECTNESS prefix — keep it SQL-oracled
+        "compress_ratio_documents": q_compress_ratio,
+        "bigram_lm_scores_documents": q_bigram_lm_scores,
+        "hll_users_1h_cascade": q_hll_users_cascade,
         "gini_user_activity": q_gini_user_activity,
         "mannwhitney_value_purchase_click": q_mannwhitney_value,
         "source_mix_weights": q_source_mix_weights,
@@ -2842,9 +2847,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_skip_plan": q_zone_skip_plan,
         "lsh_parameter_plan": q_lsh_parameter_plan,
         "join_cardinality_estimate": q_join_cardinality_estimate,
-        "bm25_rank_documents": q_bm25_rank,
-        "seasonal_naive_error_7d": q_seasonal_naive_error,
-        "daily_type_entropy": q_daily_type_entropy,
     }
 
 

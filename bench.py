@@ -315,6 +315,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "decayed_user_scores",
         "shape_census",
         "resample_uniform_8",
+        "bm25_rank_documents",
+        "seasonal_naive_error_7d",
+        "daily_type_entropy",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
