@@ -2427,6 +2427,56 @@ def q_join_cardinality_estimate(sf_dir: str):
     return join_cardinality_estimate(left, right, "o_orderkey", "l_orderkey")
 
 
+def q_pagerank_trade_graph(sf_dir: str):
+    """Integer-exact PageRank (3 iterations, damping 17/20) over the
+    undirected customer↔supplier co-transaction graph; supplier node ids
+    offset by 10^9 to share one id space."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import pagerank_fixed
+    from pyreshaper_ray.stages.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    j = hash_join(orders, lineitem, on="o_orderkey", right_on="l_orderkey")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return (
+            pa.table({"c": b["o_custkey"], "s": b["l_suppkey"]})
+            .group_by(["c", "s"])
+            .aggregate([])
+        )
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        j.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c", "s"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64) + 1_000_000_000
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, c]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pagerank_fixed(edges, n_iters=3, top_n=20)
+
+
 def q_bm25_rank(sf_dir: str):
     import ray.data
 
@@ -2847,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_skip_plan": q_zone_skip_plan,
         "lsh_parameter_plan": q_lsh_parameter_plan,
         "join_cardinality_estimate": q_join_cardinality_estimate,
+        "pagerank_trade_graph": q_pagerank_trade_graph,
     }
 
 
@@ -5698,6 +5749,50 @@ def oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS value
         FROM g JOIN s ON g.conv_id = s.conv_id
          AND s.tu <= g.gt AND (s.ntu IS NULL OR g.gt < s.ntu)
+    """
+    out["pagerank_trade_graph"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s + 1000000000 AS dst FROM pairs
+            UNION ALL
+            SELECT s + 1000000000 AS src, c AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+               FROM nodes),
+        s1 AS (SELECT e.dst AS node, SUM(r0.r // deg.deg) AS s
+               FROM edges e
+               JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+        r1 AS (SELECT nodes.node,
+                      (1000000000000 * 3) // (20 * (SELECT n FROM nn))
+                      + (17 * COALESCE(s1.s, 0)) // 20 AS r
+               FROM nodes LEFT JOIN s1 USING (node)),
+        s2 AS (SELECT e.dst AS node, SUM(r1.r // deg.deg) AS s
+               FROM edges e
+               JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+        r2 AS (SELECT nodes.node,
+                      (1000000000000 * 3) // (20 * (SELECT n FROM nn))
+                      + (17 * COALESCE(s2.s, 0)) // 20 AS r
+               FROM nodes LEFT JOIN s2 USING (node)),
+        s3 AS (SELECT e.dst AS node, SUM(r2.r // deg.deg) AS s
+               FROM edges e
+               JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+        r3 AS (SELECT nodes.node,
+                      (1000000000000 * 3) // (20 * (SELECT n FROM nn))
+                      + (17 * COALESCE(s3.s, 0)) // 20 AS r
+               FROM nodes LEFT JOIN s3 USING (node))
+        SELECT node, CAST(r AS BIGINT) AS rank_pico FROM r3
+        ORDER BY rank_pico DESC, node ASC
+        LIMIT 20
     """
     out["bm25_rank_documents"] = """
         WITH toks AS (

@@ -318,6 +318,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "bm25_rank_documents",
         "seasonal_naive_error_7d",
         "daily_type_entropy",
+        "pagerank_trade_graph",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

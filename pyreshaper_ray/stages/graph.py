@@ -244,3 +244,135 @@ def components_distributed(
         if changed == 0:
             break
     return labels
+
+
+def pagerank_fixed(
+    edges: "ray.data.Dataset",
+    n_iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    top_n: int = 20,
+) -> pa.Table:
+    """Fixed-iteration PageRank with EXACT integer fixed-point arithmetic —
+    the canonical distributed-iteration graph kernel (influence scoring
+    over an interaction graph), restatable bit-for-bit in SQL because no
+    float ever crosses an exchange.
+
+    Semantics (all divisions are floor):
+
+    - total mass 10^12 "pico-units"; ``r0(v) = 10^12 // N`` for all N nodes;
+    - per iteration, each node pre-divides its mass over its out-edges
+      (``q(u) = r(u) // deg(u)``), every edge ships ``q(src)`` to ``dst``,
+      and ``r'(v) = (10^12 * (den-num)) // (den*N) + (num * Σq) // den``
+      with damping ``num/den`` (default 17/20 = 0.85).
+
+    Distribution: the edge list is materialized ONCE in the object store
+    (iterations re-scan it; without ``materialize`` each pass would re-run
+    the upstream join). Per iteration: the node-sized (node → q) table is
+    broadcast via ``ray.put`` (node count ≪ edge count by assumption — at
+    10^9+ nodes switch to a co-partitioned join on src, the same trade
+    documented for the tf-idf vocabulary broadcast), one vectorized
+    ``map_batches`` over edges emits per-block partial sums by dst
+    (combiner-first: the exchange is node-sized, never edge-sized), and the
+    rank update is a node-sized driver fold. Dangling nodes (no out-edges)
+    simply leak their damped mass — deterministic, and absent entirely when
+    the caller supplies an undirected graph as both edge directions.
+
+    Output: top ``top_n`` nodes by (rank_pico desc, node asc).
+    """
+    import ray
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    edges = edges.materialize()
+
+    def nodes_partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b["src"].to_numpy(zero_copy_only=False),
+                    b["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    nodes_t = collect_table(
+        edges.map_batches(nodes_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(_Count(alias_name="_n"))
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"node": b["src"]})
+            .group_by("node")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"node": g["node"], "deg": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    deg_t = collect_table(
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(_Sum("deg", alias_name="deg"))
+    )
+
+    node = np.sort(nodes_t["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+    N = len(node)
+    if N == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rank_pico": pa.array([], pa.int64())}
+        )
+    deg = np.zeros(N, np.int64)
+    dn = deg_t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dv = deg_t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    deg[np.searchsorted(node, dn)] = dv
+    MASS = 10**12
+    r = np.full(N, MASS // N, np.int64)
+    base = (MASS * (damping_den - damping_num)) // (damping_den * N)
+    for _ in range(n_iters):
+        q = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        qt = pa.table(
+            {"node": pa.array(node, pa.int64()), "q": pa.array(q, pa.int64())}
+        )
+        ref = ray.put(qt)
+
+        def contrib(b: pa.Table, _ref=ref) -> pa.Table:
+            from ..util import cached_get
+
+            v: pa.Table = cached_get(_ref)
+            vn = v["node"].to_numpy(zero_copy_only=False)
+            vq = v["q"].to_numpy(zero_copy_only=False)
+            src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            qs = vq[np.searchsorted(vn, src)]
+            g = (
+                pa.table({"node": b["dst"], "s": pa.array(qs, pa.int64())})
+                .group_by("node")
+                .aggregate([("s", "sum")])
+            )
+            return pa.table(
+                {"node": g["node"], "s": pc.cast(g["s_sum"], pa.int64())}
+            )
+
+        s_t = collect_table(
+            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(_Sum("s", alias_name="s"))
+        )
+        s = np.zeros(N, np.int64)
+        if s_t.num_rows:
+            sn = s_t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sv = s_t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s[np.searchsorted(node, sn)] = sv
+        r = base + (damping_num * s) // damping_den
+    order = np.lexsort((node, -r))[:top_n]
+    return pa.table(
+        {
+            "node": pa.array(node[order], pa.int64()),
+            "rank_pico": pa.array(r[order], pa.int64()),
+        }
+    )

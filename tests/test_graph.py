@@ -54,3 +54,54 @@ def test_components_random_graph_matches_union_find(ray_session):
     ]
     got, want = _run(pairs)
     assert got == want
+
+
+def test_pagerank_fixed_hand_path(ray_session):
+    """Undirected 3-path 1-2-3: center gets the mass; values match a pure
+    Python big-int restatement of the fixed-point recurrence."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import pagerank_fixed
+
+    edges = pa.table({
+        "src": pa.array([1, 2, 2, 3], pa.int64()),
+        "dst": pa.array([2, 1, 3, 2], pa.int64()),
+    })
+    out = pagerank_fixed(
+        ray.data.from_arrow(edges).repartition(2), n_iters=3, top_n=10
+    )
+    got = list(zip(out["node"].to_pylist(), out["rank_pico"].to_pylist()))
+    MASS, N = 10**12, 3
+    r = {v: MASS // N for v in (1, 2, 3)}
+    deg = {1: 1, 2: 2, 3: 1}
+    E = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    for _ in range(3):
+        q = {u: r[u] // deg[u] for u in r}
+        s = {v: 0 for v in r}
+        for u, v in E:
+            s[v] += q[u]
+        base = (MASS * 3) // (20 * N)
+        r = {v: base + (17 * s[v]) // 20 for v in r}
+    want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+    assert got[0][0] == 2  # the center dominates
+
+
+def test_pagerank_fixed_ring_uniform(ray_session):
+    """A directed ring is perfectly symmetric: every node keeps exactly
+    the same rank, and total mass is conserved up to floor loss."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import pagerank_fixed
+
+    n = 12
+    edges = pa.table({
+        "src": pa.array(list(range(n)), pa.int64()),
+        "dst": pa.array([(i + 1) % n for i in range(n)], pa.int64()),
+    })
+    out = pagerank_fixed(
+        ray.data.from_arrow(edges).repartition(3), n_iters=4, top_n=n
+    )
+    ranks = out["rank_pico"].to_pylist()
+    assert len(set(ranks)) == 1  # symmetry
+    assert abs(sum(ranks) - 10**12) < n * 20  # mass conserved mod floors
