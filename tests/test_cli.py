@@ -187,7 +187,7 @@ def test_cli_export_ipc_roundtrip(tmp_path):
     parts = sorted(glob.glob(f"{dest}/*.arrow"))
     assert parts
     back = pa.concat_tables([pipc.open_file(p).read_all() for p in parts])
-    tier = pads.dataset(f"{out}/1m").to_table()
+    tier = pads.dataset(f"{out}/rollup_1m").to_table()
     assert back.num_rows == tier.num_rows == info["rows"]
     cols = [c for c in back.column_names]
     key = [(c, "ascending") for c in ("conv_id", "window_start")]
