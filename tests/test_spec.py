@@ -24,7 +24,7 @@ def test_type_and_value_validation(tmp_path):
     with pytest.raises(ValueError):
         create_spec(**{**ok, "out_dir": ""})
     with pytest.raises(ValueError):
-        create_spec(**{**ok, "n_buckets": 0})
+        create_spec(**{**ok, "n_buckets": -1})  # 0 is valid (= auto-size)
     with pytest.raises(ValueError):
         create_spec(**{**ok, "tiers": ("1m", "bogus")})
     with pytest.raises(ValueError):
