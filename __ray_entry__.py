@@ -2633,6 +2633,43 @@ def q_bigram_lm_scores(sf_dir: str):
     )
 
 
+def q_interval_coverage(sf_dir: str):
+    """Merged-interval active time per user: each event opens a 5-minute
+    activity span; overlapping/adjacent spans union (gaps-and-islands)."""
+    from pyreshaper_ray.stages.windows import interval_coverage
+
+    return interval_coverage(_events_value_ds(sf_dir, ["user_id", "ts"]), pad_s=300)
+
+
+def q_dup_ngram_coverage(sf_dir: str):
+    """ExactSubstr-style duplicated 5-gram span coverage per document."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dup_ngram_coverage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_ngram_coverage(docs, n=5)
+
+
+def q_triangle_terms(sf_dir: str):
+    """Triangle enumeration over the support-thresholded term
+    co-occurrence graph (edges = term pairs sharing >= 2% of documents,
+    per-doc distinct terms capped at the engine-wide 64)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import triangle_count
+    from pyreshaper_ray.stages.text import cooccurrence_edges
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    edges = cooccurrence_edges(docs, n_docs=n_docs, support_ppm=20_000)
+    return triangle_count(edges, max_triangles=5000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
     # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
@@ -2898,6 +2935,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_parameter_plan": q_lsh_parameter_plan,
         "join_cardinality_estimate": q_join_cardinality_estimate,
         "pagerank_trade_graph": q_pagerank_trade_graph,
+        "interval_coverage_5m": q_interval_coverage,
+        "dup_ngram_coverage_5": q_dup_ngram_coverage,
+        "triangle_terms": q_triangle_terms,
     }
 
 
@@ -5862,5 +5902,114 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.day, t.n_events, t.n_types,
                CAST(n.h_num // t.n_events AS BIGINT) AS entropy_micro_nats
         FROM tot t JOIN num n USING (day)
+    """
+    # gaps-and-islands interval union — identical intervals deduped first so
+    # the window order (s strictly increasing per user) is deterministic;
+    # merging duplicates never changes island membership or coverage
+    out["interval_coverage_5m"] = """
+        WITH e AS (
+            SELECT DISTINCT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 300000000 AS f
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, s, f,
+                   CASE WHEN s > COALESCE(MAX(f) OVER (
+                            PARTITION BY user_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM e
+        ),
+        g AS (
+            SELECT user_id, s, f,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS isl
+            FROM m
+        ),
+        i AS (SELECT user_id, isl, MIN(s) AS s0, MAX(f) AS f1
+              FROM g GROUP BY 1, 2)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(f1 - s0) AS BIGINT) AS covered_us
+        FROM i GROUP BY 1 ORDER BY user_id
+    """
+    # duplicated 5-gram coverage: gram = space-join of 5 consecutive engine
+    # tokens; duplicated when seen in >= 2 distinct docs; covered tokens are
+    # the union of the 5-wide windows at duplicated positions
+    out["dup_ngram_coverage_5"] = """
+        WITH tl AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS l
+            FROM documents
+        ),
+        base AS (SELECT doc_id, l, len(l) AS nt FROM tl),
+        pos AS (
+            SELECT doc_id, l, unnest(range(1, nt - 3)) AS pos
+            FROM base WHERE nt >= 5
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   array_to_string(l[pos:pos+4], ' ') AS g
+            FROM pos
+        ),
+        dup AS (SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        dg AS (SELECT doc_id, pos FROM grams
+               WHERE g IN (SELECT g FROM dup)),
+        dcnt AS (SELECT doc_id, COUNT(*) AS dup_grams FROM dg GROUP BY 1),
+        cov AS (
+            SELECT doc_id, COUNT(DISTINCT pos + o) AS covered
+            FROM dg, (SELECT unnest(range(0, 5)) AS o)
+            GROUP BY 1
+        )
+        SELECT b.doc_id,
+               CAST(b.nt AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN b.nt >= 5 THEN b.nt - 4 ELSE 0 END
+                    AS BIGINT) AS n_grams,
+               CAST(COALESCE(d.dup_grams, 0) AS BIGINT) AS dup_grams,
+               CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+               CAST(CASE WHEN b.nt = 0 THEN 0
+                         ELSE COALESCE(c.covered, 0) * 1000000 // b.nt END
+                    AS BIGINT) AS covered_ppm
+        FROM base b
+        LEFT JOIN dcnt d USING (doc_id)
+        LEFT JOIN cov c USING (doc_id)
+        ORDER BY b.doc_id
+    """
+    # triangle enumeration over the 2%-support term co-occurrence graph;
+    # per-doc distinct terms capped at the 64 lexicographically-first (the
+    # engine-wide pair-miner cap), edges oriented term_a < term_b
+    out["triangle_terms"] = """
+        WITH dt AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, tok,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tok) AS rn
+                FROM (
+                    SELECT DISTINCT doc_id, t.tok
+                    FROM documents,
+                         unnest(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+')) AS t(tok)
+                    WHERE t.tok <> ''
+                )
+            ) WHERE rn <= 64
+        ),
+        edges AS (
+            SELECT a.tok AS ta, b.tok AS tb
+            FROM dt a JOIN dt b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+            HAVING COUNT(*) * 1000000 >=
+                   20000 * (SELECT COUNT(*) FROM documents)
+        )
+        SELECT e1.ta AS node_a, e1.tb AS node_b, e2.tb AS node_c
+        FROM edges e1
+        JOIN edges e2 ON e2.ta = e1.tb
+        JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb
+        ORDER BY 1, 2, 3
+        LIMIT 5000
     """
     return out

@@ -376,3 +376,131 @@ def pagerank_fixed(
             "rank_pico": pa.array(r[order], pa.int64()),
         }
     )
+
+
+def triangle_count(
+    edges: "ray.data.Dataset", max_triangles: int | None = None
+) -> "ray.data.Dataset":
+    """Distributed triangle enumeration over an undirected edge list —
+    the canonical clustering-coefficient / community-density kernel.
+
+    Input: one row per undirected edge with ``a < b`` (int64 or string
+    node ids), already deduplicated. Output: one row per triangle
+    ``(node_a < node_b < node_c)``, sorted.
+
+    Distribution (the classic edge-iterator with broadcast adjacency):
+    the FILTERED edge list is assumed support-thresholded and therefore
+    vocabulary-/result-sized (the caller applies a min-support census
+    upstream — same contract as the tf-idf vocabulary broadcast); it is
+    broadcast once via ``ray.put`` as two sorted arrays (CSR), and a
+    vectorized ``map_batches`` over the SAME edge dataset intersects the
+    higher-id neighbor lists of each edge's endpoints
+    (``np.intersect1d`` on sorted slices). Each triangle (x<y<z) is found
+    exactly once — from edge (x, y) with common neighbor z > y. At a
+    billion-edge graph swap the broadcast for a hash-partitioned
+    adjacency join on the lower endpoint (documented alternative).
+    """
+    from ..util import collect_table
+
+    et = collect_table(edges)
+    a = et.column(0)
+    b = et.column(1)
+    is_str = pa.types.is_string(a.type) or pa.types.is_large_string(a.type)
+    if is_str:
+        # dictionary-encode into one id space, keep the decode table
+        allv = pa.concat_arrays(
+            [
+                pc.cast(a, pa.string()).combine_chunks(),
+                pc.cast(b, pa.string()).combine_chunks(),
+            ]
+        )
+        uniq = pc.unique(allv)
+        dic = uniq.take(pc.array_sort_indices(uniq))
+        av = (
+            pc.index_in(a, value_set=dic)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bv = (
+            pc.index_in(b, value_set=dic)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        names = dic
+    else:
+        av = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+        bv = pc.cast(b, pa.int64()).to_numpy(zero_copy_only=False)
+        names = None
+    # orient low → high and build a CSR of higher-id neighbors
+    lo = np.minimum(av, bv)
+    hi = np.maximum(av, bv)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    if len(lo):  # defensive dedupe — intersect1d assumes unique lists
+        keep = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        lo, hi = lo[keep], hi[keep]
+    n_nodes = int(max(lo.max(initial=-1), hi.max(initial=-1))) + 1 if len(lo) else 0
+    deg = np.bincount(lo, minlength=n_nodes)
+    indptr = np.r_[0, np.cumsum(deg)]
+    import ray as _ray
+
+    adj_ref = _ray.put((indptr, hi))
+    edge_t = pa.table({"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())})
+    edge_ds = ray.data.from_arrow(edge_t)
+
+    def find(batch: pa.Table) -> pa.Table:
+        indptr_, nbr = _ray.get(adj_ref)
+        xs = batch["lo"].to_numpy(zero_copy_only=False)
+        ys = batch["hi"].to_numpy(zero_copy_only=False)
+        ta, tb, tcs = [], [], []
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            nx = nbr[indptr_[x] : indptr_[x + 1]]
+            if y >= len(indptr_) - 1:
+                continue
+            ny = nbr[indptr_[y] : indptr_[y + 1]]
+            common = np.intersect1d(nx, ny, assume_unique=True)
+            common = common[common > y]
+            if len(common):
+                ta.append(np.full(len(common), x, dtype=np.int64))
+                tb.append(np.full(len(common), y, dtype=np.int64))
+                tcs.append(common)
+        if not ta:
+            return pa.table(
+                {
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                    "nc": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "na": pa.array(np.concatenate(ta), pa.int64()),
+                "nb": pa.array(np.concatenate(tb), pa.int64()),
+                "nc": pa.array(np.concatenate(tcs), pa.int64()),
+            }
+        )
+
+    tris = edge_ds.map_batches(find, batch_format="pyarrow", zero_copy_batch=True)
+    if names is not None:
+
+        def decode(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node_a": pc.take(names, batch["na"]),
+                    "node_b": pc.take(names, batch["nb"]),
+                    "node_c": pc.take(names, batch["nc"]),
+                }
+            )
+
+        tris = tris.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["node_a", "node_b", "node_c"])
+
+        tris = tris.map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
+    out_cols = ["node_a", "node_b", "node_c"]
+    tris = tris.sort(out_cols)
+    if max_triangles is not None:
+        tris = tris.limit(max_triangles)
+    return tris

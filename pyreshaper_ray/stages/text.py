@@ -2010,3 +2010,58 @@ def bm25_rank(
             "score": pa.array([s for _, s in ranked], pa.int64()),
         }
     )
+
+
+def cooccurrence_edges(
+    ds_docs: "ray.data.Dataset",
+    n_docs: int,
+    support_ppm: int = 20_000,
+    max_doc_terms: int = 64,
+) -> "ray.data.Dataset":
+    """Support-thresholded term co-occurrence EDGE LIST — the graph-builder
+    in front of :func:`pyreshaper_ray.stages.graph.triangle_count`. Same
+    per-document distinct-term census as :func:`term_pair_cooccurrence`
+    (engine tokenizer, ``max_doc_terms`` lexicographically-first cap) but
+    kept as the full filtered edge set: a pair survives when it co-occurs
+    in at least ``support_ppm`` ppm of the ``n_docs`` corpus (integer-exact
+    ceiling threshold). The support filter is what makes the edge list
+    vocabulary-sized and therefore broadcastable downstream.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        ta_all, tb_all = [], []
+        for lst in toks.to_pylist():
+            terms = sorted({t for t in lst if t})[:max_doc_terms]
+            m = len(terms)
+            for i in range(m):
+                a = terms[i]
+                for jj in range(i + 1, m):
+                    ta_all.append(a)
+                    tb_all.append(terms[jj])
+        t = pa.table(
+            {
+                "term_a": pa.array(ta_all, pa.string()),
+                "term_b": pa.array(tb_all, pa.string()),
+            }
+        )
+        g = t.group_by(["term_a", "term_b"]).aggregate([("term_a", "count")])
+        return pa.table(
+            {
+                "term_a": g["term_a"],
+                "term_b": g["term_b"],
+                "n": pc.cast(g["term_a_count"], pa.int64()),
+            }
+        )
+
+    thr = -(-support_ppm * int(n_docs) // 1_000_000)  # ceil
+    return (
+        ds_docs.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n >= {thr}")
+        .select_columns(["term_a", "term_b"])
+    )

@@ -1480,3 +1480,53 @@ def shape_census(ds_transcripts: "ray.data.Dataset", k: int = 20) -> "ray.data.D
         .sort(["n_convs", "shape"], descending=[True, False])
         .limit(k)
     )
+
+
+def interval_coverage(
+    events_ds: "ray.data.Dataset", pad_s: int = 300
+) -> "ray.data.Dataset":
+    """Merged-interval time coverage per user (the classic gaps-and-islands
+    interval union): every event opens a ``[ts, ts + pad_s)`` activity span;
+    overlapping/adjacent spans merge, and the output reports how many merged
+    spans remain and the total covered time — the "active seconds" metric
+    session stitching and billing meters compute.
+
+    Scale shape: ONE hash groupby on the user key, then a vectorized
+    per-group kernel (sort + shifted running-max — no Python loop). All
+    arithmetic is integer microseconds, so the result is bit-exact against
+    the SQL window restatement (MAX(f) OVER preceding + island cumsum).
+    A span that starts exactly where the running max ends (ts == max_end)
+    is ADJACENT and merges — the half-open interval convention.
+
+    Output: user_id, n_spans, covered_us (both BIGINT).
+    """
+    pad_us = int(pad_s) * 1_000_000
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_spans", pa.int64()),
+            ("covered_us", pa.int64()),
+        ]
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        ts = np.sort(pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False))
+        end = ts + pad_us
+        run_max = np.maximum.accumulate(end)
+        # new island where this start exceeds every previous end
+        new = np.r_[True, ts[1:] > run_max[:-1]]
+        island = np.cumsum(new) - 1
+        starts = ts[new]  # first start of each island (ts sorted)
+        ends = np.maximum.reduceat(end, np.flatnonzero(new))
+        covered = int((ends - starts).sum())
+        return pa.table(
+            {
+                "user_id": pc.cast(group["user_id"][:1], pa.int64()),
+                "n_spans": pa.array([int(new.sum())], pa.int64()),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(kernel, batch_format="pyarrow")

@@ -345,3 +345,56 @@ def test_dedup_normalized_collapses_case_and_whitespace(ray_session):
         for r in dedup_normalized(ray.data.from_arrow(t).repartition(2)).take_all()
     }
     assert out == {1: 3, 4: 1}
+
+
+def test_dup_ngram_coverage_planted(ray_session):
+    """Two docs share one exact 5-gram; a third is untouched."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dup_ngram_coverage
+
+    shared = "alpha beta gamma delta epsilon"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"intro {shared} outro one",          # 8 tokens
+            f"{shared} completely different tail", # 8 tokens
+            "nothing here repeats at all ever",    # 6 tokens
+        ], pa.string()),
+    })
+    out = (
+        dup_ngram_coverage(ray.data.from_arrow(t).repartition(2), n=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: tokens 8, grams 4, the shared gram at pos 1 covers tokens 1-5
+    assert out.loc[1, "n_tokens"] == 8
+    assert out.loc[1, "n_grams"] == 4
+    assert out.loc[1, "dup_grams"] == 1
+    assert out.loc[1, "covered_tokens"] == 5
+    # doc 2: shared gram at pos 0
+    assert out.loc[2, "dup_grams"] == 1
+    assert out.loc[2, "covered_tokens"] == 5
+    # doc 3: clean
+    assert out.loc[3, "dup_grams"] == 0
+    assert out.loc[3, "covered_tokens"] == 0
+    assert out.loc[3, "covered_ppm"] == 0
+
+
+def test_dup_ngram_coverage_within_doc_repeat_not_dup(ray_session):
+    """A gram repeated WITHIN one doc only is not cross-doc duplicated."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dup_ngram_coverage
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "a b c d e a b c d e",  # same 5-gram twice, same doc
+            "totally unrelated words in this document",
+        ], pa.string()),
+    })
+    out = dup_ngram_coverage(ray.data.from_arrow(t), n=5).to_pandas()
+    assert int(out["dup_grams"].sum()) == 0
+    assert int(out["covered_tokens"].sum()) == 0

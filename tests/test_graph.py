@@ -105,3 +105,46 @@ def test_pagerank_fixed_ring_uniform(ray_session):
     ranks = out["rank_pico"].to_pylist()
     assert len(set(ranks)) == 1  # symmetry
     assert abs(sum(ranks) - 10**12) < n * 20  # mass conserved mod floors
+
+
+def test_triangle_count_hand_graph(ray_session):
+    """K4 minus one edge has exactly 2 triangles; each is found once."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import triangle_count
+
+    # K4 on {0,1,2,3} minus edge (2,3): triangles {0,1,2} and {0,1,3}
+    edges = pa.table({
+        "a": pa.array([0, 0, 0, 1, 1], pa.int64()),
+        "b": pa.array([1, 2, 3, 2, 3], pa.int64()),
+    })
+    out = triangle_count(ray.data.from_arrow(edges).repartition(2)).to_pandas()
+    got = sorted(map(tuple, out.values.tolist()))
+    assert got == [(0, 1, 2), (0, 1, 3)]
+
+
+def test_triangle_count_string_nodes(ray_session):
+    """String node ids survive the dictionary encode/decode round trip."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import triangle_count
+
+    edges = pa.table({
+        "a": pa.array(["x", "x", "y"], pa.string()),
+        "b": pa.array(["y", "z", "z"], pa.string()),
+    })
+    out = triangle_count(ray.data.from_arrow(edges)).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [("x", "y", "z")]
+
+
+def test_triangle_count_no_triangles(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import triangle_count
+
+    edges = pa.table({
+        "a": pa.array([0, 1, 2], pa.int64()),
+        "b": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = triangle_count(ray.data.from_arrow(edges)).to_pandas()
+    assert len(out) == 0

@@ -595,3 +595,30 @@ def test_shape_census_counts_and_ties(ray_session):
     out = shape_census(ray.data.from_arrow(t).repartition(3)).to_pandas()
     got = list(zip(out["shape"], out["n_convs"]))
     assert got == [("user,assistant", 3), ("user,assistant,tool", 1)]
+
+
+def test_interval_coverage_hand_case(ray_session):
+    """Overlap merges, exact adjacency merges (half-open), gaps split."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import interval_coverage
+
+    us = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        # user 1: spans [0,300) [100,400) [400,700) merge into [0,700);
+        # then [10000,10300) is its own island. user 2: one span.
+        "ts": pa.array([0, 100 * us, 400 * us, 10_000 * us, 5 * us]).cast(
+            pa.timestamp("us")
+        ),
+    })
+    out = (
+        interval_coverage(ray.data.from_arrow(t).repartition(2), pad_s=300)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_spans"] == 2
+    assert out.loc[1, "covered_us"] == (700 + 300) * us
+    assert out.loc[2, "n_spans"] == 1
+    assert out.loc[2, "covered_us"] == 300 * us
