@@ -2694,14 +2694,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rank_documents": q_bm25_rank,
         "seasonal_naive_error_7d": q_seasonal_naive_error,
         "daily_type_entropy": q_daily_type_entropy,
-        "snm_neardup_documents": q_snm_neardup,
+        "interval_coverage_5m": q_interval_coverage,
         "q4_late_ship_priority": q_q4_late_ship,
         "q19_brand_revenue": q_q19_brand_revenue,
         "encode_roles": q_encode_roles,
         "profile_events": q_profile_events,
         "peak_rate_5m": q_peak_rate_5m,
         "last_touch_attribution": q_last_touch,
-        "snm_neardup_multipass": q_snm_multipass,
+        "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "cum_distinct_tools": q_cum_distinct_tools,
         "scale_value_by_type": q_scale_value_by_type,
         "assign_folds_documents": q_assign_folds,
@@ -2727,15 +2727,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arrival_disorder_census": q_arrival_disorder,
         "chunk_dedup_exact": q_chunk_dedup,
         "dedup_normalized_documents": q_dedup_normalized,
-        "pack_sequences_ffd": q_pack_sequences_ffd,
+        "triangle_terms": q_triangle_terms,
         "lead_lag_daily_xcorr": q_lead_lag_xcorr,
         # --- round-3 new ops filling the remaining driver-prefix slots ---
         "q9_nation_year_revenue": q_q9_nation_year,
         "chi2_independence_cells": q_chi2_cells,
-        # slot 50 — end of the driver's 50-entry CORRECTNESS prefix
         "lexical_diversity_by_source": q_lexical_diversity,
+        # slot 50 — end of the driver's 50-entry CORRECTNESS prefix
+        # (rows-only SNM/FFD queries moved just past the prefix so every
+        #  prefix slot carries a hash-comparable oracle)
         "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
         "q15_top_supplier": q_q15_top_supplier,
+        "snm_neardup_documents": q_snm_neardup,
+        "snm_neardup_multipass": q_snm_multipass,
+        "pack_sequences_ffd": q_pack_sequences_ffd,
         "compress_ratio_documents": q_compress_ratio,
         "bigram_lm_scores_documents": q_bigram_lm_scores,
         "hll_users_1h_cascade": q_hll_users_cascade,
