@@ -2670,6 +2670,15 @@ def q_triangle_terms(sf_dir: str):
     return triangle_count(edges, max_triangles=5000)
 
 
+def q_skyline_users(sf_dir: str):
+    """Exact 2-D Pareto skyline of users over (total spend, recency):
+    block-carry frontier scan after the distributed sort — nothing
+    user-sized lands on the driver."""
+    from pyreshaper_ray.stages.analytics import skyline_users
+
+    return skyline_users(_events_value_ds(sf_dir, ["user_id", "ts", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
     # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
@@ -2940,6 +2949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_parameter_plan": q_lsh_parameter_plan,
         "join_cardinality_estimate": q_join_cardinality_estimate,
         "pagerank_trade_graph": q_pagerank_trade_graph,
+        "skyline_users": q_skyline_users,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6016,5 +6026,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb
         ORDER BY 1, 2, 3
         LIMIT 5000
+    """
+    # 2-D Pareto skyline with >= / strict-on-one dominance; exact (total,
+    # last) duplicates survive (neither dominates the other)
+    out["skyline_users"] = """
+        WITH agg AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+            FROM events GROUP BY 1
+        )
+        SELECT a.user_id, a.total_cents, a.last_us
+        FROM agg a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM agg o
+            WHERE o.total_cents >= a.total_cents
+              AND o.last_us >= a.last_us
+              AND (o.total_cents > a.total_cents OR o.last_us > a.last_us)
+        )
+        ORDER BY user_id
     """
     return out

@@ -6760,3 +6760,167 @@ def decayed_user_scores(
         .sort(["score", "user_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def skyline_users(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact 2-D Pareto skyline of users over (total spend, recency) — the
+    classic dominance frontier: a user is ON the skyline when no other user
+    has (total_cents >= , last_us >=) with at least one strict inequality.
+    Equal points dominate neither direction, so exact (total, last)
+    duplicates all survive.
+
+    Scale shape: raw events reduce combiner-first to one row per user (the
+    only data-sized exchange), the user census takes the irreducible
+    distributed sort by (total DESC, last DESC, user ASC), and the frontier
+    test is a per-block vectorized scan stitched with BLOCK-CARRY state —
+    pass 1 reduces each sorted block to a 4-field summary (head key, tail
+    total, tail-group max, pre-tail max), the driver folds the summaries in
+    order into per-block carries (block-count-sized work, like the NTILE /
+    Gini rank offsets), and pass 2 finishes each block locally. Nothing
+    user-sized ever lands on the driver.
+
+    Survivor rule under the sort (groups = equal-total runs, each group's
+    max last is its head): keep a row iff its last equals its GROUP max
+    (ties included) and strictly exceeds the running max over all
+    STRICTLY-greater-total groups.
+
+    Output: user_id, total_cents, last_us (BIGINTs), sorted by user_id.
+    """
+    import ray
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "cents": to_cents(b["value"]),
+                "ts_us": pc.cast(pc.cast(b["ts"], pa.int64()), pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate([("cents", "sum"), ("ts_us", "max")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "total_cents": pc.cast(g["cents_sum"], pa.int64()),
+                "last_us": pc.cast(g["ts_us_max"], pa.int64()),
+            }
+        )
+
+    agg = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            _Sum("total_cents", alias_name="total_cents"),
+            _Max("last_us", alias_name="last_us"),
+        )
+    )
+    ordered = agg.sort(
+        ["total_cents", "last_us", "user_id"], descending=[True, True, False]
+    ).materialize()
+
+    NEG = np.iinfo(np.int64).min
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "h_total": pa.array([], pa.int64()),
+                    "h_last": pa.array([], pa.int64()),
+                    "h_user": pa.array([], pa.int64()),
+                    "t_total": pa.array([], pa.int64()),
+                    "tailgrp_max": pa.array([], pa.int64()),
+                    "pretail_max": pa.array([], pa.int64()),
+                }
+            )
+        t = b["total_cents"].to_numpy(zero_copy_only=False)
+        l = b["last_us"].to_numpy(zero_copy_only=False)
+        tail = t[-1]
+        in_tail = t == tail
+        # within a group last is descending, so a portion's max is its first
+        # row; ACROSS groups last is not monotone, so the pre-tail max is the
+        # max over the in-block group HEADS (first row of each equal-total
+        # run), never just the first non-tail row
+        tailgrp_max = int(l[in_tail][0])
+        starts = np.r_[True, t[1:] != t[:-1]]
+        pre = l[starts & ~in_tail]
+        return pa.table(
+            {
+                "h_total": pa.array([int(t[0])], pa.int64()),
+                "h_last": pa.array([int(l[0])], pa.int64()),
+                "h_user": pc.cast(b["user_id"][:1], pa.int64()),
+                "t_total": pa.array([int(tail)], pa.int64()),
+                "tailgrp_max": pa.array([tailgrp_max], pa.int64()),
+                "pretail_max": pa.array(
+                    [int(pre.max()) if len(pre) else NEG], pa.int64()
+                ),
+            }
+        )
+
+    summaries = ordered.map_batches(
+        block_summary, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()  # block-count-sized by construction
+    # fold in global sort order (head key DESC total, DESC last, ASC user)
+    summaries.sort(key=lambda r: (-r["h_total"], -r["h_last"], r["h_user"]))
+    carries: dict[tuple, tuple] = {}
+    strict_max = NEG  # max last over completed strictly-greater-total groups
+    cur_total: int | None = None  # total of the group in progress
+    cur_group_max = NEG
+    for s in summaries:
+        key = (s["h_total"], s["h_last"], s["h_user"])
+        if cur_total is not None and s["h_total"] != cur_total:
+            # group completed exactly at the previous block boundary
+            strict_max = max(strict_max, cur_group_max)
+            cur_total, cur_group_max = None, NEG
+        carries[key] = (strict_max, cur_total, cur_group_max)
+        # advance state through this block (invariant here: cur_total is
+        # None or equals the block's head total)
+        if s["h_total"] == s["t_total"]:
+            # whole block is one group (fresh, or continuing the open one)
+            cur_total = s["t_total"]
+            cur_group_max = max(cur_group_max, s["tailgrp_max"])
+        else:
+            # the open group (if any) and every pre-tail group complete here
+            strict_max = max(strict_max, cur_group_max, s["pretail_max"])
+            cur_total = s["t_total"]
+            cur_group_max = s["tailgrp_max"]
+
+    car_ref = ray.put(carries)
+
+    OUT = pa.schema(
+        [("user_id", pa.int64()), ("total_cents", pa.int64()), ("last_us", pa.int64())]
+    )
+
+    def frontier(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return OUT.empty_table()
+        cars = ray.get(car_ref)
+        t = b["total_cents"].to_numpy(zero_copy_only=False)
+        l = b["last_us"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        S, T, G = cars[(int(t[0]), int(l[0]), int(u[0]))]
+        new_grp = np.r_[True, t[1:] != t[:-1]]
+        gid = np.cumsum(new_grp) - 1
+        # per-group in-block max last = value at group head (last desc in group)
+        head_last = l[new_grp]
+        grp_max = head_last.copy()
+        if T is not None and t[0] == T:
+            grp_max[0] = max(grp_max[0], G)
+        # strict prefix max over groups BEFORE each group (carry + in-block)
+        before = np.empty(len(grp_max), dtype=np.int64)
+        before[0] = S
+        if len(grp_max) > 1:
+            before[1:] = np.maximum.accumulate(
+                np.maximum(grp_max, S).astype(np.int64)
+            )[:-1]
+        keep = (l == grp_max[gid]) & (l > before[gid])
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep], pa.int64()),
+                "total_cents": pa.array(t[keep], pa.int64()),
+                "last_us": pa.array(l[keep], pa.int64()),
+            }
+        )
+
+    return ordered.map_batches(
+        frontier, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).sort("user_id")

@@ -2056,3 +2056,100 @@ def test_lsh_parameter_plan_properties():
     # deterministic
     again = lsh_parameter_plan(n_perm=128).to_pydict()
     assert again == plan
+
+
+def _skyline_brute(pts):
+    """Brute-force 2-D skyline: (total, last) pairs, >= / strict-on-one."""
+    keep = []
+    for i, (t1, l1) in enumerate(pts):
+        dom = any(
+            (t2 >= t1 and l2 >= l1 and (t2 > t1 or l2 > l1))
+            for j, (t2, l2) in enumerate(pts)
+            if j != i
+        )
+        if not dom:
+            keep.append(i)
+    return keep
+
+
+def test_skyline_users_hand_case(ray_session):
+    """Ties on total, ties on last, an exact duplicate pair, and a clearly
+    dominated interior point — forced across several blocks."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import skyline_users
+
+    us = 1_000_000
+    # user -> (events summing to total cents, last ts)
+    # u1 (300, t=50)  skyline
+    # u2 (300, t=40)  dominated by u1 (equal total, smaller last)
+    # u3 (200, t=90)  skyline (worse total, better recency)
+    # u4 (200, t=90)  exact duplicate of u3 -> BOTH survive
+    # u5 (100, t=60)  dominated by u3/u4
+    # u6 (400, t=10)  skyline (best total)
+    rows = [
+        (1, 3.00, 50), (2, 1.00, 40), (2, 2.00, 30), (3, 2.00, 90),
+        (4, 2.00, 90), (5, 1.00, 60), (6, 4.00, 10),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+        "ts": pa.array(
+            np.array([r[2] * us for r in rows], dtype=np.int64)
+        ).cast(pa.timestamp("us")),
+    })
+    out = (
+        skyline_users(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert sorted(out.index.tolist()) == [1, 3, 4, 6]
+    assert out.loc[3, "total_cents"] == 200 and out.loc[3, "last_us"] == 90 * us
+
+
+def test_skyline_users_random_vs_brute(ray_session):
+    """Randomized cross-check vs the O(n²) reference, heavy total ties so
+    equal-total group runs span sorted-block boundaries."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import skyline_users
+
+    rng = np.random.default_rng(7)
+    n = 400
+    users = np.arange(1, n + 1, dtype=np.int64)
+    # few distinct totals (ties!) and few distinct ts values
+    cents = rng.integers(1, 8, n) * 100
+    ts = rng.integers(1, 9, n) * 1_000_000
+    t = pa.table({
+        "user_id": pa.array(users),
+        "value": pa.array(cents / 100.0, pa.float64()),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    })
+    out = skyline_users(ray.data.from_arrow(t).repartition(16)).to_pandas()
+    keep = _skyline_brute(list(zip(cents.tolist(), ts.tolist())))
+    want = sorted(users[keep].tolist())
+    assert out["user_id"].tolist() == want
+
+
+def test_skyline_users_distinct_totals_vs_brute(ray_session):
+    """Mostly-unique totals with anti-correlated recency: multi-group
+    blocks where `last` jumps UP between groups — the pre-tail-max
+    regression case (first non-tail row is not the pre-tail max)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import skyline_users
+
+    rng = np.random.default_rng(11)
+    n = 500
+    users = np.arange(1, n + 1, dtype=np.int64)
+    cents = rng.permutation(n).astype(np.int64) * 100 + 100
+    # recency loosely anti-correlated with total + noise
+    ts = ((n - cents // 100) * 10 + rng.integers(0, 25, n)) * 1_000_000
+    t = pa.table({
+        "user_id": pa.array(users),
+        "value": pa.array(cents / 100.0, pa.float64()),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    })
+    out = skyline_users(ray.data.from_arrow(t).repartition(16)).to_pandas()
+    keep = _skyline_brute(list(zip(cents.tolist(), ts.tolist())))
+    assert out["user_id"].tolist() == sorted(users[keep].tolist())
