@@ -2670,6 +2670,20 @@ def q_triangle_terms(sf_dir: str):
     return triangle_count(edges, max_triangles=5000)
 
 
+def q_association_rules(sf_dir: str):
+    """Size-2 association rules (exact integer support/confidence/lift)
+    over the 2%-support term pairs, per-doc distinct terms capped at 64."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import association_rules
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
+
+
 def q_skyline_users(sf_dir: str):
     """Exact 2-D Pareto skyline of users over (total spend, recency):
     block-carry frontier scan after the distributed sort — nothing
@@ -2950,6 +2964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_estimate": q_join_cardinality_estimate,
         "pagerank_trade_graph": q_pagerank_trade_graph,
         "skyline_users": q_skyline_users,
+        "association_rules_terms": q_association_rules,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6046,5 +6061,47 @@ def oracle_sql() -> dict[str, str]:
               AND (o.total_cents > a.total_cents OR o.last_us > a.last_us)
         )
         ORDER BY user_id
+    """
+    # size-2 association rules under the SAME 64-term per-doc cap as the
+    # engine (numerators and denominators share one itemset definition)
+    out["association_rules_terms"] = """
+        WITH dt AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, tok,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tok) AS rn
+                FROM (
+                    SELECT DISTINCT doc_id, t.tok
+                    FROM documents,
+                         unnest(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+')) AS t(tok)
+                    WHERE t.tok <> ''
+                )
+            ) WHERE rn <= 64
+        ),
+        tc AS (SELECT tok, COUNT(*) AS n FROM dt GROUP BY 1),
+        pr AS (
+            SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS n_ab
+            FROM dt a JOIN dt b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+            HAVING COUNT(*) * 1000000 >=
+                   20000 * (SELECT COUNT(*) FROM documents)
+        ),
+        nd AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT pr.ta AS term_a, pr.tb AS term_b,
+               CAST(pr.n_ab AS BIGINT) AS n_ab,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               CAST(pr.n_ab * 1000000 // nd.n AS BIGINT) AS support_ppm,
+               CAST(pr.n_ab * 1000000 // ca.n AS BIGINT) AS conf_ab_ppm,
+               CAST(pr.n_ab * 1000000 // cb.n AS BIGINT) AS conf_ba_ppm,
+               CAST(pr.n_ab * nd.n * 1000000 // (ca.n * cb.n) AS BIGINT)
+                   AS lift_ppm
+        FROM pr
+        JOIN tc ca ON ca.tok = pr.ta
+        JOIN tc cb ON cb.tok = pr.tb
+        CROSS JOIN nd
+        ORDER BY 1, 2
     """
     return out

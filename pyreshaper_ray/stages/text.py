@@ -2065,3 +2065,145 @@ def cooccurrence_edges(
         .filter(expr=f"n >= {thr}")
         .select_columns(["term_a", "term_b"])
     )
+
+
+def association_rules(
+    ds_docs: "ray.data.Dataset",
+    n_docs: int,
+    support_ppm: int = 20_000,
+    max_doc_terms: int = 64,
+) -> "ray.data.Dataset":
+    """Size-2 association rules over the document-term incidence — exact
+    integer support / confidence / lift for every term pair above the
+    support floor (the Apriori step after :func:`term_pair_cooccurrence`'s
+    raw census).
+
+    Scale shape: both censuses ride the same per-document DISTINCT-term
+    cap (``max_doc_terms`` lexicographically-first — one consistent
+    itemset definition for numerators AND denominators): pair counts go
+    combiner-first through one pair-keyed groupby and the support floor
+    makes the surviving pair list result-sized; term doc-frequencies go
+    through a term-keyed groupby (vocabulary-sized) and are broadcast via
+    ``ray.put`` for the final per-pair metric map — no join shuffle. The
+    metric arithmetic runs in Python big-ints over the RESULT-sized pair
+    table, so ``lift_ppm = n_ab·N·10⁶ // (n_a·n_b)`` stays exact past
+    int64 at planet-scale corpus counts.
+
+    Output: term_a, term_b, n_ab, n_a, n_b, support_ppm, conf_ab_ppm,
+    conf_ba_ppm, lift_ppm (all BIGINT), sorted by (term_a, term_b).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def doc_terms(batch: pa.Table) -> list[list[str]]:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        return [
+            sorted({t for t in lst if t})[:max_doc_terms]
+            for lst in toks.to_pylist()
+        ]
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        ta_all, tb_all = [], []
+        for terms in doc_terms(batch):
+            m = len(terms)
+            for i in range(m):
+                a = terms[i]
+                for jj in range(i + 1, m):
+                    ta_all.append(a)
+                    tb_all.append(terms[jj])
+        t = pa.table(
+            {
+                "term_a": pa.array(ta_all, pa.string()),
+                "term_b": pa.array(tb_all, pa.string()),
+            }
+        )
+        g = t.group_by(["term_a", "term_b"]).aggregate([("term_a", "count")])
+        return pa.table(
+            {
+                "term_a": g["term_a"],
+                "term_b": g["term_b"],
+                "n": pc.cast(g["term_a_count"], pa.int64()),
+            }
+        )
+
+    def terms_block(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for terms in doc_terms(batch):
+            flat.extend(terms)
+        t = pa.table({"term": pa.array(flat, pa.string())})
+        g = t.group_by(["term"]).aggregate([("term", "count")])
+        return pa.table(
+            {"term": g["term"], "n": pc.cast(g["term_count"], pa.int64())}
+        )
+
+    thr = -(-support_ppm * int(n_docs) // 1_000_000)  # ceil
+    pair_counts = (
+        ds_docs.map_batches(pairs_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n_ab"))
+        .filter(expr=f"n_ab >= {thr}")
+    )
+    from ..util import collect_table
+
+    tc = collect_table(
+        ds_docs.map_batches(terms_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df_ref = _ray.put(dict(zip(tc["term"].to_pylist(), tc["n"].to_pylist())))
+    N = int(n_docs)
+
+    OUT = pa.schema(
+        [
+            ("term_a", pa.string()),
+            ("term_b", pa.string()),
+            ("n_ab", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("support_ppm", pa.int64()),
+            ("conf_ab_ppm", pa.int64()),
+            ("conf_ba_ppm", pa.int64()),
+            ("lift_ppm", pa.int64()),
+        ]
+    )
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return OUT.empty_table()
+        df = _ray.get(df_ref)
+        ta = batch["term_a"].to_pylist()
+        tb = batch["term_b"].to_pylist()
+        nab = batch["n_ab"].to_pylist()
+        na = [df[a] for a in ta]
+        nb = [df[b] for b in tb]
+        return pa.table(
+            {
+                "term_a": pa.array(ta, pa.string()),
+                "term_b": pa.array(tb, pa.string()),
+                "n_ab": pa.array(nab, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "support_ppm": pa.array(
+                    [x * 1_000_000 // N for x in nab], pa.int64()
+                ),
+                "conf_ab_ppm": pa.array(
+                    [x * 1_000_000 // a for x, a in zip(nab, na)], pa.int64()
+                ),
+                "conf_ba_ppm": pa.array(
+                    [x * 1_000_000 // b for x, b in zip(nab, nb)], pa.int64()
+                ),
+                "lift_ppm": pa.array(
+                    [
+                        x * N * 1_000_000 // (a * b)
+                        for x, a, b in zip(nab, na, nb)
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return pair_counts.map_batches(
+        metrics, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["term_a", "term_b"])

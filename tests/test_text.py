@@ -741,3 +741,44 @@ def test_bm25_rank_empty_and_no_hits(ray_session):
     out = bm25_rank(ray.data.from_arrow(docs), query_terms=("zzz",))
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "score"]
+
+
+def test_association_rules_hand_case(ray_session):
+    """4 docs: {x,y} in 3 docs, x in 4, y in 3 -> exact metrics."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import association_rules
+
+    t = pa.table({
+        "text": pa.array([
+            "x y", "x y", "x y", "x z",
+        ], pa.string()),
+    })
+    out = association_rules(
+        ray.data.from_arrow(t).repartition(2), n_docs=4, support_ppm=500_000
+    ).to_pandas()
+    # pairs above 50% support: (x,y) n=3 (75%); (x,z) n=1 (25%) filtered
+    assert out["term_a"].tolist() == ["x"] and out["term_b"].tolist() == ["y"]
+    r = out.iloc[0]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (3, 4, 3)
+    assert r["support_ppm"] == 750_000
+    assert r["conf_ab_ppm"] == 750_000      # 3/4
+    assert r["conf_ba_ppm"] == 1_000_000    # 3/3
+    assert r["lift_ppm"] == 1_000_000       # 3*4/(4*3)
+
+
+def test_association_rules_respects_term_cap(ray_session):
+    """The per-doc cap applies to BOTH the pair and the term census."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import association_rules
+
+    # cap=2 keeps only the 2 lexicographically-first distinct terms: doc1
+    # {a,b} (c dropped), doc2 {a,b}
+    t = pa.table({"text": pa.array(["a b c", "b a"], pa.string())})
+    out = association_rules(
+        ray.data.from_arrow(t), n_docs=2, support_ppm=500_000, max_doc_terms=2
+    ).to_pandas()
+    assert out["term_a"].tolist() == ["a"]
+    assert out["n_a"].tolist() == [2] and out["n_b"].tolist() == [2]
+    assert "c" not in set(out["term_b"])
