@@ -2427,13 +2427,12 @@ def q_join_cardinality_estimate(sf_dir: str):
     return join_cardinality_estimate(left, right, "o_orderkey", "l_orderkey")
 
 
-def q_pagerank_trade_graph(sf_dir: str):
-    """Integer-exact PageRank (3 iterations, damping 17/20) over the
-    undirected customer↔supplier co-transaction graph; supplier node ids
-    offset by 10^9 to share one id space."""
+def _trade_graph_edges(sf_dir: str):
+    """Directed-both-ways edge list of the undirected customer↔supplier
+    co-transaction graph; supplier node ids offset by 10^9 to share one id
+    space. Shared by the PageRank and k-core queries."""
     import ray.data
 
-    from pyreshaper_ray.stages.graph import pagerank_fixed
     from pyreshaper_ray.stages.joins import hash_join
 
     orders = ray.data.read_parquet(
@@ -2471,10 +2470,25 @@ def q_pagerank_trade_graph(sf_dir: str):
             }
         )
 
-    edges = pairs.map_batches(
+    return pairs.map_batches(
         both_dirs, batch_format="pyarrow", zero_copy_batch=True
     )
-    return pagerank_fixed(edges, n_iters=3, top_n=20)
+
+
+def q_pagerank_trade_graph(sf_dir: str):
+    """Integer-exact PageRank (3 iterations, damping 17/20) over the
+    customer↔supplier trade graph."""
+    from pyreshaper_ray.stages.graph import pagerank_fixed
+
+    return pagerank_fixed(_trade_graph_edges(sf_dir), n_iters=3, top_n=20)
+
+
+def q_kcore_trade_graph(sf_dir: str):
+    """4-core of the customer↔supplier trade graph: 8-round iterative
+    peel (early-exit at the fixed point is bit-equivalent)."""
+    from pyreshaper_ray.stages.graph import kcore_rounds
+
+    return kcore_rounds(_trade_graph_edges(sf_dir), k=4, n_rounds=8)
 
 
 def q_bm25_rank(sf_dir: str):
@@ -2965,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_trade_graph": q_pagerank_trade_graph,
         "skyline_users": q_skyline_users,
         "association_rules_terms": q_association_rules,
+        "kcore_trade_graph": q_kcore_trade_graph,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6104,4 +6119,35 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN nd
         ORDER BY 1, 2
     """
+    # 8-round k=4 peel as chained CTEs — generated mechanically; the
+    # engine's early-exit at the fixed point is bit-equivalent because
+    # post-convergence rounds remove nothing
+    _kcore_rounds = 8
+    _kcore_k = 4
+    # AS MATERIALIZED: each e{r} is referenced 3× by round r+1 — without it
+    # DuckDB inlines the whole chain and re-opens the parquet inputs
+    # exponentially many times (observed: fd exhaustion at 8 rounds)
+    _cte = [
+        """p AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           e0 AS MATERIALIZED (SELECT c AS src, s + 1000000000 AS dst FROM p
+                  UNION ALL
+                  SELECT s + 1000000000 AS src, c AS dst FROM p)"""
+    ]
+    for _r in range(1, _kcore_rounds + 1):
+        _cte.append(
+            f"""x{_r} AS MATERIALIZED (SELECT src FROM e{_r - 1}
+                          GROUP BY src HAVING COUNT(*) < {_kcore_k}),
+                e{_r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{_r - 1} e
+                          WHERE e.src NOT IN (SELECT src FROM x{_r})
+                            AND e.dst NOT IN (SELECT src FROM x{_r}))"""
+        )
+    out["kcore_trade_graph"] = (
+        "WITH "
+        + ",\n".join(_cte)
+        + f"""
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e{_kcore_rounds} GROUP BY 1 ORDER BY 1
+    """
+    )
     return out

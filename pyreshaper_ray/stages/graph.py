@@ -504,3 +504,95 @@ def triangle_count(
     if max_triangles is not None:
         tris = tris.limit(max_triangles)
     return tris
+
+
+def kcore_rounds(
+    edges: "ray.data.Dataset", k: int = 2, n_rounds: int = 8
+) -> "ray.data.Dataset":
+    """k-core decomposition by iterative peel, ``n_rounds`` bounded — the
+    density filter that strips low-degree fringe (nodes with < k surviving
+    neighbors) until only the mutually-dense core remains.
+
+    Input: DIRECTED-BOTH-WAYS edge rows (src, dst int64), deduplicated —
+    the same contract as :func:`pagerank_fixed` — so degree(v) is the row
+    count with src = v. Each round: a combiner-first degree census (one
+    src-keyed groupby), nodes under ``k`` join the cumulative removed set,
+    and the ORIGINAL edge set is re-filtered against it (no lineage
+    growth). Rounds after convergence are no-ops (nothing new falls under
+    k ⇒ identical edge set), so early-exit on an empty removal round is
+    bit-equivalent to running all ``n_rounds`` — which is what the chained
+    fixed-round SQL restatement computes. The removed set is broadcast via
+    ``ray.put`` + sorted-array ``searchsorted`` membership (node-census
+    sized; at billion-node graphs swap the broadcast for a hash semi-join
+    against the surviving-node census — the joins family already provides
+    it).
+
+    Output after the final round: node, deg (degree within the surviving
+    subgraph), BIGINTs, sorted by node. Note the bounded-round contract:
+    with small ``n_rounds`` the result is the R-round peel, not
+    necessarily the fixed point (the oracle restates exactly that).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..util import collect_table
+
+    base = edges.materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["src"]).group_by(["src"]).aggregate([("src", "count")])
+        return pa.table(
+            {"src": g["src"], "n": pc.cast(g["src_count"], pa.int64())}
+        )
+
+    def census(ds) -> "ray.data.Dataset":
+        return (
+            ds.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("src")
+            .aggregate(Sum("n", alias_name="deg"))
+        )
+
+    removed = np.empty(0, dtype=np.int64)
+    cur = base
+    for _ in range(int(n_rounds)):
+        deg = census(cur)
+        drop_t = collect_table(
+            deg.map_batches(
+                lambda b: b.filter(pc.less(b["deg"], k)).select(["src"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        if drop_t.num_rows == 0:
+            break  # fixed point: remaining rounds are bit-equivalent no-ops
+        removed = np.unique(
+            np.concatenate(
+                [removed, drop_t["src"].to_numpy(zero_copy_only=False)]
+            )
+        )
+        rem_ref = _ray.put(removed)
+
+        def keep_edges(b: pa.Table, _ref=rem_ref) -> pa.Table:
+            rem = _ray.get(_ref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            pos_s = np.searchsorted(rem, s)
+            pos_d = np.searchsorted(rem, d)
+            in_s = (pos_s < len(rem)) & (rem[np.minimum(pos_s, len(rem) - 1)] == s)
+            in_d = (pos_d < len(rem)) & (rem[np.minimum(pos_d, len(rem) - 1)] == d)
+            return b.filter(pa.array(~(in_s | in_d)))
+
+        cur = base.map_batches(
+            keep_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def relabel(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pc.cast(b["src"], pa.int64()), "deg": b["deg"]}
+        )
+
+    return (
+        census(cur)
+        .map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("node")
+    )

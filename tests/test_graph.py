@@ -148,3 +148,59 @@ def test_triangle_count_no_triangles(ray_session):
     })
     out = triangle_count(ray.data.from_arrow(edges)).to_pandas()
     assert len(out) == 0
+
+
+def _both_dirs_table(pairs):
+    import numpy as np
+
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    return pa.table({
+        "src": pa.array(np.concatenate([a, b])),
+        "dst": pa.array(np.concatenate([b, a])),
+    })
+
+
+def test_kcore_cascade_peel(ray_session):
+    """Triangle {0,1,2} + pendant path 2-3-4: the 2-core is the triangle;
+    removing 4 (deg 1) drops 3 to deg 1 — the cascade needs >1 round."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import kcore_rounds
+
+    t = _both_dirs_table([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    out = (
+        kcore_rounds(ray.data.from_arrow(t).repartition(3), k=2, n_rounds=8)
+        .to_pandas()
+    )
+    assert out["node"].tolist() == [0, 1, 2]
+    assert out["deg"].tolist() == [2, 2, 2]
+
+
+def test_kcore_round_bound_is_the_contract(ray_session):
+    """With n_rounds=1 the cascade is cut short: only node 4 is peeled, 3
+    survives with its then-degree — the bounded-round semantics the SQL
+    restates."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import kcore_rounds
+
+    t = _both_dirs_table([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    out = (
+        kcore_rounds(ray.data.from_arrow(t), k=2, n_rounds=1)
+        .to_pandas()
+        .set_index("node")
+    )
+    assert out.index.tolist() == [0, 1, 2, 3]
+    assert out.loc[3, "deg"] == 1
+
+
+def test_kcore_empty_core(ray_session):
+    """A path graph has no 2-core — everything peels away."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import kcore_rounds
+
+    t = _both_dirs_table([(0, 1), (1, 2), (2, 3)])
+    out = kcore_rounds(ray.data.from_arrow(t), k=2, n_rounds=8).to_pandas()
+    assert len(out) == 0
