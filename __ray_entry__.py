@@ -2698,6 +2698,19 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_rrf_fuse(sf_dir: str):
+    """Reciprocal-rank fusion of the length and lexical-richness rankings
+    (exact global ROW_NUMBERs via block-offset ranks, hash-joined)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import rrf_fuse_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return rrf_fuse_documents(docs, k=60, top_n=20)
+
+
 def q_skyline_users(sf_dir: str):
     """Exact 2-D Pareto skyline of users over (total spend, recency):
     block-carry frontier scan after the distributed sort — nothing
@@ -2980,6 +2993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_users": q_skyline_users,
         "association_rules_terms": q_association_rules,
         "kcore_trade_graph": q_kcore_trade_graph,
+        "rrf_fuse_documents": q_rrf_fuse,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6142,6 +6156,31 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # RRF over two exact ROW_NUMBER rankings; integer // keeps the fused
+    # score hash-exact
+    out["rrf_fuse_documents"] = """
+        WITH sig AS (
+            SELECT doc_id, n_chars,
+                   len(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''))) AS n_terms
+            FROM documents
+        ),
+        ra AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+               FROM sig),
+        rb AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY n_terms DESC, doc_id) AS r
+               FROM sig)
+        SELECT s.doc_id,
+               CAST(ra.r AS BIGINT) AS rank_chars,
+               CAST(rb.r AS BIGINT) AS rank_terms,
+               CAST(1000000 // (60 + ra.r) + 1000000 // (60 + rb.r)
+                    AS BIGINT) AS rrf_micro
+        FROM sig s JOIN ra USING (doc_id) JOIN rb USING (doc_id)
+        ORDER BY rrf_micro DESC, s.doc_id
+        LIMIT 20
+    """
     out["kcore_trade_graph"] = (
         "WITH "
         + ",\n".join(_cte)

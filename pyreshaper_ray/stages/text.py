@@ -2207,3 +2207,162 @@ def association_rules(
     return pair_counts.map_batches(
         metrics, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["term_a", "term_b"])
+
+
+def _global_row_numbers(
+    ds: "ray.data.Dataset", score_col: str, id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Exact global 1-based ROW_NUMBER() OVER (ORDER BY score DESC, id ASC)
+    — the distributed-rank primitive: one sort, then per-block ranks from
+    BLOCK-OFFSET bookkeeping (pass 1 reduces each sorted block to its head
+    key + row count, the driver folds those into start offsets —
+    block-count-sized — and pass 2 assigns ``offset + arange``). The same
+    machinery as the Gini / NTILE ranks.
+
+    Output: id_col, score_col, ``rank`` (BIGINT).
+    """
+    import ray as _ray
+
+    ordered = ds.sort([score_col, id_col], descending=[True, False]).materialize()
+
+    def head(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                    "rows": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "s": pc.cast(b[score_col][:1], pa.int64()),
+                "i": pc.cast(b[id_col][:1], pa.int64()),
+                "rows": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    heads = ordered.map_batches(
+        head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    heads.sort(key=lambda r: (-r["s"], r["i"]))
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for r in heads:
+        offsets[(r["s"], r["i"])] = acc
+        acc += r["rows"]
+    off_ref = _ray.put(offsets)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    score_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        offs = _ray.get(off_ref)
+        first = (b[score_col][0].as_py(), b[id_col][0].as_py())
+        rank = offs[first] + 1 + np.arange(b.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                score_col: pc.cast(b[score_col], pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return ordered.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def rrf_fuse_documents(
+    ds_docs: "ray.data.Dataset", k: int = 60, top_n: int = 20
+) -> "ray.data.Dataset":
+    """Reciprocal-rank fusion of two full-corpus rankings — the standard
+    hybrid-retrieval combiner (Cormack et al.): fused score
+    ``Σ 1e6 // (k + rank_i)`` over each signal's exact global ROW_NUMBER.
+    Demonstrated here over two integer quality signals (doc length,
+    distinct-term count); swap either ranking for the BM25 / ANN top-k
+    datasets to fuse lexical × semantic retrieval — the fusion machinery
+    (two distributed ranks + one hash join) is signal-agnostic.
+
+    Scale shape: signals reduce per-block vectorized (Arrow split +
+    composite-key distinct count — no Python loop), each ranking is one
+    sort + block-offset rank pass, the rank join is hash-partitioned on
+    the int64 doc key, and only the result-sized fused top-``top_n``
+    sorts at the end.
+
+    Output: doc_id, rank_chars, rank_terms, rrf_micro (BIGINTs),
+    sorted by (rrf_micro DESC, doc_id).
+    """
+    from .joins import hash_join
+
+    def signals(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # distinct terms per doc: unique (parent, token) composite
+        t = pa.table(
+            {
+                "p": pa.array(parent[nonempty], pa.int64()),
+                "tok": flat.filter(pa.array(nonempty)),
+            }
+        )
+        g = t.group_by(["p", "tok"]).aggregate([])
+        n_terms = np.zeros(len(toks), dtype=np.int64)
+        counts = (
+            g.group_by(["p"]).aggregate([("p", "count")])
+            if g.num_rows
+            else None
+        )
+        if counts is not None and counts.num_rows:
+            n_terms[counts["p"].to_numpy(zero_copy_only=False)] = counts[
+                "p_count"
+            ].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                "n_terms": pa.array(n_terms, pa.int64()),
+            }
+        )
+
+    sig = ds_docs.map_batches(
+        signals, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ra = _global_row_numbers(sig.select_columns(["doc_id", "n_chars"]), "n_chars")
+    rb = _global_row_numbers(sig.select_columns(["doc_id", "n_terms"]), "n_terms")
+
+    def ra_out(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "rank_chars": b["rank"]})
+
+    def rb_out(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "rank_terms": b["rank"]})
+
+    joined = hash_join(
+        ra.map_batches(ra_out, batch_format="pyarrow", zero_copy_batch=True),
+        rb.map_batches(rb_out, batch_format="pyarrow", zero_copy_batch=True),
+        on="doc_id",
+    )
+
+    def fuse(b: pa.Table) -> pa.Table:
+        a = b["rank_chars"].to_numpy(zero_copy_only=False)
+        t = b["rank_terms"].to_numpy(zero_copy_only=False)
+        micro = 1_000_000 // (k + a) + 1_000_000 // (k + t)
+        return b.append_column("rrf_micro", pa.array(micro, pa.int64()))
+
+    return (
+        joined.map_batches(fuse, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["rrf_micro", "doc_id"], descending=[True, False])
+        .limit(top_n)
+        .select_columns(["doc_id", "rank_chars", "rank_terms", "rrf_micro"])
+    )

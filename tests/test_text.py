@@ -782,3 +782,51 @@ def test_association_rules_respects_term_cap(ray_session):
     assert out["term_a"].tolist() == ["a"]
     assert out["n_a"].tolist() == [2] and out["n_b"].tolist() == [2]
     assert "c" not in set(out["term_b"])
+
+
+def test_rrf_fuse_hand_case(ray_session):
+    """Doc best on one signal and mid on the other beats docs that are
+    top-1 on a single signal only when the reciprocal sums say so —
+    checked against a hand-computed fusion table."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import rrf_fuse_documents
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # chars: d1=30, d2=20, d3=10 -> rank_chars 1,2,3
+        # terms: d1=1 ('aaa'), d2=3, d3=2 -> rank_terms 3,1,2
+        "text": pa.array(["aaa aaa", "a b c", "x y x"], pa.string()),
+        "n_chars": pa.array([30, 20, 10], pa.int64()),
+    })
+    out = (
+        rrf_fuse_documents(ray.data.from_arrow(t).repartition(2), k=60, top_n=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "rank_chars"] == 1 and out.loc[1, "rank_terms"] == 3
+    assert out.loc[2, "rank_chars"] == 2 and out.loc[2, "rank_terms"] == 1
+    assert out.loc[3, "rank_terms"] == 2
+    m = 1_000_000
+    assert out.loc[1, "rrf_micro"] == m // 61 + m // 63
+    assert out.loc[2, "rrf_micro"] == m // 62 + m // 61
+    # d2 (16393+16129) beats d1 (16393+15873)
+    assert out.index.tolist()[0] == 2
+
+
+def test_global_row_numbers_ties_break_on_id(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import _global_row_numbers
+
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 9, 3], pa.int64()),
+        "s": pa.array([7, 7, 7, 2], pa.int64()),
+    })
+    out = (
+        _global_row_numbers(ray.data.from_arrow(t).repartition(3), "s")
+        .to_pandas()
+        .set_index("doc_id")["rank"]
+    )
+    assert out.loc[1] == 1 and out.loc[5] == 2 and out.loc[9] == 3
+    assert out.loc[3] == 4
