@@ -2698,6 +2698,20 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_bpe_token_count(sf_dir: str):
+    """GPT-2-style pretokenizer count per document (lookahead-free RE2,
+    shared verbatim with the oracle)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import bpe_token_count_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def q_rrf_fuse(sf_dir: str):
     """Reciprocal-rank fusion of the length and lexical-richness rankings
     (exact global ROW_NUMBERs via block-offset ranks, hash-joined)."""
@@ -2994,6 +3008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules_terms": q_association_rules,
         "kcore_trade_graph": q_kcore_trade_graph,
         "rrf_fuse_documents": q_rrf_fuse,
+        "bpe_token_count": q_bpe_token_count,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6156,6 +6171,16 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # same RE2 pattern verbatim (Arrow and DuckDB share the engine);
+    # single quotes doubled for the SQL literal
+    from pyreshaper_ray.stages.text import BPE_PRETOKEN_REGEX as _BPE_RE
+
+    out["bpe_token_count"] = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+                    AS BIGINT) AS n_pretokens
+        FROM documents ORDER BY doc_id
+    """
     # RRF over two exact ROW_NUMBER rankings; integer // keeps the fused
     # score hash-exact
     out["rrf_fuse_documents"] = """

@@ -2366,3 +2366,28 @@ def rrf_fuse_documents(
         .limit(top_n)
         .select_columns(["doc_id", "rank_chars", "rank_terms", "rrf_micro"])
     )
+
+
+# GPT-2-style pretokenizer, lookahead-free RE2 restatement: contractions,
+# optional-space letter runs, optional-space digit runs, optional-space
+# symbol runs, residual whitespace runs. Arrow's count_substring_regex and
+# DuckDB's regexp_extract_all share the RE2 engine, so counts are
+# hash-identical by construction.
+BPE_PRETOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish pretoken count per document — the subword-budget estimator a
+    training-data pipeline uses before the real tokenizer is in the loop
+    (the GPT-2 pretokenizer split, minus merges). One vectorized RE2 pass;
+    pairs with the whitespace rule in :func:`token_count_batch`.
+
+    Output: doc_id, n_pretokens (BIGINT).
+    """
+    n = pc.count_substring_regex(batch[text_col], pattern=BPE_PRETOKEN_REGEX)
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_pretokens": pc.cast(n, pa.int64()),
+        }
+    )

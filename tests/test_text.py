@@ -830,3 +830,25 @@ def test_global_row_numbers_ties_break_on_id(ray_session):
     )
     assert out.loc[1] == 1 and out.loc[5] == 2 and out.loc[9] == 3
     assert out.loc[3] == 4
+
+
+def test_bpe_token_count_hand_case(ray_session):
+    """Contractions split, space attaches to the following run, symbol
+    runs separate from letters."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import bpe_token_count_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # "it" + "'s" + " ok" -> 3
+            "it's ok",
+            # "Hello" + "," + " world" + "!!" -> 4
+            "Hello, world!!",
+            # "a1b": "a" + "1" + "b" -> 3
+            "a1b",
+        ], pa.string()),
+    })
+    out = bpe_token_count_batch(t)
+    assert out["n_pretokens"].to_pylist() == [3, 4, 3]
