@@ -2698,6 +2698,16 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_seasonal_decompose(sf_dir: str):
+    """Centered-MA seasonal decomposition of the hourly event series
+    (25-hour trend window, per-hour-of-day truncated-mean seasonal)."""
+    from pyreshaper_ray.stages.timeseries import seasonal_decompose_hourly
+
+    return seasonal_decompose_hourly(
+        _events_value_ds(sf_dir, ["ts"]), window=25
+    )
+
+
 def q_bpe_token_count(sf_dir: str):
     """GPT-2-style pretokenizer count per document (lookahead-free RE2,
     shared verbatim with the oracle)."""
@@ -3009,6 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_trade_graph": q_kcore_trade_graph,
         "rrf_fuse_documents": q_rrf_fuse,
         "bpe_token_count": q_bpe_token_count,
+        "seasonal_decompose_hourly": q_seasonal_decompose,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6171,6 +6182,40 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # centered-MA decomposition; trend floor (counts >= 0) and seasonal
+    # trunc division both restate SQL // semantics exactly
+    out["seasonal_decompose_hourly"] = """
+        WITH hc AS (
+            SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+        grid AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        dense AS (
+            SELECT g.h, COALESCE(hc.n, 0) AS n,
+                   ROW_NUMBER() OVER (ORDER BY g.h) - 1 AS i
+            FROM grid g LEFT JOIN hc ON hc.h = g.h
+        ),
+        tr AS (
+            SELECT h, n, i,
+                   SUM(n) OVER (ORDER BY i
+                                ROWS BETWEEN 12 PRECEDING
+                                         AND 12 FOLLOWING) AS wsum
+            FROM dense
+        ),
+        det AS (
+            SELECT hour(h) AS hod, n - wsum // 25 AS dt
+            FROM tr
+            WHERE i >= 12 AND i <= (SELECT MAX(i) FROM dense) - 12
+        )
+        SELECT CAST(hod AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(dt) // COUNT(*) AS BIGINT) AS seasonal
+        FROM det GROUP BY 1 ORDER BY 1
+    """
     # same RE2 pattern verbatim (Arrow and DuckDB share the engine);
     # single quotes doubled for the SQL literal
     from pyreshaper_ray.stages.text import BPE_PRETOKEN_REGEX as _BPE_RE

@@ -1234,3 +1234,83 @@ def daily_type_entropy(events_ds: "ray.data.Dataset") -> pa.Table:
             "entropy_micro_nats": pa.array(out_h, pa.int64()),
         }
     )
+
+
+def seasonal_decompose_hourly(
+    events_ds: "ray.data.Dataset", window: int = 25
+) -> pa.Table:
+    """Classical seasonal decomposition of the hourly event-count series:
+    trend = centered moving average over an ODD ``window`` of hours,
+    seasonal(hour-of-day) = truncated mean of the detrended values at that
+    hour — the moving-average half of STL, integer-exact end to end.
+
+    Combiner-first hourly counts (per-block Arrow ``group_by`` + one
+    hour-keyed groupby), then the decomposition runs on the collected
+    HOURS-DOMAIN-sized dense grid (~8.8k rows/year — the documented
+    result-sized finalize, same contract as ``hour_dod_delta``): zero-fill
+    via searchsorted, window sums via one cumsum, division truncated
+    toward zero to match SQL ``//`` (negative detrended values!).
+
+    Output: hod (0–23), n_obs, seasonal (BIGINTs), sorted by hod. Hours
+    without a full centered window contribute nothing (SQL restates the
+    same full-window bound).
+    """
+    from ..util import collect_table
+
+    half = window // 2
+    OUT = pa.schema(
+        [("hod", pa.int64()), ("n_obs", pa.int64()), ("seasonal", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        g = pa.table({"hour": h}).group_by("hour").aggregate([([], "count_all")])
+        return pa.table(
+            {"hour": g["hour"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .sum("n")
+    )
+    t = collect_table(counts)
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    hrs = (
+        t["hour"].to_numpy(zero_copy_only=False).astype("datetime64[h]").astype(np.int64)
+    )
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(hrs)
+    hrs, n = hrs[order], n[order]
+    lo, hi = int(hrs[0]), int(hrs[-1])
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    dense = np.zeros(len(grid), dtype=np.int64)
+    dense[hrs - lo] = n
+    if len(grid) < window:
+        return OUT.empty_table()
+    c = np.r_[0, np.cumsum(dense)]
+    wsum = c[window:] - c[:-window]  # sum over [i-half, i+half] at i=half..
+    trend = wsum // window  # counts >= 0: floor == trunc
+    centers = grid[half : len(grid) - half]
+    det = dense[half : len(grid) - half] - trend
+    hod = centers % 24
+    n_obs = np.bincount(hod, minlength=24).astype(np.int64)
+    s_num = np.bincount(hod, weights=det.astype(np.float64), minlength=24)
+    # bincount weights go through float64 — exact while |sum| < 2^53; redo
+    # in int64 to keep the integer-domain guarantee
+    s_num = np.zeros(24, dtype=np.int64)
+    np.add.at(s_num, hod, det)
+    present = n_obs > 0
+    seas = np.zeros(24, dtype=np.int64)
+    seas[present] = np.sign(s_num[present]) * (
+        np.abs(s_num[present]) // n_obs[present]
+    )  # trunc-toward-zero == SQL //
+    hods = np.arange(24, dtype=np.int64)[present]
+    return pa.table(
+        {
+            "hod": pa.array(hods, pa.int64()),
+            "n_obs": pa.array(n_obs[present], pa.int64()),
+            "seasonal": pa.array(seas[present], pa.int64()),
+        }
+    )

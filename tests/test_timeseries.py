@@ -499,3 +499,47 @@ def test_daily_type_entropy_exact(ray_session):
     assert int(out["entropy_micro_nats"][0]) == L(2)
     # day 1: 3×a + 1×b → (3*(L(4)-L(3)) + 1*(L(4)-L(1))) // 4
     assert int(out["entropy_micro_nats"][1]) == (3 * (L(4) - L(3)) + L(4)) // 4
+
+
+def test_seasonal_decompose_hand_case(ray_session):
+    """Flat series + one spike: trend smears the spike over the window,
+    seasonal picks up the residual at the spike's hour-of-day."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import seasonal_decompose_hourly
+
+    us_h = 3_600_000_000
+    # 49 hours, 1 event each, except hour 24 has 26 events (25 extra)
+    ts = []
+    for h in range(49):
+        reps = 26 if h == 24 else 1
+        ts.extend([h * us_h] * reps)
+    t = pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(pa.timestamp("us")),
+    })
+    out = seasonal_decompose_hourly(
+        ray.data.from_arrow(t).repartition(3), window=25
+    ).to_pandas().set_index("hod")
+    # centers are hours 12..36 -> hods 12..23, 0..12 (hod 12 twice)
+    # trend at every center = (24*1 + 26) // 25 = 2
+    # detrended: -1 everywhere except center 24 (hod 0): 26 - 2 = 24
+    assert out.loc[0, "n_obs"] == 1  # only hour 24 maps to hod 0 as a center
+    assert out.loc[0, "seasonal"] == 24
+    assert out.loc[5, "seasonal"] == -1
+    assert out.loc[12, "n_obs"] == 2
+    # trunc toward zero: (-1 + -1) // 2 = -1
+    assert out.loc[12, "seasonal"] == -1
+
+
+def test_seasonal_decompose_short_series_empty(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import seasonal_decompose_hourly
+
+    t = pa.table({
+        "ts": pa.array(np.array([0, 3_600_000_000], dtype=np.int64)).cast(
+            pa.timestamp("us")
+        ),
+    })
+    out = seasonal_decompose_hourly(ray.data.from_arrow(t), window=25)
+    assert out.num_rows == 0
