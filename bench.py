@@ -319,6 +319,15 @@ def run_bench(headline_only: bool = False) -> dict:
         "seasonal_naive_error_7d",
         "daily_type_entropy",
         "pagerank_trade_graph",
+        "interval_coverage_5m",
+        "dup_ngram_coverage_5",
+        "triangle_terms",
+        "skyline_users",
+        "association_rules_terms",
+        "kcore_trade_graph",
+        "rrf_fuse_documents",
+        "bpe_token_count",
+        "seasonal_decompose_hourly",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
