@@ -2700,6 +2700,19 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_mmr_select(sf_dir: str):
+    """MMR diversified top-5 for query vector 0 over a 50-candidate
+    cosine pool (lam=0.7, mu=0.3 — literals shared with the oracle)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import mmr_select
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mmr_select(emb, query_id=0, k=5, pool=50, lam=0.7, mu=0.3)
+
+
 def q_seasonal_decompose(sf_dir: str):
     """Centered-MA seasonal decomposition of the hourly event series
     (25-hour trend window, per-hour-of-day truncated-mean seasonal)."""
@@ -3022,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse_documents": q_rrf_fuse,
         "bpe_token_count": q_bpe_token_count,
         "seasonal_decompose_hourly": q_seasonal_decompose,
+        "mmr_select_top5": q_mmr_select,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6184,6 +6198,55 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # MMR greedy as generated chained CTEs (one pick per step); float
+    # literals 0.7/0.3 shared verbatim with the engine so the score
+    # arithmetic is bit-identical; IDs-only output (no float hashing)
+    _mmr_k = 5
+    _mmr_cte = [
+        """q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                 WHERE vec_id = 0),
+           cand AS MATERIALIZED (
+               SELECT e.vec_id AS nid,
+                      list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+                          AS rel,
+                      e.embedding::DOUBLE[] AS emb
+               FROM embeddings e, q WHERE e.vec_id <> 0
+               ORDER BY rel DESC, nid LIMIT 50),
+           ps AS MATERIALIZED (
+               SELECT a.nid AS x, b.nid AS y,
+                      list_cosine_similarity(a.emb, b.emb) AS sim
+               FROM cand a JOIN cand b ON a.nid <> b.nid),
+           sel1 AS MATERIALIZED (
+               SELECT nid FROM cand ORDER BY rel DESC, nid LIMIT 1)"""
+    ]
+    for _i in range(2, _mmr_k + 1):
+        _mmr_cte.append(
+            f"""pick{_i} AS MATERIALIZED (
+                SELECT c.nid FROM cand c
+                WHERE c.nid NOT IN (SELECT nid FROM sel{_i - 1})
+                ORDER BY 0.7 * c.rel - 0.3 * (
+                             SELECT MAX(s.sim) FROM ps s
+                             WHERE s.x = c.nid
+                               AND s.y IN (SELECT nid FROM sel{_i - 1})
+                         ) DESC,
+                         c.nid
+                LIMIT 1),
+            sel{_i} AS MATERIALIZED (
+                SELECT nid FROM sel{_i - 1}
+                UNION ALL SELECT nid FROM pick{_i})"""
+        )
+    _mmr_final = " UNION ALL ".join(
+        ["SELECT 1 AS r, nid FROM sel1"]
+        + [f"SELECT {_i} AS r, nid FROM pick{_i}" for _i in range(2, _mmr_k + 1)]
+    )
+    out["mmr_select_top5"] = (
+        "WITH "
+        + ",\n".join(_mmr_cte)
+        + f"""
+        SELECT CAST(r AS BIGINT) AS sel_rank, CAST(nid AS BIGINT) AS vec_id
+        FROM ({_mmr_final}) ORDER BY r
+    """
+    )
     # centered-MA decomposition; trend floor (counts >= 0) and seasonal
     # trunc division both restate SQL // semantics exactly
     out["seasonal_decompose_hourly"] = """

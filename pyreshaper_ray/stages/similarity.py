@@ -1443,3 +1443,126 @@ def knn_int8_top5(
     import ray.data as _rd
 
     return _rd.from_pandas(df.reset_index(drop=True))
+
+
+def mmr_select(
+    ds_embeddings: "ray.data.Dataset",
+    query_id: int = 0,
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> pa.Table:
+    """Maximal Marginal Relevance diversified top-``k`` (Carbonell &
+    Goldstein): greedily pick the candidate maximizing
+    ``lam·rel − mu·max_sim_to_selected`` — the RAG/retrieval de-redundancy
+    step after a similarity search. ``mu`` is passed explicitly (not
+    ``1−lam``) so the float constant matches the SQL literal bit-for-bit.
+
+    Scale shape: relevance is the brute-force kNN pattern (broadcast query
+    vector, per-block vectorized cosine + partial top-``pool``, pool-sized
+    driver finalize); the pairwise-sim greedy runs on the POOL only
+    (pool × dim collect — result-sized by construction). Cosines are
+    ``dot/(‖a‖·‖b‖)`` per pair in float64, mirroring DuckDB's
+    ``list_cosine_similarity`` operand order; candidate ranking ties break
+    on vec_id.
+
+    Output: sel_rank (1-based selection order), vec_id — BIGINTs only, so the
+    oracle compare never hashes floats.
+    """
+    import ray as _ray
+
+    from ..util import collect_table
+
+    qt = collect_table(
+        ds_embeddings.filter(expr=f"vec_id == {query_id}").select_columns(
+            ["vec_id", "embedding"]
+        )
+    )
+    if qt.num_rows == 0 or k <= 0:
+        return pa.table(
+            {"sel_rank": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64())}
+        )
+    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    q_ref = _ray.put(qv)
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        qv_ = _ray.get(q_ref)
+        m = _batch_matrix(batch)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids != query_id
+        m, ids = m[keep], ids[keep]
+        if not len(ids):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "rel": pa.array([], pa.float64())}
+            )
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        rel = (m @ qv_) / (norms * qn)
+        if len(ids) > pool:  # per-block partial top-pool
+            top = np.argpartition(-rel, pool - 1)[:pool]
+            ids, rel = ids[top], rel[top]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "rel": pa.array(rel, pa.float64()),
+            }
+        )
+
+    cand_t = collect_table(
+        ds_embeddings.map_batches(
+            rel_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    ids = cand_t["vec_id"].to_numpy(zero_copy_only=False)
+    rel = cand_t["rel"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -rel))[:pool]
+    ids, rel = ids[order], rel[order]
+
+    pool_set = _ray.put(np.sort(ids))
+
+    def pool_rows(batch: pa.Table) -> pa.Table:
+        want = _ray.get(pool_set)
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, v)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == v)
+        return batch.filter(pa.array(hit)).select(["vec_id", "embedding"])
+
+    pt = collect_table(
+        ds_embeddings.map_batches(
+            pool_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    pid = pt["vec_id"].to_numpy(zero_copy_only=False)
+    pm = _batch_matrix(pt)
+    pn = np.linalg.norm(pm, axis=1)
+    pn[pn == 0] = 1.0
+    # align pool matrix rows to the candidate order
+    lut = {int(v): i for i, v in enumerate(pid)}
+    row = np.array([lut[int(v)] for v in ids], dtype=np.int64)
+    pm, pn = pm[row], pn[row]
+    # pairwise cosine, dot/(na*nb) operand order
+    sims = (pm @ pm.T) / np.outer(pn, pn)
+
+    n = len(ids)
+    selected: list[int] = []
+    picked = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, -np.inf)
+    for step in range(min(k, n)):
+        if step == 0:
+            score = rel.copy()
+        else:
+            score = lam * rel - mu * max_sim
+        score[picked] = -np.inf
+        # argmax with vec_id tie-break
+        best = np.lexsort((ids, -score))[0]
+        selected.append(int(ids[best]))
+        picked[best] = True
+        max_sim = np.maximum(max_sim, sims[:, best])
+    return pa.table(
+        {
+            "sel_rank": pa.array(np.arange(1, len(selected) + 1), pa.int64()),
+            "vec_id": pa.array(selected, pa.int64()),
+        }
+    )

@@ -433,3 +433,49 @@ def test_knn_int8_recall_vs_float(ray_session):
     assert overlap >= 0.8, overlap
     got2 = knn_int8_top5(sf, n_queries=5, k=5).take_all()
     assert got == got2
+
+
+def test_mmr_prefers_diversity_over_twin(ray_session):
+    """Two near-identical high-relevance twins: plain top-2 takes both,
+    MMR takes one twin then the diverse mid-relevance candidate."""
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import mmr_select
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],        # query
+        1: [0.99, 0.14, 0.0],      # twin A (rel ~.990)
+        2: [0.99, 0.141, 0.0],     # twin B (rel ~.990, ~identical to A)
+        3: [0.7, 0.0, 0.71],       # diverse, rel ~.70
+        4: [0.0, 1.0, 0.0],        # orthogonal
+    }
+    t = pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array(
+            [vecs[i] for i in sorted(vecs)], pa.list_(pa.float32())
+        ),
+    })
+    out = mmr_select(
+        ray.data.from_arrow(t).repartition(2), query_id=0, k=3, pool=4,
+        lam=0.5, mu=0.5,
+    ).to_pandas()
+    assert out["sel_rank"].tolist() == [1, 2, 3]
+    picks = out["vec_id"].tolist()
+    assert picks[0] == 1          # best rel
+    assert picks[1] == 3          # twin B penalized by ~1.0 sim to twin A
+    assert picks[2] == 2          # then the twin beats the orthogonal tail
+
+
+def test_mmr_k_exceeds_pool(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.similarity import mmr_select
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.5, 0.5], [0.0, 1.0]], pa.list_(pa.float32())
+        ),
+    })
+    out = mmr_select(ray.data.from_arrow(t), query_id=0, k=10, pool=50)
+    assert out.num_rows == 2  # only two non-query vectors exist
