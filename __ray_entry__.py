@@ -2700,6 +2700,17 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency slope over the top-200 corpus terms (micro-nat
+    quantized ln, big-int least squares)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import zipf_slope
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_slope(docs, top_v=200)
+
+
 def q_mmr_select(sf_dir: str):
     """MMR diversified top-5 for query vector 0 over a 50-candidate
     cosine pool (lam=0.7, mu=0.3 — literals shared with the oracle)."""
@@ -3036,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": q_bpe_token_count,
         "seasonal_decompose_hourly": q_seasonal_decompose,
         "mmr_select_top5": q_mmr_select,
+        "zipf_slope_documents": q_zipf_slope,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6198,6 +6210,38 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # Zipf fit: ln quantized once to micro-nats on both sides, then pure
+    # (HUGE)int least squares; slope // truncates toward zero
+    out["zipf_slope_documents"] = """
+        WITH tf AS (
+            SELECT t.tok AS term, COUNT(*) AS f
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+            WHERE t.tok <> ''
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r
+            FROM tf ORDER BY f DESC, term LIMIT 200
+        ),
+        q AS (
+            SELECT CAST(FLOOR(LN(r) * 1000000 + 0.5) AS BIGINT) AS x,
+                   CAST(FLOOR(LN(f) * 1000000 + 0.5) AS BIGINT) AS y,
+                   f, r
+            FROM top
+        ),
+        s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                   MAX(CASE WHEN r = 1 THEN f END) AS f1
+            FROM q
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               CAST(f1 AS BIGINT) AS top_freq,
+               CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                    AS BIGINT) AS slope_micro
+        FROM s
+    """
     # MMR greedy as generated chained CTEs (one pick per step); float
     # literals 0.7/0.3 shared verbatim with the engine so the score
     # arithmetic is bit-identical; IDs-only output (no float hashing)

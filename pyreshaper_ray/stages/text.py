@@ -2391,3 +2391,53 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "n_pretokens": pc.cast(n, pa.int64()),
         }
     )
+
+
+def zipf_slope(ds_docs: "ray.data.Dataset", top_v: int = 200) -> pa.Table:
+    """Zipf rank–frequency slope of the corpus: least-squares fit of
+    ``ln f = a + b·ln r`` over the top-``top_v`` terms — the classic
+    naturalness check on a text corpus (English prose sits near b ≈ −1;
+    boilerplate/spam corpora flatten or steepen it).
+
+    Float policy (repo ln idiom, see :func:`~.timeseries.daily_type_entropy`):
+    each ``ln`` is quantized ONCE to integer micro-nats
+    (``floor(ln(x)·1e6 + 0.5)``); the regression sufficient statistics and
+    the slope fold are then pure big-int arithmetic (Python ints — the
+    ``n·Σxy`` cross terms pass int64; the SQL side rides HUGEINT), so the
+    result is bit-identical to the oracle whenever both engines' ``ln``
+    agree within 0.5 micro-nats.
+
+    Scale shape: the term census is :func:`top_terms`' combiner-first
+    vocabulary exchange; the fit folds a ``top_v``-sized table on the
+    driver.
+
+    Output: one row — n_terms, top_freq, slope_micro (BIGINTs; slope in
+    micro-units, truncated toward zero like SQL ``//``).
+    """
+    from ..util import collect_table
+
+    t = collect_table(top_terms(ds_docs, k=top_v))
+    OUT = pa.schema(
+        [("n_terms", pa.int64()), ("top_freq", pa.int64()), ("slope_micro", pa.int64())]
+    )
+    if t.num_rows < 2:
+        return OUT.empty_table()
+    f = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(f)
+    r = np.arange(1, n + 1, dtype=np.int64)
+    x = np.floor(np.log(r) * 1_000_000 + 0.5).astype(np.int64)
+    y = np.floor(np.log(f) * 1_000_000 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    scaled = 1_000_000 * num
+    slope_micro = (1 if scaled * den >= 0 else -1) * (abs(scaled) // abs(den))
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "top_freq": pa.array([int(f[0])], pa.int64()),
+            "slope_micro": pa.array([slope_micro], pa.int64()),
+        }
+    )

@@ -852,3 +852,41 @@ def test_bpe_token_count_hand_case(ray_session):
     })
     out = bpe_token_count_batch(t)
     assert out["n_pretokens"].to_pylist() == [3, 4, 3]
+
+
+def test_zipf_slope_exact_power_law(ray_session):
+    """A corpus engineered to exact f_r = 64 >> (r-1) gives slope ln2-exact:
+    b = -ln(2)/ln(2)? No — freqs 64,32,16,8 over ranks 1..4; the micro-nat
+    LS slope is hand-checkable against the closed-form big-int fold."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import zipf_slope
+
+    # build a tiny corpus with exact term frequencies: a×64 b×32 c×16 d×8
+    words = ["aa"] * 64 + ["bb"] * 32 + ["cc"] * 16 + ["dd"] * 8
+    t = pa.table({"text": pa.array([" ".join(words)], pa.string())})
+    out = zipf_slope(ray.data.from_arrow(t), top_v=4).to_pandas()
+    assert out["n_terms"].tolist() == [4]
+    assert out["top_freq"].tolist() == [64]
+    # reference fold in python ints
+    import numpy as np
+
+    r = np.arange(1, 5)
+    f = np.array([64, 32, 16, 8])
+    x = np.floor(np.log(r) * 1e6 + 0.5).astype(int)
+    y = np.floor(np.log(f) * 1e6 + 0.5).astype(int)
+    n = 4
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    want = (1 if num >= 0 else -1) * (abs(1_000_000 * num) // abs(den))
+    assert out["slope_micro"].tolist() == [want]
+    assert want < -1_050_000  # steeper than -1 (halving per rank)
+
+
+def test_zipf_slope_short_vocab_empty(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import zipf_slope
+
+    t = pa.table({"text": pa.array(["solo solo solo"], pa.string())})
+    assert zipf_slope(ray.data.from_arrow(t)).num_rows == 0
