@@ -2700,6 +2700,14 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_order_reconciliation(sf_dir: str):
+    """Header-vs-lineitem financial reconciliation census (integer
+    cents×pct² domain; match/over/under + total absolute drift)."""
+    from pyreshaper_ray.stages.analytics import order_total_reconciliation
+
+    return order_total_reconciliation(sf_dir)
+
+
 def q_zipf_slope(sf_dir: str):
     """Zipf rank-frequency slope over the top-200 corpus terms (micro-nat
     quantized ln, big-int least squares)."""
@@ -3048,6 +3056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_decompose_hourly": q_seasonal_decompose,
         "mmr_select_top5": q_mmr_select,
         "zipf_slope_documents": q_zipf_slope,
+        "order_total_reconciliation": q_order_reconciliation,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6210,6 +6219,26 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # reconciliation in the integer cents×pct² domain end to end
+    out["order_total_reconciliation"] = """
+        WITH per AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS net
+            FROM lineitem GROUP BY 1
+        ),
+        d AS (
+            SELECT p.net - CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       * 10000 AS diff
+            FROM per p JOIN orders o ON o.o_orderkey = p.l_orderkey
+        )
+        SELECT CASE WHEN diff = 0 THEN 'match'
+                    WHEN diff > 0 THEN 'over' ELSE 'under' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(ABS(diff)) AS BIGINT) AS abs_drift
+        FROM d GROUP BY 1 ORDER BY 1
+    """
     # Zipf fit: ln quantized once to micro-nats on both sides, then pure
     # (HUGE)int least squares; slope // truncates toward zero
     out["zipf_slope_documents"] = """

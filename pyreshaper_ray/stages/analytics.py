@@ -6924,3 +6924,93 @@ def skyline_users(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ordered.map_batches(
         frontier, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).sort("user_id")
+
+
+def order_total_reconciliation(sf_dir: str) -> "ray.data.Dataset":
+    """Financial reconciliation audit: does each order's header total match
+    the sum of its line items' net charge? The line-side net rides the
+    repo-wide integer domain — ``cents(extendedprice) ×
+    (100 − pct(discount)) × (100 + pct(tax))`` (units of 10⁻⁴ cent·pct²)
+    — so per-order sums are associative-exact under any combine order; the
+    header total is scaled into the same unit (× 100 × 100) and the census
+    reports how many orders match / overshoot / undershoot and the total
+    absolute drift.
+
+    Scale shape: the lineitem scan pre-reduces per block (Arrow group_by on
+    l_orderkey) before ONE order-keyed groupby; the header side joins
+    through the hash join (both sides order-count-sized); the final census
+    is a 3-row groupby. int64 holds the drift sum to ~10³ orders × 10¹¹ —
+    swap the final Sum for a Python-int fold past that (documented bound).
+
+    Output: bucket (match|over|under), n_orders, abs_drift (BIGINT),
+    sorted by bucket.
+    """
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ep = to_cents(b["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        d = to_cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        t = to_cents(b["l_tax"]).to_numpy(zero_copy_only=False)
+        net = ep * (100 - d) * (100 + t)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                    "net": pa.array(net, pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey"])
+            .aggregate([("net", "sum")])
+        )
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "net": pc.cast(g["net_sum"], pa.int64())}
+        )
+
+    per_order = (
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(_Sum("net", alias_name="net"))
+    )
+    j = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey",
+                  coalesce="left")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        net = b["net"].to_numpy(zero_copy_only=False)
+        tp = to_cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        diff = net - tp * 10_000
+        bucket = np.where(diff == 0, "match", np.where(diff > 0, "over", "under"))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.string()),
+                "n_orders": pa.array(np.ones(len(diff), np.int64)),
+                "abs_drift": pa.array(np.abs(diff), pa.int64()),
+            }
+        ).group_by(["bucket"]).aggregate([("n_orders", "sum"), ("abs_drift", "sum")])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": b["bucket"],
+                "n_orders": pc.cast(b["n_orders_sum"], pa.int64()),
+                "abs_drift": pc.cast(b["abs_drift_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(_Sum("n_orders", alias_name="n_orders"),
+                   _Sum("abs_drift", alias_name="abs_drift"))
+        .sort("bucket")
+    )

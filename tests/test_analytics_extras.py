@@ -2153,3 +2153,34 @@ def test_skyline_users_distinct_totals_vs_brute(ray_session):
     out = skyline_users(ray.data.from_arrow(t).repartition(16)).to_pandas()
     keep = _skyline_brute(list(zip(cents.tolist(), ts.tolist())))
     assert out["user_id"].tolist() == sorted(users[keep].tolist())
+
+
+def test_order_total_reconciliation_hand_case(ray_session, tmp_path):
+    """One exact match, one overshoot by a known drift, one undershoot."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.analytics import order_total_reconciliation
+
+    # order 1: ep=100.00, d=0, t=0 -> net = 10000*100*100 = 1e8
+    #          header 100.00 -> 10000*10000 = 1e8  (match)
+    # order 2: same line, header 99.99 -> over by 10000 (1 cent * 1e4)
+    # order 3: same line, header 100.01 -> under by 10000
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+        "l_tax": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_totalprice": pa.array([100.0, 99.99, 100.01], pa.float64()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = (
+        order_total_reconciliation(str(tmp_path)).to_pandas().set_index("bucket")
+    )
+    assert out.loc["match", "n_orders"] == 1
+    assert out.loc["match", "abs_drift"] == 0
+    assert out.loc["over", "abs_drift"] == 10_000
+    assert out.loc["under", "abs_drift"] == 10_000
