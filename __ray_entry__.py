@@ -2700,6 +2700,15 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_audio_features(sf_dir: str):
+    """Real PCM feature extraction (integer RMS + zero crossings) in an
+    actor pool over synthesized binary payloads — rows-only (no SQL PCM);
+    the wave-backend path is pytest-gated with genuine WAV bytes."""
+    from pyreshaper_ray.stages.multimodal import audio_features_documents
+
+    return audio_features_documents(sf_dir)
+
+
 def q_order_reconciliation(sf_dir: str):
     """Header-vs-lineitem financial reconciliation census (integer
     cents×pct² domain; match/over/under + total absolute drift)."""
@@ -3057,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select_top5": q_mmr_select,
         "zipf_slope_documents": q_zipf_slope,
         "order_total_reconciliation": q_order_reconciliation,
+        "audio_features_documents": q_audio_features,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,

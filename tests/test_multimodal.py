@@ -288,3 +288,60 @@ def test_video_frame_sample_stub_pipeline(ray_session):
         assert r["n_sampled"] == (nf + hop - 1) // hop
         assert r["sampled_idx"] == list(range(0, nf, hop))
         assert r["duration_ms"] == nf * 40
+
+
+def test_audio_features_square_wave_wav(ray_session):
+    """Genuine WAV bytes: a ±1000 square wave has RMS exactly 1000 and a
+    known crossing count; silence has RMS 0."""
+    import io
+    import wave
+
+    import numpy as np
+    import ray.data
+
+    from pyreshaper_ray.stages.multimodal import AudioFeatureStage
+
+    def wav_bytes(samples: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    # 8 samples alternating in PAIRS: ++--++-- -> 3 sign flips
+    sq = np.array([1000, 1000, -1000, -1000, 1000, 1000, -1000, -1000])
+    silence = np.zeros(16, dtype=np.int64)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([wav_bytes(sq), wav_bytes(silence)], pa.binary()),
+    })
+    stage = AudioFeatureStage(backend="wave")
+    out = stage(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_samples"] == 8
+    assert out.loc[1, "rms"] == 1000
+    assert out.loc[1, "zero_crossings"] == 3
+    assert out.loc[2, "rms"] == 0 and out.loc[2, "zero_crossings"] == 0
+
+
+def test_audio_features_pcm_backend_distributed(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.multimodal import AudioFeatureStage
+
+    import numpy as np
+
+    raw = np.array([300, -300, 300, -300], dtype="<i2").tobytes()
+    t = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "payload": pa.array([raw + b"x"], pa.binary()),  # odd byte dropped
+    })
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert out["n_samples"].tolist() == [4]
+    assert out["rms"].tolist() == [300]
+    assert out["zero_crossings"].tolist() == [3]
