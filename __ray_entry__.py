@@ -2700,6 +2700,16 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_pivot_daily_types(sf_dir: str):
+    """Narrow→wide PIVOT: one row per day with per-event-type count
+    columns (combiner-side pivot, no row explosion in the exchange)."""
+    from pyreshaper_ray.stages.analytics import pivot_daily_type_counts
+
+    return pivot_daily_type_counts(
+        _events_value_ds(sf_dir, ["ts", "event_type"])
+    )
+
+
 def q_audio_features(sf_dir: str):
     """Real PCM feature extraction (integer RMS + zero crossings) in an
     actor pool over synthesized binary payloads — rows-only (no SQL PCM);
@@ -3067,6 +3077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_documents": q_zipf_slope,
         "order_total_reconciliation": q_order_reconciliation,
         "audio_features_documents": q_audio_features,
+        "pivot_daily_type_counts": q_pivot_daily_types,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6229,6 +6240,21 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # narrow->wide pivot with the same declared type domain
+    out["pivot_daily_type_counts"] = """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+               CAST(COUNT(*) FILTER (event_type NOT IN
+                    ('click','error','purchase','signup','view'))
+                    AS BIGINT) AS other,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events GROUP BY 1 ORDER BY 1
+    """
     # reconciliation in the integer cents×pct² domain end to end
     out["order_total_reconciliation"] = """
         WITH per AS (

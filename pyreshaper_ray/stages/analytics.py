@@ -7014,3 +7014,59 @@ def order_total_reconciliation(sf_dir: str) -> "ray.data.Dataset":
                    _Sum("abs_drift", alias_name="abs_drift"))
         .sort("bucket")
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_daily_type_counts(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """PIVOT the (day, event_type) census into one WIDE row per day — the
+    narrow→wide reshape (SQL ``COUNT(*) FILTER`` columns / Spark
+    ``pivot()``), fixed type domain declared up front (``EVENT_TYPES``)
+    exactly as SQL requires.
+
+    Scale shape: the pivot happens INSIDE the per-block combiner (each
+    block reduces to one wide row per day — conditional sums, no
+    row-explosion), so the single day-keyed groupby exchanges ~5 int
+    columns per day per block and unknown types are counted into ``other``
+    rather than dropped (auditable, not silent).
+
+    Output: day, click, error, purchase, signup, view, other, total
+    (BIGINTs), sorted by day.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    cols = list(EVENT_TYPES)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        et = batch["event_type"]
+        data = {"day": day}
+        known = None
+        for c in cols:
+            flag = pc.cast(pc.equal(et, c), pa.int64())
+            data[c] = flag
+            known = flag if known is None else pc.add(known, flag)
+        data["other"] = pc.subtract(pa.scalar(1, pa.int64()), known)
+        t = pa.table(data)
+        return t.group_by(["day"]).aggregate([(c, "sum") for c in cols + ["other"]])
+
+    agg = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(*[_Sum(f"{c}_sum", alias_name=c) for c in cols + ["other"]])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        out = {"day": b["day"]}
+        total = None
+        for c in cols + ["other"]:
+            v = pc.cast(b[c], pa.int64())
+            out[c] = v
+            total = v if total is None else pc.add(total, v)
+        out["total"] = total
+        return pa.table(out)
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("day")

@@ -2184,3 +2184,30 @@ def test_order_total_reconciliation_hand_case(ray_session, tmp_path):
     assert out.loc["match", "abs_drift"] == 0
     assert out.loc["over", "abs_drift"] == 10_000
     assert out.loc["under", "abs_drift"] == 10_000
+
+
+def test_pivot_daily_type_counts_hand_case(ray_session):
+    """Known mix on one day incl. an unknown type -> 'other'; totals add."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import pivot_daily_type_counts
+
+    day = 86_400_000_000
+    t = pa.table({
+        "ts": pa.array(
+            np.array([0, 1, 2, 3, day, day + 1], dtype=np.int64)
+        ).cast(pa.timestamp("us")),
+        "event_type": pa.array(
+            ["click", "click", "weird", "view", "purchase", "purchase"],
+            pa.string(),
+        ),
+    })
+    out = (
+        pivot_daily_type_counts(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+    )
+    assert len(out) == 2
+    d0 = out.iloc[0]
+    assert (d0["click"], d0["view"], d0["other"], d0["total"]) == (2, 1, 1, 4)
+    d1 = out.iloc[1]
+    assert (d1["purchase"], d1["total"]) == (2, 2)
