@@ -210,6 +210,90 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verify(args: argparse.Namespace) -> int:
+    """Run the DISTRIBUTED flagship and the SINGLE-PROCESS oracle on the
+    same spec and compare every product tier bit-for-bit — the packaged
+    reshaperTests equivalence check (PyReshaper's reshapertests /
+    specificationtests), one command instead of two runs plus a manual
+    diff. Exit 0 = every tier byte-equal under stable key order; exit 1
+    lists the first divergence per tier."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from .oracle import oracle_full
+    from .pipelines.flagship import read_tier, run_flagship
+    from .pipelines.spec import JobSpec
+
+    spec = JobSpec.read(args.specfile)
+    spec.validate()
+
+    tier_keys = {"turns": ["conv_id", "turn_idx"], "series": ["conv_id"]}
+    for t in spec.tiers:
+        tier_keys[t] = ["conv_id", "window_start"]
+    tier_keys["gapfill_1m"] = ["conv_id", "window_start"]
+    oracle_key = {"turns": "turns", "gapfill_1m": "gapfill_1m", "series": "series"}
+    oracle_key.update({t: f"rollup_{t}" for t in spec.tiers})
+
+    paths = (
+        sorted(_glob.glob(os.path.join(spec.input, "*.parquet")))
+        if isinstance(spec.input, str) and os.path.isdir(spec.input)
+        else ([spec.input] if isinstance(spec.input, str) else spec.input)
+    )
+    want = oracle_full(
+        pa.concat_tables([pq.read_table(p) for p in paths]), tiers=spec.tiers
+    )
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    verdicts: dict[str, str] = {}
+    try:
+        run_flagship(spec)
+        tiers = ["turns"] + list(spec.tiers) + (
+            ["gapfill_1m"] if spec.gapfill else []
+        ) + ["series"]
+        if not spec.include_turns:
+            tiers.remove("turns")
+        for tier in tiers:
+            keys = tier_keys[tier]
+            refs = read_tier(spec.out_dir, tier).to_arrow_refs()
+            got = pa.concat_tables(
+                [t for t in (ray.get(r) for r in refs) if t.num_columns]
+            )
+            ref = want[oracle_key[tier]]
+            got = got.select(ref.column_names)
+
+            def canon(tbl: pa.Table) -> pa.Table:
+                return tbl.take(
+                    pc.sort_indices(
+                        tbl, sort_keys=[(k, "ascending") for k in keys]
+                    )
+                )
+
+            if canon(got).equals(canon(ref)):
+                verdicts[tier] = f"equal ({got.num_rows} rows)"
+            else:
+                verdicts[tier] = (
+                    f"MISMATCH (distributed {got.num_rows} rows, "
+                    f"oracle {ref.num_rows})"
+                )
+    finally:
+        ray.shutdown()
+    ok = all(v.startswith("equal") for v in verdicts.values())
+    print(json.dumps({"verdict": "equal" if ok else "MISMATCH", **verdicts}))
+    return 0 if ok else 1
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Describe the physical plan for a spec WITHOUT running it — the
     diagnostics/verbosity analog (PyReshaper's -v inspection), built from
@@ -321,6 +405,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--dest", required=True, help="destination directory")
     ex.add_argument("--num-cpus", type=int, default=8)
     ex.set_defaults(fn=cmd_export)
+
+    vf = sub.add_parser(
+        "verify", help="distributed vs single-process oracle, bit-for-bit"
+    )
+    vf.add_argument("specfile")
+    vf.add_argument("--num-cpus", type=int, default=8)
+    vf.set_defaults(fn=cmd_verify)
 
     xp = sub.add_parser("explain", help="describe the physical plan (no run)")
     xp.add_argument("specfile")

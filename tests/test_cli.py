@@ -194,3 +194,31 @@ def test_cli_export_ipc_roundtrip(tmp_path):
     assert back.select(cols).sort_by(key).equals(
         tier.select(cols).sort_by(key).combine_chunks()
     )
+
+
+def test_cli_verify_equal(fixture_dir, tmp_path):
+    """`verify` runs distributed + oracle and reports every tier equal."""
+    specfile = str(tmp_path / "spec.json")
+    out = str(tmp_path / "out")
+    main(
+        [
+            "make", specfile,
+            "--input", os.path.join(fixture_dir, "transcripts"),
+            "--out", out,
+            "--n-buckets", "4",
+        ]
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "pyreshaper_ray.cli", "verify", specfile,
+         "--num-cpus", "2"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    verdict = json.loads(r.stdout.strip().splitlines()[-1])
+    assert verdict["verdict"] == "equal"
+    assert verdict["turns"].startswith("equal")
+    assert verdict["series"].startswith("equal")
