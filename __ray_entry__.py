@@ -2700,6 +2700,14 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_changepoint_daily(sf_dir: str):
+    """Binary-segmentation change point on the daily event-count series
+    (variance-reduction argmax, integer outputs)."""
+    from pyreshaper_ray.stages.timeseries import changepoint_daily
+
+    return changepoint_daily(_events_value_ds(sf_dir, ["ts"]))
+
+
 def q_pivot_daily_types(sf_dir: str):
     """Narrow→wide PIVOT: one row per day with per-event-type count
     columns (combiner-side pivot, no row explosion in the exchange)."""
@@ -3078,6 +3086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_reconciliation": q_order_reconciliation,
         "audio_features_documents": q_audio_features,
         "pivot_daily_type_counts": q_pivot_daily_types,
+        "changepoint_daily": q_changepoint_daily,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6240,6 +6249,37 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # binary-segmentation split: score ordered in float64 with identical
+    # operand order (one int->double cast + one division per term); output
+    # integers only; ties -> earliest day
+    out["changepoint_daily"] = """
+        WITH dc AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        o AS (
+            SELECT day, n,
+                   ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   SUM(n) OVER (ORDER BY day) AS sl,
+                   COUNT(*) OVER () AS m,
+                   SUM(n) OVER () AS tot
+            FROM dc
+        ),
+        s AS (
+            SELECT day, i, sl, m, tot,
+                   CAST(sl * sl AS DOUBLE) / i
+                   + CAST((tot - sl) * (tot - sl) AS DOUBLE) / (m - i)
+                       AS score,
+                   LEAD(day) OVER (ORDER BY day) AS next_day
+            FROM o WHERE i < m
+        )
+        SELECT next_day AS split_day,
+               CAST(i AS BIGINT) AS n_left,
+               CAST(m - i AS BIGINT) AS n_right,
+               CAST(sl AS BIGINT) AS sum_left,
+               CAST(tot - sl AS BIGINT) AS sum_right
+        FROM s ORDER BY score DESC, day ASC LIMIT 1
+    """
     # narrow->wide pivot with the same declared type domain
     out["pivot_daily_type_counts"] = """
         SELECT date_trunc('day', ts) AS day,

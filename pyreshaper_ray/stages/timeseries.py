@@ -1314,3 +1314,73 @@ def seasonal_decompose_hourly(
             "seasonal": pa.array(seas[present], pa.int64()),
         }
     )
+
+
+def changepoint_daily(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Single change-point detection (binary-segmentation step 1) on the
+    daily event-count series: the split k maximizing the variance-
+    reduction score ``SL²/nL + SR²/nR`` over prefix sums — the level-shift
+    locator behind alert systems and segmented backfills (CUSUM's batch
+    cousin; :func:`~.analytics.cusum_shift_users` is the streaming one).
+
+    Float policy: the score is ordered in float64 on BOTH sides — each
+    term is one integer→double cast and one division (identical operand
+    order in numpy and the SQL restatement), so the argmax agrees
+    bit-for-bit; the OUTPUT carries only integers (split day, counts,
+    sums). Ties break on the earlier day.
+
+    Combiner-first daily census; the scan folds the days-domain-sized
+    collected series (the documented result-sized finalize).
+
+    Output: one row — split_day (first day of the RIGHT segment), n_left,
+    n_right, sum_left, sum_right (BIGINTs). Empty/1-day series → 0 rows.
+    """
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("split_day", pa.timestamp("us")),
+            ("n_left", pa.int64()),
+            ("n_right", pa.int64()),
+            ("sum_left", pa.int64()),
+            ("sum_right", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = pa.table({"day": d}).group_by("day").aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("n")
+    )
+    if t.num_rows < 2:
+        return OUT.empty_table()
+    days = t["day"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days)
+    days, n = days[order], n[order]
+    m = len(n)
+    pre = np.cumsum(n)
+    total = pre[-1]
+    nl = np.arange(1, m, dtype=np.int64)
+    nr = m - nl
+    sl = pre[:-1]
+    sr = total - sl
+    # one int->double cast + one division per term, same as the SQL
+    score = (sl * sl).astype(np.float64) / nl + (sr * sr).astype(np.float64) / nr
+    best = int(np.argmax(score))  # first maximum = earliest split day
+    return pa.table(
+        {
+            "split_day": pa.array([days[best + 1]], pa.timestamp("us")),
+            "n_left": pa.array([int(nl[best])], pa.int64()),
+            "n_right": pa.array([int(nr[best])], pa.int64()),
+            "sum_left": pa.array([int(sl[best])], pa.int64()),
+            "sum_right": pa.array([int(sr[best])], pa.int64()),
+        }
+    )

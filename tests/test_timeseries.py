@@ -543,3 +543,39 @@ def test_seasonal_decompose_short_series_empty(ray_session):
     })
     out = seasonal_decompose_hourly(ray.data.from_arrow(t), window=25)
     assert out.num_rows == 0
+
+
+def test_changepoint_daily_planted_shift(ray_session):
+    """10 days at 5/day then 10 days at 50/day: the split lands exactly at
+    the level shift."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import changepoint_daily
+
+    day_us = 86_400_000_000
+    ts = []
+    for d in range(20):
+        reps = 5 if d < 10 else 50
+        ts.extend([d * day_us + i for i in range(reps)])
+    t = pa.table({
+        "ts": pa.array(np.array(ts, dtype=np.int64)).cast(pa.timestamp("us")),
+    })
+    out = changepoint_daily(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["split_day"] == np.datetime64(10 * day_us, "us")
+    assert (r["n_left"], r["n_right"]) == (10, 10)
+    assert (r["sum_left"], r["sum_right"]) == (50, 500)
+
+
+def test_changepoint_daily_single_day_empty(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import changepoint_daily
+
+    t = pa.table({
+        "ts": pa.array(np.array([1, 2, 3], dtype=np.int64)).cast(
+            pa.timestamp("us")
+        ),
+    })
+    assert changepoint_daily(ray.data.from_arrow(t)).num_rows == 0
