@@ -2700,6 +2700,58 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank over the trade graph: edge weight = customer-
+    supplier co-transaction multiplicity; mass splits proportionally with
+    per-edge floors (bit-exact vs the chained-CTE SQL)."""
+    from ray.data.aggregate import Sum
+
+    from pyreshaper_ray.stages.graph import pagerank_weighted
+    from pyreshaper_ray.stages.joins import adaptive_join
+
+    j = adaptive_join(
+        f"{sf_dir}/orders.parquet",
+        f"{sf_dir}/lineitem.parquet",
+        on="o_orderkey",
+        right_on="l_orderkey",
+        left_columns=["o_orderkey", "o_custkey"],
+        right_columns=["l_orderkey", "l_suppkey"],
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"c": b["o_custkey"], "s": b["l_suppkey"]})
+            .group_by(["c", "s"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"c": g["c"], "s": g["s"], "w": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    pairs = (
+        j.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c", "s"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64) + 1_000_000_000
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, c]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank_weighted(edges, n_iters=3, top_n=20)
+
+
 def q_changepoint_daily(sf_dir: str):
     """Binary-segmentation change point on the daily event-count series
     (variance-reduction argmax, integer outputs)."""
@@ -3087,6 +3139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features_documents": q_audio_features,
         "pivot_daily_type_counts": q_pivot_daily_types,
         "changepoint_daily": q_changepoint_daily,
+        "pagerank_weighted_trade": q_pagerank_weighted,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6249,6 +6302,46 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # weighted PageRank: per-edge (r*w)//W floors, generated 3-iteration
+    # chain (same skeleton as the unweighted oracle)
+    _wpr = ["""p AS MATERIALIZED (
+            SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS w
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT c AS src, s + 1000000000 AS dst, w FROM p
+            UNION ALL
+            SELECT s + 1000000000 AS src, c AS dst, w FROM p
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wd
+                 FROM edges GROUP BY 1),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+               FROM nodes)"""]
+    for _i in range(1, 4):
+        _wpr.append(
+            f"""s{_i} AS (SELECT e.dst AS node,
+                                SUM((r{_i - 1}.r * e.w) // wdeg.wd) AS s
+                         FROM edges e
+                         JOIN r{_i - 1} ON r{_i - 1}.node = e.src
+                         JOIN wdeg ON wdeg.src = e.src
+                         GROUP BY 1),
+               r{_i} AS (SELECT nodes.node,
+                              (1000000000000 * 3) // (20 * (SELECT n FROM nn))
+                              + (17 * COALESCE(s{_i}.s, 0)) // 20 AS r
+                       FROM nodes LEFT JOIN s{_i} USING (node))"""
+        )
+    out["pagerank_weighted_trade"] = (
+        "WITH "
+        + ",\n".join(_wpr)
+        + """
+        SELECT node, CAST(r AS BIGINT) AS rank_pico FROM r3
+        ORDER BY rank_pico DESC, node ASC
+        LIMIT 20
+    """
+    )
     # binary-segmentation split: score ordered in float64 with identical
     # operand order (one int->double cast + one division per term); output
     # integers only; ties -> earliest day

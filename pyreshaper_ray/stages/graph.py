@@ -596,3 +596,108 @@ def kcore_rounds(
         .map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
         .sort("node")
     )
+
+
+def pagerank_weighted(
+    edges: "ray.data.Dataset",
+    n_iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    top_n: int = 20,
+) -> pa.Table:
+    """Weighted fixed-point PageRank: like :func:`pagerank_fixed` but each
+    edge carries an int64 weight ``w`` and a node's mass splits
+    proportionally — the per-edge shipment is ``(r(src) · w) // W(src)``
+    (W = node's total out-weight), floored PER EDGE so the SQL restatement
+    is bit-exact. Bound: ``r·w`` must stay under 2⁶³ (mass 10¹² × weight ≤
+    ~9·10⁶ — scale weights down first past that, documented contract).
+
+    Input: (src, dst, w) rows, both directions for an undirected graph.
+    Distribution identical to the unweighted kernel: edges materialized
+    once, per-iteration broadcast of the node-sized (node, r, W) table,
+    combiner-first per-dst partial sums, node-sized driver fold.
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    edges = edges.materialize()
+
+    def wdeg_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"node": b["src"], "w": pc.cast(b["w"], pa.int64())})
+            .group_by("node")
+            .aggregate([("w", "sum")])
+        )
+        return pa.table(
+            {"node": g["node"], "wd": pc.cast(g["w_sum"], pa.int64())}
+        )
+
+    wdeg_t = collect_table(
+        edges.map_batches(wdeg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(_Sum("wd", alias_name="wd"))
+    )
+    # both-direction contract: every node appears as src
+    node = np.sort(wdeg_t["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+    N = len(node)
+    if N == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rank_pico": pa.array([], pa.int64())}
+        )
+    wd = np.zeros(N, np.int64)
+    dn = wdeg_t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dv = wdeg_t["wd"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wd[np.searchsorted(node, dn)] = dv
+    MASS = 10**12
+    r = np.full(N, MASS // N, np.int64)
+    base = (MASS * (damping_den - damping_num)) // (damping_den * N)
+    for _ in range(n_iters):
+        rt = pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "r": pa.array(r, pa.int64()),
+                "wd": pa.array(wd, pa.int64()),
+            }
+        )
+        ref = ray.put(rt)
+
+        def contrib(b: pa.Table, _ref=ref) -> pa.Table:
+            from ..util import cached_get
+
+            v: pa.Table = cached_get(_ref)
+            vn = v["node"].to_numpy(zero_copy_only=False)
+            vr = v["r"].to_numpy(zero_copy_only=False)
+            vw = v["wd"].to_numpy(zero_copy_only=False)
+            src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(vn, src)
+            ship = (vr[pos] * w) // np.maximum(vw[pos], 1)
+            g = (
+                pa.table({"node": b["dst"], "s": pa.array(ship, pa.int64())})
+                .group_by("node")
+                .aggregate([("s", "sum")])
+            )
+            return pa.table(
+                {"node": g["node"], "s": pc.cast(g["s_sum"], pa.int64())}
+            )
+
+        s_t = collect_table(
+            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(_Sum("s", alias_name="s"))
+        )
+        s = np.zeros(N, np.int64)
+        if s_t.num_rows:
+            sn = s_t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sv = s_t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s[np.searchsorted(node, sn)] = sv
+        r = base + (damping_num * s) // damping_den
+    order = np.lexsort((node, -r))[:top_n]
+    return pa.table(
+        {
+            "node": pa.array(node[order], pa.int64()),
+            "rank_pico": pa.array(r[order], pa.int64()),
+        }
+    )

@@ -204,3 +204,59 @@ def test_kcore_empty_core(ray_session):
     t = _both_dirs_table([(0, 1), (1, 2), (2, 3)])
     out = kcore_rounds(ray.data.from_arrow(t), k=2, n_rounds=8).to_pandas()
     assert len(out) == 0
+
+
+def test_pagerank_weighted_vs_bigint_reference(ray_session):
+    """3-node weighted line graph checked against a Python big-int
+    recurrence of the exact same floor semantics."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import pagerank_weighted
+
+    # undirected weighted edges: (0-1, w=3), (1-2, w=1)
+    pairs = [(0, 1, 3), (1, 2, 1)]
+    src, dst, w = [], [], []
+    for a, b, ww in pairs:
+        src += [a, b]; dst += [b, a]; w += [ww, ww]
+    t = pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "w": pa.array(w, pa.int64()),
+    })
+    out = pagerank_weighted(
+        ray.data.from_arrow(t).repartition(2), n_iters=3, top_n=10
+    ).to_pandas().set_index("node")["rank_pico"]
+
+    MASS = 10**12
+    nodes = [0, 1, 2]
+    wd = {0: 3, 1: 4, 2: 1}
+    nbrs = {0: [(1, 3)], 1: [(0, 3), (2, 1)], 2: [(1, 1)]}
+    r = {v: MASS // 3 for v in nodes}
+    base = (MASS * 3) // (20 * 3)
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for u in nodes:
+            for v, ww in nbrs[u]:
+                s[v] += (r[u] * ww) // wd[u]
+        r = {v: base + (17 * s[v]) // 20 for v in nodes}
+    for v in nodes:
+        assert out.loc[v] == r[v], (v, out.loc[v], r[v])
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(ray_session):
+    """All weights equal -> identical ranks to the unweighted kernel."""
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import pagerank_fixed, pagerank_weighted
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    src = [a for a, b in pairs] + [b for a, b in pairs]
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    tu = pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    })
+    tw = tu.append_column("w", pa.array([7] * len(src), pa.int64()))
+    ru = pagerank_fixed(ray.data.from_arrow(tu), n_iters=3, top_n=10)
+    rw = pagerank_weighted(ray.data.from_arrow(tw), n_iters=3, top_n=10)
+    assert ru.to_pydict() == rw.to_pydict()
