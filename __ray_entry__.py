@@ -2700,6 +2700,19 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_flesch(sf_dir: str):
+    """Flesch reading-ease in integer milli-points (RE2 word/sentence/
+    vowel-group counts shared verbatim with the oracle)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import flesch_readability
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return flesch_readability(docs).sort("doc_id")
+
+
 def q_pagerank_weighted(sf_dir: str):
     """Weighted PageRank over the trade graph: edge weight = customer-
     supplier co-transaction multiplicity; mass splits proportionally with
@@ -3140,6 +3153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_daily_type_counts": q_pivot_daily_types,
         "changepoint_daily": q_changepoint_daily,
         "pagerank_weighted_trade": q_pagerank_weighted,
+        "flesch_documents": q_flesch,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6302,6 +6316,26 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # Flesch with floor divisions; sentence floor GREATEST(s,1); zero-word
+    # docs emit the base constant
+    out["flesch_documents"] = r"""
+        WITH c AS (
+            SELECT doc_id,
+                   LEN(regexp_extract_all(text, '\S+')) AS w,
+                   GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                   LEN(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS n_words,
+               CAST(s AS BIGINT) AS n_sentences,
+               CAST(syl AS BIGINT) AS n_syllables,
+               CAST(CASE WHEN w = 0 THEN 206835
+                         ELSE 206835 - (1015 * w * 1000) // s
+                                     - (84600 * syl * 1000) // w
+                    END AS BIGINT) AS flesch_milli
+        FROM c ORDER BY doc_id
+    """
     # weighted PageRank: per-edge (r*w)//W floors, generated 3-iteration
     # chain (same skeleton as the unweighted oracle)
     _wpr = ["""p AS MATERIALIZED (

@@ -890,3 +890,27 @@ def test_zipf_slope_short_vocab_empty(ray_session):
 
     t = pa.table({"text": pa.array(["solo solo solo"], pa.string())})
     assert zipf_slope(ray.data.from_arrow(t)).num_rows == 0
+
+
+def test_flesch_hand_case(ray_session):
+    """'The cat sat. It ran!' -> 5 words, 2 sentences, 5 vowel groups."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import flesch_readability
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["The cat sat. It ran!", ""], pa.string()),
+    })
+    out = (
+        flesch_readability(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    r = out.loc[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+    want = 206_835 - (1015 * 5 * 1000) // 2 - (84_600 * 5 * 1000) // 5
+    assert r["flesch_milli"] == want
+    # zero-word doc: base constant, sentence floor 1
+    z = out.loc[2]
+    assert (z["n_words"], z["n_sentences"], z["flesch_milli"]) == (0, 1, 206_835)
