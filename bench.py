@@ -328,6 +328,14 @@ def run_bench(headline_only: bool = False) -> dict:
         "rrf_fuse_documents",
         "bpe_token_count",
         "seasonal_decompose_hourly",
+        "mmr_select_top5",
+        "zipf_slope_documents",
+        "order_total_reconciliation",
+        "audio_features_documents",
+        "pivot_daily_type_counts",
+        "changepoint_daily",
+        "pagerank_weighted_trade",
+        "flesch_documents",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
