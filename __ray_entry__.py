@@ -2700,6 +2700,21 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_hll_overlap(sf_dir: str):
+    """HLL inclusion-exclusion overlap estimate between the click and
+    purchase user sets (rows-only; pytest bounds the error)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import hll_set_overlap
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    return hll_set_overlap(clicks, purchases, "user_id", "user_id")
+
+
 def q_flesch(sf_dir: str):
     """Flesch reading-ease in integer milli-points (RE2 word/sentence/
     vowel-group counts shared verbatim with the oracle)."""
@@ -3154,6 +3169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_daily": q_changepoint_daily,
         "pagerank_weighted_trade": q_pagerank_weighted,
         "flesch_documents": q_flesch,
+        "hll_user_overlap": q_hll_overlap,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,

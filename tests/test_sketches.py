@@ -454,3 +454,24 @@ def test_join_cardinality_estimate_bounds(ray_session):
     assert out["n_left"] == 1500 and out["n_right"] == 3000
     est = out["est_rows"]
     assert abs(est - exact) / exact < 0.30, (est, exact)
+
+
+def test_hll_set_overlap_planted(ray_session):
+    """Sets of 3000 with exactly 1000 shared: every estimate within 5%,
+    and the clamp keeps disjoint sets at intersection ~0."""
+    import ray.data
+
+    from pyreshaper_ray.stages.sketches import hll_set_overlap
+
+    a = np.arange(0, 3000, dtype=np.int64)
+    b = np.arange(2000, 5000, dtype=np.int64)  # overlap = [2000, 3000)
+    da = ray.data.from_arrow(pa.table({"k": pa.array(a)})).repartition(4)
+    db = ray.data.from_arrow(pa.table({"k": pa.array(b)})).repartition(3)
+    out = hll_set_overlap(da, db, "k", "k").to_pydict()
+    assert abs(out["est_left"][0] - 3000) / 3000 < 0.05
+    assert abs(out["est_union"][0] - 5000) / 5000 < 0.05
+    assert abs(out["est_intersection"][0] - 1000) / 1000 < 0.25
+    # disjoint
+    dc = ray.data.from_arrow(pa.table({"k": pa.array(a + 100_000)}))
+    out2 = hll_set_overlap(da, dc, "k", "k").to_pydict()
+    assert out2["est_intersection"][0] < 300  # clamped near zero
