@@ -2700,6 +2700,16 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution (equal ppm split over the 7-day
+    window; diff-array kernel — no pair explosion in the engine)."""
+    from pyreshaper_ray.stages.windows import linear_attribution
+
+    return linear_attribution(
+        _events_value_ds(sf_dir, ["user_id", "event_id", "event_type", "ts"])
+    )
+
+
 def q_hll_overlap(sf_dir: str):
     """HLL inclusion-exclusion overlap estimate between the click and
     purchase user sets (rows-only; pytest bounds the error)."""
@@ -3170,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted_trade": q_pagerank_weighted,
         "flesch_documents": q_flesch,
         "hll_user_overlap": q_hll_overlap,
+        "linear_attribution": q_linear_attribution,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6332,6 +6343,32 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # linear attribution: the oracle pays the quadratic pair join the
+    # engine's diff-array kernel avoids; inclusive window both ends
+    out["linear_attribution"] = """
+        WITH t AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'click'
+        ),
+        c AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT c.user_id, c.event_id AS conv_id, t.event_id AS touch_id
+            FROM c JOIN t ON t.user_id = c.user_id
+             AND t.us <= c.us AND t.us >= c.us - 604800000000
+        ),
+        k AS (SELECT conv_id, COUNT(*) AS k FROM pairs GROUP BY 1),
+        credit AS (
+            SELECT p.user_id, p.touch_id, 1000000 // k.k AS ppm
+            FROM pairs p JOIN k USING (conv_id)
+        )
+        SELECT user_id, touch_id AS touch_event_id,
+               CAST(COUNT(*) AS BIGINT) AS n_convs,
+               CAST(SUM(ppm) AS BIGINT) AS credit_ppm
+        FROM credit GROUP BY 1, 2 ORDER BY 1, 2
+    """
     # Flesch with floor divisions; sentence floor GREATEST(s,1); zero-word
     # docs emit the base constant
     out["flesch_documents"] = r"""

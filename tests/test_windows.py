@@ -622,3 +622,40 @@ def test_interval_coverage_hand_case(ray_session):
     assert out.loc[1, "covered_us"] == (700 + 300) * us
     assert out.loc[2, "n_spans"] == 1
     assert out.loc[2, "covered_us"] == 300 * us
+
+
+def test_linear_attribution_hand_case(ray_session):
+    """Conv with 2 touches splits 500000/500000; a touch shared by two
+    convs accumulates; out-of-horizon and after-conv touches excluded."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import linear_attribution
+
+    us = 1_000_000
+    rows = [
+        # (event_id, user, type, ts_s)
+        (1, 1, "click", 0),
+        (2, 1, "click", 10),
+        (3, 1, "purchase", 20),      # touches {1,2}: 500000 each
+        (4, 1, "click", 30),
+        (5, 1, "purchase", 40),      # touches {1,2,4}: 333333 each
+        (6, 1, "click", 50),         # after all convs: no credit
+        (7, 2, "click", 0),
+        (8, 2, "purchase", 700 + 0), # 700s > horizon 600 -> no credit
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array(
+            np.array([r[3] * us for r in rows], dtype=np.int64)
+        ).cast(pa.timestamp("us")),
+    })
+    out = linear_attribution(
+        ray.data.from_arrow(t).repartition(3), horizon_s=600
+    ).to_pandas().set_index("touch_event_id")
+    assert out.index.tolist() == [1, 2, 4]
+    assert out.loc[1, "credit_ppm"] == 500_000 + 333_333
+    assert out.loc[1, "n_convs"] == 2
+    assert out.loc[4, "credit_ppm"] == 333_333
+    assert 6 not in out.index and 7 not in out.index
