@@ -2700,6 +2700,19 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_contamination_flags(sf_dir: str):
+    """8-gram train/test decontamination flags (test split = doc_id % 50
+    == 0); broadcast test-gram set, per-block membership count."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import contamination_flags
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return contamination_flags(docs, test_mod=50, n=8)
+
+
 def q_linear_attribution(sf_dir: str):
     """Linear multi-touch attribution (equal ppm split over the 7-day
     window; diff-array kernel — no pair explosion in the engine)."""
@@ -3181,6 +3194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flesch_documents": q_flesch,
         "hll_user_overlap": q_hll_overlap,
         "linear_attribution": q_linear_attribution,
+        "contamination_flags_8gram": q_contamination_flags,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6343,6 +6357,39 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # decontamination: string-gram restatement of the 8-gram screen
+    out["contamination_flags_8gram"] = """
+        WITH tl AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS l
+            FROM documents
+        ),
+        base AS (SELECT doc_id, l, len(l) AS nt FROM tl),
+        pos AS (
+            SELECT doc_id, l, unnest(range(1, nt - 6)) AS pos
+            FROM base WHERE nt >= 8
+        ),
+        grams AS (
+            SELECT doc_id, pos, array_to_string(l[pos:pos+7], ' ') AS g
+            FROM pos
+        ),
+        testg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS h FROM grams
+            WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM testg)
+            GROUP BY 1
+        )
+        SELECT b.doc_id,
+               CAST(CASE WHEN b.nt >= 8 THEN b.nt - 7 ELSE 0 END
+                    AS BIGINT) AS n_grams,
+               CAST(COALESCE(h.h, 0) AS BIGINT) AS test_grams,
+               CAST(CASE WHEN COALESCE(h.h, 0) > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS contaminated
+        FROM base b LEFT JOIN hits h USING (doc_id)
+        WHERE b.doc_id % 50 <> 0
+        ORDER BY b.doc_id
+    """
     # linear attribution: the oracle pays the quadratic pair join the
     # engine's diff-array kernel avoids; inclusive window both ends
     out["linear_attribution"] = """

@@ -1264,3 +1264,94 @@ def dup_ngram_coverage(
     return ds_docs.map_batches(
         coverage, batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
+
+
+def contamination_flags(
+    ds_docs: "ray.data.Dataset",
+    test_mod: int = 50,
+    n: int = 8,
+) -> "ray.data.Dataset":
+    """Train/test decontamination flags — the benchmark-leakage screen
+    every training-data pipeline runs before a model sees the corpus
+    (GPT-3/PaLM-style n-gram overlap): a TRAINING document is contaminated
+    when it shares at least one ``n``-gram with any TEST document. Here
+    the test split is ``doc_id % test_mod == 0`` (a stand-in for the real
+    held-out set; the operator only needs "some docs are test").
+
+    Scale shape (same two-pass skeleton as :func:`dup_ngram_coverage`):
+    pass A reduces TEST docs to per-block DISTINCT 64-bit gram hashes — a
+    test-set-sized exchange, never the corpus — collected and broadcast as
+    one sorted array; pass B re-derives each training doc's grams per
+    block and counts membership via ``searchsorted``. Collision caveat: a
+    64-bit gram-hash collision can only ADD a false contamination flag
+    (verified exact vs the string-gram SQL oracle on the test corpora).
+
+    Output per training doc: doc_id, n_grams, test_grams (gram positions
+    whose gram appears in the test set), contaminated (0/1) — BIGINTs,
+    sorted by doc_id.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    from ..util import collect_table
+
+    def test_grams(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ids % test_mod == 0
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64())})
+        flat, counts = _regex_token_hashes(sub["text"])
+        g, _, _ = _gram_hashes(flat, counts, n)
+        return pa.table(
+            {"g": pa.array(np.unique(g).view(np.int64), pa.int64())}
+        )
+
+    gt = collect_table(
+        ds_docs.map_batches(test_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Count(alias_name="_n"))
+    )
+    test_sorted = np.sort(
+        gt["g"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    )
+    ref = _ray.put(test_sorted)
+
+    OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("test_grams", pa.int64()),
+            ("contaminated", pa.int64()),
+        ]
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tg = _ray.get(ref)
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ids % test_mod != 0
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return OUT.empty_table()
+        flat, counts = _regex_token_hashes(sub["text"])
+        g, d, _ = _gram_hashes(flat, counts, n)
+        n_docs = len(counts)
+        n_grams = np.maximum(counts - (n - 1), 0)
+        if len(g) and len(tg):
+            pos = np.searchsorted(tg, g)
+            hit = (pos < len(tg)) & (tg[np.minimum(pos, len(tg) - 1)] == g)
+        else:
+            hit = np.zeros(len(g), dtype=bool)
+        hits = np.bincount(d[hit], minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(sub["doc_id"], pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "test_grams": pa.array(hits, pa.int64()),
+                "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds_docs.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")

@@ -398,3 +398,31 @@ def test_dup_ngram_coverage_within_doc_repeat_not_dup(ray_session):
     out = dup_ngram_coverage(ray.data.from_arrow(t), n=5).to_pandas()
     assert int(out["dup_grams"].sum()) == 0
     assert int(out["covered_tokens"].sum()) == 0
+
+
+def test_contamination_flags_planted(ray_session):
+    """Training doc 1 shares an 8-gram with test doc 50; doc 2 is clean;
+    test docs themselves are excluded from the output."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import contamination_flags
+
+    shared = "one two three four five six seven eight"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 50], pa.int64()),
+        "text": pa.array([
+            f"prefix {shared} suffix",
+            "totally clean document with nothing shared at all here",
+            f"{shared} test doc tail",
+        ], pa.string()),
+    })
+    out = (
+        contamination_flags(
+            ray.data.from_arrow(t).repartition(2), test_mod=50, n=8
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.index.tolist() == [1, 2]
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "test_grams"] == 1
+    assert out.loc[2, "contaminated"] == 0 and out.loc[2, "test_grams"] == 0
