@@ -2700,6 +2700,17 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_markov_backtest(sf_dir: str):
+    """First-order Markov next-event argmax backtest (train on the whole
+    stream, score every consecutive pair; ties to the lexicographically
+    first successor)."""
+    from pyreshaper_ray.stages.windows import markov_backtest
+
+    return markov_backtest(
+        _events_value_ds(sf_dir, ["user_id", "event_id", "event_type", "ts"])
+    )
+
+
 def q_contamination_flags(sf_dir: str):
     """8-gram train/test decontamination flags (test split = doc_id % 50
     == 0); broadcast test-gram set, per-block membership count."""
@@ -3195,6 +3206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_overlap": q_hll_overlap,
         "linear_attribution": q_linear_attribution,
         "contamination_flags_8gram": q_contamination_flags,
+        "markov_backtest": q_markov_backtest,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6357,6 +6369,34 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # Markov argmax backtest; prediction ties to the lexicographically
+    # first successor on both sides
+    out["markov_backtest"] = """
+        WITH seq AS (
+            SELECT event_type AS f,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t
+            FROM events
+        ),
+        pairs AS (SELECT f, t FROM seq WHERE t IS NOT NULL),
+        census AS (SELECT f, t, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+        pred AS (
+            SELECT f, t AS predicted FROM (
+                SELECT f, t,
+                       ROW_NUMBER() OVER (PARTITION BY f
+                                          ORDER BY n DESC, t ASC) AS rn
+                FROM census
+            ) WHERE rn = 1
+        )
+        SELECT p.f AS from_type, pr.predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN p.t = pr.predicted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN p.t = pr.predicted THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+        FROM pairs p JOIN pred pr USING (f)
+        GROUP BY 1, 2 ORDER BY 1
+    """
     # decontamination: string-gram restatement of the 8-gram screen
     out["contamination_flags_8gram"] = """
         WITH tl AS (

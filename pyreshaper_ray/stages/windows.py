@@ -1629,3 +1629,118 @@ def linear_attribution(
         .map_groups(per_user, batch_format="pyarrow")
         .sort(["user_id", "touch_event_id"])
     )
+
+
+def markov_backtest(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Backtest of the first-order Markov next-event predictor: train the
+    transition argmax on the WHOLE stream (``predict(next | cur) = the
+    most frequent to_type from cur``, ties to the lexicographically first),
+    then score it on every consecutive pair — the simplest sequence-model
+    fit census, the baseline every sequence model must beat.
+
+    Two passes over the same exchange shape as
+    :func:`event_transitions`: the transition census is ≤ |types|² rows
+    (result-sized, collected + broadcast as a plain dict), and the scoring
+    pass re-walks each user's (ts, event_id)-ordered stream comparing the
+    argmax prediction to the realized next type — one user-keyed groupby
+    each, all-Arrow kernels.
+
+    Output: from_type, predicted, n_pairs, n_correct, accuracy_ppm
+    (BIGINTs), one row per from_type, sorted.
+    """
+    import ray as _ray
+
+    from ..util import collect_table
+
+    trans = collect_table(event_transitions(events_ds))
+    if trans.num_rows == 0:
+        return pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "predicted": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "n_correct": pa.array([], pa.int64()),
+                "accuracy_ppm": pa.array([], pa.int64()),
+            }
+        )
+    best: dict[str, tuple[int, str]] = {}
+    for f, t, n in zip(
+        trans["from_type"].to_pylist(),
+        trans["to_type"].to_pylist(),
+        trans["n"].to_pylist(),
+    ):
+        cur = best.get(f)
+        # max count; tie -> lexicographically first to_type
+        if cur is None or n > cur[0] or (n == cur[0] and t < cur[1]):
+            best[f] = (n, t)
+    pred = {f: t for f, (n, t) in best.items()}
+    ref = _ray.put(pred)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        p = _ray.get(ref)
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        if len(et) < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "n_correct": pa.array([], pa.int64()),
+                }
+            )
+        frm = et.slice(0, len(et) - 1)
+        nxt = et.slice(1)
+        keys = pa.array(list(p.keys()), pa.string())
+        vals = pa.array(list(p.values()), pa.string())
+        predicted = pc.take(vals, pc.index_in(frm, value_set=keys))
+        correct = pc.cast(pc.equal(predicted, nxt), pa.int64())
+        t = pa.table(
+            {
+                "from_type": frm,
+                "n_pairs": pa.array(np.ones(len(frm), np.int64)),
+                "n_correct": correct,
+            }
+        )
+        agg = t.group_by(["from_type"]).aggregate(
+            [("n_pairs", "sum"), ("n_correct", "sum")]
+        )
+        return pa.table(
+            {
+                "from_type": agg["from_type"],
+                "n_pairs": pc.cast(agg["n_pairs_sum"], pa.int64()),
+                "n_correct": pc.cast(agg["n_correct_sum"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    scored = collect_table(
+        events_ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("from_type")
+        .aggregate(
+            _Sum("n_pairs", alias_name="n_pairs"),
+            _Sum("n_correct", alias_name="n_correct"),
+        )
+    )
+    f = scored["from_type"].to_pylist()
+    npair = scored["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ncorr = scored["n_correct"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(np.array(f, dtype=object))
+    f = [f[i] for i in order]
+    npair, ncorr = npair[order], ncorr[order]
+    return pa.table(
+        {
+            "from_type": pa.array(f, pa.string()),
+            "predicted": pa.array([pred[x] for x in f], pa.string()),
+            "n_pairs": pa.array(npair, pa.int64()),
+            "n_correct": pa.array(ncorr, pa.int64()),
+            "accuracy_ppm": pa.array(ncorr * 1_000_000 // npair, pa.int64()),
+        }
+    )

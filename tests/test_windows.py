@@ -659,3 +659,55 @@ def test_linear_attribution_hand_case(ray_session):
     assert out.loc[1, "n_convs"] == 2
     assert out.loc[4, "credit_ppm"] == 333_333
     assert 6 not in out.index and 7 not in out.index
+
+
+def test_markov_backtest_hand_case(ray_session):
+    """Stream a,b,a,b,a for one user: from a the argmax successor is b
+    (2 of 2 correct); from b it is a (2 of 2)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import markov_backtest
+
+    us = 1_000_000
+    et = ["a", "b", "a", "b", "a"]
+    t = pa.table({
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_id": pa.array(list(range(5)), pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "ts": pa.array(
+            np.arange(5, dtype=np.int64) * us
+        ).cast(pa.timestamp("us")),
+    })
+    out = (
+        markov_backtest(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("from_type")
+    )
+    assert out.loc["a", "predicted"] == "b"
+    assert out.loc["a", "n_pairs"] == 2 and out.loc["a", "n_correct"] == 2
+    assert out.loc["b", "accuracy_ppm"] == 1_000_000
+
+
+def test_markov_backtest_tie_breaks_lexicographic(ray_session):
+    """From 'x' successors split 1/1 between 'a' and 'b' -> predict 'a'."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import markov_backtest
+
+    us = 1_000_000
+    et = ["x", "b", "x", "a"]
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "ts": pa.array(np.arange(4, dtype=np.int64) * us).cast(
+            pa.timestamp("us")
+        ),
+    })
+    out = (
+        markov_backtest(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("from_type")
+    )
+    assert out.loc["x", "predicted"] == "a"
+    assert out.loc["x", "n_correct"] == 1  # only the x->a pair matches
