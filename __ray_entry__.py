@@ -2711,6 +2711,19 @@ def q_association_rules(sf_dir: str):
     return association_rules(docs, n_docs=n_docs, support_ppm=20_000)
 
 
+def q_tv_distance(sf_dir: str):
+    """Total-variation drift between src0 and src1 term distributions
+    over the global top-100 vocabulary (+other), integer ppm."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import tv_distance_sources
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return tv_distance_sources(docs, "src0", "src1", top_v=100)
+
+
 def q_markov_backtest(sf_dir: str):
     """First-order Markov next-event argmax backtest (train on the whole
     stream, score every consecutive pair; ties to the lexicographically
@@ -3218,6 +3231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": q_linear_attribution,
         "contamination_flags_8gram": q_contamination_flags,
         "markov_backtest": q_markov_backtest,
+        "tv_distance_src0_src1": q_tv_distance,
         "interval_coverage_5m": q_interval_coverage,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
         "triangle_terms": q_triangle_terms,
@@ -6380,6 +6394,42 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.src NOT IN (SELECT src FROM x{_r})
                             AND e.dst NOT IN (SELECT src FROM x{_r}))"""
         )
+    # TV distance over top-100 vocab + other; HUGEINT cross products
+    out["tv_distance_src0_src1"] = """
+        WITH tok AS (
+            SELECT source, t.tok AS term
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+            WHERE t.tok <> ''
+        ),
+        top AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS n FROM tok GROUP BY 1
+                ORDER BY n DESC, term LIMIT 100
+            )
+        ),
+        ab AS (
+            SELECT source,
+                   CASE WHEN term IN (SELECT term FROM top) THEN term
+                        ELSE chr(1) || 'other' END AS term,
+                   COUNT(*) AS n
+            FROM tok WHERE source IN ('src0', 'src1')
+            GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT term,
+                   SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS a,
+                   SUM(CASE WHEN source = 'src1' THEN n ELSE 0 END) AS b
+            FROM ab GROUP BY 1
+        ),
+        tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM w)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(tot.ta AS BIGINT) AS tokens_a,
+               CAST(tot.tb AS BIGINT) AS tokens_b,
+               CAST(SUM(ABS(w.a * tot.tb - w.b * tot.ta)) * 1000000
+                    // (2 * tot.ta * tot.tb) AS BIGINT) AS tv_ppm
+        FROM w CROSS JOIN tot GROUP BY tot.ta, tot.tb
+    """
     # Markov argmax backtest; prediction ties to the lexicographically
     # first successor on both sides
     out["markov_backtest"] = """

@@ -2494,3 +2494,104 @@ def flesch_readability(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return ds_docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tv_distance_sources(
+    ds_docs: "ray.data.Dataset",
+    source_a: str = "src0",
+    source_b: str = "src1",
+    top_v: int = 100,
+) -> pa.Table:
+    """Total-variation distance between two sources' term distributions —
+    the corpus-drift metric a curation pipeline alarms on when one feed
+    changes character. Support = the GLOBAL top-``top_v`` terms plus one
+    "other" bucket (so both distributions sum to their source's full token
+    count and the metric is a true TV on a common finite support).
+
+    Integer-exact: with per-term counts ``a_t, b_t`` and totals ``A, B``,
+
+        tv_ppm = Σ_t |a_t·B − b_t·A| · 10⁶ // (2·A·B)
+
+    folded in Python big-ints over the (top_v+1)-sized table (the SQL side
+    rides HUGEINT). Scale shape: one vocabulary-sized combiner exchange
+    for the top-terms census (reused from :func:`top_terms`), one
+    (source, term)-keyed combiner exchange restricted to the two sources,
+    driver fold of ≤ top_v+1 rows.
+
+    Output: one row — n_terms, tokens_a, tokens_b, tv_ppm (BIGINTs).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    top_t = collect_table(top_terms(ds_docs, k=top_v))
+    vocab = set(top_t["term"].to_pylist())
+    vref = _ray.put(vocab)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["source"], value_set=pa.array([source_a, source_b]))
+        sub = batch.filter(keep)
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        v = _ray.get(vref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(sub["text"]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty)
+        parent = parent.filter(nonempty)
+        src = pc.take(sub["source"], parent)
+        in_v = pc.is_in(flat, value_set=pa.array(sorted(v)))
+        term = pc.if_else(in_v, flat, pa.scalar("\x01other"))
+        t = pa.table({"source": src, "term": term})
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "term": g["term"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    ct = collect_table(
+        ds_docs.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    a_cnt: dict[str, int] = {}
+    b_cnt: dict[str, int] = {}
+    for s, t, n in zip(
+        ct["source"].to_pylist(), ct["term"].to_pylist(), ct["n"].to_pylist()
+    ):
+        (a_cnt if s == source_a else b_cnt)[t] = n
+    A = sum(a_cnt.values())
+    B = sum(b_cnt.values())
+    if A == 0 or B == 0:
+        return pa.table(
+            {
+                "n_terms": pa.array([0], pa.int64()),
+                "tokens_a": pa.array([A], pa.int64()),
+                "tokens_b": pa.array([B], pa.int64()),
+                "tv_ppm": pa.array([1_000_000 if A != B else 0], pa.int64()),
+            }
+        )
+    support = set(a_cnt) | set(b_cnt)
+    num = sum(abs(a_cnt.get(t, 0) * B - b_cnt.get(t, 0) * A) for t in support)
+    tv = num * 1_000_000 // (2 * A * B)
+    return pa.table(
+        {
+            "n_terms": pa.array([len(support)], pa.int64()),
+            "tokens_a": pa.array([A], pa.int64()),
+            "tokens_b": pa.array([B], pa.int64()),
+            "tv_ppm": pa.array([tv], pa.int64()),
+        }
+    )

@@ -914,3 +914,32 @@ def test_flesch_hand_case(ray_session):
     # zero-word doc: base constant, sentence floor 1
     z = out.loc[2]
     assert (z["n_words"], z["n_sentences"], z["flesch_milli"]) == (0, 1, 206_835)
+
+
+def test_tv_distance_hand_cases(ray_session):
+    """Identical distributions -> 0; disjoint vocabularies -> 1e6."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import tv_distance_sources
+
+    same = pa.table({
+        "source": pa.array(["src0", "src1"], pa.string()),
+        "text": pa.array(["aa bb aa", "aa bb aa"], pa.string()),
+    })
+    out = tv_distance_sources(ray.data.from_arrow(same), "src0", "src1").to_pydict()
+    assert out["tv_ppm"] == [0]
+    disjoint = pa.table({
+        "source": pa.array(["src0", "src1"], pa.string()),
+        "text": pa.array(["aa aa aa", "bb bb bb"], pa.string()),
+    })
+    out2 = tv_distance_sources(
+        ray.data.from_arrow(disjoint), "src0", "src1"
+    ).to_pydict()
+    assert out2["tv_ppm"] == [1_000_000]
+    # half overlap: a = {x:1, y:1}, b = {x:2} -> TV = 1/2
+    half = pa.table({
+        "source": pa.array(["src0", "src1"], pa.string()),
+        "text": pa.array(["x y", "x x"], pa.string()),
+    })
+    out3 = tv_distance_sources(ray.data.from_arrow(half), "src0", "src1").to_pydict()
+    assert out3["tv_ppm"] == [500_000]
