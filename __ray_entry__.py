@@ -1821,6 +1821,29 @@ def q_typo_term_pairs(sf_dir: str):
     return typo_term_pairs(docs.union(props), top_n=200)
 
 
+def q_fastss_edit1_pairs(sf_dir: str):
+    """Vocabulary-wide Levenshtein-1 self-join via FastSS deletion-
+    neighborhood blocking. The corpus unions four text sources so the
+    vocabulary carries both word typo structure and zero-padded numeric ID
+    tokens (customer names) — sequential IDs are dense in distance-1
+    substitution pairs, exercising the bucket verify step for real."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import fastss_edit1_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    props = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props"]
+    ).rename_columns({"props": "text"})
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
+    ).rename_columns({"c_name": "text"})
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    ).rename_columns({"p_name": "text"})
+    return fastss_edit1_join(docs.union(props).union(cust).union(parts))
+
+
 def q_theil_sen_trend(sf_dir: str):
     from pyreshaper_ray.stages.analytics import theil_sen_daily_trend
 
@@ -2960,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
         "typo_term_pairs": q_typo_term_pairs,
+        "fastss_edit1_pairs": q_fastss_edit1_pairs,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
         # three round-3 oracled additions promoted into the driver prefix
@@ -4907,6 +4931,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.term AS term_a, b.term AS term_b, a.n AS n_a, b.n AS n_b
         FROM tf a JOIN tf b ON a.term < b.term
         WHERE levenshtein(a.term, b.term) = 1
+    """
+    out["fastss_edit1_pairs"] = """
+        WITH corpus AS (
+            SELECT text FROM documents
+            UNION ALL SELECT props AS text FROM events
+            UNION ALL SELECT c_name AS text FROM customer
+            UNION ALL SELECT p_name AS text FROM part
+        ),
+        tok AS (
+            SELECT UNNEST(regexp_split_to_array(LOWER(text), '[^a-z0-9]+')) AS term
+            FROM corpus
+        ),
+        tf AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+            WHERE term <> '' GROUP BY 1
+        )
+        SELECT a.term AS term_a, b.term AS term_b, a.n AS n_a, b.n AS n_b
+        FROM tf a JOIN tf b
+          ON a.term < b.term
+         AND ABS(LENGTH(a.term) - LENGTH(b.term)) <= 1
+        WHERE LENGTH(a.term) <= 16 AND LENGTH(b.term) <= 16
+          AND levenshtein(a.term, b.term) = 1
+        ORDER BY term_a, term_b
     """
     out["theil_sen_daily_trend"] = """
         WITH d AS (

@@ -2595,3 +2595,121 @@ def tv_distance_sources(
             "tv_ppm": pa.array([tv], pa.int64()),
         }
     )
+
+
+def fastss_edit1_join(
+    ds_docs: "ray.data.Dataset",
+    text_col: str = "text",
+    min_count: int = 1,
+    max_len: int = 16,
+) -> "ray.data.Dataset":
+    """FastSS deletion-neighborhood Levenshtein-1 self-join over the FULL
+    corpus vocabulary — the scalable generalization of ``typo_term_pairs``
+    (which brute-forces only a top-N list on the driver). Fuzzy vocabulary
+    clustering is the standard key-normalization pass before term merging /
+    spell-candidate mining in a training-data pipeline.
+
+    Distributed shape (Bocek et al.'s FastSS, recast as Ray Data stages):
+
+    1. combiner-first term count (per-block Arrow vocabularies → one
+       ``groupby(term).sum`` — the same exchange as ``top_terms``; tokens
+       never cross the wire, Heaps' law bounds the vocabulary);
+    2. deletion-key explode: each surviving term emits itself plus its
+       ``len`` single-deletion variants as candidate keys — ≤ max_len+1
+       vocabulary-sized rows per term, a bounded fan-out;
+    3. ``groupby(key).map_groups`` candidate scan: two terms are within
+       edit distance 1 only if they share a key (FastSS k=1 theorem), and
+       each bucket verifies its pairs with the exact O(len)
+       ``_edit_distance_is_1`` band check (sharing a key admits some
+       distance-2 pairs, e.g. transpositions — verification rejects them);
+    4. pair distinct (a pair can meet under several shared keys):
+       ``groupby(term_a, term_b)`` + Max over the duplicated counts.
+
+    No star-pair cap is needed, unlike MinHash LSH: a bucket keyed by
+    string k holds only k itself plus strings formed by inserting ONE
+    alphabet char into k, so bucket size is alphabet-bounded at
+    |Σ|·(len+1)+1 (= 613 for [a-z0-9] at max_len 16) — per-bucket work is
+    O(|Σ|²·len²) worst-case regardless of corpus size. ``min_count`` /
+    ``max_len`` gate rare/degenerate terms the way a production pass would.
+
+    Output: term_a < term_b (lexicographic), both corpus frequencies.
+    """
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"term": flat})
+        g = t.group_by(["term"]).aggregate([("term", "count")])
+        return pa.table(
+            {"term": g["term"], "n": pc.cast(g["term_count"], pa.int64())}
+        )
+
+    vocab = ds_docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("term").aggregate(_Sum("n", alias_name="n"))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys: list[str] = []
+        out_t: list[str] = []
+        out_n: list[int] = []
+        for t, n in zip(batch["term"].to_pylist(), batch["n"].to_pylist()):
+            if n < min_count or len(t) > max_len:
+                continue
+            # dedupe within the term: deleting either of two equal adjacent
+            # chars yields the same variant ("aab" → "ab" twice)
+            seen = {t}
+            for i in range(len(t)):
+                seen.add(t[:i] + t[i + 1 :])
+            for k in seen:
+                keys.append(k)
+                out_t.append(t)
+                out_n.append(n)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    exploded = vocab.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        terms = g["term"].to_pylist()
+        ns = g["n"].to_pylist()
+        out: set[tuple[str, str, int, int]] = set()
+        for i in range(len(terms)):
+            for j in range(i + 1, len(terms)):
+                a, b = terms[i], terms[j]
+                if _edit_distance_is_1(a, b):
+                    if a < b:
+                        out.add((a, b, ns[i], ns[j]))
+                    else:
+                        out.add((b, a, ns[j], ns[i]))
+        rows = sorted(out)
+        return pa.table(
+            {
+                "term_a": pa.array([r[0] for r in rows], pa.string()),
+                "term_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_a": pa.array([r[2] for r in rows], pa.int64()),
+                "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    pairs = exploded.groupby("key").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # global distinct: the duplicated counts are identical per pair, so Max
+    # is a pure tie-keeper (cheaper than a map_groups first-row scan)
+    return (
+        pairs.groupby(["term_a", "term_b"])
+        .aggregate(_Max("n_a", alias_name="n_a"), _Max("n_b", alias_name="n_b"))
+        .sort(["term_a", "term_b"])
+    )

@@ -943,3 +943,39 @@ def test_tv_distance_hand_cases(ray_session):
     })
     out3 = tv_distance_sources(ray.data.from_arrow(half), "src0", "src1").to_pydict()
     assert out3["tv_ppm"] == [500_000]
+
+
+def test_fastss_edit1_join_planted(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import fastss_edit1_join
+
+    # full-vocabulary coverage: pairs OUTSIDE any top-N cut, plus a
+    # transposition ("form"/"from", shares deletion keys but distance 2 —
+    # the verify step must reject it)
+    texts = (
+        ["batch merge sort once" for _ in range(3)]
+        + ["botch merg sort from"]
+        + ["form 00123 00124 10123 zz"]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    out = fastss_edit1_join(ds).to_pandas()
+    pairs = set(zip(out["term_a"], out["term_b"]))
+    assert ("batch", "botch") in pairs  # substitution
+    assert ("merg", "merge") in pairs  # deletion/insertion
+    assert ("00123", "00124") in pairs  # numeric-ID substitution
+    assert ("00123", "10123") in pairs
+    assert ("form", "from") not in pairs  # transposition = distance 2
+    assert ("00124", "10123") not in pairs  # distance 2
+    # orientation + counts travel with the pair
+    assert all(a < b for a, b in pairs)
+    d = {(a, b): (na, nb) for a, b, na, nb in zip(
+        out["term_a"], out["term_b"], out["n_a"], out["n_b"])}
+    assert d[("batch", "botch")] == (3, 1)
+    # agrees with the brute-force top-N miner on its own slice
+    from pyreshaper_ray.stages.text import typo_term_pairs
+
+    brute = typo_term_pairs(ds, top_n=1000)
+    assert set(zip(brute["term_a"].to_pylist(), brute["term_b"].to_pylist())) == pairs
