@@ -2527,6 +2527,29 @@ def q_kcore_trade_graph(sf_dir: str):
     return kcore_rounds(_trade_graph_edges(sf_dir), k=4, n_rounds=8)
 
 
+def q_link_predict_suppliers(sf_dir: str):
+    """Supplier-supplier link prediction by common-customer count + exact
+    integer Jaccard, wedges enumerated through the low-degree customer
+    side. Reuses the memoized trade-graph edge list (c→s rows are the
+    src < 10^9 half; the supplier offset is subtracted back out)."""
+    from pyreshaper_ray.stages.graph import link_predict_bipartite
+
+    edges = _trade_graph_edges(sf_dir)
+
+    def cs_half(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["src"], 1_000_000_000)
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "c": t["src"],
+                "s": pc.subtract(t["dst"], 1_000_000_000),
+            }
+        )
+
+    cs = edges.map_batches(cs_half, batch_format="pyarrow", zero_copy_batch=True)
+    return link_predict_bipartite(cs, top_k=50)
+
+
 def q_bm25_rank(sf_dir: str):
     import ray.data
 
@@ -2984,6 +3007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_simpson_per_conv": q_role_simpson,
         "typo_term_pairs": q_typo_term_pairs,
         "fastss_edit1_pairs": q_fastss_edit1_pairs,
+        "link_predict_suppliers": q_link_predict_suppliers,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
         # three round-3 oracled additions promoted into the driver prefix
@@ -4954,6 +4978,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE LENGTH(a.term) <= 16 AND LENGTH(b.term) <= 16
           AND levenshtein(a.term, b.term) = 1
         ORDER BY term_a, term_b
+    """
+    out["link_predict_suppliers"] = """
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        deg AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+        ),
+        w AS (
+            SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+            GROUP BY 1, 2
+        )
+        SELECT CAST(w.sa AS BIGINT) AS supplier_a,
+               CAST(w.sb AS BIGINT) AS supplier_b,
+               w.cn AS common_customers,
+               da.d AS deg_a,
+               db.d AS deg_b,
+               (w.cn * 1000000) // (da.d + db.d - w.cn) AS jaccard_ppm
+        FROM w JOIN deg da ON w.sa = da.s JOIN deg db ON w.sb = db.s
+        ORDER BY jaccard_ppm DESC, common_customers DESC,
+                 supplier_a ASC, supplier_b ASC
+        LIMIT 50
     """
     out["theil_sen_daily_trend"] = """
         WITH d AS (

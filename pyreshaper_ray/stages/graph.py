@@ -701,3 +701,151 @@ def pagerank_weighted(
             "rank_pico": pa.array(r[order], pa.int64()),
         }
     )
+
+
+def link_predict_bipartite(
+    edges: "ray.data.Dataset",
+    top_k: int = 50,
+    max_degree: int | None = None,
+) -> "ray.data.Dataset":
+    """Link prediction over a bipartite graph (left=c, right=s) by
+    common-neighbor count + exact integer Jaccard of right-node
+    neighborhoods — the classic co-occurrence recommender ("suppliers who
+    serve the same customers"), and the same primitive behind
+    you-may-also-know candidate generation.
+
+    Distributed shape (wedge enumeration through the LOW-degree side):
+
+    1. edge distinct: per-block Arrow ``group_by`` combiner →
+       ``groupby(c, s)`` — multiplicities never cross the wire;
+    2. wedges: ``groupby(c).map_groups`` emits each customer's supplier
+       pairs via vectorized ``np.triu_indices`` — the exchange carries
+       Σ_c d(c)²/2 16-byte rows, bounded per node by ``max_degree``
+       (hot-node skip, the standard wedge-sampling guard; None = exact);
+    3. ``groupby(sa, sb).count`` → common-neighbor counts (pair census is
+       right-vocabulary²-bounded, in practice result-sized);
+    4. finalize: right-node degrees are a vocabulary-sized table collected
+       once and broadcast via ``ray.put``; a ``map_batches`` pass computes
+       ``jaccard_ppm = cn·10⁶ // (deg_a + deg_b − cn)`` in exact int64.
+
+    Wedges are enumerated through the side the CALLER puts in column ``c``
+    — pick the low-degree side (here customers, max degree ~67 at sf0.01,
+    vs supplier degree ~500, which would square 50× worse).
+
+    Output: top_k rows (supplier_a < supplier_b, common_customers, deg_a,
+    deg_b, jaccard_ppm), totally ordered by (jaccard desc, cn desc, a, b).
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        return (
+            pa.table({"c": pc.cast(b["c"], pa.int64()), "s": pc.cast(b["s"], pa.int64())})
+            .group_by(["c", "s"])
+            .aggregate([])
+        )
+
+    dedup = (
+        edges.map_batches(edge_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c", "s"])
+        .aggregate(_Count(alias_name="_m"))
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"s": b["s"]}).group_by(["s"]).aggregate([("s", "count")])
+        return pa.table({"s": g["s"], "d": pc.cast(g["s_count"], pa.int64())})
+
+    deg_t = collect_table(
+        dedup.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s")
+        .aggregate(_Sum("d", alias_name="d"))
+    )
+    deg_ref = _ray.put(
+        (
+            deg_t["s"].to_numpy(zero_copy_only=False).astype(np.int64),
+            deg_t["d"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+
+    # wedge generation buckets customers (hash % 64) so each map_groups
+    # call handles MANY customers with one numpy run-scan — per-customer
+    # map_groups calls cost ~5 ms of Ray overhead each, 100× the kernel
+    def add_bucket(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        kb = (c * np.uint64(2654435761)) % np.uint64(64)
+        return b.append_column("kb", pa.array(kb.astype(np.int64), pa.int64()))
+
+    def bucket_wedges(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, c))
+        c, s = c[order], s[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        outs_a, outs_b = [], []
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            n = hi - lo
+            if n < 2 or (max_degree is not None and n > max_degree):
+                continue  # hot-node skip (documented wedge guard)
+            i, j = np.triu_indices(n, k=1)
+            outs_a.append(s[lo:hi][i])
+            outs_b.append(s[lo:hi][j])
+        if not outs_a:
+            return pa.table(
+                {
+                    "sa": pa.array([], pa.int64()),
+                    "sb": pa.array([], pa.int64()),
+                    "cn": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "sa": pa.array(np.concatenate(outs_a), pa.int64()),
+                "sb": pa.array(np.concatenate(outs_b), pa.int64()),
+            }
+        )
+        # combiner: pre-count pairs within the bucket before the exchange
+        gg = t.group_by(["sa", "sb"]).aggregate([("sa", "count")])
+        return pa.table(
+            {
+                "sa": gg["sa"],
+                "sb": gg["sb"],
+                "cn": pc.cast(gg["sa_count"], pa.int64()),
+            }
+        )
+
+    cn = (
+        dedup.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kb")
+        .map_groups(bucket_wedges, batch_format="pyarrow")
+        .groupby(["sa", "sb"])
+        .aggregate(_Sum("cn", alias_name="common_customers"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        sk, dk = _ray.get(deg_ref)
+        sa = b["sa"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = b["sb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b["common_customers"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = dk[np.searchsorted(sk, sa)]
+        db = dk[np.searchsorted(sk, sb)]
+        jac = k * 1_000_000 // (da + db - k)
+        return pa.table(
+            {
+                "supplier_a": pa.array(sa, pa.int64()),
+                "supplier_b": pa.array(sb, pa.int64()),
+                "common_customers": pa.array(k, pa.int64()),
+                "deg_a": pa.array(da, pa.int64()),
+                "deg_b": pa.array(db, pa.int64()),
+                "jaccard_ppm": pa.array(jac, pa.int64()),
+            }
+        )
+
+    scored = cn.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(
+        ["jaccard_ppm", "common_customers", "supplier_a", "supplier_b"],
+        descending=[True, True, False, False],
+    ).limit(top_k)

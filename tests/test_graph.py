@@ -260,3 +260,47 @@ def test_pagerank_weighted_uniform_equals_unweighted(ray_session):
     ru = pagerank_fixed(ray.data.from_arrow(tu), n_iters=3, top_n=10)
     rw = pagerank_weighted(ray.data.from_arrow(tw), n_iters=3, top_n=10)
     assert ru.to_pydict() == rw.to_pydict()
+
+
+def test_link_predict_bipartite_planted(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import link_predict_bipartite
+
+    # customers 1..4; suppliers 100,200,300.
+    # N(100)={1,2,3}, N(200)={1,2,4}, N(300)={4}
+    rows = [
+        (1, 100), (2, 100), (3, 100),
+        (1, 200), (2, 200), (4, 200),
+        (4, 300),
+        (1, 100),  # duplicate edge must not double-count
+    ]
+    t = pa.table(
+        {
+            "c": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    out = link_predict_bipartite(
+        ray.data.from_arrow(t).repartition(3), top_k=10
+    ).to_pandas()
+    got = {
+        (r.supplier_a, r.supplier_b): (
+            r.common_customers, r.deg_a, r.deg_b, r.jaccard_ppm
+        )
+        for r in out.itertuples()
+    }
+    # |{1,2}| = 2 common, union = 4 -> 500000 ppm
+    assert got[(100, 200)] == (2, 3, 3, 500_000)
+    # 200 & 300 share customer 4: union = 3 -> 333333 ppm
+    assert got[(200, 300)] == (1, 3, 1, 333_333)
+    assert (100, 300) not in got  # no common customer
+    # ranked by jaccard desc
+    assert list(out["jaccard_ppm"]) == sorted(out["jaccard_ppm"], reverse=True)
+
+    # hot-node skip: max_degree=2 removes every wedge through customers 1,2
+    # (degree 3 is impossible here; degrees are 2,2,1,2) — cap at 1 kills all
+    capped = link_predict_bipartite(
+        ray.data.from_arrow(t), top_k=10, max_degree=1
+    ).to_pandas()
+    assert len(capped) == 0
