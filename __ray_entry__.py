@@ -1428,6 +1428,15 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_embeddings(sf_dir, k=8, n_iters=3)
 
 
+def q_pq_encode_embeddings(sf_dir: str):
+    """Product-quantization codes + exact reconstruction distortion
+    (rows-only: iterative codebook training is SQL-inexpressible; pytest
+    gates determinism and planted-cluster agreement)."""
+    from pyreshaper_ray.stages.similarity import pq_train_encode
+
+    return pq_train_encode(sf_dir, m_subspaces=8, k=16, n_iters=3)
+
+
 def q_gram_matrix(sf_dir: str):
     import ray.data
 
@@ -3126,6 +3135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix_embeddings": q_gram_matrix,
         "rolling_7d_user_value": q_rolling_7d_user_value,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "pq_encode_embeddings": q_pq_encode_embeddings,
         "source_share_ppm": q_source_share_ppm,
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "heavy_hitters_terms": q_heavy_hitters_terms,

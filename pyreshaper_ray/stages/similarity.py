@@ -1566,3 +1566,160 @@ def mmr_select(
             "vec_id": pa.array(selected, pa.int64()),
         }
     )
+
+
+def pq_train_encode(
+    sf_dir: str,
+    m_subspaces: int = 8,
+    k: int = 16,
+    n_iters: int = 3,
+) -> "ray.data.Dataset":
+    """Product quantization (Jégou et al.) — train per-subspace k-means
+    codebooks and encode every embedding as M small codes, the standard
+    memory-compression path for billion-vector ANN (codes are M bytes vs
+    4·dim float32; ADC scans the code table against per-query distance LUTs).
+
+    Distributed shape: training reuses ``kmeans_embeddings``'s
+    determinism trick — ALL M subspaces train in ONE streaming pass per
+    iteration (the partial emits (sub, cluster, dim_idx, sum_micro, n)
+    int64 rows, M·k·d_sub per block — KiBs regardless of corpus size), with
+    per-cluster sums in integer micro-units so accumulation is
+    order-independent under any block order / parallelism. Codebook init is
+    the k smallest-vec_id vectors' subvectors (no RNG); empty clusters keep
+    their previous codeword; distance argmin ties break toward the lowest
+    code. The encode pass is a stateless vectorized map_batches.
+
+    Returns (vec_id BIGINT, codes LIST<INT32> length M, distortion_micro
+    BIGINT = floor(1e6 · Σ_sub ||x_sub − c_code||²)) — rows-only for the
+    driver (iterative, SQL-inexpressible); pytest gates determinism,
+    monotone distortion in k, and planted-cluster code agreement.
+    """
+    import pyarrow.parquet as pq_
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import cached_get, collect_table
+
+    seed_t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = pc.sort_indices(seed_t, sort_keys=[("vec_id", "ascending")])
+    seed_t = seed_t.take(order[:k])
+    seed = _batch_matrix(seed_t)  # (k, dim) float64
+    dim = seed.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    d_sub = dim // m_subspaces
+    # (M, k, d_sub)
+    cents = np.stack(
+        [seed[:, s * d_sub : (s + 1) * d_sub] for s in range(m_subspaces)]
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign_all(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        """(n, dim), (M, k, d_sub) -> (n, M) int64 codes."""
+        n = len(m)
+        sub = m.reshape(n, m_subspaces, d_sub)
+        codes = np.empty((n, m_subspaces), np.int64)
+        for s in range(m_subspaces):
+            sc = -2.0 * (sub[:, s, :] @ c[s].T) + (c[s] * c[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(sc, axis=1)
+        return codes
+
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            c = cached_get(ref)
+            m = _batch_matrix(batch)
+            if len(m) == 0:
+                return pa.table(
+                    {
+                        "sc": pa.array([], pa.int64()),
+                        "dim_idx": pa.array([], pa.int64()),
+                        "sum_micro": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            codes = assign_all(m, c)
+            mi = np.floor(m * 1e6).astype(np.int64).reshape(
+                len(m), m_subspaces, d_sub
+            )
+            rows_sc, rows_di, rows_sum, rows_n = [], [], [], []
+            for s in range(m_subspaces):
+                uniq, inv, counts = np.unique(
+                    codes[:, s], return_inverse=True, return_counts=True
+                )
+                acc = np.zeros((len(uniq), d_sub), np.int64)
+                np.add.at(acc, inv, mi[:, s, :])
+                n_col = np.zeros((len(uniq), d_sub), np.int64)
+                n_col[:, 0] = counts
+                # composite key sub*k + cluster keeps ONE groupby for all M
+                rows_sc.append(np.repeat(s * k + uniq, d_sub))
+                rows_di.append(np.tile(np.arange(d_sub, dtype=np.int64), len(uniq)))
+                rows_sum.append(acc.reshape(-1))
+                rows_n.append(n_col.reshape(-1))
+            return pa.table(
+                {
+                    "sc": pa.array(np.concatenate(rows_sc), pa.int64()),
+                    "dim_idx": pa.array(np.concatenate(rows_di), pa.int64()),
+                    "sum_micro": pa.array(np.concatenate(rows_sum), pa.int64()),
+                    "n": pa.array(np.concatenate(rows_n), pa.int64()),
+                }
+            )
+
+        agg = collect_table(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["sc", "dim_idx"])
+            .aggregate(Sum("sum_micro", alias_name="sum_micro"), Sum("n", alias_name="n"))
+        )
+        new = cents.copy()
+        sc = agg["sc"].to_numpy(zero_copy_only=False)
+        di = agg["dim_idx"].to_numpy(zero_copy_only=False)
+        sm = agg["sum_micro"].to_numpy(zero_copy_only=False)
+        nn = agg["n"].to_numpy(zero_copy_only=False)
+        counts = np.zeros((m_subspaces, k), np.int64)
+        first = di == 0
+        counts[sc[first] // k, sc[first] % k] = nn[first]
+        sums = np.zeros((m_subspaces, k, d_sub), np.float64)
+        sums[sc // k, sc % k, di] = sm / 1e6
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+        cents = new
+
+    ref = ray.put(cents)
+
+    def encode(batch: pa.Table, ref=ref) -> pa.Table:
+        c = cached_get(ref)
+        m = _batch_matrix(batch)
+        if len(m) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.list_(pa.int32())),
+                    "distortion_micro": pa.array([], pa.int64()),
+                }
+            )
+        codes = assign_all(m, c)
+        sub = m.reshape(len(m), m_subspaces, d_sub)
+        rec = c[np.arange(m_subspaces)[None, :], codes]  # (n, M, d_sub)
+        dist = ((sub - rec) ** 2).sum(axis=(1, 2))
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "codes": pa.array(
+                    codes.astype(np.int32).tolist(), pa.list_(pa.int32())
+                ),
+                "distortion_micro": pa.array(
+                    np.floor(dist * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "vec_id"
+    )

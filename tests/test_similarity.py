@@ -479,3 +479,57 @@ def test_mmr_k_exceeds_pool(ray_session):
     })
     out = mmr_select(ray.data.from_arrow(t), query_id=0, k=10, pool=50)
     assert out.num_rows == 2  # only two non-query vectors exist
+
+
+def test_pq_train_encode_planted(ray_session, tmp_path):
+    """PQ gates: planted tight clusters share codes; distortion is
+    captured exactly; output is deterministic under a different
+    row-group layout (block-order independence of the integer-sum
+    training); more codewords never increase total distortion."""
+    from pyreshaper_ray.stages.similarity import pq_train_encode
+
+    rng = np.random.default_rng(11)
+    n_clu, per, dim = 4, 30, 16
+    centers = rng.standard_normal((n_clu, dim)) * 5.0
+    # interleave clusters so the deterministic first-k init seeds one
+    # codeword per planted cluster (first-k-from-one-cluster init would
+    # legitimately split that cluster — a k-means property, not a bug)
+    rows, labels = [], []
+    for i in range(n_clu * per):
+        c = i % n_clu
+        rows.append(centers[c] + 0.01 * rng.standard_normal((1, dim)))
+        labels.append(c)
+    mat = np.concatenate(rows)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = pq_train_encode(str(tmp_path), m_subspaces=4, k=4, n_iters=4).to_pandas()
+    assert len(out) == len(mat)
+    assert list(out["vec_id"]) == list(range(len(mat)))
+    codes = np.array(out["codes"].tolist())
+    assert codes.shape == (len(mat), 4)
+    # members of a planted tight cluster quantize identically in every
+    # subspace (cluster spread 0.01 vs center spread ~5)
+    for c in range(n_clu):
+        block = codes[np.array(labels) == c]
+        assert (block == block[0]).all(), f"cluster {c} codes diverge"
+    # distinct clusters get distinct code words overall
+    assert len({tuple(codes[np.array(labels) == c][0]) for c in range(n_clu)}) == n_clu
+    # tight clusters -> tiny distortion
+    assert out["distortion_micro"].max() < 1_000_000
+
+    # block-order independence: same bytes, different row groups
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    pq.write_table(t, str(alt / "embeddings.parquet"), row_group_size=7)
+    out2 = pq_train_encode(str(alt), m_subspaces=4, k=4, n_iters=4).to_pandas()
+    assert out.equals(out2)
+
+    # monotone capacity: k=1 distortion >= k=4 distortion (same init rule)
+    out_k1 = pq_train_encode(str(tmp_path), m_subspaces=4, k=1, n_iters=4).to_pandas()
+    assert out_k1["distortion_micro"].sum() >= out["distortion_micro"].sum()
