@@ -1830,6 +1830,14 @@ def q_typo_term_pairs(sf_dir: str):
     return typo_term_pairs(docs.union(props), top_n=200)
 
 
+def q_holt_winters_daily(sf_dir: str):
+    """Holt-Winters additive smoothing of each event type's daily counts,
+    exact integer micro-units, recursive-CTE oracle."""
+    from pyreshaper_ray.stages.timeseries import holt_winters_daily
+
+    return holt_winters_daily(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
 def q_fastss_edit1_pairs(sf_dir: str):
     """Vocabulary-wide Levenshtein-1 self-join via FastSS deletion-
     neighborhood blocking. The corpus unions four text sources so the
@@ -3017,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_term_pairs": q_typo_term_pairs,
         "fastss_edit1_pairs": q_fastss_edit1_pairs,
         "link_predict_suppliers": q_link_predict_suppliers,
+        "holt_winters_daily": q_holt_winters_daily,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
         # three round-3 oracled additions promoted into the driver prefix
@@ -4965,6 +4974,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.term AS term_a, b.term AS term_b, a.n AS n_a, b.n AS n_b
         FROM tf a JOIN tf b ON a.term < b.term
         WHERE levenshtein(a.term, b.term) = 1
+    """
+    # Holt-Winters: BIGINT '//' in DuckDB truncates toward zero; the Ray
+    # kernel uses the same truncating division (_tdiv), so every smoothing
+    # step is bit-identical. The seasonal state rides the recursion as a
+    # rotating 7-element LIST.
+    out["holt_winters_daily"] = """
+        WITH RECURSIVE counts AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT event_type,
+                   CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                               CAST(mx AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+                  FROM counts GROUP BY 1)
+        ),
+        y AS (
+            SELECT s.event_type, s.day,
+                   ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                      ORDER BY s.day) - 1 AS t,
+                   COALESCE(c.n, 0) AS n,
+                   COALESCE(c.n, 0) * 1000000 AS ym
+            FROM spine s LEFT JOIN counts c
+              ON c.event_type = s.event_type AND c.day = s.day
+        ),
+        init AS (
+            SELECT event_type,
+                   SUM(CASE WHEN t < 7 THEN ym ELSE 0 END) // 7 AS l0,
+                   COUNT(*) AS n_days
+            FROM y GROUP BY 1 HAVING COUNT(*) >= 8
+        ),
+        s0 AS (
+            SELECT y.event_type, LIST(y.ym - i.l0 ORDER BY y.t) AS s
+            FROM y JOIN init i ON y.event_type = i.event_type
+            WHERE y.t < 7 GROUP BY 1
+        ),
+        rec AS (
+            SELECT i.event_type, CAST(6 AS BIGINT) AS t, i.l0 AS lev,
+                   CAST(0 AS BIGINT) AS tr, s0.s AS s,
+                   CAST(NULL AS BIGINT) AS f, CAST(NULL AS BIGINT) AS err
+            FROM init i JOIN s0 ON i.event_type = s0.event_type
+            UNION ALL
+            SELECT event_type, t, lev,
+                   (lev - plev) // 10 + (9 * ptr) // 10 AS tr,
+                   list_append(ps[2:], (ym - lev) // 4 + (3 * ps[1]) // 4) AS s,
+                   f, ym - f AS err
+            FROM (
+                SELECT r.event_type, r.t + 1 AS t,
+                       (q.ym - r.s[1]) // 5 + (4 * (r.lev + r.tr)) // 5 AS lev,
+                       r.lev AS plev, r.tr AS ptr, r.s AS ps,
+                       r.lev + r.tr + r.s[1] AS f, q.ym AS ym
+                FROM rec r JOIN y q
+                  ON q.event_type = r.event_type AND q.t = r.t + 1
+            )
+        )
+        SELECT r.event_type,
+               CAST(q.day AS TIMESTAMP) AS day,
+               q.n AS y,
+               r.f AS forecast_micro,
+               r.err AS err_micro,
+               r.lev AS level_micro,
+               r.tr AS trend_micro
+        FROM rec r JOIN y q ON q.event_type = r.event_type AND q.t = r.t
+        WHERE r.t >= 7
+        ORDER BY 1, 2
     """
     out["fastss_edit1_pairs"] = """
         WITH corpus AS (

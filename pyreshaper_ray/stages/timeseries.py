@@ -1384,3 +1384,126 @@ def changepoint_daily(events_ds: "ray.data.Dataset") -> pa.Table:
             "sum_right": pa.array([int(sr[best])], pa.int64()),
         }
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (b > 0) — matches DuckDB's
+    BIGINT ``//`` exactly (Python's ``//`` floors; DuckDB truncates:
+    -7 // 5 is -1 there and -2 here), so both engines share one rounding
+    rule and the recursion stays bit-exact."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def holt_winters_daily(
+    events_ds: "ray.data.Dataset", period: int = 7
+) -> "ray.data.Dataset":
+    """Holt-Winters additive smoothing (level + trend + weekly seasonality)
+    of each event type's daily count series, in EXACT integer micro-units —
+    the capacity-forecasting recursion a rollup store runs per series, with
+    every smoothing step mirrored by a recursive-CTE oracle.
+
+    Fixed rational gains α=1/5, β=1/10, γ=1/4 applied term-by-term with
+    truncate-toward-zero division (``_tdiv`` here, BIGINT ``//`` in
+    DuckDB), so the whole recursion is order-fixed int64 arithmetic:
+
+        f_t  = l + b + s[0]                       (one-step forecast)
+        l'   = (y_t − s[0])÷5  + 4·(l + b)÷5      (÷ = truncating)
+        b'   = (l' − l)÷10     + 9·b÷10
+        s'   = (y_t − l')÷4    + 3·s[0]÷4
+
+    Init: l = Σ first-week y ÷ 7, b = 0, s = first-week deviations; rows
+    emit from day ``period`` on. Each type's day spine is densified
+    (missing days count 0) from its own min to max day.
+
+    Distribution: combiner-first (type, day) counts (the same domain-sized
+    exchange as ``seasonal_naive_error``), then ``groupby(event_type)``
+    ``map_groups`` runs the inherently-sequential recursion PER SERIES —
+    the classic many-small-series forecasting layout: a 10^6-series corpus
+    fans out across the cluster, each series' O(days) loop stays local.
+
+    Output: event_type, day (DATE-truncated ts), y, forecast_micro,
+    err_micro, level_micro, trend_micro — all exact int64.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"event_type": batch["event_type"], "day": d})
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.timestamp("us")),
+            "y": pa.array([], pa.int64()),
+            "forecast_micro": pa.array([], pa.int64()),
+            "err_micro": pa.array([], pa.int64()),
+            "level_micro": pa.array([], pa.int64()),
+            "trend_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    def hw_kernel(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("day", "ascending")])
+        g = g.take(order)
+        days = g["day"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(days) == 0:
+            return empty
+        d0, d1 = days.min(), days.max()
+        span = int((d1 - d0).astype(np.int64)) + 1
+        dense = np.zeros(span, np.int64)
+        dense[(days - d0).astype(np.int64)] = n
+        if span < period + 1:
+            return empty
+        ym = [int(v) * 1_000_000 for v in dense]
+        lev = _tdiv(sum(ym[:period]), period)
+        tr = 0
+        s = [ym[i] - lev for i in range(period)]
+        rows = []
+        for t in range(period, span):
+            f = lev + tr + s[0]
+            err = ym[t] - f
+            new_lev = _tdiv(ym[t] - s[0], 5) + _tdiv(4 * (lev + tr), 5)
+            new_tr = _tdiv(new_lev - lev, 10) + _tdiv(9 * tr, 10)
+            new_s = _tdiv(ym[t] - new_lev, 4) + _tdiv(3 * s[0], 4)
+            s = s[1:] + [new_s]
+            lev, tr = new_lev, new_tr
+            rows.append((t, f, err, lev, tr))
+        et = g["event_type"][0].as_py()
+        ts_out = (d0 + np.array([r[0] for r in rows], np.int64)).astype(
+            "datetime64[us]"
+        )
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(rows), pa.string()),
+                "day": pa.array(ts_out, pa.timestamp("us")),
+                "y": pa.array([dense[r[0]] for r in rows], pa.int64()),
+                "forecast_micro": pa.array([r[1] for r in rows], pa.int64()),
+                "err_micro": pa.array([r[2] for r in rows], pa.int64()),
+                "level_micro": pa.array([r[3] for r in rows], pa.int64()),
+                "trend_micro": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    return (
+        counts.groupby("event_type")
+        .map_groups(hw_kernel, batch_format="pyarrow")
+        .sort(["event_type", "day"])
+    )

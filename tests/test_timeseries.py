@@ -579,3 +579,63 @@ def test_changepoint_daily_single_day_empty(ray_session):
         ),
     })
     assert changepoint_daily(ray.data.from_arrow(t)).num_rows == 0
+
+
+def test_holt_winters_daily_planted(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import _tdiv, holt_winters_daily
+
+    # truncating division matches DuckDB BIGINT '//' (toward zero)
+    assert _tdiv(-7, 5) == -1 and _tdiv(7, 5) == 1 and _tdiv(-10, 5) == -2
+
+    # 15 days, one event per (day, count): declining series with a GAP day
+    # (day 9 missing -> densified to 0) so negative deviations exercise the
+    # truncation branches
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    days, counts = [], []
+    for d, c in enumerate([9, 8, 7, 9, 8, 7, 9, 5, 4, 0, 3, 2, 6, 1, 2]):
+        if c == 0:
+            continue  # leave a hole in the spine
+        for _ in range(c):
+            days.append(base + np.timedelta64(d, "D").astype("timedelta64[us]"))
+            counts.append(1)
+    t = pa.table(
+        {
+            "event_type": pa.array(["click"] * len(days), pa.string()),
+            "ts": pa.array(days, pa.timestamp("us")),
+        }
+    )
+    out = holt_winters_daily(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    # reference recursion in plain ints
+    y = [9, 8, 7, 9, 8, 7, 9, 5, 4, 0, 3, 2, 6, 1, 2]
+    ym = [v * 1_000_000 for v in y]
+    lev = _tdiv(sum(ym[:7]), 7)
+    tr = 0
+    s = [ym[i] - lev for i in range(7)]
+    want = []
+    for i in range(7, 15):
+        f = lev + tr + s[0]
+        err = ym[i] - f
+        new_lev = _tdiv(ym[i] - s[0], 5) + _tdiv(4 * (lev + tr), 5)
+        new_tr = _tdiv(new_lev - lev, 10) + _tdiv(9 * tr, 10)
+        new_s = _tdiv(ym[i] - new_lev, 4) + _tdiv(3 * s[0], 4)
+        s = s[1:] + [new_s]
+        lev, tr = new_lev, new_tr
+        want.append((y[i], f, err, lev, tr))
+    assert len(out) == 8
+    got = list(
+        zip(out["y"], out["forecast_micro"], out["err_micro"],
+            out["level_micro"], out["trend_micro"])
+    )
+    assert got == want
+    # the gap day (index 9) was densified to y=0
+    assert out["y"].tolist()[2] == 0
+
+    # short series (< period+1 days) emits nothing
+    short = holt_winters_daily(
+        ray.data.from_arrow(t.slice(0, 20))
+    ).to_pandas()
+    assert len(short) == 0
