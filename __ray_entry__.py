@@ -3299,9 +3299,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags_8gram": q_contamination_flags,
         "markov_backtest": q_markov_backtest,
         "tv_distance_src0_src1": q_tv_distance,
-        "interval_coverage_5m": q_interval_coverage,
-        "dup_ngram_coverage_5": q_dup_ngram_coverage,
-        "triangle_terms": q_triangle_terms,
     }
 
 

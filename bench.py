@@ -336,6 +336,15 @@ def run_bench(headline_only: bool = False) -> dict:
         "changepoint_daily",
         "pagerank_weighted_trade",
         "flesch_documents",
+        "hll_user_overlap",
+        "linear_attribution",
+        "contamination_flags_8gram",
+        "markov_backtest",
+        "tv_distance_src0_src1",
+        "fastss_edit1_pairs",
+        "link_predict_suppliers",
+        "holt_winters_daily",
+        "pq_encode_embeddings",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
