@@ -1848,15 +1848,20 @@ def q_fastss_edit1_pairs(sf_dir: str):
 
     from pyreshaper_ray.stages.text import fastss_edit1_join
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    # these are dimension-sized single-column reads: without
+    # override_num_blocks each fans out to 64 blocks and the 256-block
+    # union pays ~8 s of pure scheduling at sf0.1 (measured)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"], override_num_blocks=4
+    )
     props = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["props"]
+        f"{sf_dir}/events.parquet", columns=["props"], override_num_blocks=8
     ).rename_columns({"props": "text"})
     cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_name"]
+        f"{sf_dir}/customer.parquet", columns=["c_name"], override_num_blocks=2
     ).rename_columns({"c_name": "text"})
     parts = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_name"]
+        f"{sf_dir}/part.parquet", columns=["p_name"], override_num_blocks=2
     ).rename_columns({"p_name": "text"})
     return fastss_edit1_join(docs.union(props).union(cust).union(parts))
 

@@ -707,6 +707,7 @@ def link_predict_bipartite(
     edges: "ray.data.Dataset",
     top_k: int = 50,
     max_degree: int | None = None,
+    n_buckets: int = 16,
 ) -> "ray.data.Dataset":
     """Link prediction over a bipartite graph (left=c, right=s) by
     common-neighbor count + exact integer Jaccard of right-node
@@ -748,10 +749,13 @@ def link_predict_bipartite(
             .aggregate([])
         )
 
+    # materialized because BOTH the degree pass and the wedge pass consume
+    # it — edge-distinct-sized (the graph), not event-sized
     dedup = (
         edges.map_batches(edge_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["c", "s"])
         .aggregate(_Count(alias_name="_m"))
+        .materialize()
     )
 
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -770,12 +774,18 @@ def link_predict_bipartite(
         )
     )
 
-    # wedge generation buckets customers (hash % 64) so each map_groups
-    # call handles MANY customers with one numpy run-scan — per-customer
-    # map_groups calls cost ~5 ms of Ray overhead each, 100× the kernel
+    # Wedge generation buckets customers (hash % n_buckets) so each
+    # map_groups call handles MANY customers with one numpy run-scan —
+    # per-customer map_groups calls cost ~5 ms of Ray overhead each, 100×
+    # the kernel. n_buckets trades parallelism against census duplication:
+    # each bucket's combined output is capped by the RIGHT-side pair census
+    # (≤ |S|²/2 rows), so the exchange into the final groupby is
+    # min(Σ_c d(c)², n_buckets · |S|²/2) rows — with a dense right
+    # vocabulary, more buckets re-emit the same saturated census (measured
+    # 64 buckets → 32M-row exchange and 105 s at sf0.1; 16 → ~8M and ~20 s).
     def add_bucket(b: pa.Table) -> pa.Table:
         c = b["c"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        kb = (c * np.uint64(2654435761)) % np.uint64(64)
+        kb = (c * np.uint64(2654435761)) % np.uint64(n_buckets)
         return b.append_column("kb", pa.array(kb.astype(np.int64), pa.int64()))
 
     def bucket_wedges(g: pa.Table) -> pa.Table:
@@ -783,17 +793,21 @@ def link_predict_bipartite(
         s = g["s"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((s, c))
         c, s = c[order], s[order]
+        # local dense supplier ids so pair counts accumulate in ONE
+        # bincount over flat keys (no per-pair rows materialized)
+        uniq, s_loc = np.unique(s, return_inverse=True)
+        nloc = len(uniq)
         starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
         ends = np.r_[starts[1:], len(c)]
-        outs_a, outs_b = [], []
+        flats = []
         for lo, hi in zip(starts.tolist(), ends.tolist()):
             n = hi - lo
             if n < 2 or (max_degree is not None and n > max_degree):
                 continue  # hot-node skip (documented wedge guard)
             i, j = np.triu_indices(n, k=1)
-            outs_a.append(s[lo:hi][i])
-            outs_b.append(s[lo:hi][j])
-        if not outs_a:
+            seg = s_loc[lo:hi]  # sorted ascending within the run
+            flats.append(seg[i] * nloc + seg[j])
+        if not flats:
             return pa.table(
                 {
                     "sa": pa.array([], pa.int64()),
@@ -801,28 +815,29 @@ def link_predict_bipartite(
                     "cn": pa.array([], pa.int64()),
                 }
             )
-        t = pa.table(
-            {
-                "sa": pa.array(np.concatenate(outs_a), pa.int64()),
-                "sb": pa.array(np.concatenate(outs_b), pa.int64()),
-            }
+        counts = np.bincount(
+            np.concatenate(flats), minlength=nloc * nloc
         )
-        # combiner: pre-count pairs within the bucket before the exchange
-        gg = t.group_by(["sa", "sb"]).aggregate([("sa", "count")])
+        nz = np.flatnonzero(counts)
         return pa.table(
             {
-                "sa": gg["sa"],
-                "sb": gg["sb"],
-                "cn": pc.cast(gg["sa_count"], pa.int64()),
+                "sa": pa.array(uniq[nz // nloc], pa.int64()),
+                "sb": pa.array(uniq[nz % nloc], pa.int64()),
+                "cn": pa.array(counts[nz], pa.int64()),
             }
         )
 
-    cn = (
+    from ..util import hash_partitioned_agg
+
+    # pair-census merge via hash_partitioned_agg: |S|²/2 output groups make
+    # the built-in groupby reduce pathological (70 µs/group of Python;
+    # measured 72 s for the 6.3M-row COO at sf0.1 vs 0.5 s partitioned)
+    cn = hash_partitioned_agg(
         dedup.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("kb")
-        .map_groups(bucket_wedges, batch_format="pyarrow")
-        .groupby(["sa", "sb"])
-        .aggregate(_Sum("cn", alias_name="common_customers"))
+        .map_groups(bucket_wedges, batch_format="pyarrow"),
+        keys=["sa", "sb"],
+        aggs=[("cn", "sum", "common_customers")],
     )
 
     def finalize(b: pa.Table) -> pa.Table:

@@ -2634,9 +2634,6 @@ def fastss_edit1_join(
 
     Output: term_a < term_b (lexicographic), both corpus frequencies.
     """
-    from ray.data.aggregate import Max as _Max
-    from ray.data.aggregate import Sum as _Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
             pc.utf8_lower(batch[text_col]), pattern="[^a-z0-9]+"
@@ -2649,9 +2646,14 @@ def fastss_edit1_join(
             {"term": g["term"], "n": pc.cast(g["term_count"], pa.int64())}
         )
 
-    vocab = ds_docs.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("term").aggregate(_Sum("n", alias_name="n"))
+    from ..util import hash_partitioned_agg
+
+    vocab = hash_partitioned_agg(
+        ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["term"],
+        aggs=[("n", "sum", "n")],
+        n_parts=16,
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         keys: list[str] = []
@@ -2681,18 +2683,43 @@ def fastss_edit1_join(
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    # The candidate scan co-locates keys by HASH PARTITION, not one group
+    # per key: deletion keys are mostly singletons, and per-group Python in
+    # groupby(key).map_groups / the built-in aggregate reduce costs ~70 µs
+    # a group (measured 25 s at sf0.1); each partition kernel instead
+    # sort+run-scans its whole slice vectorized-per-run (0 work on
+    # singleton runs).
+    import polars as pl
+
+    def add_part(b: pa.Table) -> pa.Table:
+        col = b["key"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = pl.from_arrow(col).hash(seed=7).to_numpy()
+        part = (h >> np.uint64(33)) % np.uint64(64)
+        return b.append_column(
+            "part", pa.array(part.astype(np.int64), pa.int64())
+        )
+
+    def part_pairs(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("key", "ascending")]))
+        keys = g["key"].to_pylist()
         terms = g["term"].to_pylist()
         ns = g["n"].to_pylist()
         out: set[tuple[str, str, int, int]] = set()
-        for i in range(len(terms)):
-            for j in range(i + 1, len(terms)):
-                a, b = terms[i], terms[j]
-                if _edit_distance_is_1(a, b):
-                    if a < b:
-                        out.add((a, b, ns[i], ns[j]))
-                    else:
-                        out.add((b, a, ns[j], ns[i]))
+        lo = 0
+        for hi in range(1, len(keys) + 1):
+            if hi < len(keys) and keys[hi] == keys[lo]:
+                continue
+            for i in range(lo, hi):
+                for j in range(i + 1, hi):
+                    a, b = terms[i], terms[j]
+                    if _edit_distance_is_1(a, b):
+                        if a < b:
+                            out.add((a, b, ns[i], ns[j]))
+                        else:
+                            out.add((b, a, ns[j], ns[i]))
+            lo = hi
         rows = sorted(out)
         return pa.table(
             {
@@ -2703,13 +2730,18 @@ def fastss_edit1_join(
             }
         )
 
-    pairs = exploded.groupby("key").map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        exploded.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow")
     )
     # global distinct: the duplicated counts are identical per pair, so Max
-    # is a pure tie-keeper (cheaper than a map_groups first-row scan)
-    return (
-        pairs.groupby(["term_a", "term_b"])
-        .aggregate(_Max("n_a", alias_name="n_a"), _Max("n_b", alias_name="n_b"))
-        .sort(["term_a", "term_b"])
-    )
+    # is a pure tie-keeper; hash_partitioned_agg because the output is the
+    # pair census itself (many groups)
+    from ..util import hash_partitioned_agg
+
+    return hash_partitioned_agg(
+        pairs,
+        keys=["term_a", "term_b"],
+        aggs=[("n_a", "max", "n_a"), ("n_b", "max", "n_b")],
+    ).sort(["term_a", "term_b"])
