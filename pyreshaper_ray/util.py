@@ -139,7 +139,9 @@ def hash_partitioned_agg(
     vocabulary ("sum", "min", "max", "count", "mean", ...) — must be
     associative for the partition-local evaluation to be exact (all of the
     above except mean; mean of disjoint groups is fine too since each key
-    is wholly local).
+    is wholly local). in_col=None with op="count_all" emits the per-key
+    row count (needed when the thing to count IS a key column — Arrow
+    group_by refuses to aggregate keys).
     """
     import polars as pl
     import pyarrow as pa
@@ -161,11 +163,11 @@ def hash_partitioned_agg(
 
     def local_agg(g: pa.Table) -> pa.Table:
         gg = g.drop_columns(["__part"]).group_by(keys).aggregate(
-            [(c, op) for c, op, _ in aggs]
+            [(c if c is not None else [], op) for c, op, _ in aggs]
         )
         cols = {k: gg[k] for k in keys}
         for c, op, out in aggs:
-            src = f"{c}_{op}" if c else f"{op}_all"
+            src = f"{c}_{op}" if c is not None else "count_all"
             cols[out] = pc.cast(gg[src], pa.int64())
         return pa.table(cols)
 
