@@ -1830,6 +1830,15 @@ def q_typo_term_pairs(sf_dir: str):
     return typo_term_pairs(docs.union(props), top_n=200)
 
 
+def q_kaplan_meier_sessions(sf_dir: str):
+    """Kaplan-Meier survival curve of 30m-gap session durations with
+    right censoring at the corpus edge; recursive-CTE oracle mirrors the
+    truncating-division product chain."""
+    from pyreshaper_ray.stages.timeseries import kaplan_meier_sessions
+
+    return kaplan_meier_sessions(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
 def q_holt_winters_daily(sf_dir: str):
     """Holt-Winters additive smoothing of each event type's daily counts,
     exact integer micro-units, recursive-CTE oracle."""
@@ -3031,6 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastss_edit1_pairs": q_fastss_edit1_pairs,
         "link_predict_suppliers": q_link_predict_suppliers,
         "holt_winters_daily": q_holt_winters_daily,
+        "kaplan_meier_sessions": q_kaplan_meier_sessions,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
         # three round-3 oracled additions promoted into the driver prefix
@@ -4981,6 +4991,65 @@ def oracle_sql() -> dict[str, str]:
     # kernel uses the same truncating division (_tdiv), so every smoothing
     # step is bit-identical. The seasonal state rides the recursion as a
     # rotating 7-element LIST.
+    out["kaplan_meier_sessions"] = """
+        WITH RECURSIVE e AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        ),
+        sess AS (
+            SELECT user_id, sid, MIN(ts) AS f, MAX(ts) AS l
+            FROM s GROUP BY 1, 2
+        ),
+        mx AS (SELECT MAX(ts) AS m FROM events),
+        durs AS (
+            SELECT (epoch_us(l) - epoch_us(f)) // 60000000 AS t,
+                   (epoch_us((SELECT m FROM mx)) - epoch_us(l)) < 1800000000
+                       AS censored
+            FROM sess
+        ),
+        census AS (
+            SELECT t,
+                   CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM durs GROUP BY 1
+        ),
+        ordered AS (
+            SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+                   (SELECT COUNT(*) FROM durs)
+                     - COALESCE(SUM(d + c) OVER (
+                           ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_risk
+            FROM census
+        ),
+        rec AS (
+            SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000 AS BIGINT) AS s
+            UNION ALL
+            SELECT o.rn,
+                   CASE WHEN o.d > 0
+                        THEN (r.s * (o.n_risk - o.d)) // o.n_risk
+                        ELSE r.s END
+            FROM rec r JOIN ordered o ON o.rn = r.rn + 1
+        )
+        SELECT o.t AS duration_min,
+               CAST(o.n_risk AS BIGINT) AS n_risk,
+               o.d AS n_events,
+               o.c AS n_censored,
+               r.s AS survival_ppm
+        FROM ordered o JOIN rec r ON r.rn = o.rn
+        WHERE o.d > 0
+        ORDER BY 1
+    """
     out["holt_winters_daily"] = """
         WITH RECURSIVE counts AS (
             SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -344,6 +344,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "fastss_edit1_pairs",
         "link_predict_suppliers",
         "holt_winters_daily",
+        "kaplan_meier_sessions",
         "pq_encode_embeddings",
     ):
         def consume(fn=q[name]):

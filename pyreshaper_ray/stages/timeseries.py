@@ -1511,3 +1511,144 @@ def holt_winters_daily(
         .map_groups(hw_kernel, batch_format="pyarrow")
         .sort(["event_type", "day"])
     )
+
+
+def kaplan_meier_sessions(
+    events_ds: "ray.data.Dataset", gap_s: int = 1800
+) -> pa.Table:
+    """Kaplan-Meier survival curve of SESSION durations with right
+    censoring — the retention-tier estimator proper: how long does an
+    activity session live, counting sessions still open at the corpus edge
+    as censored instead of silently treating them as finished (the bias a
+    naive duration histogram bakes in).
+
+    Definitions (mirrored term-for-term by the recursive-CTE oracle): a
+    session is a maximal per-user run of events with inter-event gaps
+    ≤ ``gap_s`` (break on gap > gap_s, the ``session_windows``
+    convention); its duration is ``(last − first) // 60 s`` whole minutes;
+    it is right-CENSORED iff the corpus' max ts is < gap_s past its last
+    event (the session may still be open). At each distinct duration t
+    with d_t completed sessions and n_t at risk (duration ≥ t):
+
+        S(t) = S(prev) · (n_t − d_t) ÷ n_t   (micro-units, S(−) = 10⁶,
+                                              ÷ truncating; censored ties
+                                              leave the risk set AFTER
+                                              same-t deaths — the standard
+                                              KM tie rule)
+
+    Distributed shape: ONE user-keyed exchange of (user_id, ts) pairs
+    (``groupby(user_id).map_groups``) whose kernel sessionizes fully
+    vectorized (sort + diff + cumsum, Arrow group_by min/max per session)
+    and reduces its output to a per-group duration × censored census —
+    group-sized rows out, never session-sized; then a domain-sized
+    ``groupby`` census merge (≤ 2·|distinct minutes| rows) and a
+    result-sized sequential KM product on the driver (the documented
+    finalize, same convention as ``hour_dod_delta``). The corpus max ts is
+    a separate single-column aggregate pass (scalar broadcast).
+
+    Output: one row per death time — duration_min, n_risk, n_events,
+    n_censored, survival_ppm — all exact int64.
+    """
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+    from .timeseries import _tdiv
+
+    gap_us = gap_s * 1_000_000
+    mx = events_ds.aggregate(_Max("ts", alias_name="m"))
+    max_us = None
+    if mx is not None:
+        v = mx["m"] if isinstance(mx, dict) else mx
+        if v is not None:
+            max_us = int(np.datetime64(v, "us").astype(np.int64))
+    empty = pa.table(
+        {
+            "duration_min": pa.array([], pa.int64()),
+            "n_risk": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_censored": pa.array([], pa.int64()),
+            "survival_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if max_us is None:
+        return empty
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            group["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        brk = np.concatenate(([0], (np.diff(ts) > gap_us).astype(np.int64)))
+        sid = np.cumsum(brk)
+        t = pa.table(
+            {
+                "sid": pa.array(sid, pa.int64()),
+                "us": pa.array(ts, pa.int64()),
+            }
+        )
+        agg = t.group_by(["sid"]).aggregate([("us", "min"), ("us", "max")])
+        f = agg["us_min"].to_numpy(zero_copy_only=False)
+        l = agg["us_max"].to_numpy(zero_copy_only=False)
+        dur = (l - f) // 60_000_000
+        censored = (max_us - l) < gap_us
+        g = (
+            pa.table(
+                {
+                    "duration_min": pa.array(dur, pa.int64()),
+                    "censored": pa.array(censored, pa.bool_()),
+                }
+            )
+            .group_by(["duration_min", "censored"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "duration_min": g["duration_min"],
+                "censored": g["censored"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    census = collect_table(
+        events_ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["duration_min", "censored"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    if census.num_rows == 0:
+        return empty
+    dur = census["duration_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cen = census["censored"].to_numpy(zero_copy_only=False).astype(bool)
+    n = census["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    times = np.unique(dur)
+    d_at = {int(t): 0 for t in times.tolist()}
+    c_at = {int(t): 0 for t in times.tolist()}
+    for t, c, k in zip(dur.tolist(), cen.tolist(), n.tolist()):
+        if c:
+            c_at[t] += k
+        else:
+            d_at[t] += k
+    rows = []
+    s = 1_000_000
+    at_risk = int(n.sum())
+    for t in times.tolist():
+        d, c = d_at[t], c_at[t]
+        if d > 0:
+            s = _tdiv(s * (at_risk - d), at_risk)
+            rows.append((t, at_risk, d, c, s))
+        at_risk -= d + c
+    if not rows:
+        return empty
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "duration_min": pa.array(cols[0], pa.int64()),
+            "n_risk": pa.array(cols[1], pa.int64()),
+            "n_events": pa.array(cols[2], pa.int64()),
+            "n_censored": pa.array(cols[3], pa.int64()),
+            "survival_ppm": pa.array(cols[4], pa.int64()),
+        }
+    )

@@ -639,3 +639,44 @@ def test_holt_winters_daily_planted(ray_session):
         ray.data.from_arrow(t.slice(0, 20))
     ).to_pandas()
     assert len(short) == 0
+
+
+def test_kaplan_meier_sessions_planted(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import kaplan_meier_sessions
+
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    M = np.timedelta64(60_000_000, "us")  # one minute
+
+    def ev(user, minutes):
+        return [(user, base + int(m) * M) for m in minutes]
+
+    rows = []
+    # user 1: session A 0..10 (dur 10, closed), session B 100..103 (dur 3, closed)
+    rows += ev(1, [0, 5, 10]) + ev(1, [100, 103])
+    # user 2: one 10-minute session, closed
+    rows += ev(2, [0, 10])
+    # user 3: session ending at the corpus max -> CENSORED (dur 5)
+    rows += ev(3, [195, 200])
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = kaplan_meier_sessions(ray.data.from_arrow(t).repartition(3))
+    got = {r["duration_min"]: r for r in out.to_pylist()}
+    # durations: 10 (x2 closed), 3 (closed), 5 (censored)
+    # t=3: risk 4, d=1 -> S = 750000
+    # t=5: censored only -> no row; risk drops to 2 after
+    # t=10: risk 2, d=2 -> S = 0
+    assert set(got) == {3, 10}
+    assert got[3]["n_risk"] == 4 and got[3]["n_events"] == 1
+    assert got[3]["n_censored"] == 0 and got[3]["survival_ppm"] == 750_000
+    assert got[10]["n_risk"] == 2 and got[10]["n_events"] == 2
+    assert got[10]["survival_ppm"] == 0
+
+    # without censoring support the curve would (wrongly) hit 0 via the
+    # censored session too — assert the censored one never counts as death
+    assert sum(r["n_events"] for r in got.values()) == 3
