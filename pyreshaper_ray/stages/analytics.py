@@ -3872,12 +3872,23 @@ def q4_late_ship_priority(sf_dir: str) -> "ray.data.Dataset":
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         filter=ts_range_filter("o_orderdate", "1996-01-01", "1996-04-01"),
     ).map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
-    max_ship = (
+    from ..util import hash_partitioned_agg
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey"]).aggregate([("l_shipdate", "max")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "max_ship": g["l_shipdate_max"]}
+        )
+
+    # per-block Arrow max partial, then hash-partitioned merge: the output
+    # is orderkey-domain (~10^5 groups at sf0.1) where the built-in reduce
+    # pays ~70 µs/group of Python
+    max_ship = hash_partitioned_agg(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
-        )
-        .groupby("l_orderkey")
-        .max("l_shipdate")
+        ).map_batches(ship_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"],
+        aggs=[("max_ship", "max", "max_ship")],
     )
     joined = hash_join(
         orders, max_ship, on=("o_orderkey",), right_on=("l_orderkey",)
@@ -3885,7 +3896,7 @@ def q4_late_ship_priority(sf_dir: str) -> "ray.data.Dataset":
 
     def late_flags(batch: pa.Table) -> pa.Table:
         od = batch["o_orderdate"].to_numpy(zero_copy_only=False)
-        ms = batch["max(l_shipdate)"].to_numpy(zero_copy_only=False)
+        ms = batch["max_ship"].to_numpy(zero_copy_only=False)
         late = (ms - od) > np.timedelta64(90, "D")
         return pa.table(
             {
@@ -6983,10 +6994,14 @@ def order_total_reconciliation(sf_dir: str) -> "ray.data.Dataset":
             {"l_orderkey": g["l_orderkey"], "net": pc.cast(g["net_sum"], pa.int64())}
         )
 
-    per_order = (
-        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(_Sum("net", alias_name="net"))
+    from ..util import hash_partitioned_agg
+
+    # orderkey-domain output (~10^5 groups at sf0.1): hash-partitioned
+    # Arrow merge, not the built-in per-group reduce (~70 µs/group)
+    per_order = hash_partitioned_agg(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"],
+        aggs=[("net", "sum", "net")],
     )
     j = hash_join(per_order, orders, on="l_orderkey", right_on="o_orderkey",
                   coalesce="left")

@@ -299,10 +299,19 @@ def pagerank_fixed(
         )
         return pa.table({"node": pa.array(ids, pa.int64())})
 
+    from ..util import hash_partitioned_agg
+
+    # node-keyed merges (~10^4+ groups) go through hash_partitioned_agg —
+    # the built-in reduce pays ~70 µs/group of Python per aggregate pass,
+    # which repeats EVERY iteration below
     nodes_t = collect_table(
-        edges.map_batches(nodes_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(_Count(alias_name="_n"))
+        hash_partitioned_agg(
+            edges.map_batches(
+                nodes_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            keys=["node"],
+            aggs=[(None, "count_all", "_n")],
+        )
     )
 
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -316,9 +325,13 @@ def pagerank_fixed(
         )
 
     deg_t = collect_table(
-        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(_Sum("deg", alias_name="deg"))
+        hash_partitioned_agg(
+            edges.map_batches(
+                deg_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            keys=["node"],
+            aggs=[("deg", "sum", "deg")],
+        )
     )
 
     node = np.sort(nodes_t["node"].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -359,9 +372,13 @@ def pagerank_fixed(
             )
 
         s_t = collect_table(
-            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("node")
-            .aggregate(_Sum("s", alias_name="s"))
+            hash_partitioned_agg(
+                edges.map_batches(
+                    contrib, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                keys=["node"],
+                aggs=[("s", "sum", "s")],
+            )
         )
         s = np.zeros(N, np.int64)
         if s_t.num_rows:
@@ -546,10 +563,14 @@ def kcore_rounds(
         )
 
     def census(ds) -> "ray.data.Dataset":
-        return (
-            ds.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("src")
-            .aggregate(Sum("n", alias_name="deg"))
+        # node-keyed merge per peel round: hash-partitioned Arrow group_by
+        # (the built-in reduce pays ~70 µs/group × rounds)
+        from ..util import hash_partitioned_agg
+
+        return hash_partitioned_agg(
+            ds.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["src"],
+            aggs=[("n", "sum", "deg")],
         )
 
     removed = np.empty(0, dtype=np.int64)
@@ -634,10 +655,16 @@ def pagerank_weighted(
             {"node": g["node"], "wd": pc.cast(g["w_sum"], pa.int64())}
         )
 
+    from ..util import hash_partitioned_agg
+
     wdeg_t = collect_table(
-        edges.map_batches(wdeg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .aggregate(_Sum("wd", alias_name="wd"))
+        hash_partitioned_agg(
+            edges.map_batches(
+                wdeg_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            keys=["node"],
+            aggs=[("wd", "sum", "wd")],
+        )
     )
     # both-direction contract: every node appears as src
     node = np.sort(wdeg_t["node"].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -684,9 +711,13 @@ def pagerank_weighted(
             )
 
         s_t = collect_table(
-            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("node")
-            .aggregate(_Sum("s", alias_name="s"))
+            hash_partitioned_agg(
+                edges.map_batches(
+                    contrib, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                keys=["node"],
+                aggs=[("s", "sum", "s")],
+            )
         )
         s = np.zeros(N, np.int64)
         if s_t.num_rows:

@@ -168,7 +168,10 @@ def hash_partitioned_agg(
         cols = {k: gg[k] for k in keys}
         for c, op, out in aggs:
             src = f"{c}_{op}" if c is not None else "count_all"
-            cols[out] = pc.cast(gg[src], pa.int64())
+            v = gg[src]
+            if "count" in op:
+                v = pc.cast(v, pa.int64())  # Arrow counts come back narrower
+            cols[out] = v
         return pa.table(cols)
 
     return (
