@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..util import hash_partitioned_agg
+
 
 def ts_range_filter(col: str, start: str, end: str):
     """Parquet predicate-pushdown expression for ``start <= col < end``
@@ -88,9 +90,17 @@ def distinct_tools_per_window(
         g = t.group_by([window_col, "tool"]).aggregate([])
         return pa.table({"window_start": g[window_col], "tool": g["tool"]})
 
+    from ..util import hash_partitioned_agg
+
     p = ds_normalized.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-    uniq = p.groupby(["window_start", "tool"]).aggregate(Count(alias_name="_n"))
-    out = uniq.groupby("window_start").aggregate(Count(alias_name="n_tools"))
+    # both stages are window-domain-sized (~10^5 groups at sf0.1) —
+    # hash-partitioned Arrow merges, not the per-group built-in reduce
+    uniq = hash_partitioned_agg(
+        p, keys=["window_start", "tool"], aggs=[(None, "count_all", "_n")]
+    )
+    out = hash_partitioned_agg(
+        uniq, keys=["window_start"], aggs=[(None, "count_all", "n_tools")]
+    )
     return out.select_columns(["window_start", "n_tools"])
 
 
@@ -495,10 +505,13 @@ def top_users_by_active_days(
         g = t.group_by(["user_id", "day"]).aggregate([])
         return g
 
-    distinct = (
-        events_ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "day"])
-        .aggregate(Count())
+    from ..util import hash_partitioned_agg
+
+    # (user, day)-domain output (~4·10^4 groups at sf0.1): partitioned merge
+    distinct = hash_partitioned_agg(
+        events_ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "day"],
+        aggs=[(None, "count_all", "_n")],
     )
 
     def per_user(batch: pa.Table) -> pa.Table:
@@ -1346,12 +1359,13 @@ def q3_unshipped_revenue(
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ..util import hash_partitioned_agg
 
-    agg = (
-        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["orderkey", "orderdate"])
-        .aggregate(Sum("revenue_u", alias_name="revenue_u"))
+    # orderkey-domain output (~10^5 groups): hash-partitioned Arrow merge
+    agg = hash_partitioned_agg(
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["orderkey", "orderdate"],
+        aggs=[("revenue_u", "sum", "revenue_u")],
     )
     return (
         agg.sort(["revenue_u", "orderkey"], descending=[True, False])
@@ -1408,10 +1422,12 @@ def user_day_membership(
             }
         )
 
-    merged = (
-        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "day"])
-        .aggregate(Max("a", alias_name="a"), Max("b", alias_name="b"))
+    from ..util import hash_partitioned_agg
+
+    merged = hash_partitioned_agg(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "day"],
+        aggs=[("a", "max", "a"), ("b", "max", "b")],
     )
 
     def member(batch: pa.Table) -> pa.Table:
@@ -1560,14 +1576,13 @@ def cohort_retention(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         g = t.group_by(["user_id", "day"]).aggregate([])
         return g.select(["user_id", "day"])
 
-    pairs = (
+    pairs = hash_partitioned_agg(
         events_ds.map_batches(
             pairs_partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["user_id", "day"])
-    )
+        ),
+        keys=["user_id", "day"],
+        aggs=[(None, "count_all", "_n")],
+    ).select_columns(["user_id", "day"])
 
     def first_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["user_id"]).aggregate([("day", "min")])
@@ -2015,14 +2030,13 @@ def rolling_distinct_users(
         g = t.group_by(["user_id", "day"]).aggregate([])
         return g.select(["user_id", "day"])
 
-    pairs = (
+    pairs = hash_partitioned_agg(
         events_ds.map_batches(
             pairs_partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["user_id", "day"])
-    )
+        ),
+        keys=["user_id", "day"],
+        aggs=[(None, "count_all", "_n")],
+    ).select_columns(["user_id", "day"])
 
     def expand(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -2040,12 +2054,11 @@ def rolling_distinct_users(
         g = t.group_by(["user_id", "day"]).aggregate([])
         return g.select(["user_id", "day"])
 
-    covered = (
-        pairs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["user_id", "day"])
-    )
+    covered = hash_partitioned_agg(
+        pairs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "day"],
+        aggs=[(None, "count_all", "_n")],
+    ).select_columns(["user_id", "day"])
 
     def count_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["day"]).aggregate([("day", "count")])
