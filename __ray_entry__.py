@@ -1830,6 +1830,15 @@ def q_typo_term_pairs(sf_dir: str):
     return typo_term_pairs(docs.union(props), top_n=200)
 
 
+def q_dtw_event_types(sf_dir: str):
+    """Banded (w=1) DTW distance between every pair of event types' daily
+    count series, exact integer costs; recursive-CTE oracle with the
+    intra-row dl→dm→dr chain unrolled through nested subqueries."""
+    from pyreshaper_ray.stages.timeseries import dtw_event_type_pairs
+
+    return dtw_event_type_pairs(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
 def q_kaplan_meier_sessions(sf_dir: str):
     """Kaplan-Meier survival curve of 30m-gap session durations with
     right censoring at the corpus edge; recursive-CTE oracle mirrors the
@@ -3041,6 +3050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict_suppliers": q_link_predict_suppliers,
         "holt_winters_daily": q_holt_winters_daily,
         "kaplan_meier_sessions": q_kaplan_meier_sessions,
+        "dtw_event_types": q_dtw_event_types,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
         # three round-3 oracled additions promoted into the driver prefix
@@ -4991,6 +5001,73 @@ def oracle_sql() -> dict[str, str]:
     # kernel uses the same truncating division (_tdiv), so every smoothing
     # step is bit-identical. The seasonal state rides the recursion as a
     # rotating 7-element LIST.
+    out["dtw_event_types"] = """
+        WITH RECURSIVE counts AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT CAST(UNNEST(generate_series(
+                       CAST((SELECT MIN(day) FROM counts) AS TIMESTAMP),
+                       CAST((SELECT MAX(day) FROM counts) AS TIMESTAMP),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+        ),
+        types AS (SELECT DISTINCT event_type FROM counts),
+        grid AS (
+            SELECT t.event_type, s.day,
+                   ROW_NUMBER() OVER (PARTITION BY t.event_type
+                                      ORDER BY s.day) - 1 AS i,
+                   COALESCE(c.n, 0) AS n
+            FROM types t CROSS JOIN spine s
+            LEFT JOIN counts c
+              ON c.event_type = t.event_type AND c.day = s.day
+        ),
+        prs AS (
+            SELECT a.event_type AS ta, b.event_type AS tb
+            FROM types a JOIN types b ON a.event_type < b.event_type
+        ),
+        yy AS (
+            SELECT p.ta, p.tb, ga.i, ga.n AS av, gb.n AS bv,
+                   LAG(gb.n) OVER w AS bprev,
+                   LEAD(gb.n) OVER w AS bnext
+            FROM prs p
+            JOIN grid ga ON ga.event_type = p.ta
+            JOIN grid gb ON gb.event_type = p.tb AND gb.i = ga.i
+            WINDOW w AS (PARTITION BY p.ta, p.tb ORDER BY ga.i)
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spine),
+        rec AS (
+            SELECT ta, tb, CAST(0 AS BIGINT) AS i,
+                   CAST(4611686018427387904 AS BIGINT) AS dl,
+                   ABS(av - bv) AS dm,
+                   CASE WHEN bnext IS NULL
+                        THEN CAST(4611686018427387904 AS BIGINT)
+                        ELSE ABS(av - bnext) + ABS(av - bv) END AS dr
+            FROM yy WHERE i = 0
+            UNION ALL
+            SELECT ta, tb, i, dl, dm,
+                   CASE WHEN bnext IS NULL
+                        THEN CAST(4611686018427387904 AS BIGINT)
+                        ELSE ABS(av - bnext) + LEAST(pdr, dm) END AS dr
+            FROM (
+                SELECT ta, tb, i, av, bnext, dl, pdr,
+                       ABS(av - bv) + LEAST(pdm, pdr, dl) AS dm
+                FROM (
+                    SELECT y.ta, y.tb, y.i, y.av, y.bv, y.bnext,
+                           r.dm AS pdm, r.dr AS pdr,
+                           ABS(y.av - y.bprev) + LEAST(r.dl, r.dm) AS dl
+                    FROM rec r JOIN yy y
+                      ON y.ta = r.ta AND y.tb = r.tb AND y.i = r.i + 1
+                )
+            )
+        )
+        SELECT r.ta AS type_a, r.tb AS type_b,
+               nn.n AS n_days, r.dm AS dtw
+        FROM rec r, nn
+        WHERE r.i = nn.n - 1
+        ORDER BY 1, 2
+    """
     out["kaplan_meier_sessions"] = """
         WITH RECURSIVE e AS (
             SELECT user_id, ts,

@@ -345,6 +345,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "link_predict_suppliers",
         "holt_winters_daily",
         "kaplan_meier_sessions",
+        "dtw_event_types",
         "pq_encode_embeddings",
     ):
         def consume(fn=q[name]):

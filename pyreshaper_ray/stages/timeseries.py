@@ -1652,3 +1652,130 @@ def kaplan_meier_sessions(
             "survival_ppm": pa.array(cols[4], pa.int64()),
         }
     )
+
+
+def dtw_event_type_pairs(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Banded (Sakoe-Chiba w=1) dynamic-time-warping distance between every
+    pair of event types' daily count series — the shape-similarity measure
+    a monitoring/retention stack uses to find metrics that move together
+    when correlation misses small phase shifts (DTW tolerates ±1-day
+    warps; ``lead_lag_daily_xcorr`` is its linear cousin).
+
+    EXACT integers end to end: cost = |a_i − b_j| on raw daily counts; the
+    band row [D(i,i−1), D(i,i), D(i,i+1)] carries int64 path costs, the
+    out-of-band sentinel (2^62) is only ever COMPARED, never added, so no
+    overflow. The oracle restates the same recursion as a recursive CTE
+    whose intra-row dependency chain (dl → dm → dr) unrolls through nested
+    subqueries — the ``holt_winters_daily`` pattern.
+
+    Distributed shape: ONE combiner-first (type, day) census (the
+    domain-sized exchange shared by ``seasonal_naive_error``); the census
+    is broadcast once via ``ray.put`` (types × days, KiBs) and a Dataset
+    of type PAIRS fans the O(n·w) sequential DP across the cluster — the
+    many-small-series layout: 10^3 types → 5·10^5 independent pair
+    kernels, each O(days). Both series densify over the GLOBAL day spine
+    (missing days count 0).
+
+    Output: one row per pair — type_a < type_b, n_days, dtw (BIGINT).
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import cached_get, collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"event_type": batch["event_type"], "day": d})
+            .group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "dtw": pa.array([], pa.int64()),
+        }
+    )
+    if counts.num_rows == 0:
+        return empty
+    et = counts["event_type"].to_numpy(zero_copy_only=False)
+    day = (
+        counts["day"]
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[D]")
+        .astype(np.int64)
+    )
+    n_ = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d0, d1 = day.min(), day.max()
+    span = int(d1 - d0) + 1
+    types = sorted({str(t) for t in et})
+    series = {t: np.zeros(span, np.int64) for t in types}
+    for t, d, k in zip(et.tolist(), day.tolist(), n_.tolist()):
+        series[str(t)][d - d0] = k
+    if len(types) < 2:
+        return empty
+    ref = ray.put(series)
+    pair_rows = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array([p[0] for p in pair_rows], pa.string()),
+                "type_b": pa.array([p[1] for p in pair_rows], pa.string()),
+            }
+        )
+    )
+
+    INF = 1 << 62
+
+    def dp(batch: pa.Table) -> pa.Table:
+        ser = cached_get(ref)
+        outs = []
+        for ta, tb in zip(
+            batch["type_a"].to_pylist(), batch["type_b"].to_pylist()
+        ):
+            a, b = ser[ta], ser[tb]
+            n = len(a)
+            # band row at step i: [D(i,i-1), D(i,i), D(i,i+1)]
+            dm = abs(int(a[0]) - int(b[0]))
+            dl = INF
+            dr = abs(int(a[0]) - int(b[1])) + dm if n > 1 else INF
+            for i in range(1, n):
+                ai = int(a[i])
+                ndl = abs(ai - int(b[i - 1])) + min(dl, dm)
+                ndm = abs(ai - int(b[i])) + min(dm, dr, ndl)
+                ndr = (
+                    abs(ai - int(b[i + 1])) + min(dr, ndm)
+                    if i + 1 < n
+                    else INF
+                )
+                dl, dm, dr = ndl, ndm, ndr
+            outs.append((ta, tb, n, dm))
+        return pa.table(
+            {
+                "type_a": pa.array([o[0] for o in outs], pa.string()),
+                "type_b": pa.array([o[1] for o in outs], pa.string()),
+                "n_days": pa.array([o[2] for o in outs], pa.int64()),
+                "dtw": pa.array([o[3] for o in outs], pa.int64()),
+            }
+        )
+
+    return collect_table(
+        pairs_ds.map_batches(dp, batch_format="pyarrow").sort(
+            ["type_a", "type_b"]
+        )
+    )

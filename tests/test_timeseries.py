@@ -680,3 +680,61 @@ def test_kaplan_meier_sessions_planted(ray_session):
     # without censoring support the curve would (wrongly) hit 0 via the
     # censored session too — assert the censored one never counts as death
     assert sum(r["n_events"] for r in got.values()) == 3
+
+
+def test_dtw_event_type_pairs_vs_reference(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import dtw_event_type_pairs
+
+    # planted: B is A phase-shifted by one day (DTW ~0 inside the band),
+    # C is noise — plus a gap day densified to zero
+    base = np.datetime64("2024-07-01T00:00:00", "us")
+    D = np.timedelta64(86_400_000_000, "us")
+    a = [5, 9, 2, 7, 7, 1, 8, 3, 6, 4]
+    rows = []
+    for d, c in enumerate(a):
+        rows += [("A", base + d * D)] * c
+        if d >= 1:
+            rows += [("B", base + d * D)] * a[d - 1]  # shifted copy
+        if d != 4:  # C has a hole on day 4
+            rows += [("C", base + d * D)] * ((d * 7) % 5 + 1)
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = dtw_event_type_pairs(ray.data.from_arrow(t).repartition(4))
+    got = {(r["type_a"], r["type_b"]): (r["n_days"], r["dtw"]) for r in out.to_pylist()}
+
+    # independent full-matrix banded DP (w=1)
+    INF = 1 << 62
+
+    def ref_dtw(x, y, w=1):
+        n = len(x)
+        Dm = [[INF] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(max(0, i - w), min(n, i + w + 1)):
+                c = abs(x[i] - y[j])
+                if i == 0 and j == 0:
+                    best = 0
+                else:
+                    cands = []
+                    if i > 0 and abs(i - 1 - j) <= w:
+                        cands.append(Dm[i - 1][j])
+                    if j > 0 and abs(i - (j - 1)) <= w:
+                        cands.append(Dm[i][j - 1])
+                    if i > 0 and j > 0:
+                        cands.append(Dm[i - 1][j - 1])
+                    best = min(cands)
+                Dm[i][j] = c + best
+        return Dm[n - 1][n - 1]
+
+    series = {"A": a, "B": [0] + a[:-1], "C": [(d * 7) % 5 + 1 if d != 4 else 0 for d in range(10)]}
+    for (ta, tb), (nd, dtw) in got.items():
+        assert nd == 10
+        assert dtw == ref_dtw(series[ta], series[tb]), (ta, tb)
+    # the one-day shift is absorbed by the band except at the edges
+    assert got[("A", "B")][1] <= ref_dtw(series["A"], series["C"])
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
