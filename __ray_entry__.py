@@ -1848,6 +1848,57 @@ def q_kaplan_meier_sessions(sf_dir: str):
     return kaplan_meier_sessions(_events_value_ds(sf_dir, ["user_id", "ts"]))
 
 
+def q_bollinger_daily_counts(sf_dir: str):
+    """Bollinger-band anomaly flags on the daily event-count series via the
+    exact cross-multiplied integer variance test (w=7, k=2); SQL window
+    restatement with ROWS BETWEEN 6 PRECEDING."""
+    from pyreshaper_ray.stages.timeseries import bollinger_daily_counts
+
+    return bollinger_daily_counts(_events_value_ds(sf_dir, ["ts"]))
+
+
+def q_copurchase_part_pairs(sf_dir: str):
+    """Top-20 co-purchased part pairs (market-basket size 2 over orders):
+    orderkey-partitioned vectorized pair expansion, pair-keyed
+    hash-partitioned sum, result-sized top-k."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import copurchase_part_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return copurchase_part_pairs(ds)
+
+
+def q_charclass_census(sf_dir: str):
+    """Per-document ASCII letter/digit/whitespace/other byte census —
+    numpy LUT over raw Arrow buffers, prefix-sum differences at value
+    offsets; no exchange."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import charclass_census
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return charclass_census(ds)
+
+
+def q_spend_decile_census(sf_dir: str):
+    """Customer spend-decile census: per-customer exact cents sum, shared-
+    pass exact decile bounds (no sort), broadcast-bounds bucketing to a
+    10-row census."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import spend_decile_census
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return spend_decile_census(ds)
+
+
 def q_holt_winters_daily(sf_dir: str):
     """Holt-Winters additive smoothing of each event type's daily counts,
     exact integer micro-units, recursive-CTE oracle."""
@@ -3051,6 +3102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_winters_daily": q_holt_winters_daily,
         "kaplan_meier_sessions": q_kaplan_meier_sessions,
         "dtw_event_types": q_dtw_event_types,
+        "bollinger_daily_counts": q_bollinger_daily_counts,
+        "copurchase_part_pairs": q_copurchase_part_pairs,
+        "charclass_census_documents": q_charclass_census,
+        "spend_decile_census": q_spend_decile_census,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
         # three round-3 oracled additions promoted into the driver prefix
@@ -7131,4 +7186,103 @@ def oracle_sql() -> dict[str, str]:
         FROM e{_kcore_rounds} GROUP BY 1 ORDER BY 1
     """
     )
+    # Bollinger flags: ROWS-based 7-day trailing window over PRESENT days;
+    # flag is the exact cross-multiplied test (7x-S)^2 > 4(7Q-S^2), full
+    # windows only — integer arithmetic end to end.
+    out["bollinger_daily_counts"] = """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT day, n,
+                   SUM(n) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s,
+                   SUM(n * n) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS q,
+                   COUNT(*) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+            FROM d
+        )
+        SELECT day, n,
+               CAST(s AS BIGINT) AS win_sum,
+               CAST(q AS BIGINT) AS win_sumsq,
+               CAST(CASE WHEN m = 7
+                          AND (7 * n - s) * (7 * n - s) > 4 * (7 * q - s * s)
+                         THEN 1 ELSE 0 END AS BIGINT) AS bollinger_flag
+        FROM w
+    """
+    # co-purchase pairs: once per order containing both parts; per-order
+    # distinct parts capped at the 64 SMALLEST part keys (the engine's
+    # lexicographic-cap contract, restated via QUALIFY row_number)
+    out["copurchase_part_pairs"] = """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        capped AS (
+            SELECT l_orderkey, l_partkey FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_partkey) <= 64
+        ),
+        p AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n
+            FROM capped a
+            JOIN capped b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, CAST(n AS BIGINT) AS n
+        FROM p ORDER BY n DESC, part_a ASC, part_b ASC LIMIT 20
+    """
+    # charclass census: the three named classes are 1-byte ASCII sets so
+    # character counts equal byte counts; n_other closes against strlen
+    # (BYTES), keeping the identity exact on multi-byte text too
+    out["charclass_census_documents"] = """
+        SELECT doc_id,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_alpha,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS BIGINT) AS n_digit,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[\\t\\n\\v\\f\\r ]', '', 'g'))
+                    AS BIGINT) AS n_space,
+               CAST(strlen(text)
+                    - (length(text)
+                       - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                    - (length(text)
+                       - length(regexp_replace(text, '[0-9]', '', 'g')))
+                    - (length(text)
+                       - length(regexp_replace(text, '[\\t\\n\\v\\f\\r ]', '', 'g')))
+                    AS BIGINT) AS n_other
+        FROM documents
+    """
+    # spend deciles: bounds at 1-based rank ceil(d*n/10) of the sorted
+    # per-customer spend; ties land in the LOWER bucket (spend > bound)
+    out["spend_decile_census"] = """
+        WITH s AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend
+            FROM orders GROUP BY 1
+        ),
+        b AS (SELECT list_sort(list(spend)) AS l, COUNT(*) AS n FROM s),
+        bounds AS (
+            SELECT t.d AS d,
+                   b.l[CAST(CEIL(t.d * b.n / 10.0) AS BIGINT)] AS v
+            FROM b, range(1, 10) t(d)
+        ),
+        deciled AS (
+            SELECT s.o_custkey, s.spend,
+                   1 + SUM(CASE WHEN s.spend > bo.v THEN 1 ELSE 0 END)
+                       AS decile
+            FROM s CROSS JOIN bounds bo
+            GROUP BY 1, 2
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(spend) AS BIGINT) AS spend_cents
+        FROM deciled GROUP BY 1
+    """
     return out

@@ -7105,3 +7105,221 @@ def pivot_daily_type_counts(events_ds: "ray.data.Dataset") -> "ray.data.Dataset"
     return agg.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     ).sort("day")
+
+
+def copurchase_part_pairs(
+    lineitem_ds: "ray.data.Dataset", k: int = 20, max_order_parts: int = 64
+) -> "ray.data.Dataset":
+    """Top-``k`` co-purchased PART pairs across orders — the items-bought-
+    together (frequent-itemset size 2) miner behind every recommender
+    bootstrap, over the fact table instead of the text corpus (the
+    vocabulary analog is :func:`~.text.term_pair_cooccurrence`).
+
+    A pair counts once per order containing both parts. An order's
+    lineitems can SPAN input blocks (Ray splits large map outputs at
+    ``target_max_block_size``), so per-block pair expansion would silently
+    drop cross-block pairs — the same hazard the tf-idf DF pass fixed.
+    The kernel therefore hash-partitions rows by ``l_orderkey`` first
+    (exchange = two int64 columns, never prices or names), making every
+    order wholly local to one partition, then expands pairs fully
+    vectorized: rows sorted by (order, part), per-order distinct parts
+    capped at the ``max_order_parts`` smallest part keys (bounds the
+    quadratic blow-up at cap²/2 rows per order — documented contract),
+    lefts = ``np.repeat`` by per-row remaining-group counts, rights =
+    left + within-run offset + 1. No Python loop over orders or rows.
+
+    Partition-local pair counts are PARTIAL (a pair recurs across
+    partitions), so one pair-keyed ``hash_partitioned_agg`` sum follows,
+    then a result-sized sort+limit.
+
+    Output: part_a, part_b (part_a < part_b, BIGINT), n (BIGINT).
+    """
+    import polars as pl
+
+    from ..util import hash_partitioned_agg
+
+    n_parts = 32
+
+    def add_part(b: pa.Table) -> pa.Table:
+        col = b["l_orderkey"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = pl.from_arrow(col).hash(seed=7).to_numpy()
+        part = (h >> np.uint64(33)) % np.uint64(n_parts)
+        return pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "pkey": b["l_partkey"],
+                "__part": pa.array(part.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pairs_local(g: pa.Table) -> pa.Table:
+        d = (
+            pa.table({"okey": g["okey"], "pkey": g["pkey"]})
+            .group_by(["okey", "pkey"])
+            .aggregate([])
+        )
+        ok = d["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = d["pkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        nrows = len(ok)
+        if nrows == 0:
+            return pa.table(
+                {
+                    "part_a": pa.array([], pa.int64()),
+                    "part_b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # group boundaries over the sorted (order, part) rows
+        new = np.concatenate(([True], ok[1:] != ok[:-1]))
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [nrows])))
+        # cap: keep only the first max_order_parts rows of each group
+        # (sorted by part key, so the cap set is deterministic)
+        pos_in_group = np.arange(nrows) - starts[gid]
+        keep = pos_in_group < max_order_parts
+        ok, pk, gid = ok[keep], pk[keep], gid[keep]
+        pos = pos_in_group[keep]
+        csizes = np.minimum(sizes, max_order_parts)[gid]
+        # each kept row is the LEFT of (group_size - pos - 1) pairs
+        c = (csizes - pos - 1).astype(np.int64)
+        total = int(c.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "part_a": pa.array([], pa.int64()),
+                    "part_b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lefts = np.repeat(np.arange(len(c)), c)
+        run_start = np.repeat(np.concatenate(([0], np.cumsum(c)[:-1])), c)
+        offset = np.arange(total) - run_start
+        rights = lefts + offset + 1
+        t = pa.table(
+            {
+                "part_a": pa.array(pk[lefts], pa.int64()),
+                "part_b": pa.array(pk[rights], pa.int64()),
+            }
+        )
+        gg = t.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "part_a": gg["part_a"],
+                "part_b": gg["part_b"],
+                "n": pc.cast(gg["count_all"], pa.int64()),
+            }
+        )
+
+    partial = (
+        lineitem_ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__part")
+        .map_groups(pairs_local, batch_format="pyarrow")
+    )
+    counts = hash_partitioned_agg(
+        partial, ["part_a", "part_b"], [("n", "sum", "n")]
+    )
+    return (
+        counts.sort(["n", "part_a", "part_b"], descending=[True, False, False])
+        .limit(k)
+        .select_columns(["part_a", "part_b", "n"])
+    )
+
+
+def spend_decile_census(orders_ds: "ray.data.Dataset") -> pa.Table:
+    """Customer-value decile census — how many customers and how much
+    revenue sit in each exact spend decile — the whale-curve / LTV-band
+    summary every monetization dashboard opens with.
+
+    Three stages, none of which sorts the fact table:
+
+    1. per-customer spend: one customer-keyed ``hash_partitioned_agg`` sum
+       of exact order cents (the only all-to-all, two int64 columns);
+    2. exact decile bounds of that customer-domain series via the shared-
+       pass histogram selector (:func:`_hist_select_ranks` — all nine
+       order statistics in ~log_bins(range) combiner-only scans, rank
+       convention ``ceil(d·n/10) − 1`` as in :func:`value_deciles`);
+    3. bucket every customer against the broadcast 9-value bound vector
+       (``np.searchsorted`` side='left': decile = 1 + #bounds strictly
+       below, ties land in the LOWER bucket — restated literally in the
+       oracle as ``1 + Σ(spend > bound)``) and reduce to the ≤10-row
+       census.
+
+    Output: decile (1..10), n_customers, spend_cents — all BIGINT.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import collect_table, hash_partitioned_agg
+
+    OUT = pa.schema(
+        [
+            ("decile", pa.int64()),
+            ("n_customers", pa.int64()),
+            ("spend_cents", pa.int64()),
+        ]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "c": to_cents(b["o_totalprice"])}
+        )
+
+    # customer-domain-sized; materialized ONCE so the count, the
+    # multi-pass selector, and the bucket stage don't each replay the
+    # orderkey exchange
+    spend = hash_partitioned_agg(
+        orders_ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        [("c", "sum", "spend")],
+    ).materialize()
+    import math
+
+    n = spend.count()
+    if n == 0:
+        return OUT.empty_table()
+    ranks = [max(math.ceil(d * n / 10), 1) - 1 for d in range(1, 10)]
+
+    def to_ints(batch: pa.Table) -> np.ndarray:
+        return batch["spend"].to_numpy(zero_copy_only=False)
+
+    bounds = np.asarray(_hist_select_ranks(spend, to_ints, ranks), np.int64)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        s = batch["spend"].to_numpy(zero_copy_only=False)
+        d = 1 + np.searchsorted(bounds, s, side="left")
+        g = (
+            pa.table(
+                {
+                    "decile": pa.array(d.astype(np.int64), pa.int64()),
+                    "spend": batch["spend"],
+                }
+            )
+            .group_by("decile")
+            .aggregate([([], "count_all"), ("spend", "sum")])
+        )
+        return pa.table(
+            {
+                "decile": g["decile"],
+                "n_customers": pc.cast(g["count_all"], pa.int64()),
+                "spend_cents": pc.cast(g["spend_sum"], pa.int64()),
+            }
+        )
+
+    census = collect_table(
+        spend.map_batches(bucket, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("spend_cents", alias_name="spend_cents"),
+        ),
+        fallback_schema=OUT,
+    )
+    return census.select(["decile", "n_customers", "spend_cents"]).sort_by(
+        "decile"
+    )

@@ -2745,3 +2745,53 @@ def fastss_edit1_join(
         keys=["term_a", "term_b"],
         aggs=[("n_a", "max", "n_a"), ("n_b", "max", "n_b")],
     ).sort(["term_a", "term_b"])
+
+
+_CHARCLASS_LUT = np.zeros(256, np.uint8)
+_CHARCLASS_LUT[np.concatenate((np.arange(65, 91), np.arange(97, 123)))] = 1
+_CHARCLASS_LUT[48:58] = 2
+_CHARCLASS_LUT[[9, 10, 11, 12, 13, 32]] = 3  # RE2 \s: [\t\n\v\f\r ]
+
+
+def charclass_census(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document character-class census — ASCII letters, digits,
+    whitespace, and other BYTES — the cheap composition profile quality
+    filters cut on (binary-blob detectors, code-vs-prose gates, non-text
+    screens) before any tokenizer runs.
+
+    Byte semantics make the count UTF-8-safe without decoding: the three
+    named classes are single-byte ASCII sets (so their byte count equals
+    the oracle's character count), and ``n_other`` is total bytes minus
+    those — DuckDB's ``strlen`` restates it exactly even on multi-byte
+    text. The kernel is pure numpy over the Arrow string column's raw
+    buffers: one 256-entry class LUT over the data bytes, then per-class
+    per-document sums via prefix-sum differences at the value offsets
+    (`cs[off[1:]] − cs[off[:-1]]`), which handles empty documents exactly
+    where ``np.add.reduceat`` would not. No exchange at all — the output
+    is the map itself.
+
+    Output: doc_id, n_alpha, n_digit, n_space, n_other (BIGINTs).
+    """
+
+    def census(batch: pa.Table) -> pa.Table:
+        arr = batch["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+        cls = _CHARCLASS_LUT[data]
+        out = {"doc_id": batch["doc_id"]}
+        total = off[1:] - off[:-1]
+        acc = np.zeros(n, np.int64)
+        for code, name in ((1, "n_alpha"), (2, "n_digit"), (3, "n_space")):
+            cs = np.concatenate(([0], np.cumsum(cls == code, dtype=np.int64)))
+            cnt = cs[off[1:]] - cs[off[:-1]]
+            acc += cnt
+            out[name] = pa.array(cnt, pa.int64())
+        out["n_other"] = pa.array(total - acc, pa.int64())
+        return pa.table(out)
+
+    return ds_docs.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)

@@ -1779,3 +1779,86 @@ def dtw_event_type_pairs(events_ds: "ray.data.Dataset") -> pa.Table:
             ["type_a", "type_b"]
         )
     )
+
+
+def bollinger_daily_counts(
+    events_ds: "ray.data.Dataset", window: int = 7, k: int = 2
+) -> pa.Table:
+    """Bollinger-band anomaly flags on the daily event-count series: a day
+    is flagged when its count sits more than ``k`` sample standard
+    deviations from the trailing ``window``-day mean — the classic
+    volatility envelope, restated in EXACT integers via the
+    cross-multiplied variance test
+
+        (w·x − S)²  >  k² · (w·Q − S²)        (w = window,
+                                               S = Σ counts, Q = Σ counts²)
+
+    which is the literal ``|x − S/w| > k·sqrt((Q/w) − (S/w)²)`` with both
+    sides multiplied by w² — no division, no sqrt, no float anywhere, so
+    the engine and the SQL window restatement agree bit-for-bit.
+
+    Window semantics are ROWS-based over the PRESENT days sorted ascending
+    (current row + ``window − 1`` preceding), matching SQL ``ROWS BETWEEN
+    w−1 PRECEDING AND CURRENT ROW``; days with fewer than ``window``
+    predecessors are emitted unflagged (flag 0, the warm-up rows).
+
+    Distributed shape: one combiner-first daily census (per-block Arrow
+    ``group_by`` day counts → one days-domain ``groupby`` sum), then the
+    rolling sums fold the days-sized collected series on the driver via
+    prefix sums (the documented result-sized finalize, same convention as
+    :func:`changepoint_daily`).
+
+    Output: day (TIMESTAMP), n, win_sum, win_sumsq, bollinger_flag — all
+    BIGINT, one row per present day.
+    """
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("n", pa.int64()),
+            ("win_sum", pa.int64()),
+            ("win_sumsq", pa.int64()),
+            ("bollinger_flag", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = pa.table({"day": d}).group_by("day").aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("n")
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    days = t["day"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days)
+    days, n = days[order], n[order]
+    m = len(n)
+    w = int(window)
+    pre = np.concatenate(([0], np.cumsum(n)))
+    pre2 = np.concatenate(([0], np.cumsum(n * n)))
+    idx = np.arange(m)
+    lo = np.maximum(0, idx - w + 1)
+    s = pre[idx + 1] - pre[lo]
+    q = pre2[idx + 1] - pre2[lo]
+    full = idx >= w - 1
+    lhs = (w * n - s) ** 2
+    rhs = (k * k) * (w * q - s * s)
+    flag = (full & (lhs > rhs)).astype(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.timestamp("us")),
+            "n": pa.array(n, pa.int64()),
+            "win_sum": pa.array(s, pa.int64()),
+            "win_sumsq": pa.array(q, pa.int64()),
+            "bollinger_flag": pa.array(flag, pa.int64()),
+        }
+    )

@@ -2211,3 +2211,87 @@ def test_pivot_daily_type_counts_hand_case(ray_session):
     assert (d0["click"], d0["view"], d0["other"], d0["total"]) == (2, 1, 1, 4)
     d1 = out.iloc[1]
     assert (d1["purchase"], d1["total"]) == (2, 2)
+
+
+def test_copurchase_pairs_cross_block_order(ray_session):
+    """An order whose lineitems span input blocks must still produce its
+    pairs — the hash-partition-by-orderkey stage is what guarantees it."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import copurchase_part_pairs
+
+    # order 1 has parts {10, 20, 30} scattered across blocks (plus a
+    # duplicate 10 to exercise the per-order distinct); order 2 repeats
+    # the (10, 20) pair; order 3 is a singleton
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "l_partkey": pa.array([10, 20, 30, 10, 20, 10, 99], pa.int64()),
+        }
+    )
+    out = (
+        copurchase_part_pairs(ray.data.from_arrow(t).repartition(7))
+        .to_pandas()
+        .sort_values(["n", "part_a", "part_b"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [(10, 20, 2), (10, 30, 1), (20, 30, 1)]
+
+
+def test_copurchase_pairs_cap_keeps_smallest_parts(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import copurchase_part_pairs
+
+    # one order with 5 parts, cap 3: only pairs among the 3 smallest keys
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1] * 5, pa.int64()),
+            "l_partkey": pa.array([5, 4, 3, 2, 1], pa.int64()),
+        }
+    )
+    out = copurchase_part_pairs(
+        ray.data.from_arrow(t).repartition(2), max_order_parts=3
+    ).to_pandas()
+    pairs = {(a, b) for a, b, _ in out.itertuples(index=False, name=None)}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_spend_decile_census_hand(ray_session):
+    """20 customers spending 1..20 dollars: each decile holds exactly two
+    customers; ties at a bound land in the LOWER bucket."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import spend_decile_census
+
+    t = pa.table(
+        {
+            "o_custkey": pa.array(list(range(1, 21)), pa.int64()),
+            "o_totalprice": pa.array(
+                [float(i) for i in range(1, 21)], pa.float64()
+            ),
+        }
+    )
+    out = spend_decile_census(ray.data.from_arrow(t).repartition(4))
+    assert out["decile"].to_pylist() == list(range(1, 11))
+    assert out["n_customers"].to_pylist() == [2] * 10
+    # decile d holds spends (2d-1, 2d) dollars -> cents
+    assert out["spend_cents"].to_pylist() == [
+        (2 * d - 1 + 2 * d) * 100 for d in range(1, 11)
+    ]
+
+
+def test_spend_decile_census_empty(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import spend_decile_census
+
+    t = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+        }
+    )
+    out = spend_decile_census(ray.data.from_arrow(t))
+    assert out.num_rows == 0

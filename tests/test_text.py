@@ -979,3 +979,38 @@ def test_fastss_edit1_join_planted(ray_session):
 
     brute = typo_term_pairs(ds, top_n=1000)
     assert set(zip(brute["term_a"].to_pylist(), brute["term_b"].to_pylist())) == pairs
+
+
+def test_charclass_census_classes_and_bytes(ray_session):
+    """Hand strings: class counts per document, empty doc handled exactly
+    (the reduceat-vs-prefix-sum edge), non-ASCII counted as OTHER bytes."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import charclass_census
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Ab1 \t\nz",   # 3 alpha, 1 digit, 3 space
+                    "",             # empty document
+                    "1234!?",       # 4 digit, 2 other
+                    "café",    # 3 alpha + 2 UTF-8 bytes of é = other
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        charclass_census(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = list(
+        out[["n_alpha", "n_digit", "n_space", "n_other"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert rows == [(3, 1, 3, 0), (0, 0, 0, 0), (0, 4, 0, 2), (3, 0, 0, 2)]

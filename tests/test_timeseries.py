@@ -738,3 +738,50 @@ def test_dtw_event_type_pairs_vs_reference(ray_session):
     # the one-day shift is absorbed by the band except at the edges
     assert got[("A", "B")][1] <= ref_dtw(series["A"], series["C"])
     assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_bollinger_daily_counts_planted_spike(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import bollinger_daily_counts
+
+    # 10 flat days of 1 event, then a 50-event spike day: only the spike
+    # day (full window, way past 2 sigma) is flagged; warm-up rows
+    # (fewer than 7 predecessors) stay unflagged by contract
+    rows = []
+    eid = 0
+    for d in range(10):
+        eid += 1
+        rows.append((eid, 1, f"2024-01-{d + 1:02d}T12:00:00", 1.0))
+    for i in range(50):
+        eid += 1
+        rows.append((eid, 1, f"2024-01-11T0{i % 10}:00:0{i % 6}", 1.0))
+    ds = ray.data.from_arrow(_events(rows)).repartition(4)
+    out = bollinger_daily_counts(ds)
+    assert out.num_rows == 11
+    n = out["n"].to_pylist()
+    flag = out["bollinger_flag"].to_pylist()
+    assert n == [1] * 10 + [50]
+    assert flag == [0] * 10 + [1]
+    # window sums: day 11's trailing 7 days = 6x1 + 50
+    assert out["win_sum"].to_pylist()[-1] == 56
+    assert out["win_sumsq"].to_pylist()[-1] == 6 + 2500
+    # warm-up partial sums still reported (rows-based over present days)
+    assert out["win_sum"].to_pylist()[0] == 1
+
+
+def test_bollinger_daily_counts_empty(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import bollinger_daily_counts
+
+    ds = ray.data.from_arrow(_events([]))
+    out = bollinger_daily_counts(ds)
+    assert out.num_rows == 0
+    assert out.schema.names == [
+        "day",
+        "n",
+        "win_sum",
+        "win_sumsq",
+        "bollinger_flag",
+    ]
