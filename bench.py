@@ -347,6 +347,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "kaplan_meier_sessions",
         "dtw_event_types",
         "pq_encode_embeddings",
+        "bollinger_daily_counts",
+        "copurchase_part_pairs",
+        "charclass_census_documents",
+        "spend_decile_census",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
