@@ -1857,6 +1857,42 @@ def q_bollinger_daily_counts(sf_dir: str):
     return bollinger_daily_counts(_events_value_ds(sf_dir, ["ts"]))
 
 
+def q_matrix_profile_hourly(sf_dir: str):
+    """Matrix profile (w=24) of the hourly event-count series — exact
+    integer squared-distance nearest non-trivial neighbor per window;
+    SQL self-join restatement with the |i−j|≥w exclusion zone."""
+    from pyreshaper_ray.stages.timeseries import matrix_profile_hourly
+
+    return matrix_profile_hourly(_events_value_ds(sf_dir, ["ts"]))
+
+
+def q_rs_range_hourly(sf_dir: str):
+    """Rescaled-range (Hurst R/S) census over tumbling 24h/48h windows of
+    the hourly series — n-scaled cumulative-deviation range and variance
+    numerator as exact BIGINTs; SQL window-function restatement."""
+    from pyreshaper_ray.stages.timeseries import rs_range_hourly
+
+    return rs_range_hourly(_events_value_ds(sf_dir, ["ts"]))
+
+
+def q_pettitt_change_hourly(sf_dir: str):
+    """Pettitt rank-based change-point on the hourly series via the
+    U_k = U_{k-1} + V_k recurrence (searchsorted sign census); SQL
+    restatement with a pairwise sign join + running sum."""
+    from pyreshaper_ray.stages.timeseries import pettitt_change_hourly
+
+    return pettitt_change_hourly(_events_value_ds(sf_dir, ["ts"]))
+
+
+def q_sax_hourly_symbols(sf_dir: str):
+    """SAX symbolization of the hourly series: integer-split PAA segments
+    symbolized against exact equi-depth order-statistic breakpoints,
+    cross-multiplied comparisons end to end."""
+    from pyreshaper_ray.stages.timeseries import sax_hourly_symbols
+
+    return sax_hourly_symbols(_events_value_ds(sf_dir, ["ts"]))
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3093,6 +3129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "dedup_exact_documents": q_dedup_exact,
         # --- driver-unchecked as of CORRECTNESS_r02 (oracle these first) ---
+        "matrix_profile_hourly": q_matrix_profile_hourly,
+        "rs_range_hourly": q_rs_range_hourly,
+        "pettitt_change_hourly": q_pettitt_change_hourly,
+        "sax_hourly_symbols": q_sax_hourly_symbols,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7212,6 +7252,140 @@ def oracle_sql() -> dict[str, str]:
                           AND (7 * n - s) * (7 * n - s) > 4 * (7 * q - s * s)
                          THEN 1 ELSE 0 END AS BIGINT) AS bollinger_flag
         FROM w
+    """
+    # matrix profile: exact integer squared distance between every pair of
+    # 24-row windows over the present-hour series (exclusion |i-j| >= 24);
+    # nearest neighbor ties break on (distance, smaller j)
+    out["matrix_profile_hourly"] = """
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT hr, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY hr) - 1 AS BIGINT) AS rn
+            FROM h
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+        win AS (SELECT rn AS i, hr FROM s, mm WHERE rn <= m - 24),
+        dist AS (
+            SELECT wi.i AS i, wj.i AS j,
+                   CAST(SUM((a.n - b.n) * (a.n - b.n)) AS BIGINT) AS d2
+            FROM win wi
+            JOIN win wj ON abs(wi.i - wj.i) >= 24
+            JOIN s a ON a.rn >= wi.i AND a.rn < wi.i + 24
+            JOIN s b ON b.rn = wj.i + (a.rn - wi.i)
+            GROUP BY 1, 2
+        )
+        SELECT d.i AS idx, wi.hr AS window_start,
+               d.j AS nn_idx, d.d2 AS nn_dist_sq
+        FROM dist d JOIN win wi ON wi.i = d.i
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY d.i
+                                   ORDER BY d.d2 ASC, d.j ASC) = 1
+    """
+    # rescaled-range census: Z_k = wn*csum_k - k*S per full tumbling window
+    # (all n-scaled BIGINTs; Z_wn = 0 puts zero in the range set)
+    out["rs_range_hourly"] = """
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT hr, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY hr) - 1 AS BIGINT) AS rn
+            FROM h
+        ),
+        sz AS (SELECT CAST(wn AS BIGINT) AS wn
+               FROM (VALUES (24), (48)) t(wn)),
+        g AS (
+            SELECT z.wn, s.rn // z.wn AS gidx, s.n,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY z.wn, s.rn // z.wn
+                                           ORDER BY s.rn) AS BIGINT) AS k,
+                   SUM(s.n) OVER (PARTITION BY z.wn, s.rn // z.wn
+                                  ORDER BY s.rn) AS csum,
+                   SUM(s.n) OVER (PARTITION BY z.wn, s.rn // z.wn) AS ssum,
+                   SUM(s.n * s.n) OVER (PARTITION BY z.wn, s.rn // z.wn) AS qsum,
+                   COUNT(*) OVER (PARTITION BY z.wn, s.rn // z.wn) AS cnt,
+                   MIN(s.hr) OVER (PARTITION BY z.wn, s.rn // z.wn) AS ws
+            FROM s CROSS JOIN sz z
+        )
+        SELECT wn AS win_n, CAST(gidx AS BIGINT) AS win_idx,
+               ws AS window_start,
+               CAST(MAX(ssum) AS BIGINT) AS s_sum,
+               CAST(MAX(wn * csum - k * ssum)
+                    - MIN(wn * csum - k * ssum) AS BIGINT) AS r_scaled,
+               CAST(MAX(wn * qsum - ssum * ssum) AS BIGINT) AS var_num
+        FROM g WHERE cnt = wn
+        GROUP BY wn, gidx, ws
+    """
+    # Pettitt change point: V_k pairwise sign census + running sum; the
+    # earliest k wins |U| ties
+    out["pettitt_change_hourly"] = """
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT hr, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY hr) AS BIGINT) AS rn
+            FROM h
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+        v AS (
+            SELECT a.rn AS k,
+                   CAST(SUM(CASE WHEN a.n > b.n THEN 1
+                                 WHEN a.n < b.n THEN -1 ELSE 0 END)
+                        AS BIGINT) AS vk
+            FROM s a JOIN s b ON a.rn <> b.rn
+            GROUP BY 1
+        ),
+        u AS (
+            SELECT k, CAST(SUM(vk) OVER (ORDER BY k) AS BIGINT) AS uk FROM v
+        ),
+        best AS (
+            SELECT k, uk FROM u, mm WHERE k < m
+            QUALIFY ROW_NUMBER() OVER (ORDER BY abs(uk) DESC, k ASC) = 1
+        )
+        SELECT b.k AS k, s2.hr AS split_hour, b.uk AS u_stat,
+               CAST(abs(b.uk) AS BIGINT) AS u_abs, mm.m AS m
+        FROM best b CROSS JOIN mm JOIN s s2 ON s2.rn = b.k + 1
+    """
+    # SAX: integer-split PAA segments + equi-depth order-statistic
+    # breakpoints, all comparisons cross-multiplied
+    out["sax_hourly_symbols"] = """
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY hr) - 1 AS BIGINT) AS rn
+            FROM h
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+        paa AS (
+            SELECT s.rn * 8 // mm.m AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS den,
+                   CAST(SUM(s.n) AS BIGINT) AS num
+            FROM s, mm GROUP BY 1
+        ),
+        ranked AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS r FROM s),
+        br AS (
+            SELECT ks.k, r2.n AS bval
+            FROM (VALUES (1), (2), (3)) ks(k)
+            CROSS JOIN mm
+            JOIN ranked r2 ON r2.r = (ks.k * mm.m + 3) // 4
+        )
+        SELECT CAST(p.seg AS BIGINT) AS seg, p.den AS n_rows,
+               p.num AS paa_num, p.den AS paa_den,
+               CAST(SUM(CASE WHEN b.bval * p.den < p.num
+                             THEN 1 ELSE 0 END) AS BIGINT) AS symbol
+        FROM paa p CROSS JOIN br b
+        GROUP BY 1, 2, 3, 4
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -1862,3 +1862,286 @@ def bollinger_daily_counts(
             "bollinger_flag": pa.array(flag, pa.int64()),
         }
     )
+
+
+def _hourly_present_series(events_ds: "ray.data.Dataset"):
+    """Shared collector for the hourly event-count series: combiner-first
+    per-block Arrow ``group_by`` hour counts → one hours-domain ``groupby``
+    sum → collected + sorted numpy pair (hours as int64 epoch-hours,
+    counts as int64). The hours domain is bounded (8.8k rows/year) — the
+    documented result-sized finalize every daily/hourly kernel in this
+    module shares."""
+    from ..util import collect_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        g = pa.table({"hour": h}).group_by("hour").aggregate([([], "count_all")])
+        return pa.table(
+            {"hour": g["hour"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .sum("n")
+    )
+    if t.num_rows == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    hrs = (
+        t["hour"].to_numpy(zero_copy_only=False).astype("datetime64[h]").astype(np.int64)
+    )
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(hrs)
+    return hrs[order], n[order]
+
+
+def _hours_to_ts(hrs: np.ndarray) -> pa.Array:
+    return pa.array(
+        hrs.astype("datetime64[h]").astype("datetime64[us]"), pa.timestamp("us")
+    )
+
+
+def matrix_profile_hourly(
+    events_ds: "ray.data.Dataset", w: int = 24
+) -> pa.Table:
+    """Matrix profile of the hourly event-count series (Yeh et al. 2016,
+    UCR): for every length-``w`` subsequence over the PRESENT-hour rows
+    (ordered, ROWS semantics — same contract as :func:`bollinger_daily_counts`),
+    the squared Euclidean distance to its nearest non-trivial neighbor
+    (exclusion zone ``|i − j| >= w``, the standard trivial-match guard).
+    The minima locate motifs (small distances) and discords/anomalies
+    (large distances) — the canonical all-pairs similarity primitive for
+    time-series mining.
+
+    EXACT integers end to end: counts are ints, so every pairwise distance
+    ``Σ_k (x[i+k] − x[j+k])²`` is a BIGINT; ties break on the smaller
+    neighbor index, so the engine and the SQL self-join restatement agree
+    bit-for-bit (no z-normalization — that would need sqrt; the raw-count
+    profile is the integer-exact variant).
+
+    Distributed shape: the hourly census is combiner-first; the profile
+    kernel folds the hours-domain-sized series (m ≤ 8.8k/year → m² ≤ 77M
+    int ops, one numpy matmul) on the driver — the documented result-sized
+    finalize. At a larger hours domain the same kernel tiles per window
+    range inside ``map_groups`` (each tile needs only its ±w fringe).
+
+    Output: idx (0-based window start row), window_start (TIMESTAMP of
+    that hour), nn_idx, nn_dist_sq — BIGINTs, one row per window.
+    """
+    OUT = pa.schema(
+        [
+            ("idx", pa.int64()),
+            ("window_start", pa.timestamp("us")),
+            ("nn_idx", pa.int64()),
+            ("nn_dist_sq", pa.int64()),
+        ]
+    )
+    hrs, n = _hourly_present_series(events_ds)
+    m = len(n)
+    nwin = m - w + 1
+    if nwin < w + 1:  # need at least one pair outside the exclusion zone
+        return OUT.empty_table()
+    # windows matrix (nwin × w) in int64; pairwise squared distances via
+    # the Gram expansion d²(i,j) = |wi|² + |wj|² − 2·wi·wj — all integer
+    W = np.lib.stride_tricks.sliding_window_view(n, w).astype(np.int64)
+    sq = (W * W).sum(axis=1)
+    G = W @ W.T  # int64 matmul, exact
+    d2 = sq[:, None] + sq[None, :] - 2 * G
+    ii = np.arange(nwin)
+    excl = np.abs(ii[:, None] - ii[None, :]) < w
+    BIG = np.int64(2**62)
+    d2 = np.where(excl, BIG, d2)
+    nn_idx = np.argmin(d2, axis=1)  # first minimum = smallest j on ties
+    nn_d2 = d2[ii, nn_idx]
+    return pa.table(
+        {
+            "idx": pa.array(ii, pa.int64()),
+            "window_start": _hours_to_ts(hrs[:nwin]),
+            "nn_idx": pa.array(nn_idx.astype(np.int64), pa.int64()),
+            "nn_dist_sq": pa.array(nn_d2, pa.int64()),
+        }
+    )
+
+
+def rs_range_hourly(
+    events_ds: "ray.data.Dataset", sizes: tuple[int, ...] = (24, 48)
+) -> pa.Table:
+    """Rescaled-range (Hurst R/S analysis) census over the hourly
+    event-count series: for each window size ``n`` in ``sizes``, tumbling
+    windows of ``n`` consecutive present-hour rows emit the range of
+    mean-adjusted cumulative deviations and the variance numerator — the
+    two ingredients of the R/S statistic whose log-log slope estimates the
+    Hurst exponent (long-range dependence; Mandelbrot & Wallis 1969).
+
+    EXACT integers via scaling: with S = Σx over the window, the deviation
+    of x_k from the mean scaled by n is ``n·x_k − S``, so the cumulative
+    deviation Z_k = n·Σ_{i≤k}x_i − k·S is a BIGINT and
+
+        r_scaled   = max_k Z_k − min_k Z_k      (= n · R, and Z_n = 0
+                                                 puts 0 in the range set)
+        var_num    = n·Q − S²                   (= n² · population var)
+
+    are exact; the caller (or a notebook) does the one float log-log fit.
+    Partial trailing windows are dropped (full windows only — the SQL
+    restatement filters COUNT(*) OVER = n the same way).
+
+    Combiner-first hourly census; the fold is one cumsum pass per size
+    over the hours-domain-sized series (result-sized finalize).
+
+    Output: win_n, win_idx, window_start (TIMESTAMP), s_sum, r_scaled,
+    var_num — BIGINTs, one row per full tumbling window per size.
+    """
+    OUT = pa.schema(
+        [
+            ("win_n", pa.int64()),
+            ("win_idx", pa.int64()),
+            ("window_start", pa.timestamp("us")),
+            ("s_sum", pa.int64()),
+            ("r_scaled", pa.int64()),
+            ("var_num", pa.int64()),
+        ]
+    )
+    hrs, x = _hourly_present_series(events_ds)
+    m = len(x)
+    if m == 0:
+        return OUT.empty_table()
+    rows = {k: [] for k in ("win_n", "win_idx", "ws", "s_sum", "r", "v")}
+    for wn in sizes:
+        nfull = m // wn
+        if nfull == 0:
+            continue
+        xs = x[: nfull * wn].reshape(nfull, wn)
+        S = xs.sum(axis=1)
+        Q = (xs * xs).sum(axis=1)
+        csum = np.cumsum(xs, axis=1)
+        k = np.arange(1, wn + 1, dtype=np.int64)
+        Z = wn * csum - k[None, :] * S[:, None]
+        r = Z.max(axis=1) - Z.min(axis=1)
+        v = wn * Q - S * S
+        rows["win_n"].extend([wn] * nfull)
+        rows["win_idx"].extend(range(nfull))
+        rows["ws"].extend(hrs[np.arange(nfull) * wn])
+        rows["s_sum"].extend(S.tolist())
+        rows["r"].extend(r.tolist())
+        rows["v"].extend(v.tolist())
+    return pa.table(
+        {
+            "win_n": pa.array(rows["win_n"], pa.int64()),
+            "win_idx": pa.array(rows["win_idx"], pa.int64()),
+            "window_start": _hours_to_ts(np.array(rows["ws"], np.int64)),
+            "s_sum": pa.array(rows["s_sum"], pa.int64()),
+            "r_scaled": pa.array(rows["r"], pa.int64()),
+            "var_num": pa.array(rows["v"], pa.int64()),
+        }
+    )
+
+
+def pettitt_change_hourly(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Pettitt non-parametric change-point test on the hourly event-count
+    series (Pettitt 1979): the split k maximizing |U_k| where
+    U_k = Σ_{i≤k} Σ_{j>k} sign(x_i − x_j) — the rank-based (outlier-robust)
+    counterpart to :func:`changepoint_daily`'s variance-reduction split.
+
+    EXACT integers via the standard recurrence U_k = U_{k−1} + V_k with
+    V_k = Σ_{j≠k} sign(x_k − x_j) = #{x_j < x_k} − #{x_j > x_k}, computed
+    vectorized with two searchsorteds against the sorted values. Ties in
+    |U| break on the earlier k. The significance transform (exp) is left
+    to the caller — the statistic itself is integer.
+
+    Combiner-first hourly census; the fold is O(m log m) over the
+    hours-domain-sized series (result-sized finalize).
+
+    Output: one row — k (1-based position of the last LEFT-segment row),
+    split_hour (TIMESTAMP of the first RIGHT-segment row), u_stat (signed),
+    u_abs, m — BIGINTs. Empty/1-row series → 0 rows.
+    """
+    OUT = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("split_hour", pa.timestamp("us")),
+            ("u_stat", pa.int64()),
+            ("u_abs", pa.int64()),
+            ("m", pa.int64()),
+        ]
+    )
+    hrs, x = _hourly_present_series(events_ds)
+    m = len(x)
+    if m < 2:
+        return OUT.empty_table()
+    sx = np.sort(x)
+    less = np.searchsorted(sx, x, side="left")
+    greater = m - np.searchsorted(sx, x, side="right")
+    V = less - greater
+    U = np.cumsum(V)[:-1]  # U_k for k = 1..m-1
+    best = int(np.argmax(np.abs(U)))  # first max = earliest k on ties
+    return pa.table(
+        {
+            "k": pa.array([best + 1], pa.int64()),
+            "split_hour": _hours_to_ts(hrs[best + 1 : best + 2]),
+            "u_stat": pa.array([int(U[best])], pa.int64()),
+            "u_abs": pa.array([int(abs(U[best]))], pa.int64()),
+            "m": pa.array([m], pa.int64()),
+        }
+    )
+
+
+def sax_hourly_symbols(
+    events_ds: "ray.data.Dataset", segments: int = 8, alphabet: int = 4
+) -> pa.Table:
+    """SAX symbolization (Lin et al. 2003) of the hourly event-count
+    series: PAA-compress the m present-hour rows into ``segments``
+    equal-share segments, then map each segment mean to one of
+    ``alphabet`` symbols by comparing against EXACT equi-depth breakpoints
+    of the full series (order statistics — the integer-exact stand-in for
+    the Gaussian breakpoints of classic SAX, which would need erf).
+
+    All comparisons are cross-multiplied exact: segment assignment is
+    ``seg = floor(rn · segments / m)`` (0-based rn — the same integer-split
+    contract as :func:`paa_segments`); the PAA mean is carried as the
+    fraction (paa_num = Σx, paa_den = count); breakpoint b_k is the value
+    at 1-based position ``ceil(k·m/alphabet)`` of the sorted series; the
+    symbol is #{k : b_k · paa_den < paa_num} — no division anywhere, so
+    the SQL restatement matches bit-for-bit.
+
+    Combiner-first hourly census; segments-sized fold (result-sized
+    finalize). Output: seg (0-based), n_rows, paa_num, paa_den, symbol —
+    BIGINTs, one row per non-empty segment.
+    """
+    OUT = pa.schema(
+        [
+            ("seg", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("paa_num", pa.int64()),
+            ("paa_den", pa.int64()),
+            ("symbol", pa.int64()),
+        ]
+    )
+    _hrs, x = _hourly_present_series(events_ds)
+    m = len(x)
+    if m == 0:
+        return OUT.empty_table()
+    rn = np.arange(m, dtype=np.int64)
+    seg = rn * segments // m
+    num = np.zeros(segments, dtype=np.int64)
+    den = np.zeros(segments, dtype=np.int64)
+    np.add.at(num, seg, x)
+    np.add.at(den, seg, 1)
+    sx = np.sort(x)
+    # breakpoint k (1..alphabet-1) = value at 1-based position ceil(k*m/alphabet)
+    pos = np.array(
+        [-(-(k * m) // alphabet) for k in range(1, alphabet)], dtype=np.int64
+    )
+    breaks = sx[pos - 1]
+    present = den > 0
+    segs = np.arange(segments, dtype=np.int64)[present]
+    nums, dens = num[present], den[present]
+    sym = (breaks[None, :] * dens[:, None] < nums[:, None]).sum(axis=1)
+    return pa.table(
+        {
+            "seg": pa.array(segs, pa.int64()),
+            "n_rows": pa.array(dens, pa.int64()),
+            "paa_num": pa.array(nums, pa.int64()),
+            "paa_den": pa.array(dens, pa.int64()),
+            "symbol": pa.array(sym.astype(np.int64), pa.int64()),
+        }
+    )

@@ -785,3 +785,101 @@ def test_bollinger_daily_counts_empty(ray_session):
         "win_sumsq",
         "bollinger_flag",
     ]
+
+
+def _hourly_events(counts, start="2024-01-01T00"):
+    """One synthetic event per unit of count in consecutive hours."""
+    rows = []
+    eid = 0
+    t0 = np.datetime64(start, "h")
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, 1, str(t0 + i) + ":00:00", 1.0))
+            eid += 1
+    return _events(rows)
+
+
+def test_matrix_profile_known_answer(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import matrix_profile_hourly
+
+    # period-3 repeating series, w=3: every window's exact repeat sits
+    # 3 steps away -> nn_dist_sq == 0 with the SMALLEST admissible j
+    counts = [1, 2, 3] * 4  # 12 hours, 10 windows of w=3
+    ds = ray.data.from_arrow(_hourly_events(counts)).repartition(3)
+    out = matrix_profile_hourly(ds, w=3).to_pydict()
+    assert out["idx"] == list(range(10))
+    assert all(d == 0 for d in out["nn_dist_sq"])
+    # i=0 -> j=3 (first non-trivial exact repeat); i=4 -> j=1 (smaller side)
+    assert out["nn_idx"][0] == 3
+    assert out["nn_idx"][4] == 1
+
+
+def test_matrix_profile_exclusion_and_empty(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import matrix_profile_hourly
+
+    # too short for any pair outside the exclusion zone -> empty
+    ds = ray.data.from_arrow(_hourly_events([1, 2, 3, 4]))
+    assert matrix_profile_hourly(ds, w=3).num_rows == 0
+    ds0 = ray.data.from_arrow(_hourly_events([]))
+    assert matrix_profile_hourly(ds0, w=3).num_rows == 0
+
+
+def test_rs_range_known_answer(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import rs_range_hourly
+
+    # one full window of 4: x = [1,2,3,2]; S=8, Z = 4*csum - k*S
+    # csum = [1,3,6,8] -> Z = [-4, -4, 0, 0]; R = 0-(-4) = 4
+    # Q = 1+4+9+4 = 18; var_num = 4*18 - 64 = 8
+    ds = ray.data.from_arrow(_hourly_events([1, 2, 3, 2, 9])).repartition(2)
+    t = rs_range_hourly(ds, sizes=(4,)).to_pydict()
+    assert t["win_n"] == [4] and t["win_idx"] == [0]
+    assert t["s_sum"] == [8] and t["r_scaled"] == [4] and t["var_num"] == [8]
+
+
+def test_pettitt_known_answer(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import pettitt_change_hourly
+
+    # level shift 1,1,1 -> 5,5,5: U_3 = 3*3 = 9 (every left < every right)
+    ds = ray.data.from_arrow(_hourly_events([1, 1, 1, 5, 5, 5])).repartition(2)
+    t = pettitt_change_hourly(ds).to_pydict()
+    assert t["k"] == [3] and t["u_stat"] == [-9] or t["u_stat"] == [9]
+    # sign convention: U_k = sum sign(x_i - x_j), left smaller -> negative
+    assert t["u_stat"] == [-9] and t["u_abs"] == [9] and t["m"] == [6]
+    assert t["split_hour"][0] == np.datetime64("2024-01-01T03", "us").item()
+
+
+def test_pettitt_empty_and_single(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import pettitt_change_hourly
+
+    assert pettitt_change_hourly(
+        ray.data.from_arrow(_hourly_events([7]))
+    ).num_rows == 0
+
+
+def test_sax_symbols_known_answer(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import sax_hourly_symbols
+
+    # m=8, segments=4, alphabet=4: segments of 2 rows each
+    # series: [1,1, 2,2, 3,3, 4,4]; sorted same; breakpoints at
+    # ceil(k*8/4) = positions 2,4,6 -> values 1,2,3
+    # seg means: 1,2,3,4 -> symbols = #breaks strictly below mean:
+    # 1 -> 0; 2 -> 1 (1<2); 3 -> 2; 4 -> 3
+    ds = ray.data.from_arrow(
+        _hourly_events([1, 1, 2, 2, 3, 3, 4, 4])
+    ).repartition(3)
+    t = sax_hourly_symbols(ds, segments=4, alphabet=4).to_pydict()
+    assert t["seg"] == [0, 1, 2, 3]
+    assert t["paa_num"] == [2, 4, 6, 8] and t["paa_den"] == [2, 2, 2, 2]
+    assert t["symbol"] == [0, 1, 2, 3]
