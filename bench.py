@@ -351,6 +351,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "copurchase_part_pairs",
         "charclass_census_documents",
         "spend_decile_census",
+        "matrix_profile_hourly",
+        "rs_range_hourly",
+        "pettitt_change_hourly",
+        "sax_hourly_symbols",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)
