@@ -1893,6 +1893,33 @@ def q_sax_hourly_symbols(sf_dir: str):
     return sax_hourly_symbols(_events_value_ds(sf_dir, ["ts"]))
 
 
+def q_runs_test_hourly(sf_dir: str):
+    """Wald–Wolfowitz runs test on the hourly series: order-statistic
+    median dichotomy, equal values discarded, exact run count; SQL
+    restatement with LAG over the kept rows."""
+    from pyreshaper_ray.stages.timeseries import runs_test_hourly
+
+    return runs_test_hourly(_events_value_ds(sf_dir, ["ts"]))
+
+
+def q_mi_type_hod(sf_dir: str):
+    """Mutual information between event type and hour-of-day in exact
+    micro-nats (per-count ln quantized once, truncating final division);
+    SQL restatement with the same quantization."""
+    from pyreshaper_ray.stages.timeseries import mi_type_hod
+
+    return mi_type_hod(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
+def q_croston_daily(sf_dir: str):
+    """Croston intermittent-demand smoothing of daily purchase counts —
+    milli-unit integer EWMA of demand size and inter-demand interval;
+    recursive-CTE oracle shares the trunc-division recurrence."""
+    from pyreshaper_ray.stages.timeseries import croston_daily
+
+    return croston_daily(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3133,6 +3160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rs_range_hourly": q_rs_range_hourly,
         "pettitt_change_hourly": q_pettitt_change_hourly,
         "sax_hourly_symbols": q_sax_hourly_symbols,
+        "runs_test_hourly": q_runs_test_hourly,
+        "mi_type_hod": q_mi_type_hod,
+        "croston_daily": q_croston_daily,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7386,6 +7416,100 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS symbol
         FROM paa p CROSS JOIN br b
         GROUP BY 1, 2, 3, 4
+    """
+    # runs test: lower-median dichotomy (order statistic at ceil(m/2)),
+    # median-equal hours dropped, runs = 1 + sign changes in hour order
+    out["runs_test_hourly"] = """
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT hr, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY hr) AS BIGINT) AS rn
+            FROM h
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+        med AS (
+            SELECT n AS med FROM (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS r FROM s
+            ), mm WHERE r = (m + 1) // 2
+        ),
+        kept AS (
+            SELECT s.rn, CASE WHEN s.n > med.med THEN 1 ELSE 0 END AS sg
+            FROM s, med WHERE s.n <> med.med
+        ),
+        chg AS (SELECT sg, LAG(sg) OVER (ORDER BY rn) AS prev FROM kept)
+        SELECT mm.m AS m, CAST(med.med AS BIGINT) AS med,
+               CAST((SELECT COUNT(*) FROM kept WHERE sg = 1) AS BIGINT)
+                   AS n_above,
+               CAST((SELECT COUNT(*) FROM kept WHERE sg = 0) AS BIGINT)
+                   AS n_below,
+               CAST((SELECT CASE WHEN COUNT(*) = 0 THEN 0
+                                 ELSE 1 + SUM(CASE WHEN prev IS NOT NULL
+                                                    AND sg <> prev
+                                              THEN 1 ELSE 0 END) END
+                     FROM chg) AS BIGINT) AS n_runs
+        FROM mm CROSS JOIN med
+    """
+    # MI(type, hour-of-day) in micro-nats: each ln(count) quantized once,
+    # truncating final division (same idiom as daily_type_entropy)
+    out["mi_type_hod"] = """
+        WITH c AS (
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tm AS (SELECT event_type, SUM(n) AS nt FROM c GROUP BY 1),
+        hm AS (SELECT hod, SUM(n) AS nh FROM c GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM c),
+        num AS (
+            SELECT CAST(SUM(c.n * (
+                       CAST(FLOOR(LN(c.n) * 1000000 + 0.5) AS BIGINT)
+                     + CAST(FLOOR(LN(tot.N) * 1000000 + 0.5) AS BIGINT)
+                     - CAST(FLOOR(LN(tm.nt) * 1000000 + 0.5) AS BIGINT)
+                     - CAST(FLOOR(LN(hm.nh) * 1000000 + 0.5) AS BIGINT)
+                   )) AS BIGINT) AS mi_num
+            FROM c
+            JOIN tm ON tm.event_type = c.event_type
+            JOIN hm ON hm.hod = c.hod
+            CROSS JOIN tot
+        )
+        SELECT tot.N AS n_events,
+               CAST((SELECT COUNT(*) FROM tm) AS BIGINT) AS n_types,
+               CAST((SELECT COUNT(*) FROM hm) AS BIGINT) AS n_hods,
+               num.mi_num AS mi_num,
+               CAST(num.mi_num // tot.N AS BIGINT) AS mi_micro_nats
+        FROM tot CROSS JOIN num
+    """
+    # Croston: recursive CTE over demand days; z/p in milli-units with
+    # DuckDB's truncating // matching the engine's _tdiv
+    out["croston_daily"] = """
+        WITH RECURSIVE d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        s AS (
+            SELECT day, x,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+                   CAST(COALESCE(date_diff('day',
+                        LAG(day) OVER (ORDER BY day), day), 1) AS BIGINT) AS q
+            FROM d
+        ),
+        rec AS (
+            SELECT k, day, x, q,
+                   CAST(1000 * x AS BIGINT) AS z,
+                   CAST(1000 * q AS BIGINT) AS p
+            FROM s WHERE k = 1
+            UNION ALL
+            SELECT s.k, s.day, s.x, s.q,
+                   CAST(rec.z + (1000 * s.x - rec.z) // 8 AS BIGINT),
+                   CAST(rec.p + (1000 * s.q - rec.p) // 8 AS BIGINT)
+            FROM rec JOIN s ON s.k = rec.k + 1
+        )
+        SELECT day, x, q, z AS z_milli, p AS p_milli FROM rec
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

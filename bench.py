@@ -355,6 +355,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "rs_range_hourly",
         "pettitt_change_hourly",
         "sax_hourly_symbols",
+        "runs_test_hourly",
+        "mi_type_hod",
+        "croston_daily",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -2145,3 +2145,224 @@ def sax_hourly_symbols(
             "symbol": pa.array(sym.astype(np.int64), pa.int64()),
         }
     )
+
+
+def runs_test_hourly(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Wald–Wolfowitz runs test for randomness on the hourly event-count
+    series: dichotomize each hour as above/below the series median
+    (median-equal hours discarded, the standard treatment), then count
+    the runs of consecutive same-side hours — too few runs ⇒ trending /
+    clustered load, too many ⇒ oscillation. The z-transform is left to
+    the caller; every reported component is an exact integer.
+
+    The median is the LOWER median (value at 1-based position
+    ``ceil(m/2)`` of the sorted series — an order statistic, no
+    averaging), so the dichotomy is integer-exact and the SQL restatement
+    agrees bit-for-bit.
+
+    Combiner-first hourly census; O(m log m) fold over the hours-domain
+    series (result-sized finalize).
+
+    Output: one row — m, med, n_above, n_below, n_runs (BIGINTs).
+    Empty series → 0 rows; all-equal series → n_runs 0.
+    """
+    OUT = pa.schema(
+        [
+            ("m", pa.int64()),
+            ("med", pa.int64()),
+            ("n_above", pa.int64()),
+            ("n_below", pa.int64()),
+            ("n_runs", pa.int64()),
+        ]
+    )
+    _hrs, x = _hourly_present_series(events_ds)
+    m = len(x)
+    if m == 0:
+        return OUT.empty_table()
+    sx = np.sort(x)
+    med = int(sx[(m + 1) // 2 - 1])
+    kept = x[x != med]
+    sg = kept > med
+    n_above = int(sg.sum())
+    n_below = int(len(kept) - n_above)
+    n_runs = 0 if len(kept) == 0 else 1 + int((sg[1:] != sg[:-1]).sum())
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "med": pa.array([med], pa.int64()),
+            "n_above": pa.array([n_above], pa.int64()),
+            "n_below": pa.array([n_below], pa.int64()),
+            "n_runs": pa.array([n_runs], pa.int64()),
+        }
+    )
+
+
+def mi_type_hod(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Mutual information between event type and hour-of-day, in exact
+    micro-nats — the dependence monitor behind "does traffic mix shift by
+    time of day?" alerts (0 ⇒ independent; the chi-square census
+    :func:`~.analytics.chi2_independence_cells` is the moment-based
+    cousin; this is the information-theoretic one).
+
+    Same float policy as :func:`daily_type_entropy`: each ``ln(count)``
+    is quantized ONCE to integer micro-nats L(n) = floor(ln(n)·1e6 + .5),
+    then
+
+        mi_num   = Σ_{t,h} n_th · (L(n_th) + L(N) − L(n_t) − L(n_h))
+        mi_micro = trunc(mi_num / N)
+
+    is pure integer arithmetic (truncating division — quantization can
+    push the sum a hair negative, so the rounding rule must match SQL's
+    ``//``). Combiner-first per-(type, hod) counts — a ≤ types×24-row
+    exchange; the fold is a numpy pass over that domain-sized table.
+
+    Output: one row — n_events, n_types, n_hods, mi_num, mi_micro_nats
+    (BIGINTs). Empty input → 0 rows.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("n_events", pa.int64()),
+            ("n_types", pa.int64()),
+            ("n_hods", pa.int64()),
+            ("mi_num", pa.int64()),
+            ("mi_micro_nats", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "event_type": batch["event_type"],
+                    "hod": pc.cast(pc.hour(batch["ts"]), pa.int64()),
+                }
+            )
+            .group_by(["event_type", "hod"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hod": g["hod"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hod"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    et = t["event_type"].to_pylist()
+    hod = t["hod"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def L(v: np.ndarray) -> np.ndarray:
+        return np.floor(np.log(v.astype(np.float64)) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+
+    types = sorted(set(et))
+    tix = np.array([types.index(e) for e in et], dtype=np.int64)
+    nt = np.zeros(len(types), dtype=np.int64)
+    np.add.at(nt, tix, n)
+    nh = np.zeros(24, dtype=np.int64)
+    np.add.at(nh, hod, n)
+    N = int(n.sum())
+    LN = int(np.floor(np.log(float(N)) * 1_000_000 + 0.5))
+    # nh[hod] is the per-row hour marginal — every observed hod has count > 0
+    num = int((n * (L(n) + LN - L(nt)[tix] - L(nh[hod]))).sum())
+    mi = _tdiv(num, N)
+    return pa.table(
+        {
+            "n_events": pa.array([N], pa.int64()),
+            "n_types": pa.array([len(types)], pa.int64()),
+            "n_hods": pa.array([int((nh > 0).sum())], pa.int64()),
+            "mi_num": pa.array([num], pa.int64()),
+            "mi_micro_nats": pa.array([mi], pa.int64()),
+        }
+    )
+
+
+def croston_daily(
+    events_ds: "ray.data.Dataset", event_type: str = "purchase", alpha_den: int = 8
+) -> pa.Table:
+    """Croston's method (1972) for intermittent demand on the daily count
+    series of one event type: separate exponential smoothing of the
+    demand SIZE (z) and the inter-demand INTERVAL (p) updated only on
+    demand days — the standard forecaster when most days are zero (the
+    demand rate is z/p; that one division is left to the caller).
+
+    Integer-exact in milli-units with the repo's truncating-division
+    idiom (:func:`_tdiv` == SQL ``//``): with smoothing 1/``alpha_den``,
+
+        z_k = z_{k−1} + trunc((1000·x_k − z_{k−1}) / alpha_den)
+        p_k = p_{k−1} + trunc((1000·q_k − p_{k−1}) / alpha_den)
+
+    initialized z_1 = 1000·x_1, p_1 = 1000·q_1 with q_1 = 1 (first
+    interval unobserved — the usual convention) and q_k the calendar-day
+    gap to the previous demand day. The sequential recurrence folds the
+    days-domain-sized collected series (result-sized finalize); the SQL
+    restatement is a recursive CTE over the same recurrence.
+
+    Output: day, x, q, z_milli, p_milli — BIGINTs, one row per demand
+    day. Empty input → 0 rows.
+    """
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("x", pa.int64()),
+            ("q", pa.int64()),
+            ("z_milli", pa.int64()),
+            ("p_milli", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["event_type"], event_type)
+        d = pc.floor_temporal(pc.filter(batch["ts"], keep), unit="day")
+        g = pa.table({"day": d}).group_by("day").aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("n")
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    days = (
+        t["day"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+    )
+    x = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days)
+    days, x = days[order], x[order]
+    q = np.r_[1, np.diff(days)]
+    z = np.empty(len(x), dtype=np.int64)
+    p = np.empty(len(x), dtype=np.int64)
+    z[0], p[0] = 1000 * int(x[0]), 1000 * int(q[0])
+    for k in range(1, len(x)):
+        z[k] = z[k - 1] + _tdiv(1000 * int(x[k]) - int(z[k - 1]), alpha_den)
+        p[k] = p[k - 1] + _tdiv(1000 * int(q[k]) - int(p[k - 1]), alpha_den)
+    return pa.table(
+        {
+            "day": pa.array(
+                days.astype("datetime64[D]").astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "x": pa.array(x, pa.int64()),
+            "q": pa.array(q.astype(np.int64), pa.int64()),
+            "z_milli": pa.array(z, pa.int64()),
+            "p_milli": pa.array(p, pa.int64()),
+        }
+    )

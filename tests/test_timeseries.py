@@ -883,3 +883,106 @@ def test_sax_symbols_known_answer(ray_session):
     assert t["seg"] == [0, 1, 2, 3]
     assert t["paa_num"] == [2, 4, 6, 8] and t["paa_den"] == [2, 2, 2, 2]
     assert t["symbol"] == [0, 1, 2, 3]
+
+
+def test_runs_test_known_answer(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import runs_test_hourly
+
+    # series 1,5,1,5,3,3: sorted [1,1,3,3,5,5], lower median at
+    # ceil(6/2)=3 -> 3; equals dropped -> signs of 1,5,1,5 = B,A,B,A
+    # -> 4 runs, 2 above, 2 below
+    ds = ray.data.from_arrow(_hourly_events([1, 5, 1, 5, 3, 3])).repartition(2)
+    t = runs_test_hourly(ds).to_pydict()
+    assert t["m"] == [6] and t["med"] == [3]
+    assert t["n_above"] == [2] and t["n_below"] == [2] and t["n_runs"] == [4]
+
+
+def test_runs_test_all_equal_and_empty(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import runs_test_hourly
+
+    t = runs_test_hourly(
+        ray.data.from_arrow(_hourly_events([4, 4, 4]))
+    ).to_pydict()
+    assert t["n_runs"] == [0] and t["n_above"] == [0] and t["n_below"] == [0]
+    assert runs_test_hourly(
+        ray.data.from_arrow(_hourly_events([]))
+    ).num_rows == 0
+
+
+def test_mi_type_hod_independent_and_dependent(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import mi_type_hod
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        )
+
+    # perfectly dependent: type a only at hour 0, type b only at hour 1,
+    # equal masses -> MI = ln 2 = 693147 micro-nats exactly
+    dep = ev(
+        [("a", "2024-01-01T00:10:00")] * 2 + [("b", "2024-01-01T01:10:00")] * 2
+    )
+    t = mi_type_hod(ray.data.from_arrow(dep).repartition(2)).to_pydict()
+    assert t["n_events"] == [4] and t["n_types"] == [2] and t["n_hods"] == [2]
+    assert t["mi_micro_nats"] == [693147]
+    # perfectly independent uniform 2x2 -> every term ln1 = 0
+    ind = ev(
+        [
+            ("a", "2024-01-01T00:10:00"),
+            ("a", "2024-01-01T01:10:00"),
+            ("b", "2024-01-01T00:20:00"),
+            ("b", "2024-01-01T01:20:00"),
+        ]
+    )
+    t2 = mi_type_hod(ray.data.from_arrow(ind)).to_pydict()
+    assert t2["mi_num"] == [0] and t2["mi_micro_nats"] == [0]
+
+
+def test_croston_recurrence_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import croston_daily
+
+    def ev(day_counts):
+        rows = []
+        for day, c in day_counts:
+            for i in range(c):
+                rows.append(("purchase", f"2024-01-{day:02d}T08:0{i}:00"))
+        # one non-purchase row that must be filtered out
+        rows.append(("view", "2024-01-01T09:00:00"))
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        )
+
+    # demand days 1 (x=2), 4 (x=5, q=3), 5 (x=1, q=1)
+    ds = ray.data.from_arrow(ev([(1, 2), (4, 5), (5, 1)])).repartition(2)
+    t = croston_daily(ds).to_pydict()
+    assert t["x"] == [2, 5, 1] and t["q"] == [1, 3, 1]
+    # z: 2000 -> 2000 + (5000-2000)//8 = 2375 -> 2375 + (1000-2375)//8
+    #    = 2375 + trunc(-171.875) = 2375 - 171 = 2204
+    assert t["z_milli"] == [2000, 2375, 2204]
+    # p: 1000 -> 1000 + (3000-1000)//8 = 1250 -> 1250 + (1000-1250)//8
+    #    = 1250 - 31 = 1219
+    assert t["p_milli"] == [1000, 1250, 1219]
