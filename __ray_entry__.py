@@ -1920,6 +1920,37 @@ def q_croston_daily(sf_dir: str):
     return croston_daily(_events_value_ds(sf_dir, ["event_type", "ts"]))
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: per query vector (vec_id < 10), top-3 most
+    cosine-similar OTHER-label vectors — broadcast query matrix, per-block
+    partial top-k, IDs-only compare like knn_cosine_top5."""
+    from pyreshaper_ray.stages.similarity import hard_negatives
+
+    return hard_negatives(sf_dir, n_queries=10, k=3)
+
+
+def q_skipgram_transitions(sf_dir: str):
+    """Skip-gram event transitions (forward distance 1..3 per user,
+    (ts, event_id) order): counts per (from_type, to_type, gap); SQL
+    restatement with three LEAD offsets."""
+    from pyreshaper_ray.stages.windows import skipgram_transitions
+
+    return skipgram_transitions(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    )
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM segmentation of purchasing users: exact recency/frequency/
+    monetary metrics plus 1-4 quartile codes from order-statistic bounds
+    (spend_decile bucket contract)."""
+    from pyreshaper_ray.stages.analytics import rfm_scores
+
+    return rfm_scores(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "ts", "value"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3163,6 +3194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_test_hourly": q_runs_test_hourly,
         "mi_type_hod": q_mi_type_hod,
         "croston_daily": q_croston_daily,
+        "hard_negatives_top3": q_hard_negatives,
+        "skipgram_transitions_w3": q_skipgram_transitions,
+        "rfm_scores": q_rfm_scores,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7510,6 +7544,92 @@ def oracle_sql() -> dict[str, str]:
             FROM rec JOIN s ON s.k = rec.k + 1
         )
         SELECT day, x, q, z AS z_milli, p AS p_milli FROM rec
+    """
+    # hard negatives: knn restatement with the other-label filter; IDs only
+    out["hard_negatives_top3"] = """
+        WITH q AS (
+            SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10
+        ),
+        s AS (
+            SELECT q.qid, e.vec_id AS nid,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS sim
+            FROM embeddings e, q WHERE e.label <> q.ql
+        ),
+        r AS (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid ASC) AS rn
+            FROM s
+        )
+        SELECT CAST(qid AS BIGINT) AS query_id,
+               CAST(nid AS BIGINT) AS neighbor_id
+        FROM r WHERE rn <= 3
+    """
+    # skip-gram transitions: LEAD at offsets 1..3 under (ts, event_id)
+    out["skipgram_transitions_w3"] = """
+        WITH l AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type, 1) OVER w AS t1,
+                   LEAD(event_type, 2) OVER w AS t2,
+                   LEAD(event_type, 3) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        u AS (
+            SELECT from_type, t1 AS to_type, 1 AS gap FROM l
+            WHERE t1 IS NOT NULL
+            UNION ALL
+            SELECT from_type, t2, 2 FROM l WHERE t2 IS NOT NULL
+            UNION ALL
+            SELECT from_type, t3, 3 FROM l WHERE t3 IS NOT NULL
+        )
+        SELECT from_type, to_type, CAST(gap AS BIGINT) AS gap,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM u GROUP BY 1, 2, 3
+    """
+    # RFM: recency vs the latest purchase day, order-statistic quartile
+    # bounds at ceil(k*n/4), code = 1 + #bounds strictly below
+    out["rfm_scores"] = """
+        WITH p AS (
+            SELECT user_id,
+                   MAX(ts) AS last_ts,
+                   CAST(COUNT(*) AS BIGINT) AS f_n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS m_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        rr AS (
+            SELECT user_id,
+                   CAST(date_diff('day', date_trunc('day', last_ts),
+                        (SELECT date_trunc('day', MAX(last_ts)) FROM p))
+                        AS BIGINT) AS r_days,
+                   f_n, m_cents
+            FROM p
+        ),
+        b AS (
+            SELECT list_sort(list(r_days)) AS lr,
+                   list_sort(list(f_n)) AS lf,
+                   list_sort(list(m_cents)) AS lm,
+                   COUNT(*) AS n
+            FROM rr
+        ),
+        bounds AS (
+            SELECT t.k,
+                   b.lr[CAST(CEIL(t.k * b.n / 4.0) AS BIGINT)] AS br,
+                   b.lf[CAST(CEIL(t.k * b.n / 4.0) AS BIGINT)] AS bf,
+                   b.lm[CAST(CEIL(t.k * b.n / 4.0) AS BIGINT)] AS bm
+            FROM b, range(1, 4) t(k)
+        )
+        SELECT rr.user_id, rr.r_days, rr.f_n, rr.m_cents,
+               CAST(1 + SUM(CASE WHEN bo.br < rr.r_days THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_code,
+               CAST(1 + SUM(CASE WHEN bo.bf < rr.f_n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f_code,
+               CAST(1 + SUM(CASE WHEN bo.bm < rr.m_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m_code
+        FROM rr CROSS JOIN bounds bo
+        GROUP BY 1, 2, 3, 4
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -358,6 +358,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "runs_test_hourly",
         "mi_type_hod",
         "croston_daily",
+        "hard_negatives_top3",
+        "skipgram_transitions_w3",
+        "rfm_scores",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -7323,3 +7323,88 @@ def spend_decile_census(orders_ds: "ray.data.Dataset") -> pa.Table:
     return census.select(["decile", "n_customers", "spend_cents"]).sort_by(
         "decile"
     )
+
+
+def rfm_scores(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """RFM (recency / frequency / monetary) customer scoring over purchase
+    events — the classic segmentation table: per user, days since last
+    purchase (vs the corpus's latest purchase day), purchase count, exact
+    cents spent, and a 1–4 quartile code per dimension.
+
+    Distributed shape: one user-keyed :func:`~..util.hash_partitioned_agg`
+    (max ts / count / sum cents — two thin int64 columns in the exchange),
+    then the three quartile-bound triples come from the shared-pass
+    histogram selector (:func:`_hist_select_ranks`, rank convention
+    ``ceil(k·n/4) − 1`` — no sort), and every user is bucketed against the
+    nine broadcast bounds (code = 1 + #bounds strictly below, ties in the
+    LOWER bucket — the :func:`spend_decile_census` contract).
+
+    Output: user_id, r_days, f_n, m_cents, r_code, f_code, m_code — all
+    BIGINT, one row per purchasing user.
+    """
+    import math
+
+    from ray.data.aggregate import Max
+
+    from ..util import hash_partitioned_agg
+
+    _US_PER_DAY = 86_400_000_000
+
+    def cents_rows(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "c": to_cents(t["value"]),
+            }
+        )
+
+    per_user = hash_partitioned_agg(
+        events_ds.map_batches(cents_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("ts_us", "max", "last_us"), ("ts_us", "count", "f_n"), ("c", "sum", "m_cents")],
+    ).materialize()
+    n = per_user.count()
+    if n == 0:
+        return per_user  # empty, schema-correct enough for callers
+
+    ref = per_user.aggregate(Max("last_us"))["max(last_us)"]
+    ref_day = int(ref) // _US_PER_DAY
+
+    def with_r(b: pa.Table) -> pa.Table:
+        last = b["last_us"].to_numpy(zero_copy_only=False)
+        r = ref_day - last // _US_PER_DAY
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "r_days": pa.array(r.astype(np.int64), pa.int64()),
+                "f_n": pc.cast(b["f_n"], pa.int64()),
+                "m_cents": pc.cast(b["m_cents"], pa.int64()),
+            }
+        )
+
+    base = per_user.map_batches(
+        with_r, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ranks = [max(math.ceil(k * n / 4), 1) - 1 for k in (1, 2, 3)]
+    bounds = {}
+    for col in ("r_days", "f_n", "m_cents"):
+        vals = _hist_select_ranks(
+            base,
+            lambda b, col=col: b[col].to_numpy(zero_copy_only=False),
+            ranks,
+        )
+        bounds[col] = np.asarray(vals, np.int64)
+
+    def code(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in ("user_id", "r_days", "f_n", "m_cents")}
+        for c in ("r_days", "f_n", "m_cents"):
+            v = b[c].to_numpy(zero_copy_only=False)
+            cols[c[0] + "_code"] = pa.array(
+                1 + np.searchsorted(bounds[c], v, side="left"), pa.int64()
+            )
+        return pa.table(cols)
+
+    return base.map_batches(code, batch_format="pyarrow", zero_copy_batch=True)

@@ -1723,3 +1723,93 @@ def pq_train_encode(
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).sort(
         "vec_id"
     )
+
+
+def hard_negatives(sf_dir: str, n_queries: int = 10, k: int = 3) -> pa.Table:
+    """Hard-negative mining for contrastive training: for each of the
+    first ``n_queries`` vectors, the ``k`` most cosine-similar vectors
+    carrying a DIFFERENT label — the near-miss negatives that make
+    embedding/reranker training data hard (the standard mining step in
+    dense-retrieval pipelines; positives are same-label, negatives are
+    the closest other-label vectors).
+
+    Same distributed shape as :func:`knn_bruteforce`: the query matrix
+    (ids + labels + normalized rows) is ``ray.put`` ONCE and read by
+    every stateless task; each batch emits its per-query top-k
+    other-label candidates (k × n_queries × n_blocks rows — tiny), and a
+    driver-side heap merge finalizes. Ties break (sim desc, neighbor_id
+    asc) as in the oracle's ROW_NUMBER.
+
+    Output: query_id, neighbor_id (BIGINTs) — IDs only, so the compare
+    is float-ordering-insensitive except for genuine near-ties (same
+    contract as ``knn_cosine_top5``).
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..util import cached_get
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    qmask = np.array(emb["vec_id"].to_pylist()) < n_queries
+    qt = emb.filter(pa.array(qmask))
+    qids = qt["vec_id"].to_pylist()
+    qlabels = np.asarray(qt["label"].to_pylist(), dtype=np.int64)
+    qmat = _batch_matrix(qt)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    ref = ray.put((qids, qlabels, qmat / qn[:, None]))
+
+    def cands(batch: pa.Table) -> pa.Table:
+        ids_, labs, qnorm = cached_get(ref)
+        m = _batch_matrix(batch)
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        blabs = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (m / nrm[:, None]) @ qnorm.T
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(ids_):
+            ok = blabs != labs[j]
+            if not ok.any():
+                continue
+            col = sims[ok, j]
+            cid = bids[ok]
+            kk = min(k, len(col))
+            top = (
+                np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else
+                np.arange(len(col))
+            )
+            for i in top:
+                out_q.append(qid)
+                out_n.append(int(cid[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    t = ds.map_batches(cands, batch_format="pyarrow").to_pandas()
+    rows_q, rows_n = [], []
+    for qid in sorted(set(t["query_id"])):
+        g = t[t["query_id"] == qid]
+        top = heapq.nsmallest(
+            k, g.itertuples(), key=lambda r: (-r.sim, r.neighbor_id)
+        )
+        for r in top:
+            rows_q.append(int(qid))
+            rows_n.append(int(r.neighbor_id))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+        }
+    )

@@ -1744,3 +1744,73 @@ def markov_backtest(events_ds: "ray.data.Dataset") -> pa.Table:
             "accuracy_ppm": pa.array(ncorr * 1_000_000 // npair, pa.int64()),
         }
     )
+
+
+def skipgram_transitions(
+    events_ds: "ray.data.Dataset", max_gap: int = 3
+) -> "ray.data.Dataset":
+    """Skip-gram event transitions (PrefixSpan-lite): per user, order
+    events by (ts, event_id) and count every (from_type, to_type) pair at
+    forward distance 1..``max_gap`` — the non-contiguous generalization of
+    :func:`event_transitions` that surfaces "A is followed by B within a
+    few steps" patterns a strict first-order chain misses.
+
+    The per-user kernel is one sort + ``max_gap`` shifted slice pairs (no
+    Python loop over rows); each group reduces to ≤ types²·max_gap rows
+    before the result-sized final groupby.
+
+    Output: from_type, to_type (STRING), gap (BIGINT 1..max_gap),
+    n (BIGINT).
+    """
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = g["event_type"].combine_chunks()
+        n = len(et)
+        parts = []
+        for gap in range(1, max_gap + 1):
+            if n <= gap:
+                break
+            parts.append(
+                pa.table(
+                    {
+                        "from_type": et.slice(0, n - gap),
+                        "to_type": et.slice(gap),
+                        "gap": pa.array([gap] * (n - gap), pa.int64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "gap": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.concat_tables(parts)
+        agg = t.group_by(["from_type", "to_type", "gap"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "from_type": agg["from_type"],
+                "to_type": agg["to_type"],
+                "gap": agg["gap"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type", "gap"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

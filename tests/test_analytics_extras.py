@@ -2295,3 +2295,49 @@ def test_spend_decile_census_empty(ray_session):
     )
     out = spend_decile_census(ray.data.from_arrow(t))
     assert out.num_rows == 0
+
+
+def test_rfm_scores_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import rfm_scores
+
+    def ev(rows):
+        return pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[2], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            }
+        )
+
+    # 4 purchasers; user 9's view event must be ignored entirely
+    rows = [
+        (1, "purchase", "2024-01-10T12:00:00", 10.00),   # r=0d f=1 m=1000
+        (2, "purchase", "2024-01-09T12:00:00", 5.00),
+        (2, "purchase", "2024-01-08T12:00:00", 5.00),    # r=1d f=2 m=1000
+        (3, "purchase", "2024-01-05T12:00:00", 20.00),   # r=5d f=1 m=2000
+        (4, "purchase", "2024-01-01T12:00:00", 1.00),    # r=9d f=1 m=100
+        (9, "view", "2024-01-10T23:00:00", 99.0),
+    ]
+    out = (
+        rfm_scores(ray.data.from_arrow(ev(rows)).repartition(3))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3, 4]
+    assert out.loc[1, "r_days"] == 0 and out.loc[4, "r_days"] == 9
+    assert out.loc[2, "f_n"] == 2 and out.loc[2, "m_cents"] == 1000
+    # n=4 -> quartile bound positions ceil(k·4/4)=1,2,3 (1-based)
+    # r_days sorted [0,1,5,9] -> bounds 0,1,5: codes r: u1->1, u2->2, u3->3, u4->4
+    assert list(out["r_code"]) == [1, 2, 3, 4]
+    # f_n sorted [1,1,1,2] -> bounds 1,1,1: f codes: 1 for f=1, 4 for f=2
+    assert list(out["f_code"]) == [1, 4, 1, 1]
+    # m_cents sorted [100,1000,1000,2000] -> bounds 100,1000,1000
+    # codes: 1000->2, 1000->2, 2000->4, 100->1
+    assert list(out["m_code"]) == [2, 2, 4, 1]

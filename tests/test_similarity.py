@@ -533,3 +533,34 @@ def test_pq_train_encode_planted(ray_session, tmp_path):
     # monotone capacity: k=1 distortion >= k=4 distortion (same init rule)
     out_k1 = pq_train_encode(str(tmp_path), m_subspaces=4, k=1, n_iters=4).to_pandas()
     assert out_k1["distortion_micro"].sum() >= out["distortion_micro"].sum()
+
+
+def test_hard_negatives_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.similarity import hard_negatives
+
+    # query 0 (label 0) at e0; same-label twin at id 10 (cos=1, must be
+    # EXCLUDED); other-label near-twin at id 11 (closest admissible);
+    # farther other-label vectors at 12, 13
+    vecs = {
+        0: ([1.0, 0.0, 0.0, 0.0], 0),
+        10: ([2.0, 0.0, 0.0, 0.0], 0),      # same label, excluded
+        11: ([1.0, 0.1, 0.0, 0.0], 1),      # closest other-label
+        12: ([1.0, 1.0, 0.0, 0.0], 1),
+        13: ([0.0, 1.0, 0.0, 0.0], 2),
+        14: ([-1.0, 0.0, 0.0, 0.0], 1),
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(
+                [v for v, _ in vecs.values()], pa.list_(pa.float32())
+            ),
+            "label": pa.array([l for _, l in vecs.values()], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = hard_negatives(str(tmp_path), n_queries=1, k=3).to_pydict()
+    assert out["query_id"] == [0, 0, 0]
+    assert out["neighbor_id"] == [11, 12, 13]  # 10 excluded, order by sim

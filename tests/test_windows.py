@@ -711,3 +711,40 @@ def test_markov_backtest_tie_breaks_lexicographic(ray_session):
     )
     assert out.loc["x", "predicted"] == "a"
     assert out.loc["x", "n_correct"] == 1  # only the x->a pair matches
+
+
+def test_skipgram_transitions_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import skipgram_transitions
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[3], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    # user 1 sequence a,b,a (ts order); user 2 sequence b alone (no pairs)
+    ds = ray.data.from_arrow(
+        ev(
+            [
+                (1, 1, "a", "2024-01-01T00:00:00"),
+                (2, 1, "b", "2024-01-01T00:01:00"),
+                (3, 1, "a", "2024-01-01T00:02:00"),
+                (4, 2, "b", "2024-01-01T00:00:30"),
+            ]
+        )
+    ).repartition(2)
+    out = skipgram_transitions(ds, max_gap=3).to_pandas()
+    got = {
+        (r.from_type, r.to_type, r.gap): r.n for r in out.itertuples()
+    }
+    # gap 1: a->b, b->a; gap 2: a->a; nothing at gap 3
+    assert got == {("a", "b", 1): 1, ("b", "a", 1): 1, ("a", "a", 2): 1}
