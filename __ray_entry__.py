@@ -1951,6 +1951,41 @@ def q_rfm_scores(sf_dir: str):
     )
 
 
+def q_heaps_law(sf_dir: str):
+    """Heaps-law vocabulary growth at power-of-two doc-id thresholds —
+    per-term MIN(doc_id) hash-partitioned agg + broadcast-threshold
+    bincount; SQL restatement with the shared tokenizer."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import heaps_law_documents
+
+    return heaps_law_documents(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+def q_dow_adjusted_anomalies(sf_dir: str):
+    """Day-of-week-adjusted anomaly flags: exact cross-multiplied k-sigma
+    test against each weekday's own mean (k=1 — see the stage docstring's
+    m-1 bound); SQL window restatement partitioned by dayofweek."""
+    from pyreshaper_ray.stages.timeseries import dow_adjusted_anomalies
+
+    return dow_adjusted_anomalies(_events_value_ds(sf_dir, ["ts"]))
+
+
+def q_systematic_sample(sf_dir: str):
+    """Every-97th event under exact global (ts, event_id) ROW_NUMBER
+    (block-offset rank primitive); SQL restatement with the same order
+    and modulus."""
+    from pyreshaper_ray.stages.analytics import systematic_sample_events
+
+    return systematic_sample_events(
+        _events_value_ds(sf_dir, ["event_id", "ts"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3197,6 +3232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives_top3": q_hard_negatives,
         "skipgram_transitions_w3": q_skipgram_transitions,
         "rfm_scores": q_rfm_scores,
+        "heaps_law_documents": q_heaps_law,
+        "dow_adjusted_anomalies": q_dow_adjusted_anomalies,
+        "systematic_sample_events": q_systematic_sample,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7630,6 +7668,66 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS m_code
         FROM rr CROSS JOIN bounds bo
         GROUP BY 1, 2, 3, 4
+    """
+    # Heaps law: per-term first-arrival doc id, counts below power-of-two
+    # thresholds (last threshold covers the corpus); shared tokenizer
+    out["heaps_law_documents"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        ),
+        ft AS (
+            SELECT term, MIN(doc_id) AS fd FROM tok
+            WHERE term <> '' GROUP BY 1
+        ),
+        mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+        js AS (
+            SELECT CAST(t.j AS BIGINT) AS j,
+                   CAST(POWER(2, t.j) AS BIGINT) AS threshold
+            FROM range(0, 63) t(j), mx
+            WHERE CAST(POWER(2, t.j) AS BIGINT) // 2 <= mid
+        )
+        SELECT js.j, js.threshold,
+               CAST((SELECT COUNT(*) FROM documents d
+                     WHERE d.doc_id < js.threshold) AS BIGINT) AS n_docs,
+               CAST((SELECT COUNT(*) FROM ft
+                     WHERE ft.fd < js.threshold) AS BIGINT) AS vocab
+        FROM js
+    """
+    # dow-adjusted anomalies: cross-multiplied k=1 sigma test against the
+    # day's own weekday population (own value included; z^2 <= m-1 bounds
+    # what any k can see on small weekday populations)
+    out["dow_adjusted_anomalies"] = """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT day, n, CAST(dayofweek(day) AS BIGINT) AS dow,
+                   SUM(n) OVER (PARTITION BY dayofweek(day)) AS s,
+                   SUM(n * n) OVER (PARTITION BY dayofweek(day)) AS q,
+                   COUNT(*) OVER (PARTITION BY dayofweek(day)) AS m
+            FROM d
+        )
+        SELECT day, n, dow,
+               CAST(CASE WHEN m >= 2
+                          AND (m * n - s) * (m * n - s) > 1 * (m * q - s * s)
+                         THEN 1 ELSE 0 END AS BIGINT) AS dow_flag
+        FROM w
+    """
+    # systematic sample: every 97th event under (ts, event_id) order
+    out["systematic_sample_events"] = """
+        WITH r AS (
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rank
+            FROM events
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE (rank - 1) % 97 = 0
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -361,6 +361,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "hard_negatives_top3",
         "skipgram_transitions_w3",
         "rfm_scores",
+        "heaps_law_documents",
+        "dow_adjusted_anomalies",
+        "systematic_sample_events",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

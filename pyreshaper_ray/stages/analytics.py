@@ -7408,3 +7408,52 @@ def rfm_scores(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table(cols)
 
     return base.map_batches(code, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def systematic_sample_events(
+    events_ds: "ray.data.Dataset", step: int = 97
+) -> "ray.data.Dataset":
+    """Systematic (every ``step``-th) sample of the event stream under the
+    deterministic global (ts, event_id) order — the fixed-rate probe a
+    monitoring pipeline tails when hash sampling would decouple the sample
+    from arrival order (grid coverage in TIME, not in key space; the
+    complement of :func:`~.sketches.hash_sample`).
+
+    Exact distributed ROW_NUMBER via the block-offset rank primitive
+    (:func:`~.text._global_row_numbers` — one sort, block-count-sized
+    driver fold, per-block ``offset + arange``); the filter
+    ``(rank − 1) % step == 0`` then runs block-local. A prime default
+    step avoids resonating with generator periodicities.
+
+    Output: event_id, rank (BIGINTs), every ``step``-th event ascending.
+    """
+    from .text import _global_row_numbers
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                # score DESC in the primitive == ts ASC after negation
+                "neg_ts": pc.negate_checked(pc.cast(b["ts"], pa.int64())),
+            }
+        )
+
+    ranked = _global_row_numbers(
+        events_ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        "neg_ts",
+        id_col="event_id",
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        keep = (r - 1) % step == 0
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "rank": pa.array(r[keep], pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

@@ -2795,3 +2795,113 @@ def charclass_census(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table(out)
 
     return ds_docs.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heaps_law_documents(ds_docs: "ray.data.Dataset") -> pa.Table:
+    """Heaps-law vocabulary-growth census: distinct-term count of every
+    doc-id-prefix of the corpus at power-of-two thresholds — the V(n)
+    curve whose log-log slope is the Heaps exponent (how fast new
+    vocabulary keeps arriving as the corpus grows; the growth-side
+    complement of :func:`zipf_slope`'s frequency law).
+
+    EXACT and shuffle-light: a term first "arrives" at its minimum doc_id,
+    so per-term MIN(doc_id) (one term-keyed
+    :func:`~..util.hash_partitioned_agg` — the vocabulary-sized exchange
+    :func:`vocab_size` already pays) turns every prefix-vocab question
+    into "how many first-arrivals sit below T" — a per-block bincount
+    against the broadcast threshold list, reduced by one tiny sum. No
+    prefix is ever re-tokenized.
+
+    Thresholds are T_j = 2^j for every j with T_j//2 ≤ max(doc_id) (the
+    last threshold therefore covers the whole corpus). Tokenizer contract
+    shared with :func:`vocab_size` (lower + split ``[^a-z0-9]+``, empties
+    dropped).
+
+    Output: j, threshold, n_docs, vocab — BIGINTs, one row per threshold.
+    Empty corpus → 0 rows.
+    """
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..util import collect_table, hash_partitioned_agg
+
+    OUT = pa.schema(
+        [
+            ("j", pa.int64()),
+            ("threshold", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("vocab", pa.int64()),
+        ]
+    )
+    stats = ds_docs.aggregate(_Max("doc_id"))
+    mid = stats.get("max(doc_id)") if stats else None
+    if mid is None:
+        return OUT.empty_table()
+    mid = int(mid)
+    thr = []
+    j = 0
+    while (1 << j) // 2 <= mid and j < 63:
+        thr.append(1 << j)
+        j += 1
+    thr_arr = np.array(thr, dtype=np.int64)
+
+    def term_first(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        doc = pc.cast(batch["doc_id"], pa.int64()).take(parent)
+        t = pa.table({"term": flat, "doc_id": doc}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = t.group_by("term").aggregate([("doc_id", "min")])
+        return pa.table({"term": g["term"], "doc_id": g["doc_id_min"]})
+
+    first = hash_partitioned_agg(
+        ds_docs.map_batches(
+            term_first, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["term"],
+        [("doc_id", "min", "fd")],
+    )
+
+    def below(batch: pa.Table, col: str) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        counts = (v[None, :] < thr_arr[:, None]).sum(axis=1)
+        return pa.table(
+            {
+                "j": pa.array(np.arange(len(thr_arr), dtype=np.int64), pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab_counts = collect_table(
+        first.map_batches(
+            lambda b: below(b, "fd"), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("j")
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+    doc_counts = collect_table(
+        ds_docs.map_batches(
+            lambda b: below(
+                pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64())}), "doc_id"
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("j")
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+    vc = dict(
+        zip(vocab_counts["j"].to_pylist(), vocab_counts["c"].to_pylist())
+    )
+    dc = dict(zip(doc_counts["j"].to_pylist(), doc_counts["c"].to_pylist()))
+    return pa.table(
+        {
+            "j": pa.array(range(len(thr)), pa.int64()),
+            "threshold": pa.array(thr, pa.int64()),
+            "n_docs": pa.array([dc.get(i, 0) for i in range(len(thr))], pa.int64()),
+            "vocab": pa.array([vc.get(i, 0) for i in range(len(thr))], pa.int64()),
+        }
+    )

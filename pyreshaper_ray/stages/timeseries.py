@@ -2366,3 +2366,86 @@ def croston_daily(
             "p_milli": pa.array(p, pa.int64()),
         }
     )
+
+
+def dow_adjusted_anomalies(
+    events_ds: "ray.data.Dataset", k: int = 1
+) -> pa.Table:
+    """Day-of-week-adjusted anomaly flags on the daily event-count series:
+    a day is flagged when its count sits more than ``k`` sample standard
+    deviations from ITS OWN weekday's mean — the seasonality-aware
+    complement to :func:`bollinger_daily_counts`'s trailing window (a
+    quiet Sunday is normal; a Sunday with Monday traffic is not).
+
+    Exact integers via the same cross-multiplied variance test, grouped
+    by weekday: with m days of that weekday, S = Σ counts, Q = Σ counts²
+    (the day's own count included, as in Bollinger),
+
+        flag  ⇔  m ≥ 2  ∧  (m·x − S)²  >  k² · (m·Q − S²)
+
+    Default k = 1: with the day's own value inside the weekday stats, the
+    achievable z² is bounded by m − 1, so k = 2 cannot fire until a
+    weekday has ≥ 6 observations — k = 1 keeps the flag meaningful on
+    month-scale corpora (the SQL restatement carries the same k).
+
+    Weekday numbering matches DuckDB's ``dayofweek`` (0 = Sunday):
+    epoch day 0 (1970-01-01) is a Thursday, so dow = (day_idx + 4) % 7.
+
+    Combiner-first daily census; the fold is one bincount pass over the
+    days-domain series (result-sized finalize).
+
+    Output: day (TIMESTAMP), n, dow, dow_flag — BIGINTs, one row per
+    present day.
+    """
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("n", pa.int64()),
+            ("dow", pa.int64()),
+            ("dow_flag", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = pa.table({"day": d}).group_by("day").aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("n")
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    days = (
+        t["day"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+    )
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days)
+    days, n = days[order], n[order]
+    dow = (days + 4) % 7
+    m = np.bincount(dow, minlength=7).astype(np.int64)
+    S = np.zeros(7, dtype=np.int64)
+    Q = np.zeros(7, dtype=np.int64)
+    np.add.at(S, dow, n)
+    np.add.at(Q, dow, n * n)
+    md, sd, qd = m[dow], S[dow], Q[dow]
+    lhs = (md * n - sd) ** 2
+    rhs = (k * k) * (md * qd - sd * sd)
+    flag = ((md >= 2) & (lhs > rhs)).astype(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(
+                days.astype("datetime64[D]").astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "n": pa.array(n, pa.int64()),
+            "dow": pa.array(dow, pa.int64()),
+            "dow_flag": pa.array(flag, pa.int64()),
+        }
+    )

@@ -2341,3 +2341,34 @@ def test_rfm_scores_hand_case(ray_session):
     # m_cents sorted [100,1000,1000,2000] -> bounds 100,1000,1000
     # codes: 1000->2, 1000->2, 2000->4, 100->1
     assert list(out["m_code"]) == [2, 2, 4, 1]
+
+
+def test_systematic_sample_every_step(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import systematic_sample_events
+
+    rows = []
+    t0 = np.datetime64("2024-01-01T00:00:00", "s")
+    for i in range(25):
+        rows.append((100 - i, 1, "x", str(t0 + i * 60), 1.0))  # ids descend
+    ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                [np.datetime64(r[3], "us") for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(ev).repartition(4)
+    out = (
+        systematic_sample_events(ds, step=7)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    # ranks 1, 8, 15, 22 under ts order; ids descend with time
+    assert list(out["rank"]) == [1, 8, 15, 22]
+    assert list(out["event_id"]) == [100, 93, 86, 79]

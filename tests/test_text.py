@@ -1014,3 +1014,29 @@ def test_charclass_census_classes_and_bytes(ray_session):
         )
     )
     assert rows == [(3, 1, 3, 0), (0, 0, 0, 0), (0, 4, 0, 2), (3, 0, 0, 2)]
+
+
+def test_heaps_law_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import heaps_law_documents
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 5], pa.int64()),
+            "text": pa.array(
+                ["a b", "b c", "c d e", "a f"], pa.string()
+            ),
+        }
+    )
+    out = (
+        heaps_law_documents(ray.data.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .set_index("j")
+    )
+    # max doc_id = 5 -> thresholds 1,2,4,8 (j=0..3; 8//2=4 <= 5, 16//2 > 5)
+    assert list(out["threshold"]) == [1, 2, 4, 8]
+    # vocab below T: T=1 -> doc0 only {a,b}=2; T=2 -> +{c}=3; T=4 -> +{d,e}=5
+    # T=8 -> +{f}=6; docs below: 1,2,3,4
+    assert list(out["n_docs"]) == [1, 2, 3, 4]
+    assert list(out["vocab"]) == [2, 3, 5, 6]

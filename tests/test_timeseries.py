@@ -986,3 +986,30 @@ def test_croston_recurrence_hand_case(ray_session):
     # p: 1000 -> 1000 + (3000-1000)//8 = 1250 -> 1250 + (1000-1250)//8
     #    = 1250 - 31 = 1219
     assert t["p_milli"] == [1000, 1250, 1219]
+
+
+def test_dow_adjusted_anomalies_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import dow_adjusted_anomalies
+
+    # 15 consecutive days starting Mon 2024-01-01: Mondays at days 0,7,14
+    # with counts 2,2,20 -> the 20 is > 1 sigma from its weekday's mean
+    # (z^2 = 2 at m=3, the attainable maximum); constant weekdays never
+    # flag (m*q == s*s exactly)
+    counts = [3] * 15
+    counts[0], counts[7], counts[14] = 2, 2, 20
+    rows, eid = [], 0
+    t0 = np.datetime64("2024-01-01", "D")
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, 1, str(t0 + i) + "T06:00:00", 1.0))
+            eid += 1
+    ds = ray.data.from_arrow(_events(rows)).repartition(3)
+    out = dow_adjusted_anomalies(ds).to_pandas().sort_values("day")
+    # 2024-01-01 is a Monday -> DuckDB dayofweek = 1
+    assert list(out["dow"])[:2] == [1, 2]
+    flagged = out[out["dow_flag"] == 1]
+    assert list(flagged["n"]) == [20]
+    # constant-count weekdays: m*q == s*s and m*n == s -> never flagged
+    assert (out[out["n"] == 3]["dow_flag"] == 0).all()
