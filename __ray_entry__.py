@@ -1986,6 +1986,36 @@ def q_systematic_sample(sf_dir: str):
     )
 
 
+def q_asof_next_order(sf_dir: str):
+    """Forward as-of join (earliest order with o_orderdate >= event ts per
+    customer) — the distributed co-partitioned kernel with the
+    searchsorted side flipped; SQL restatement with MIN + FILTER."""
+    from pyreshaper_ray.stages.analytics import asof_next_order
+
+    return asof_next_order(sf_dir)
+
+
+def q_fanout_histogram(sf_dir: str):
+    """Orders-per-lineitem-count fan-out histogram (1:N cardinality
+    profile): orderkey-partitioned count + tiny bincount census."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import fanout_histogram_lineitems
+
+    return fanout_histogram_lineitems(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    )
+
+
+def q_neardup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size census over the exact cosine pair graph —
+    two-level bincount over the neardup_groups closure; recursive-CTE
+    oracle wrapped with the same census."""
+    from pyreshaper_ray.stages.similarity import neardup_cluster_sizes
+
+    return neardup_cluster_sizes(sf_dir, threshold=0.4)
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3235,6 +3265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law_documents": q_heaps_law,
         "dow_adjusted_anomalies": q_dow_adjusted_anomalies,
         "systematic_sample_events": q_systematic_sample,
+        "asof_next_order": q_asof_next_order,
+        "fanout_histogram_lineitems": q_fanout_histogram,
+        "neardup_cluster_sizes": q_neardup_cluster_sizes,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7728,6 +7761,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(event_id AS BIGINT) AS event_id,
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE (rank - 1) % 97 = 0
+    """
+    # forward as-of: earliest same-customer order at/after the event
+    out["asof_next_order"] = """
+        SELECT e.event_id,
+               (SELECT MIN(o.o_orderdate) FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND o.o_orderdate >= e.ts) AS next_order_ts
+        FROM events e
+    """
+    # fan-out histogram: orders by exact lineitem count (k >= 1)
+    out["fanout_histogram_lineitems"] = """
+        WITH c AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+            FROM lineitem GROUP BY 1
+        )
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM c GROUP BY 1
+    """
+    # near-dup cluster sizes: the neardup_groups closure + size census
+    out["neardup_cluster_sizes"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) > 0.4
+        ),
+        edges AS (
+            SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+        ),
+        reach (vec_id, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.vec_id = e.v
+        ),
+        grp AS (
+            SELECT vec_id, MIN(r) AS rep FROM reach GROUP BY vec_id
+        ),
+        sz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS size FROM grp GROUP BY 1)
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY 1
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -364,6 +364,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "heaps_law_documents",
         "dow_adjusted_anomalies",
         "systematic_sample_events",
+        "asof_next_order",
+        "fanout_histogram_lineitems",
+        "neardup_cluster_sizes",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

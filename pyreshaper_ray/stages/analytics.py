@@ -7457,3 +7457,93 @@ def systematic_sample_events(
         )
 
     return ranked.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_next_order(sf_dir: str) -> "ray.data.Dataset":
+    """Forward as-of join: for every event, the EARLIEST order date of the
+    same customer with o_orderdate ≥ ts (null when none) — "time to next
+    purchase" enrichment, the mirror of :func:`asof_last_order` using the
+    same co-partitioned large-large kernel with the searchsorted side
+    flipped (``joins.asof_join_last(direction="forward")``).
+    """
+    import ray
+
+    from .joins import asof_join_last
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    out = asof_join_last(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        left_id="event_id",
+        right_on="o_custkey",
+        right_ts="o_orderdate",
+        direction="forward",
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": b["lid"], "next_order_ts": b["asof_ts"]}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fanout_histogram_lineitems(lineitem_ds: "ray.data.Dataset") -> pa.Table:
+    """Referential fan-out histogram: how many orders have exactly k line
+    items — the 1:N cardinality profile a join planner and a data-quality
+    audit both read (a fat tail here predicts skewed joins; k is bounded
+    by the schema at 7 in TPC-H-shaped data, so the histogram is tiny).
+
+    Shape: one orderkey-keyed :func:`~..util.hash_partitioned_agg` count
+    (the same exchange every orderkey census shares), then a combiner-first
+    bincount over the counts — the k-domain is single-digit, so the final
+    exchange is a handful of rows.
+
+    Output: k, n_orders (BIGINTs), ascending k (orders present in
+    lineitem only — k ≥ 1).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table, hash_partitioned_agg
+
+    per_order = hash_partitioned_agg(
+        lineitem_ds.map_batches(
+            lambda b: pa.table(
+                {"l_orderkey": b["l_orderkey"]}
+            ).append_column("one", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["l_orderkey"],
+        [("one", "sum", "k")],
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        g = pa.table({"k": pa.array(k, pa.int64())}).group_by("k").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"k": g["k"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        per_order.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    order = pc.sort_indices(t, sort_keys=[("k", "ascending")])
+    t = t.take(order)
+    return pa.table(
+        {
+            "k": pc.cast(t["k"], pa.int64()),
+            "n_orders": pc.cast(t["n"], pa.int64()),
+        }
+    )

@@ -244,10 +244,14 @@ def asof_join_last(
     left_id: str,
     right_on: str | None = None,
     right_ts: str | None = None,
+    direction: str = "backward",
 ) -> "ray.data.Dataset":
     """Distributed large-large AS-OF join: for every left row, the LATEST
     right timestamp of the same key with ``right_ts <= left_ts`` (null when
     none). LEFT semantics — every left row emits exactly one output row.
+    ``direction="forward"`` flips the inequality: the EARLIEST right
+    timestamp with ``right_ts >= left_ts`` (the next-occurrence join; same
+    kernel, ``searchsorted`` side flipped).
 
     Both sides may be FACT tables: neither is ever read or indexed on the
     driver. The composition is the same as ``range_join_events`` — project
@@ -299,8 +303,12 @@ def asof_join_last(
         rt = np.sort(t[~is_l])
         out = np.zeros(len(lt), dtype=np.int64)
         if len(rt):
-            pos = np.searchsorted(rt, lt, side="right") - 1
-            have = pos >= 0
+            if direction == "forward":
+                pos = np.searchsorted(rt, lt, side="left")
+                have = pos < len(rt)
+            else:
+                pos = np.searchsorted(rt, lt, side="right") - 1
+                have = pos >= 0
             out[have] = rt[pos[have]]
         else:
             have = np.zeros(len(lt), dtype=bool)

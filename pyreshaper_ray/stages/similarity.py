@@ -1813,3 +1813,30 @@ def hard_negatives(sf_dir: str, n_queries: int = 10, k: int = 3) -> pa.Table:
             "neighbor_id": pa.array(rows_n, pa.int64()),
         }
     )
+
+
+def neardup_cluster_sizes(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Near-duplicate cluster-size census: how many duplicate clusters
+    have exactly s members — the dedup-impact summary ("removing near-dups
+    keeps one per cluster, so the corpus shrinks by Σ (s−1)·n_s rows").
+    Builds on :func:`neardup_groups` (distributed pair grid + bounded
+    closure); the census is a two-level bincount over its result-sized
+    (vec_id, rep_id) table. Components have ≥ 2 members by construction
+    (singletons never appear in the pair graph).
+
+    Output: size, n_clusters (BIGINTs), ascending size.
+    """
+    t = neardup_groups(sf_dir, threshold=threshold)
+    if t.num_rows == 0:
+        return pa.table(
+            {"size": pa.array([], pa.int64()), "n_clusters": pa.array([], pa.int64())}
+        )
+    reps = t["rep_id"].to_numpy(zero_copy_only=False)
+    _, counts = np.unique(reps, return_counts=True)
+    sizes, n_clusters = np.unique(counts, return_counts=True)
+    return pa.table(
+        {
+            "size": pa.array(sizes.astype(np.int64), pa.int64()),
+            "n_clusters": pa.array(n_clusters.astype(np.int64), pa.int64()),
+        }
+    )

@@ -2372,3 +2372,76 @@ def test_systematic_sample_every_step(ray_session):
     # ranks 1, 8, 15, 22 under ts order; ids descend with time
     assert list(out["rank"]) == [1, 8, 15, 22]
     assert list(out["event_id"]) == [100, 93, 86, 79]
+
+
+def test_asof_join_forward_semantics(ray_session):
+    """Forward direction: earliest right >= left; exact tie inclusive;
+    null when the key's right rows are all EARLIER or absent."""
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import asof_join_last
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [
+                    _ts("2024-01-01T00:00:10"),
+                    _ts("2024-01-01T00:00:05"),
+                    _ts("2024-01-01T00:00:07"),
+                    _ts("2024-01-01T00:00:11"),
+                ],
+                pa.timestamp("us"),
+            ),
+            "id": pa.array([100, 101, 102, 103], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 3], pa.int64()),
+            "rts": pa.array(
+                [
+                    _ts("2024-01-01T00:00:05"),
+                    _ts("2024-01-01T00:00:08"),
+                    _ts("2024-01-01T00:00:09"),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = asof_join_last(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        left_ts="ts",
+        left_id="id",
+        right_on="k",
+        right_ts="rts",
+        direction="forward",
+    ).take_all()
+    by_id = {r["lid"]: r["asof_ts"] for r in out}
+    assert by_id[100] is None  # both right rows earlier than 00:10
+    # exact tie counts (>=)
+    assert by_id[101] == _ts("2024-01-01T00:00:05").astype("datetime64[us]").item()
+    assert by_id[102] is None  # no right rows for key 2
+    assert by_id[103] is None  # key 3's only right row is earlier
+
+
+def test_fanout_histogram_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import fanout_histogram_lineitems
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(
+                [1, 1, 1, 2, 3, 3, 4, 5, 5, 5], pa.int64()
+            )
+        }
+    )
+    out = fanout_histogram_lineitems(
+        ray.data.from_arrow(li).repartition(3)
+    ).to_pydict()
+    # counts: order1=3, order2=1, order3=2, order4=1, order5=3
+    assert out["k"] == [1, 2, 3]
+    assert out["n_orders"] == [2, 1, 2]
