@@ -350,6 +350,33 @@ def cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Coalesce a completed run's per-bucket tier files into span files
+    (``pipelines/compact.py``) — the TSDB compaction step for frozen
+    tiers. One Ray Data task per output span; prints one JSON record per
+    tier. Refuses already-compacted tiers; the flagship refuses
+    wmode s/a appends on compacted outputs."""
+    import ray
+
+    from .pipelines.compact import compact_tier
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        for tier in args.tier:
+            record = compact_tier(args.out, tier, group=args.group)
+            print(json.dumps(record))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyreshaper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -412,6 +439,20 @@ def main(argv: list[str] | None = None) -> int:
     vf.add_argument("specfile")
     vf.add_argument("--num-cpus", type=int, default=8)
     vf.set_defaults(fn=cmd_verify)
+
+    cp = sub.add_parser(
+        "compact", help="coalesce a tier's bucket files into span files"
+    )
+    cp.add_argument("out", help="run output directory")
+    cp.add_argument(
+        "--tier",
+        action="append",
+        required=True,
+        help="tier name (repeatable): turns/series/1m/1h/1d/1w/gapfill_1m",
+    )
+    cp.add_argument("--group", type=int, default=8, help="buckets per output file")
+    cp.add_argument("--num-cpus", type=int, default=8)
+    cp.set_defaults(fn=cmd_compact)
 
     xp = sub.add_parser("explain", help="describe the physical plan (no run)")
     xp.add_argument("specfile")

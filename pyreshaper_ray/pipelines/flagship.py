@@ -304,6 +304,18 @@ def run_flagship(spec: JobSpec, ds: "ray.data.Dataset | None" = None) -> pa.Tabl
 
         for sub in set(TIER_DIRS.values()):
             shutil.rmtree(os.path.join(spec.out_dir, sub), ignore_errors=True)
+    if spec.wmode in ("s", "a"):
+        # a compacted tier froze the bucket=NNNNN layout; an append/resume
+        # would recreate original bucket dirs next to coalesced spans and
+        # duplicate those buckets' rows — refuse loudly (rebuild with 'o')
+        from .compact import any_compacted
+
+        frozen = any_compacted(spec.out_dir)
+        if frozen:
+            raise RuntimeError(
+                f"output has compacted tiers {frozen}; wmode '{spec.wmode}' "
+                "would duplicate rows — rerun with wmode 'o' to rebuild"
+            )
     completed = (
         set(mf.load_completed(spec.out_dir)) if spec.wmode in ("s", "a") else set()
     )
