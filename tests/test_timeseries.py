@@ -1013,3 +1013,59 @@ def test_dow_adjusted_anomalies_hand_case(ray_session):
     assert list(flagged["n"]) == [20]
     # constant-count weekdays: m*q == s*s and m*n == s -> never flagged
     assert (out[out["n"] == 3]["dow_flag"] == 0).all()
+
+
+def test_new_kernels_random_crosscheck(ray_session):
+    """Randomized brute-force cross-checks: matrix profile pairwise scan,
+    R/S direct formula, Pettitt O(m^2) double loop — seeded, 3 trials."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import (
+        matrix_profile_hourly,
+        pettitt_change_hourly,
+        rs_range_hourly,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        m = int(rng.integers(20, 40))
+        counts = rng.integers(1, 6, size=m).tolist()
+        ds = ray.data.from_arrow(_hourly_events(counts)).repartition(3)
+        x = np.array(counts, dtype=np.int64)
+
+        # matrix profile w=5 brute force
+        w = 5
+        t = matrix_profile_hourly(ds, w=w).to_pydict()
+        nwin = m - w + 1
+        for i in range(nwin):
+            best = None
+            for j in range(nwin):
+                if abs(i - j) < w:
+                    continue
+                d = int(((x[i : i + w] - x[j : j + w]) ** 2).sum())
+                if best is None or (d, j) < best:
+                    best = (d, j)
+            assert t["nn_dist_sq"][i] == best[0], (trial, i)
+            assert t["nn_idx"][i] == best[1], (trial, i)
+
+        # R/S window 8 direct formula
+        rs = rs_range_hourly(ds, sizes=(8,)).to_pydict()
+        for gi in range(m // 8):
+            xs = x[gi * 8 : (gi + 1) * 8]
+            S = int(xs.sum())
+            Z = [8 * int(xs[: k + 1].sum()) - (k + 1) * S for k in range(8)]
+            assert rs["r_scaled"][gi] == max(Z) - min(Z)
+            assert rs["var_num"][gi] == 8 * int((xs * xs).sum()) - S * S
+
+        # Pettitt O(m^2)
+        pt = pettitt_change_hourly(ds).to_pydict()
+        us = []
+        for k in range(1, m):
+            u = 0
+            for i in range(k):
+                for j in range(k, m):
+                    u += int(np.sign(x[i] - x[j]))
+            us.append(u)
+        best_k = int(np.argmax(np.abs(us)))
+        assert pt["k"] == [best_k + 1]
+        assert pt["u_stat"] == [us[best_k]]
