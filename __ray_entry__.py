@@ -2016,6 +2016,25 @@ def q_neardup_cluster_sizes(sf_dir: str):
     return neardup_cluster_sizes(sf_dir, threshold=0.4)
 
 
+def q_error_budget_burn(sf_dir: str):
+    """SLO error-budget burn: exact daily error ppm vs a 1% budget with a
+    running overage; SQL window restatement with the same floor/clamp."""
+    from pyreshaper_ray.stages.timeseries import error_budget_burn
+
+    return error_budget_burn(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
+def q_session_overlap_pairs(sf_dir: str):
+    """Interval-overlap census: per start-day, pairs of 30m-gap user
+    sessions that overlap in time — searchsorted sweep per day; SQL
+    restatement via islands + ROW_NUMBER self-join."""
+    from pyreshaper_ray.stages.windows import session_overlap_pairs
+
+    return session_overlap_pairs(
+        _events_value_ds(sf_dir, ["user_id", "ts", "event_id"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3268,6 +3287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_order": q_asof_next_order,
         "fanout_histogram_lineitems": q_fanout_histogram,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
+        "error_budget_burn": q_error_budget_burn,
+        "session_overlap_pairs": q_session_overlap_pairs,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7802,6 +7823,66 @@ def oracle_sql() -> dict[str, str]:
         sz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS size FROM grp GROUP BY 1)
         SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
         FROM sz GROUP BY 1
+    """
+    # error budget: daily err ppm (floor), clamp overage, running sum
+    out["error_budget_burn"] = """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_tot,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_err
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT day, n_tot, n_err,
+                   CAST(1000000 * n_err // n_tot AS BIGINT) AS err_ppm
+            FROM d
+        )
+        SELECT day, n_tot, n_err, err_ppm,
+               CAST(GREATEST(err_ppm - 10000, 0) AS BIGINT) AS over_ppm,
+               CAST(SUM(GREATEST(err_ppm - 10000, 0))
+                    OVER (ORDER BY day) AS BIGINT) AS cum_over_ppm
+        FROM w
+    """
+    # session overlap pairs: 30m-gap islands per user, pairs once by
+    # (start, user, sess) ROW_NUMBER within the start-day bucket
+    out["session_overlap_pairs"] = """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(
+                            LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        ) > 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+            FROM d
+        ),
+        sess AS (
+            SELECT user_id, sess,
+                   MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM s GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT user_id, sess, s_start, s_end,
+                   CAST(date_trunc('day', s_start) AS TIMESTAMP) AS day,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY date_trunc('day', s_start)
+                       ORDER BY s_start, user_id, sess) AS rn
+            FROM sess
+        ),
+        p AS (
+            SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM r a JOIN r b
+              ON a.day = b.day AND a.rn < b.rn AND b.s_start <= a.s_end
+            GROUP BY 1
+        )
+        SELECT r.day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COALESCE(MAX(p.n_pairs), 0) AS BIGINT) AS n_overlap_pairs
+        FROM r LEFT JOIN p ON p.day = r.day
+        GROUP BY 1
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

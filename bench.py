@@ -367,6 +367,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "asof_next_order",
         "fanout_histogram_lineitems",
         "neardup_cluster_sizes",
+        "error_budget_burn",
+        "session_overlap_pairs",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -2449,3 +2449,78 @@ def dow_adjusted_anomalies(
             "dow_flag": pa.array(flag, pa.int64()),
         }
     )
+
+
+def error_budget_burn(
+    events_ds: "ray.data.Dataset", budget_ppm: int = 10_000
+) -> pa.Table:
+    """SLO error-budget burn census: per day, the error rate in exact ppm
+    and the cumulative overage against a ``budget_ppm`` target (default
+    1%) — the burn-rate table an on-call dashboard plots and a retention
+    policy gates deletions on ("don't expire raw tiers while the budget
+    is burning").
+
+    Exact integers: err_ppm = 1e6·n_err // n_tot (floor — both counts
+    positive), over = max(0, err_ppm − budget), cum_over = running sum in
+    day order. Combiner-first daily (total, error) census; the cumsum
+    folds the days-domain series (result-sized finalize).
+
+    Output: day, n_tot, n_err, err_ppm, over_ppm, cum_over_ppm — BIGINTs.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("n_tot", pa.int64()),
+            ("n_err", pa.int64()),
+            ("err_ppm", pa.int64()),
+            ("over_ppm", pa.int64()),
+            ("cum_over_ppm", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        err = pc.cast(
+            pc.equal(batch["event_type"], "error"), pa.int64()
+        )
+        g = (
+            pa.table({"day": d, "e": err})
+            .group_by("day")
+            .aggregate([("e", "sum"), ("e", "count")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_err": pc.cast(g["e_sum"], pa.int64()),
+                "n_tot": pc.cast(g["e_count"], pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(_Sum("n_err", alias_name="n_err"), _Sum("n_tot", alias_name="n_tot"))
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    days = t["day"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    n_err = t["n_err"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tot = t["n_tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days)
+    days, n_err, n_tot = days[order], n_err[order], n_tot[order]
+    ppm = 1_000_000 * n_err // n_tot
+    over = np.maximum(ppm - budget_ppm, 0)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.timestamp("us")),
+            "n_tot": pa.array(n_tot, pa.int64()),
+            "n_err": pa.array(n_err, pa.int64()),
+            "err_ppm": pa.array(ppm, pa.int64()),
+            "over_ppm": pa.array(over, pa.int64()),
+            "cum_over_ppm": pa.array(np.cumsum(over), pa.int64()),
+        }
+    )

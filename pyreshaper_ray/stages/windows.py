@@ -1814,3 +1814,111 @@ def skipgram_transitions(
         .groupby(["from_type", "to_type", "gap"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def session_overlap_pairs(
+    events_ds: "ray.data.Dataset", gap_s: int = 1800
+) -> "ray.data.Dataset":
+    """Interval-overlap join census: per start-day, how many PAIRS of
+    user sessions overlap in time — the concurrency-pressure profile an
+    autoscaler and a capacity planner read (the pairwise complement of
+    ``calendarize_spans``'s sweep-line concurrency level).
+
+    Sessions are the standard 30m-gap islands per user ((ts, event_id)
+    order, same contract as ``sessionize_30m``); a pair counts once,
+    ordered by (start, user, session) — restated in the oracle via
+    ROW_NUMBER — and pairs are counted within the session's START-day
+    bucket (the documented partitioning assumption: cross-day overlaps
+    attribute to the earlier day's bucket only when both START that day).
+
+    Shape: per-user session derivation in one groupby(user) map_groups
+    (vectorized reduceat); then a day-bucketed map_groups whose kernel is
+    one sort + one searchsorted (O(s log s) per day, no pair explosion —
+    the count is Σᵢ #{j>i : start_j ≤ end_i}).
+
+    Output: day (TIMESTAMP), n_sessions, n_overlap_pairs (BIGINTs).
+    """
+
+    def sessions(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        if len(ts) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "sess": pa.array([], pa.int64()),
+                    "s_start": pa.array([], pa.int64()),
+                    "s_end": pa.array([], pa.int64()),
+                }
+            )
+        brk = np.r_[True, np.diff(ts) > gap_s * 1_000_000]
+        starts = np.flatnonzero(brk)
+        bounds = np.r_[starts, len(ts)]
+        uid = int(group["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(starts), uid, np.int64), pa.int64()
+                ),
+                "sess": pa.array(np.arange(len(starts), dtype=np.int64), pa.int64()),
+                "s_start": pa.array(ts[starts], pa.int64()),
+                "s_end": pa.array(ts[bounds[1:] - 1], pa.int64()),
+            }
+        )
+
+    sess = events_ds.groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow"
+    )
+
+    _US_PER_DAY = 86_400_000_000
+    OUT = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("n_sessions", pa.int64()),
+            ("n_overlap_pairs", pa.int64()),
+        ]
+    )
+
+    def add_day(b: pa.Table) -> pa.Table:
+        s = b["s_start"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "day", pa.array((s // _US_PER_DAY).astype(np.int64), pa.int64())
+        )
+
+    def count_pairs(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return OUT.empty_table()
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("s_start", "ascending"),
+                ("user_id", "ascending"),
+                ("sess", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        s = g["s_start"].to_numpy(zero_copy_only=False)
+        e = g["s_end"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        upto = np.searchsorted(s, e, side="right")
+        pairs = int((upto - np.arange(1, n + 1)).sum())
+        day_us = int(g["day"][0].as_py()) * _US_PER_DAY
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.array([day_us], np.int64), pa.timestamp("us")
+                ),
+                "n_sessions": pa.array([n], pa.int64()),
+                "n_overlap_pairs": pa.array([pairs], pa.int64()),
+            }
+        )
+
+    return (
+        sess.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(count_pairs, batch_format="pyarrow")
+    )

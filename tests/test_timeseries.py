@@ -1069,3 +1069,36 @@ def test_new_kernels_random_crosscheck(ray_session):
         best_k = int(np.argmax(np.abs(us)))
         assert pt["k"] == [best_k + 1]
         assert pt["u_stat"] == [us[best_k]]
+
+
+def test_error_budget_burn_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import error_budget_burn
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    # day1: 1 error / 50 events = 20000 ppm -> over 10000
+    # day2: 0 errors -> over 0; day3: 2/50 = 40000 -> over 30000
+    rows = []
+    for d, errs in (("01", 1), ("02", 0), ("03", 2)):
+        for i in range(50):
+            et = "error" if i < errs else "view"
+            rows.append((et, f"2024-01-{d}T0{i % 9}:0{i % 6}:0{i % 10}"))
+    out = (
+        error_budget_burn(ray.data.from_arrow(ev(rows)).repartition(3))
+        .to_pandas()
+        .sort_values("day")
+    )
+    assert list(out["err_ppm"]) == [20000, 0, 40000]
+    assert list(out["over_ppm"]) == [10000, 0, 30000]
+    assert list(out["cum_over_ppm"]) == [10000, 10000, 40000]

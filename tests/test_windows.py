@@ -748,3 +748,79 @@ def test_skipgram_transitions_hand_case(ray_session):
     }
     # gap 1: a->b, b->a; gap 2: a->a; nothing at gap 3
     assert got == {("a", "b", 1): 1, ("b", "a", 1): 1, ("a", "a", 2): 1}
+
+
+def test_session_overlap_pairs_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import session_overlap_pairs
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    # user 1: one session 10:00-10:40 (two events, gap 40m > 30m would
+    # split — use 20m so it's ONE session); user 2: session 10:30-10:35
+    # overlaps user 1's; user 3: session 12:00 alone (no overlap);
+    # user 1 second session 13:00 (gap > 30m) -> 4 sessions, 1 pair
+    rows = [
+        (1, "2024-01-01T10:00:00"),
+        (1, "2024-01-01T10:20:00"),
+        (2, "2024-01-01T10:30:00"),
+        (2, "2024-01-01T10:35:00"),
+        (3, "2024-01-01T12:00:00"),
+        (1, "2024-01-01T13:00:00"),
+    ]
+    out = session_overlap_pairs(
+        ray.data.from_arrow(ev(rows)).repartition(2)
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_sessions"] == 4
+    # only (u1 s0 [10:00,10:20], u2 s0 [10:30,10:35])? 10:30 > 10:20 ->
+    # NO overlap... u1's session END is its last event 10:20; u2 starts
+    # 10:30 -> disjoint. Expect 0 pairs then.
+    assert out.iloc[0]["n_overlap_pairs"] == 0
+
+
+def test_session_overlap_pairs_counts_true_overlap(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import session_overlap_pairs
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    # three sessions: u1 [10:00,11:00], u2 [10:30,10:45], u3 [10:50,10:55]
+    # pairs: (u1,u2), (u1,u3) overlap; (u2,u3) disjoint (10:45 < 10:50)
+    rows = [
+        (1, "2024-01-01T10:00:00"),
+        (1, "2024-01-01T10:25:00"),
+        (1, "2024-01-01T10:50:00"),
+        (1, "2024-01-01T11:00:00"),
+        (2, "2024-01-01T10:30:00"),
+        (2, "2024-01-01T10:45:00"),
+        (3, "2024-01-01T10:50:00"),
+        (3, "2024-01-01T10:55:00"),
+    ]
+    out = session_overlap_pairs(
+        ray.data.from_arrow(ev(rows)).repartition(3)
+    ).to_pandas()
+    assert out.iloc[0]["n_sessions"] == 3
+    assert out.iloc[0]["n_overlap_pairs"] == 2
