@@ -2035,6 +2035,24 @@ def q_session_overlap_pairs(sf_dir: str):
     )
 
 
+def q_user_burstiness(sf_dir: str):
+    """Per-user hourly-count dispersion: exact sufficient stats + the
+    cross-multiplied var/mean>1 flag; SQL two-level census restatement."""
+    from pyreshaper_ray.stages.analytics import user_burstiness
+
+    return user_burstiness(_events_value_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_funnel3_ordered(sf_dir: str):
+    """Three-step ORDERED funnel view→click→purchase (strictly-after
+    chaining); SQL restatement with chained MIN-after joins."""
+    from pyreshaper_ray.stages.analytics import funnel3_ordered
+
+    return funnel3_ordered(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3289,6 +3307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
         "error_budget_burn": q_error_budget_burn,
         "session_overlap_pairs": q_session_overlap_pairs,
+        "user_burstiness": q_user_burstiness,
+        "funnel3_ordered": q_funnel3_ordered,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7883,6 +7903,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(MAX(p.n_pairs), 0) AS BIGINT) AS n_overlap_pairs
         FROM r LEFT JOIN p ON p.day = r.day
         GROUP BY 1
+    """
+    # burstiness: (user,hour) census -> per-user sufficient stats +
+    # cross-multiplied dispersion flag
+    out["user_burstiness"] = """
+        WITH h AS (
+            SELECT user_id, date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS m_hours,
+               CAST(SUM(n) AS BIGINT) AS s_events,
+               CAST(SUM(n * n) AS BIGINT) AS q_sumsq,
+               CAST(CASE WHEN COUNT(*) * SUM(n * n) - SUM(n) * SUM(n)
+                              > COUNT(*) * SUM(n)
+                         THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+        FROM h GROUP BY 1
+    """
+    # ordered 3-step funnel: chained strictly-after MINs
+    out["funnel3_ordered"] = """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+                   AS n_users,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

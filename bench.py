@@ -369,6 +369,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "neardup_cluster_sizes",
         "error_budget_burn",
         "session_overlap_pairs",
+        "user_burstiness",
+        "funnel3_ordered",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -7547,3 +7547,132 @@ def fanout_histogram_lineitems(lineitem_ds: "ray.data.Dataset") -> pa.Table:
             "n_orders": pc.cast(t["n"], pa.int64()),
         }
     )
+
+
+def user_burstiness(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-user burstiness (index of dispersion) over their PRESENT-hour
+    event counts: the variance-to-mean classification that separates
+    Poisson-like steady users from bursty ones — exact integers via the
+    cross-multiplied test
+
+        overdispersed  ⇔  m·Q − S²  >  m·S     (var/mean > 1, both sides
+                                                 × m·S; S > 0 always)
+
+    with m = hours active, S = Σ counts, Q = Σ counts². Shape: per-block
+    (user, hour) Arrow counts (combiner), ONE user-keyed exchange, and a
+    per-user vectorized merge — the sufficient statistics travel, never
+    the events.
+
+    Output: user_id, m_hours, s_events, q_sumsq, overdispersed — BIGINTs.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "hr": pc.floor_temporal(batch["ts"], unit="hour"),
+                }
+            )
+            .group_by(["user_id", "hr"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "hr": g["hr"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        # a user's (hour, partial-count) rows — merge duplicate hours
+        # first (blocks overlap in hours), then reduce
+        g = group.group_by(["user_id", "hr"]).aggregate([("n", "sum")])
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(n)
+        s = int(n.sum())
+        q = int((n * n).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "m_hours": pa.array([m], pa.int64()),
+                "s_events": pa.array([s], pa.int64()),
+                "q_sumsq": pa.array([q], pa.int64()),
+                "overdispersed": pa.array(
+                    [int(m * q - s * s > m * s)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def funnel3_ordered(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Three-step ORDERED funnel (view → click → purchase): a user
+    converts a step only with an event STRICTLY AFTER their previous
+    step's conversion time — the sequential-funnel semantic (the 2-step
+    :func:`~.windows.funnel` counts unordered presence; order is what
+    distinguishes browsing-then-buying from buying-then-browsing).
+
+    Per-user kernel: one sorted pass finding first 'view', then the first
+    'click' after it, then the first 'purchase' after that; the global
+    reduce sums four counters. Exact by construction (timestamps compared
+    as int64 µs; ties broken by requiring strict >, restated identically
+    in the SQL's chained MIN-after joins).
+
+    Output: one row — n_users, n_view, n_view_click, n_full (BIGINTs).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def flags(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = g["event_type"].to_pylist()
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        t1 = t2 = t3 = None
+        for e, t in zip(et, ts):
+            if t1 is None:
+                if e == "view":
+                    t1 = t
+            elif t2 is None:
+                if e == "click" and t > t1:
+                    t2 = t
+            elif t3 is None:
+                if e == "purchase" and t > t2:
+                    t3 = t
+                    break
+        return pa.table(
+            {
+                "u": pa.array([1], pa.int64()),
+                "v": pa.array([int(t1 is not None)], pa.int64()),
+                "vc": pa.array([int(t2 is not None)], pa.int64()),
+                "f": pa.array([int(t3 is not None)], pa.int64()),
+            }
+        )
+
+    agg = events_ds.groupby("user_id").map_groups(
+        flags, batch_format="pyarrow"
+    ).aggregate(
+        _Sum("u", alias_name="u"),
+        _Sum("v", alias_name="v"),
+        _Sum("vc", alias_name="vc"),
+        _Sum("f", alias_name="f"),
+    )
+    if not agg or agg.get("u") is None:
+        agg = {"u": 0, "v": 0, "vc": 0, "f": 0}
+    return pa.table(
+        {
+            "n_users": pa.array([int(agg["u"])], pa.int64()),
+            "n_view": pa.array([int(agg["v"])], pa.int64()),
+            "n_view_click": pa.array([int(agg["vc"])], pa.int64()),
+            "n_full": pa.array([int(agg["f"])], pa.int64()),
+        }
+    )

@@ -2445,3 +2445,79 @@ def test_fanout_histogram_hand_case(ray_session):
     # counts: order1=3, order2=1, order3=2, order4=1, order5=3
     assert out["k"] == [1, 2, 3]
     assert out["n_orders"] == [2, 1, 2]
+
+
+def test_user_burstiness_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import user_burstiness
+
+    def ev(rows):
+        return pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [np.datetime64(r[1], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    # user 1: hours [1,1,1,1] -> var 0 <= mean -> steady
+    # user 2: hours [1,7] -> m=2 S=8 Q=50: mQ-S^2=36 > mS=16 -> bursty
+    rows = []
+    for h in range(4):
+        rows.append((1, f"2024-01-01T0{h}:15:00"))
+    rows.append((2, "2024-01-01T00:10:00"))
+    for i in range(7):
+        rows.append((2, f"2024-01-01T05:0{i}:00"))
+    out = (
+        user_burstiness(ray.data.from_arrow(ev(rows)).repartition(3))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.loc[1, "overdispersed"] == 0 and out.loc[1, "m_hours"] == 4
+    assert out.loc[2, "overdispersed"] == 1
+    assert out.loc[2, "s_events"] == 8 and out.loc[2, "q_sumsq"] == 50
+
+
+def test_funnel3_ordered_semantics(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import funnel3_ordered
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[2], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    rows = [
+        # user 1 full ordered funnel
+        (1, "view", "2024-01-01T10:00:00"),
+        (1, "click", "2024-01-01T10:05:00"),
+        (1, "purchase", "2024-01-01T10:10:00"),
+        # user 2 WRONG ORDER: purchase before click -> stops at view+click
+        (2, "view", "2024-01-01T10:00:00"),
+        (2, "purchase", "2024-01-01T10:02:00"),
+        (2, "click", "2024-01-01T10:04:00"),
+        # user 3: click before any view -> only counted as user
+        (3, "click", "2024-01-01T09:00:00"),
+        # user 4: view only
+        (4, "view", "2024-01-01T08:00:00"),
+    ]
+    out = funnel3_ordered(
+        ray.data.from_arrow(ev(rows)).repartition(3)
+    ).to_pydict()
+    assert out["n_users"] == [4]
+    assert out["n_view"] == [3]        # users 1, 2, 4
+    assert out["n_view_click"] == [2]  # users 1, 2
+    assert out["n_full"] == [1]        # user 1 only
