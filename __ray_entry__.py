@@ -2053,6 +2053,32 @@ def q_funnel3_ordered(sf_dir: str):
     )
 
 
+def q_markov_entropy_rate(sf_dir: str):
+    """Conditional entropy rate H(next|current) of the event stream in
+    exact micro-nats over the global transition census; SQL restatement
+    with the shared ln quantization."""
+    from pyreshaper_ray.stages.analytics import markov_entropy_rate
+
+    return markov_entropy_rate(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    )
+
+
+def q_loo_source_deltas(sf_dir: str):
+    """Leave-one-source-out mean words-per-doc deltas in exact
+    micro-words (data-valuation probe); SQL restatement with the same
+    token regex and floor division."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import loo_source_word_deltas
+
+    return loo_source_word_deltas(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3309,6 +3335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_overlap_pairs": q_session_overlap_pairs,
         "user_burstiness": q_user_burstiness,
         "funnel3_ordered": q_funnel3_ordered,
+        "markov_entropy_rate": q_markov_entropy_rate,
+        "loo_source_word_deltas": q_loo_source_deltas,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -7942,6 +7970,65 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
                CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
                CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full
+    """
+    # Markov entropy rate: transition census + micro-nat ln quantization,
+    # truncating final division
+    out["markov_entropy_rate"] = """
+        WITH s AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        c AS (
+            SELECT event_type AS cur, next_type AS nxt,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ),
+        r AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS T FROM c),
+        num AS (
+            SELECT CAST(SUM(c.n * (
+                     CAST(FLOOR(LN(r.rn) * 1000000 + 0.5) AS BIGINT)
+                   - CAST(FLOOR(LN(c.n) * 1000000 + 0.5) AS BIGINT)
+                   )) AS BIGINT) AS h_num
+            FROM c JOIN r ON r.cur = c.cur
+        )
+        SELECT tot.T AS n_transitions,
+               CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_states,
+               CAST(num.h_num // tot.T AS BIGINT) AS h_micro_nats
+        FROM tot CROSS JOIN num
+    """
+    # LOO source deltas: per-source word sums, floor micro-means
+    out["loo_source_word_deltas"] = """
+        WITH w AS (
+            SELECT source,
+                   CAST(LEN(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw
+            FROM documents
+        ),
+        s AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nw) AS BIGINT) AS sum_words
+            FROM w GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+                   CAST(SUM(sum_words) AS BIGINT) AS wt
+            FROM s
+        )
+        SELECT s.source, s.n_docs, s.sum_words,
+               CAST(1000000 * tot.wt // tot.nt AS BIGINT) AS all_mean_micro,
+               CAST(CASE WHEN tot.nt - s.n_docs > 0
+                         THEN 1000000 * (tot.wt - s.sum_words)
+                              // (tot.nt - s.n_docs)
+                         ELSE 0 END AS BIGINT) AS loo_mean_micro,
+               CAST(CASE WHEN tot.nt - s.n_docs > 0
+                         THEN 1000000 * (tot.wt - s.sum_words)
+                              // (tot.nt - s.n_docs)
+                              - 1000000 * tot.wt // tot.nt
+                         ELSE 0 END AS BIGINT) AS delta_micro
+        FROM s CROSS JOIN tot
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -371,6 +371,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "session_overlap_pairs",
         "user_burstiness",
         "funnel3_ordered",
+        "markov_entropy_rate",
+        "loo_source_word_deltas",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

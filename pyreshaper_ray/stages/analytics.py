@@ -7676,3 +7676,144 @@ def funnel3_ordered(events_ds: "ray.data.Dataset") -> pa.Table:
             "n_full": pa.array([int(agg["f"])], pa.int64()),
         }
     )
+
+
+def markov_entropy_rate(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Conditional entropy rate of the per-user event stream, in exact
+    micro-nats: H(next | current) over the global first-order transition
+    counts — the predictability score behind "is this traffic scriptable
+    or organic" (0 ⇒ fully deterministic next-event; ln(K) ⇒ uniform).
+
+    Same quantization contract as :func:`~.timeseries.mi_type_hod`:
+    each ln(count) quantized once to micro-nats, then
+
+        H_micro = trunc( Σ_{c,n} t_cn · (L(t_c·) − L(t_cn))  /  T )
+
+    is pure integer arithmetic (t_c· = row marginal, T = total
+    transitions; truncating division matches SQL ``//``).
+
+    Shape: the transition census is :func:`~.windows.event_transitions`
+    (per-user vectorized pairs, types²-sized exchange); the fold is a
+    numpy pass over that domain-sized table.
+
+    Output: one row — n_transitions, n_states, h_micro_nats (BIGINTs).
+    Empty input → 0 rows.
+    """
+    from .windows import event_transitions
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("n_transitions", pa.int64()),
+            ("n_states", pa.int64()),
+            ("h_micro_nats", pa.int64()),
+        ]
+    )
+    t = collect_table(event_transitions(events_ds))
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    cur = t["from_type"].to_pylist()
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    states = sorted(set(cur))
+    cix = np.array([states.index(c) for c in cur], dtype=np.int64)
+    row = np.zeros(len(states), dtype=np.int64)
+    np.add.at(row, cix, n)
+
+    def L(v: np.ndarray) -> np.ndarray:
+        return np.floor(np.log(v.astype(np.float64)) * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+
+    T = int(n.sum())
+    num = int((n * (L(row)[cix] - L(n))).sum())
+    h = -((-num) // T) if num < 0 else num // T
+    return pa.table(
+        {
+            "n_transitions": pa.array([T], pa.int64()),
+            "n_states": pa.array([len(states)], pa.int64()),
+            "h_micro_nats": pa.array([h], pa.int64()),
+        }
+    )
+
+
+def loo_source_word_deltas(docs_ds: "ray.data.Dataset") -> pa.Table:
+    """Leave-one-source-out corpus statistic deltas: for each document
+    source, the corpus mean words-per-doc WITHOUT that source vs the
+    overall mean — the first-order data-valuation probe a curation
+    pipeline ranks sources by ("dropping source X moves the corpus mean
+    by Δ").
+
+    Exact integers in micro-words: mean_micro = 1e6·ΣW // N (floor —
+    counts nonnegative), computed per variant from per-source sufficient
+    statistics (one tiny source-keyed exchange; word counts are a
+    vectorized ``count_substring_regex(\\S+)`` per block — the same token
+    definition as ``quality_documents``).
+
+    Output: source, n_docs, sum_words, all_mean_micro, loo_mean_micro,
+    delta_micro — BIGINTs (loo fields 0 when the source is the whole
+    corpus).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("sum_words", pa.int64()),
+            ("all_mean_micro", pa.int64()),
+            ("loo_mean_micro", pa.int64()),
+            ("delta_micro", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"\S+"), pa.int64()
+        )
+        g = (
+            pa.table({"source": batch["source"], "w": w})
+            .group_by("source")
+            .aggregate([("w", "sum"), ("w", "count")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "sum_words": pc.cast(g["w_sum"], pa.int64()),
+                "n_docs": pc.cast(g["w_count"], pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        docs_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            _Sum("sum_words", alias_name="sum_words"),
+            _Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    src = t["source"].to_pylist()
+    W = t["sum_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+    N = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Wt, Nt = int(W.sum()), int(N.sum())
+    all_mean = 1_000_000 * Wt // Nt
+    loo = np.zeros(len(src), dtype=np.int64)
+    ok = (Nt - N) > 0
+    loo[ok] = 1_000_000 * (Wt - W[ok]) // (Nt - N[ok])
+    delta = np.where(ok, loo - all_mean, 0).astype(np.int64)
+    order = np.argsort(np.array(src))
+    return pa.table(
+        {
+            "source": pa.array([src[i] for i in order], pa.string()),
+            "n_docs": pa.array(N[order], pa.int64()),
+            "sum_words": pa.array(W[order], pa.int64()),
+            "all_mean_micro": pa.array(
+                np.full(len(src), all_mean, np.int64), pa.int64()
+            ),
+            "loo_mean_micro": pa.array(loo[order], pa.int64()),
+            "delta_micro": pa.array(delta[order], pa.int64()),
+        }
+    )

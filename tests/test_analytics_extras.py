@@ -2521,3 +2521,68 @@ def test_funnel3_ordered_semantics(ray_session):
     assert out["n_view"] == [3]        # users 1, 2, 4
     assert out["n_view_click"] == [2]  # users 1, 2
     assert out["n_full"] == [1]        # user 1 only
+
+
+def test_markov_entropy_rate_deterministic_vs_uniform(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import markov_entropy_rate
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[2], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    # deterministic a->b->a->b: every state has ONE successor -> H = 0
+    rows = [
+        (1, "a", "2024-01-01T00:00:00"),
+        (1, "b", "2024-01-01T00:01:00"),
+        (1, "a", "2024-01-01T00:02:00"),
+        (1, "b", "2024-01-01T00:03:00"),
+    ]
+    t = markov_entropy_rate(ray.data.from_arrow(ev(rows))).to_pydict()
+    assert t["h_micro_nats"] == [0] and t["n_transitions"] == [3]
+    # a splits 50/50 to b and c -> H = ln 2 from a's 2 transitions out of
+    # 2 total-from-a; overall stream: a->b, a->c only -> H = ln2 = 693147
+    rows2 = [
+        (1, "a", "2024-01-01T00:00:00"),
+        (1, "b", "2024-01-01T00:01:00"),
+        (2, "a", "2024-01-01T00:00:00"),
+        (2, "c", "2024-01-01T00:01:00"),
+    ]
+    t2 = markov_entropy_rate(ray.data.from_arrow(ev(rows2)).repartition(2)).to_pydict()
+    assert t2["h_micro_nats"] == [693147]
+
+
+def test_loo_source_deltas_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import loo_source_word_deltas
+
+    docs = pa.table(
+        {
+            "source": pa.array(["s0", "s0", "s1"], pa.string()),
+            "text": pa.array(
+                ["one two", "three four five six", "w"], pa.string()
+            ),
+        }
+    )
+    out = (
+        loo_source_word_deltas(ray.data.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .set_index("source")
+    )
+    # totals: 7 words / 3 docs -> all_mean = 2333333
+    assert (out["all_mean_micro"] == 2333333).all()
+    # drop s0 -> 1/1 = 1000000; drop s1 -> 6/2 = 3000000
+    assert out.loc["s0", "loo_mean_micro"] == 1000000
+    assert out.loc["s1", "loo_mean_micro"] == 3000000
+    assert out.loc["s1", "delta_micro"] == 3000000 - 2333333
