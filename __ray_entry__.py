@@ -2079,6 +2079,33 @@ def q_loo_source_deltas(sf_dir: str):
     )
 
 
+def q_tier_route_plan(sf_dir: str):
+    """Continuous-aggregate read router: coarsest tier that is fine
+    enough AND still retained serves the window — pure-plan operator
+    (rows-only; decision table pytest-gated like scan/zone plans)."""
+    import numpy as np
+
+    from pyreshaper_ray.sources.planner import tier_route_plan
+
+    t0 = int(np.datetime64("2024-01-05", "us").astype(np.int64))
+    t1 = int(np.datetime64("2024-01-12", "us").astype(np.int64))
+    now = int(np.datetime64("2024-02-15", "us").astype(np.int64))
+    return tier_route_plan(t0, t1, 3_600_000_000, now)
+
+
+def q_hist2d_len_words(sf_dir: str):
+    """Joint (byte-length, word-count) 2-D histogram of documents —
+    combiner-first cell census; SQL restatement with the same floor
+    bucketing."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import hist2d_len_words
+
+    return hist2d_len_words(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3337,6 +3364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel3_ordered": q_funnel3_ordered,
         "markov_entropy_rate": q_markov_entropy_rate,
         "loo_source_word_deltas": q_loo_source_deltas,
+        "hist2d_len_words": q_hist2d_len_words,
+        "tier_route_plan": q_tier_route_plan,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8029,6 +8058,14 @@ def oracle_sql() -> dict[str, str]:
                               - 1000000 * tot.wt // tot.nt
                          ELSE 0 END AS BIGINT) AS delta_micro
         FROM s CROSS JOIN tot
+    """
+    # 2-D histogram: byte length x \S+ word count, floor buckets
+    out["hist2d_len_words"] = """
+        SELECT CAST(strlen(text) // 256 AS BIGINT) AS char_bucket,
+               CAST(LEN(regexp_extract_all(text, '\\S+')) // 32 AS BIGINT)
+                   AS word_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -373,6 +373,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "funnel3_ordered",
         "markov_entropy_rate",
         "loo_source_word_deltas",
+        "hist2d_len_words",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

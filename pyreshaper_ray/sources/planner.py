@@ -173,3 +173,74 @@ def lsh_parameter_plan(
             "fn_milli": pa.array(out["fn"], pa.int64()),
         }
     )
+
+
+# tier resolutions (µs per point) and the default retention ladder the
+# router consults — mirrors retention.DEFAULT_POLICY's tier vocabulary
+_TIER_RES_US = {
+    "1m": 60_000_000,
+    "1h": 3_600_000_000,
+    "1d": 86_400_000_000,
+    "1w": 604_800_000_000,
+}
+
+
+def tier_route_plan(
+    range_start_us: int,
+    range_end_us: int,
+    resolution_us: int,
+    now_us: int,
+    keep_us: dict[str, int | None] | None = None,
+) -> pa.Table:
+    """Continuous-aggregate query router: which rollup tier should serve a
+    ``[range_start, range_end)`` window at a requested ``resolution``?
+    The standard TSDB read path — route to the COARSEST tier whose
+    resolution still satisfies the request AND whose retention window
+    still covers the range start; fall through tier by tier otherwise.
+
+    A tier qualifies when
+        res(tier) <= resolution_us                      (fine enough)
+        AND (keep[tier] is None                          (kept forever)
+             OR range_start_us >= now_us - keep[tier])   (not yet pruned)
+    and the plan picks the coarsest qualifying tier (fewest rows scanned).
+    Estimated points = ceil(range / res) — the cost column a planner
+    compares against the raw-turns scan.
+
+    Pure footer-free planning (no I/O, no Ray) — same testable-decision
+    contract as :func:`zone_skip_plan` / :func:`scan_task_plan`; the
+    executor half is ``flagship.read_tier`` + a window filter.
+
+    Output: one row per tier — tier, res_us, fine_enough, retained,
+    chosen, est_points (BIGINT/bool). Exactly one row has chosen=True
+    when any tier qualifies; zero when none (serve from raw turns).
+    """
+    keep = keep_us if keep_us is not None else {"1m": 7 * 86_400_000_000, "1h": 90 * 86_400_000_000, "1d": None, "1w": None}
+    rows = {k: [] for k in ("tier", "res", "fine", "ret", "est")}
+    for tier, res in sorted(_TIER_RES_US.items(), key=lambda kv: kv[1]):
+        fine = res <= resolution_us
+        ttl = keep.get(tier, None)
+        ret = ttl is None or range_start_us >= now_us - ttl
+        est = -(-(range_end_us - range_start_us) // res)
+        rows["tier"].append(tier)
+        rows["res"].append(res)
+        rows["fine"].append(fine)
+        rows["ret"].append(ret)
+        rows["est"].append(est)
+    qualifying = [
+        i
+        for i in range(len(rows["tier"]))
+        if rows["fine"][i] and rows["ret"][i]
+    ]
+    chosen_i = max(qualifying, key=lambda i: rows["res"][i]) if qualifying else None
+    return pa.table(
+        {
+            "tier": pa.array(rows["tier"], pa.string()),
+            "res_us": pa.array(rows["res"], pa.int64()),
+            "fine_enough": pa.array(rows["fine"], pa.bool_()),
+            "retained": pa.array(rows["ret"], pa.bool_()),
+            "chosen": pa.array(
+                [i == chosen_i for i in range(len(rows["tier"]))], pa.bool_()
+            ),
+            "est_points": pa.array(rows["est"], pa.int64()),
+        }
+    )

@@ -2905,3 +2905,47 @@ def heaps_law_documents(ds_docs: "ray.data.Dataset") -> pa.Table:
             "vocab": pa.array([vc.get(i, 0) for i in range(len(thr))], pa.int64()),
         }
     )
+
+
+def hist2d_len_words(
+    ds_docs: "ray.data.Dataset", char_bucket: int = 256, word_bucket: int = 32
+) -> "ray.data.Dataset":
+    """Joint (length, word-count) 2-D histogram of the corpus — the
+    bivariate profile behind tokenizer budgeting and "short docs with
+    many words are code/tables" heuristics that a 1-D census can't see.
+
+    Exact integers: chars = BYTE length (Arrow ``binary_length``, matching
+    SQL ``strlen``), words = ``count_substring_regex(\\S+)``; buckets are
+    floor divisions by the two widths. Combiner-first: each block reduces
+    to its own ≤ buckets² cells, then one tiny cell-keyed groupby.
+
+    Output: char_bucket, word_bucket, n_docs (BIGINTs) — one row per
+    non-empty cell.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.binary_length(batch["text"]), pa.int64())
+        words = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=r"\S+"), pa.int64()
+        )
+        cb = pc.divide(chars, pa.scalar(char_bucket, pa.int64()))
+        wb = pc.divide(words, pa.scalar(word_bucket, pa.int64()))
+        g = (
+            pa.table({"char_bucket": cb, "word_bucket": wb})
+            .group_by(["char_bucket", "word_bucket"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "char_bucket": g["char_bucket"],
+                "word_bucket": g["word_bucket"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["char_bucket", "word_bucket"])
+        .aggregate(_Sum("n_docs", alias_name="n_docs"))
+    )

@@ -2586,3 +2586,30 @@ def test_loo_source_deltas_hand_case(ray_session):
     assert out.loc["s0", "loo_mean_micro"] == 1000000
     assert out.loc["s1", "loo_mean_micro"] == 3000000
     assert out.loc["s1", "delta_micro"] == 3000000 - 2333333
+
+
+def test_tier_route_plan_decisions():
+    from pyreshaper_ray.sources.planner import tier_route_plan
+
+    DAY = 86_400_000_000
+    now = 100 * DAY
+    # recent range, minute resolution -> 1m is the only fine-enough tier
+    t = tier_route_plan(99 * DAY, 100 * DAY, 60_000_000, now).to_pandas()
+    assert list(t[t["chosen"]]["tier"]) == ["1m"]
+    # hourly request on a recent range -> coarsest qualifying is 1h
+    t = tier_route_plan(99 * DAY, 100 * DAY, 3_600_000_000, now).to_pandas()
+    assert list(t[t["chosen"]]["tier"]) == ["1h"]
+    # old range (beyond 1m's 7d AND 1h's 90d TTLs... use 95d old), minute
+    # resolution -> nothing fine enough is retained -> no tier chosen
+    t = tier_route_plan(2 * DAY, 3 * DAY, 60_000_000, now).to_pandas()
+    assert not t["chosen"].any()
+    # same old range, DAILY resolution -> 1d kept forever, chosen
+    t = tier_route_plan(2 * DAY, 3 * DAY, DAY, now).to_pandas()
+    assert list(t[t["chosen"]]["tier"]) == ["1d"]
+    # custom keep: everything forever -> hourly request picks 1h even old
+    keep = {"1m": None, "1h": None, "1d": None, "1w": None}
+    t = tier_route_plan(2 * DAY, 3 * DAY, 3_600_000_000, now, keep_us=keep).to_pandas()
+    assert list(t[t["chosen"]]["tier"]) == ["1h"]
+    # est_points is ceil(range/res)
+    row_1m = t.set_index("tier").loc["1m"]
+    assert row_1m["est_points"] == DAY // 60_000_000
