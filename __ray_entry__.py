@@ -2106,6 +2106,49 @@ def q_hist2d_len_words(sf_dir: str):
     )
 
 
+def q_frequent_triples(sf_dir: str):
+    """Top-20 co-purchased part triples — two-level vectorized repeat over
+    orderkey-partitioned capped itemsets; SQL 3-way QUALIFY-capped join."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import frequent_triples_parts
+
+    return frequent_triples_parts(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+    )
+
+
+def q_session_entry_conversion(sf_dir: str):
+    """Session conversion by entry event type (30m islands, reduceat
+    any-purchase); SQL islands + FIRST_VALUE restatement."""
+    from pyreshaper_ray.stages.analytics import session_entry_conversion
+
+    return session_entry_conversion(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    )
+
+
+def q_corr_by_brand(sf_dir: str):
+    """Per-brand exact discount-quantity correlation components (broadcast
+    part dim, integer cents); SQL grouped sums."""
+    from pyreshaper_ray.stages.analytics import corr_disc_qty_by_brand
+
+    return corr_disc_qty_by_brand(sf_dir)
+
+
+def q_transition_drift(sf_dir: str):
+    """TV distance between the two fortnights' transition distributions,
+    cross-multiplied exact (tv_num, t1, t2); SQL restatement with
+    per-half LEAD censuses and a FULL OUTER cell join."""
+    from pyreshaper_ray.stages.analytics import transition_drift_fortnights
+
+    return transition_drift_fortnights(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3366,6 +3409,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loo_source_word_deltas": q_loo_source_deltas,
         "hist2d_len_words": q_hist2d_len_words,
         "tier_route_plan": q_tier_route_plan,
+        "frequent_triples_parts": q_frequent_triples,
+        "session_entry_conversion": q_session_entry_conversion,
+        "corr_disc_qty_by_brand": q_corr_by_brand,
+        "transition_drift_fortnights": q_transition_drift,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8066,6 +8113,122 @@ def oracle_sql() -> dict[str, str]:
                    AS word_bucket,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY 1, 2
+    """
+    # frequent triples: same cap contract as pairs (16 smallest part keys
+    # per order), 3-way join, once per order
+    out["frequent_triples_parts"] = """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        capped AS (
+            SELECT l_orderkey, l_partkey FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_partkey) <= 16
+        ),
+        t AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   c.l_partkey AS part_c, COUNT(*) AS n
+            FROM capped a
+            JOIN capped b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+            JOIN capped c ON b.l_orderkey = c.l_orderkey
+                         AND b.l_partkey < c.l_partkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT part_a, part_b, part_c, CAST(n AS BIGINT) AS n
+        FROM t ORDER BY n DESC, part_a, part_b, part_c LIMIT 20
+    """
+    # session entry conversion: islands, FIRST_VALUE entry, any-purchase
+    out["session_entry_conversion"] = """
+        WITH d AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(
+                            LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        ) > 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, event_type, ts, event_id,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+            FROM d
+        ),
+        per AS (
+            SELECT user_id, sess,
+                   FIRST_VALUE(event_type) OVER (
+                       PARTITION BY user_id, sess
+                       ORDER BY ts, event_id) AS entry_type,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id, sess) AS conv
+            FROM s
+        ),
+        one AS (
+            SELECT DISTINCT user_id, sess, entry_type, conv FROM per
+        )
+        SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(conv) AS BIGINT) AS n_converted
+        FROM one GROUP BY 1
+    """
+    # grouped correlation components: integer cents, broadcast dim join
+    out["corr_disc_qty_by_brand"] = """
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS sum_x,
+               CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS sum_y,
+               CAST(SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l.l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS sum_xy,
+               CAST(SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS sum_x2,
+               CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(l.l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS sum_y2
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    """
+    # transition drift: per-half LEAD censuses (halves filtered BEFORE the
+    # LEAD so no pair spans the boundary), cross-multiplied TV numerator
+    out["transition_drift_fortnights"] = """
+        WITH h1 AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ),
+        h2 AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ),
+        c1 AS (
+            SELECT event_type AS f, next_type AS x,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM h1 WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ),
+        c2 AS (
+            SELECT event_type AS f, next_type AS x,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM h2 WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM c1) AS t1,
+                   (SELECT CAST(SUM(n) AS BIGINT) FROM c2) AS t2
+        ),
+        cells AS (
+            SELECT COALESCE(c1.f, c2.f) AS f, COALESCE(c1.x, c2.x) AS x,
+                   COALESCE(c1.n, 0) AS n1, COALESCE(c2.n, 0) AS n2
+            FROM c1 FULL OUTER JOIN c2 ON c1.f = c2.f AND c1.x = c2.x
+        )
+        SELECT tot.t1, tot.t2,
+               CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+               CAST((SELECT SUM(abs(n1 * tot.t2 - n2 * tot.t1)) FROM cells)
+                    AS BIGINT) AS tv_num
+        FROM tot
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -374,6 +374,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "markov_entropy_rate",
         "loo_source_word_deltas",
         "hist2d_len_words",
+        "frequent_triples_parts",
+        "session_entry_conversion",
+        "corr_disc_qty_by_brand",
+        "transition_drift_fortnights",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

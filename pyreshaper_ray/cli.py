@@ -377,6 +377,43 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_du(args: argparse.Namespace) -> int:
+    """Storage census of a completed run: per tier — files, bytes, rows
+    (parquet footers only, no data pages, no Ray) plus compaction state.
+    The `du` every retention/compaction decision starts from."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.bucket import TIER_DIRS
+    from .pipelines.compact import MARKER
+
+    report = []
+    for tier, sub_dir in sorted(TIER_DIRS.items(), key=lambda kv: kv[1]):
+        d = os.path.join(args.out, sub_dir)
+        if not os.path.isdir(d):
+            continue
+        n_files = n_bytes = n_rows = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, f)
+                n_files += 1
+                n_bytes += os.path.getsize(path)
+                n_rows += pq.ParquetFile(path).metadata.num_rows
+        report.append(
+            {
+                "tier": tier,
+                "dir": sub_dir,
+                "files": n_files,
+                "bytes": n_bytes,
+                "rows": n_rows,
+                "compacted": os.path.exists(os.path.join(d, MARKER)),
+            }
+        )
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyreshaper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -453,6 +490,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--group", type=int, default=8, help="buckets per output file")
     cp.add_argument("--num-cpus", type=int, default=8)
     cp.set_defaults(fn=cmd_compact)
+
+    du = sub.add_parser("du", help="per-tier storage census (footers only)")
+    du.add_argument("out", help="run output directory")
+    du.set_defaults(fn=cmd_du)
 
     xp = sub.add_parser("explain", help="describe the physical plan (no run)")
     xp.add_argument("specfile")

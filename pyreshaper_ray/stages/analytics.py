@@ -7817,3 +7817,328 @@ def loo_source_word_deltas(docs_ds: "ray.data.Dataset") -> pa.Table:
             "delta_micro": pa.array(delta[order], pa.int64()),
         }
     )
+
+
+def frequent_triples_parts(
+    lineitem_ds: "ray.data.Dataset", k: int = 20, max_order_parts: int = 16
+) -> "ray.data.Dataset":
+    """Top-``k`` co-purchased part TRIPLES — the frequent-itemset size-3
+    step (A-priori's next rung above :func:`copurchase_part_pairs`),
+    counted once per order containing all three.
+
+    Same scale contract as the pair miner: orderkey hash-partitioning
+    makes each order wholly local (no cross-block loss), per-order
+    distinct parts cap at the ``max_order_parts`` SMALLEST part keys
+    (bounds the cubic blow-up at C(cap,3) per order — documented), and
+    the triple expansion is a TWO-LEVEL vectorized repeat (pairs by
+    remaining-count, then thirds by remaining-count again) — no Python
+    loop over orders. Partition-local counts are partial; one
+    triple-keyed ``hash_partitioned_agg`` sum finishes, then a
+    result-sized sort+limit.
+
+    Output: part_a < part_b < part_c (BIGINT), n (BIGINT).
+    """
+    import polars as pl
+
+    from ..util import hash_partitioned_agg
+
+    n_parts = 32
+    EMPTY = pa.schema(
+        [
+            ("part_a", pa.int64()),
+            ("part_b", pa.int64()),
+            ("part_c", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        col = b["l_orderkey"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = pl.from_arrow(col).hash(seed=7).to_numpy()
+        part = (h >> np.uint64(33)) % np.uint64(n_parts)
+        return pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "pkey": b["l_partkey"],
+                "__part": pa.array(part.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def triples_local(g: pa.Table) -> pa.Table:
+        d = (
+            pa.table({"okey": g["okey"], "pkey": g["pkey"]})
+            .group_by(["okey", "pkey"])
+            .aggregate([])
+        )
+        ok = d["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = d["pkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        nrows = len(ok)
+        if nrows == 0:
+            return EMPTY.empty_table()
+        new = np.concatenate(([True], ok[1:] != ok[:-1]))
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [nrows])))
+        pos_in_group = np.arange(nrows) - starts[gid]
+        keep = pos_in_group < max_order_parts
+        pk, gid = pk[keep], gid[keep]
+        pos = pos_in_group[keep]
+        csizes = np.minimum(sizes, max_order_parts)[gid]
+        # level 1: pairs (i, j) with j > i inside the group
+        c1 = (csizes - pos - 1).astype(np.int64)
+        if int(c1.sum()) == 0:
+            return EMPTY.empty_table()
+        lefts = np.repeat(np.arange(len(c1)), c1)
+        run = np.repeat(np.concatenate(([0], np.cumsum(c1)[:-1])), c1)
+        rights = lefts + (np.arange(int(c1.sum())) - run) + 1
+        # level 2: extend each pair by every k > j in the same group
+        c2 = (csizes[rights] - pos[rights] - 1).astype(np.int64)
+        total = int(c2.sum())
+        if total == 0:
+            return EMPTY.empty_table()
+        pi = np.repeat(np.arange(len(c2)), c2)
+        run2 = np.repeat(np.concatenate(([0], np.cumsum(c2)[:-1])), c2)
+        thirds = rights[pi] + (np.arange(total) - run2) + 1
+        t = pa.table(
+            {
+                "part_a": pa.array(pk[lefts[pi]], pa.int64()),
+                "part_b": pa.array(pk[rights[pi]], pa.int64()),
+                "part_c": pa.array(pk[thirds], pa.int64()),
+            }
+        )
+        gg = t.group_by(["part_a", "part_b", "part_c"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "part_a": gg["part_a"],
+                "part_b": gg["part_b"],
+                "part_c": gg["part_c"],
+                "n": pc.cast(gg["count_all"], pa.int64()),
+            }
+        )
+
+    partial = (
+        lineitem_ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__part")
+        .map_groups(triples_local, batch_format="pyarrow")
+    )
+    counts = hash_partitioned_agg(
+        partial, ["part_a", "part_b", "part_c"], [("n", "sum", "n")]
+    )
+    return (
+        counts.sort(
+            ["n", "part_a", "part_b", "part_c"],
+            descending=[True, False, False, False],
+        )
+        .limit(k)
+        .select_columns(["part_a", "part_b", "part_c", "n"])
+    )
+
+
+def session_entry_conversion(
+    events_ds: "ray.data.Dataset", gap_s: int = 1800
+) -> "ray.data.Dataset":
+    """Conversion rate by session ENTRY event type: sessions are the 30m
+    islands per user; each session is attributed to its first event's
+    type, and counts as converted when it contains a purchase — the
+    landing-page-effectiveness census, stream-shaped.
+
+    Per-user kernel: one sort, session ids by gap cumsum, entries at
+    island starts, converted via ``np.logical_or.reduceat`` — all
+    vectorized; the final groupby is entry-type-sized.
+
+    Output: entry_type (STRING), n_sessions, n_converted (BIGINTs).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    gap_us = gap_s * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        if len(ts) == 0:
+            return pa.table(
+                {
+                    "entry_type": pa.array([], pa.string()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                }
+            )
+        et = g["event_type"]
+        starts = np.flatnonzero(np.r_[True, np.diff(ts) > gap_us])
+        is_purchase = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        conv = np.logical_or.reduceat(is_purchase, starts).astype(np.int64)
+        t = pa.table(
+            {
+                "entry_type": et.take(pa.array(starts)),
+                "conv": pa.array(conv, pa.int64()),
+            }
+        )
+        gg = t.group_by("entry_type").aggregate(
+            [("conv", "sum"), ("conv", "count")]
+        )
+        return pa.table(
+            {
+                "entry_type": gg["entry_type"],
+                "n_sessions": pc.cast(gg["conv_count"], pa.int64()),
+                "n_converted": pc.cast(gg["conv_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("entry_type")
+        .aggregate(
+            _Sum("n_sessions", alias_name="n_sessions"),
+            _Sum("n_converted", alias_name="n_converted"),
+        )
+    )
+
+
+def corr_disc_qty_by_brand(sf_dir: str) -> "ray.data.Dataset":
+    """Per-brand exact correlation components between lineitem discount
+    and quantity (both in integer cents): n, Σx, Σy, Σxy, Σx², Σy² as
+    BIGINTs — the grouped version of :func:`corr_components`, with the
+    part→brand attribution done by a BROADCAST dim lookup (``ray.put``
+    the partkey→brand map once; the fact table never shuffles for the
+    join).
+
+    Output: p_brand, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import cached_get
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    lut_ref = ray.put(
+        dict(
+            zip(
+                part["p_partkey"].to_pylist(),
+                part["p_brand"].to_pylist(),
+            )
+        )
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_discount", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = cached_get(lut_ref)
+        brands = pa.array(
+            [lut.get(p) for p in batch["l_partkey"].to_pylist()], pa.string()
+        )
+        x = to_cents(batch["l_discount"]).to_numpy(zero_copy_only=False)
+        y = to_cents(batch["l_quantity"]).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "p_brand": brands,
+                "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sum_x": pa.array(x, pa.int64()),
+                "sum_y": pa.array(y, pa.int64()),
+                "sum_xy": pa.array(x * y, pa.int64()),
+                "sum_x2": pa.array(x * x, pa.int64()),
+                "sum_y2": pa.array(y * y, pa.int64()),
+            }
+        )
+        return t.group_by("p_brand").aggregate(
+            [(c, "sum") for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")]
+        ).rename_columns(
+            ["p_brand", "n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("p_brand").aggregate(
+        *[
+            _Sum(c, alias_name=c)
+            for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+        ]
+    )
+
+
+def transition_drift_fortnights(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Behavioral drift test: total-variation distance between the
+    first-order transition distributions of the corpus's two fortnights
+    (split at 2024-01-16, the fixed mid-corpus boundary) — "did the
+    event-sequence dynamics change?", the Markov counterpart of the
+    term-distribution drift (:func:`~.text.tv_distance`-family).
+
+    EXACT cross-multiplied integers: with n1/n2 the per-(cur,next) counts
+    and T1/T2 the totals,
+
+        tv_num = Σ |n1·T2 − n2·T1|,     TV = tv_num / (2·T1·T2)
+
+    so the statistic is carried as (tv_num, t1, t2) BIGINTs and the one
+    float division is the caller's. Transitions are computed per user
+    WITHIN each half (no pair spans the boundary — restated in SQL by
+    filtering each half before the LEAD).
+
+    Output: one row — t1, t2, n_cells, tv_num (BIGINTs). Empty halves →
+    0 rows.
+    """
+    from .windows import event_transitions
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("t1", pa.int64()),
+            ("t2", pa.int64()),
+            ("n_cells", pa.int64()),
+            ("tv_num", pa.int64()),
+        ]
+    )
+    split = np.datetime64("2024-01-16", "us")
+
+    def half(ds, before: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.less(b["ts"], pa.scalar(split.item(), pa.timestamp("us")))
+            if not before:
+                m = pc.invert(m)
+            return b.filter(m)
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    t1 = collect_table(event_transitions(half(events_ds, True)))
+    t2 = collect_table(event_transitions(half(events_ds, False)))
+    if t1.num_rows == 0 or t2.num_rows == 0:
+        return OUT.empty_table()
+
+    def to_map(t):
+        return {
+            (f, x): int(n)
+            for f, x, n in zip(
+                t["from_type"].to_pylist(),
+                t["to_type"].to_pylist(),
+                t["n"].to_pylist(),
+            )
+        }
+
+    m1, m2 = to_map(t1), to_map(t2)
+    T1, T2 = sum(m1.values()), sum(m2.values())
+    cells = sorted(set(m1) | set(m2))
+    tv = sum(abs(m1.get(c, 0) * T2 - m2.get(c, 0) * T1) for c in cells)
+    return pa.table(
+        {
+            "t1": pa.array([T1], pa.int64()),
+            "t2": pa.array([T2], pa.int64()),
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "tv_num": pa.array([tv], pa.int64()),
+        }
+    )

@@ -2613,3 +2613,73 @@ def test_tier_route_plan_decisions():
     # est_points is ceil(range/res)
     row_1m = t.set_index("tier").loc["1m"]
     assert row_1m["est_points"] == DAY // 60_000_000
+
+
+def test_frequent_triples_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import frequent_triples_parts
+
+    # orders: {1,2,3} x3, {1,2,4} x1 -> top triple (1,2,3) n=3; duplicate
+    # lineitems of the same part within an order must count once
+    rows_ok, rows_pk = [], []
+    oid = 0
+    for _ in range(3):
+        oid += 1
+        for p in (3, 1, 2, 2):  # unsorted + dup
+            rows_ok.append(oid)
+            rows_pk.append(p)
+    oid += 1
+    for p in (1, 2, 4):
+        rows_ok.append(oid)
+        rows_pk.append(p)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(rows_ok, pa.int64()),
+            "l_partkey": pa.array(rows_pk, pa.int64()),
+        }
+    )
+    out = frequent_triples_parts(
+        ray.data.from_arrow(li).repartition(3), k=5
+    ).to_pandas()
+    assert list(out.iloc[0][["part_a", "part_b", "part_c", "n"]]) == [1, 2, 3, 3]
+    assert list(out.iloc[1][["part_a", "part_b", "part_c", "n"]]) == [1, 2, 4, 1]
+    assert len(out) == 2
+
+
+def test_session_entry_conversion_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import session_entry_conversion
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[2], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    rows = [
+        # user 1 session A: entry view, contains purchase -> converted
+        (1, "view", "2024-01-01T10:00:00"),
+        (1, "purchase", "2024-01-01T10:10:00"),
+        # user 1 session B (gap > 30m): entry view, no purchase
+        (1, "view", "2024-01-01T12:00:00"),
+        # user 2 session: entry click, no purchase
+        (2, "click", "2024-01-01T09:00:00"),
+    ]
+    out = (
+        session_entry_conversion(ray.data.from_arrow(ev(rows)).repartition(2))
+        .to_pandas()
+        .set_index("entry_type")
+    )
+    assert out.loc["view", "n_sessions"] == 2
+    assert out.loc["view", "n_converted"] == 1
+    assert out.loc["click", "n_sessions"] == 1
+    assert out.loc["click", "n_converted"] == 0

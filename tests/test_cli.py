@@ -222,3 +222,27 @@ def test_cli_verify_equal(fixture_dir, tmp_path):
     assert verdict["verdict"] == "equal"
     assert verdict["turns"].startswith("equal")
     assert verdict["series"].startswith("equal")
+
+
+def test_cli_du_reports_tiers(fixture_dir, tmp_path, capsys):
+    """`du` reports per-tier files/bytes/rows from footers only."""
+    specfile = str(tmp_path / "spec.json")
+    out = str(tmp_path / "out")
+    main(
+        [
+            "make", specfile,
+            "--input", os.path.join(fixture_dir, "transcripts"),
+            "--out", out,
+            "--n-buckets", "4",
+        ]
+    )
+    main(["run", specfile, "--num-cpus", "2"])
+    capsys.readouterr()
+    main(["du", out])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_tier = {r["tier"]: r for r in report}
+    assert by_tier["turns"]["files"] == 4
+    assert by_tier["turns"]["rows"] > 0
+    assert by_tier["turns"]["bytes"] > 0
+    assert not by_tier["turns"]["compacted"]
+    assert set(by_tier) >= {"turns", "series", "1m", "1h", "1d", "gapfill_1m"}
