@@ -3408,7 +3408,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate": q_markov_entropy_rate,
         "loo_source_word_deltas": q_loo_source_deltas,
         "hist2d_len_words": q_hist2d_len_words,
-        "tier_route_plan": q_tier_route_plan,
         "frequent_triples_parts": q_frequent_triples,
         "session_entry_conversion": q_session_entry_conversion,
         "corr_disc_qty_by_brand": q_corr_by_brand,
@@ -3674,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_value_purchase_click": q_ks_purchase_click,
         "decayed_user_scores": q_decayed_user_scores,
         "scan_task_plan": q_scan_task_plan,
+        "tier_route_plan": q_tier_route_plan,
         "shape_census": q_shape_census,
         "resample_uniform_8": q_resample_uniform,
         "zone_skip_plan": q_zone_skip_plan,
