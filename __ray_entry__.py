@@ -2149,6 +2149,54 @@ def q_transition_drift(sf_dir: str):
     )
 
 
+def q_daily_median_value(sf_dir: str):
+    """Exact per-day lower median of value cents (grouped order-statistic
+    kernel); SQL explicit-selection restatement."""
+    from pyreshaper_ray.stages.analytics import daily_median_value
+
+    return daily_median_value(_events_value_ds(sf_dir, ["ts", "value"]))
+
+
+def q_casing_census(sf_dir: str):
+    """Per-document upper/lower/Title-Case counts — RE2 counts shared
+    verbatim with the SQL oracle."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import casing_census
+
+    return casing_census(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+def q_exact_dup_cluster_sizes(sf_dir: str):
+    """Exact-duplicate cluster-size census (content-hash exchange, text
+    never moves); runs over documents.text UNION events.props so the
+    census is non-trivial (documents are all distinct in the fixture;
+    props repeat heavily). SQL groups by the text itself."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import exact_dup_cluster_sizes
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    props = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props"]
+    ).rename_columns({"props": "text"})
+    return exact_dup_cluster_sizes(docs.union(props))
+
+
+def q_weekday_weekend_lift(sf_dir: str):
+    """Weekend-vs-weekday purchase lift in exact ppm (cross-multiplied,
+    present-day denominators); SQL restatement with dayofweek."""
+    from pyreshaper_ray.stages.analytics import weekday_weekend_lift
+
+    return weekday_weekend_lift(_events_value_ds(sf_dir, ["event_type", "ts"]))
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3412,6 +3460,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_entry_conversion": q_session_entry_conversion,
         "corr_disc_qty_by_brand": q_corr_by_brand,
         "transition_drift_fortnights": q_transition_drift,
+        "daily_median_value": q_daily_median_value,
+        "casing_census_documents": q_casing_census,
+        "exact_dup_cluster_sizes": q_exact_dup_cluster_sizes,
+        "weekday_weekend_lift": q_weekday_weekend_lift,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8229,6 +8281,78 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT SUM(abs(n1 * tot.t2 - n2 * tot.t1)) FROM cells)
                     AS BIGINT) AS tv_num
         FROM tot
+    """
+    # daily exact lower median: explicit order-statistic selection
+    out["daily_median_value"] = """
+        WITH v AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        r AS (
+            SELECT day, c,
+                   ROW_NUMBER() OVER (PARTITION BY day ORDER BY c) AS rn,
+                   COUNT(*) OVER (PARTITION BY day) AS n
+            FROM v
+        )
+        SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS BIGINT)
+                   AS median_cents
+        FROM r GROUP BY 1
+    """
+    # casing census: RE2 class counts shared with the engine
+    out["casing_census_documents"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(LEN(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
+                   AS n_upper,
+               CAST(LEN(regexp_extract_all(text, '[a-z]')) AS BIGINT)
+                   AS n_lower,
+               CAST(LEN(regexp_extract_all(text, '(^|\\s)[A-Z][a-z]'))
+                    AS BIGINT) AS n_title_words
+        FROM documents
+    """
+    # exact-dup cluster sizes: group by text, size census over s >= 2
+    out["exact_dup_cluster_sizes"] = """
+        WITH u AS (
+            SELECT text FROM documents
+            UNION ALL SELECT props AS text FROM events
+        ),
+        g AS (
+            SELECT text, CAST(COUNT(*) AS BIGINT) AS size
+            FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+        )
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM g GROUP BY 1
+    """
+    # weekday/weekend lift: cross-multiplied ppm over present days
+    out["weekday_weekend_lift"] = """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        s AS (
+            SELECT CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END
+                       AS we, n
+            FROM d
+        ),
+        a AS (
+            SELECT CAST(SUM(CASE WHEN we = 0 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_wd,
+                   CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d_wd,
+                   CAST(SUM(CASE WHEN we = 1 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_we,
+                   CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d_we
+            FROM s
+        )
+        SELECT n_wd AS n_weekday, d_wd AS d_weekday,
+               n_we AS n_weekend, d_we AS d_weekend,
+               CAST(CASE WHEN n_wd > 0 AND d_we > 0
+                         THEN 1000000 * n_we * d_wd // (n_wd * d_we)
+                         ELSE 0 END AS BIGINT) AS lift_ppm
+        FROM a
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -378,6 +378,10 @@ def run_bench(headline_only: bool = False) -> dict:
         "session_entry_conversion",
         "corr_disc_qty_by_brand",
         "transition_drift_fortnights",
+        "daily_median_value",
+        "casing_census_documents",
+        "exact_dup_cluster_sizes",
+        "weekday_weekend_lift",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

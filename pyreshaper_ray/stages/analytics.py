@@ -8142,3 +8142,107 @@ def transition_drift_fortnights(events_ds: "ray.data.Dataset") -> pa.Table:
             "tv_num": pa.array([tv], pa.int64()),
         }
     )
+
+
+def daily_median_value(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """EXACT lower median of value-cents per DAY — the robust central-
+    tendency series a revenue dashboard plots next to the mean (the
+    time-axis sibling of :func:`median_value_per_type`; same grouped
+    order-statistic kernel, day-keyed).
+
+    Exchange = (day, cents) pairs only; each day's median is one
+    ``np.partition`` selection. Output: day (TIMESTAMP), n, median_cents
+    (BIGINTs).
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "c": to_cents(batch["value"]),
+            }
+        )
+
+    def med(group: pa.Table) -> pa.Table:
+        c = group["c"].to_numpy(zero_copy_only=False)
+        k = (len(c) - 1) // 2
+        v = int(np.partition(c, k)[k])
+        return pa.table(
+            {
+                "day": pa.array([group["day"][0].as_py()], pa.timestamp("us")),
+                "n": pa.array([len(c)], pa.int64()),
+                "median_cents": pa.array([v], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(med, batch_format="pyarrow")
+    )
+
+
+def weekday_weekend_lift(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Weekend-vs-weekday purchase lift in exact ppm: purchases per
+    PRESENT day on weekends vs weekdays,
+
+        lift_ppm = 1e6 · n_we · d_wd  //  (n_wd · d_we)
+
+    (cross-multiplied — no rate is ever computed in float). Weekend =
+    DuckDB ``dayofweek`` ∈ {0, 6}. Combiner-first daily purchase census;
+    the fold is one boolean partition of the days-domain series.
+
+    Output: one row — n_weekday, d_weekday, n_weekend, d_weekend,
+    lift_ppm (BIGINTs; lift 0 when either denominator is 0).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("n_weekday", pa.int64()),
+            ("d_weekday", pa.int64()),
+            ("n_weekend", pa.int64()),
+            ("d_weekend", pa.int64()),
+            ("lift_ppm", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["event_type"], "purchase")
+        d = pc.floor_temporal(pc.filter(batch["ts"], keep), unit="day")
+        g = pa.table({"day": d}).group_by("day").aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("n")
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    days = (
+        t["day"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+    )
+    n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dow = (days + 4) % 7  # DuckDB dayofweek: 0=Sunday..6=Saturday
+    we = (dow == 0) | (dow == 6)
+    n_we, d_we = int(n[we].sum()), int(we.sum())
+    n_wd, d_wd = int(n[~we].sum()), int((~we).sum())
+    lift = (
+        1_000_000 * n_we * d_wd // (n_wd * d_we)
+        if n_wd > 0 and d_we > 0
+        else 0
+    )
+    return pa.table(
+        {
+            "n_weekday": pa.array([n_wd], pa.int64()),
+            "d_weekday": pa.array([d_wd], pa.int64()),
+            "n_weekend": pa.array([n_we], pa.int64()),
+            "d_weekend": pa.array([d_we], pa.int64()),
+            "lift_ppm": pa.array([lift], pa.int64()),
+        }
+    )

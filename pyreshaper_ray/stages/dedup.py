@@ -1355,3 +1355,62 @@ def contamination_flags(
     return ds_docs.map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True
     ).sort("doc_id")
+
+
+def exact_dup_cluster_sizes(ds_docs: "ray.data.Dataset") -> pa.Table:
+    """Exact-duplicate cluster-size census: how many groups of s documents
+    share IDENTICAL text (s ≥ 2) — the before/after impact summary of
+    :func:`dedup_exact` (removing dups keeps one per group, so the corpus
+    shrinks by Σ (s−1)·n_s rows), and the exact counterpart of
+    :func:`~.similarity.neardup_cluster_sizes`.
+
+    Shape: the vectorized content hash (:func:`add_content_hash` — only
+    16-byte digests cross the exchange, never text), one hash-keyed
+    ``hash_partitioned_agg`` count, then a size census over groups with
+    count ≥ 2 (domain-sized). The oracle groups by the TEXT itself — the
+    digest standing in for text is the same no-collision assumption
+    ``dedup_exact``'s green hash already rests on.
+
+    Output: size, n_clusters (BIGINTs), ascending size.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table, hash_partitioned_agg
+
+    hashed = ds_docs.map_batches(
+        lambda b: add_content_hash(b).select(["content_hash"]).append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    per_hash = hash_partitioned_agg(
+        hashed, ["content_hash"], [("one", "sum", "k")]
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        k = k[k >= 2]
+        g = pa.table({"size": pa.array(k, pa.int64())}).group_by("size").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"size": g["size"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    OUT = pa.schema([("size", pa.int64()), ("n_clusters", pa.int64())])
+    t = collect_table(
+        per_hash.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("size")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    if t.num_rows == 0 or "size" not in t.schema.names:
+        return OUT.empty_table()  # no duplicate texts anywhere
+    order = pc.sort_indices(t, sort_keys=[("size", "ascending")])
+    t = t.take(order)
+    return pa.table(
+        {
+            "size": pc.cast(t["size"], pa.int64()),
+            "n_clusters": pc.cast(t["n"], pa.int64()),
+        }
+    )

@@ -2949,3 +2949,40 @@ def hist2d_len_words(
         .groupby(["char_bucket", "word_bucket"])
         .aggregate(_Sum("n_docs", alias_name="n_docs"))
     )
+
+
+def casing_census(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document casing census: uppercase/lowercase ASCII letter counts
+    and Title-Case word starts — the SHOUTING / headline-style quality
+    signal every text filter thresholds on, exact byte-domain integers
+    (same raw-buffer LUT discipline as :func:`charclass_census`, so the
+    SQL regexp restatement matches count-for-count on ASCII classes).
+
+    Output: doc_id, n_upper, n_lower, n_title_words (BIGINTs).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        up = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[A-Z]"), pa.int64()
+        )
+        lo = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern="[a-z]"), pa.int64()
+        )
+        # a Title-Case word: uppercase start, lowercase continuation,
+        # preceded by start-of-text or whitespace
+        ti = pc.cast(
+            pc.count_substring_regex(
+                batch["text"], pattern=r"(^|\s)[A-Z][a-z]"
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_upper": up,
+                "n_lower": lo,
+                "n_title_words": ti,
+            }
+        )
+
+    return ds_docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)

@@ -2683,3 +2683,35 @@ def test_session_entry_conversion_hand_case(ray_session):
     assert out.loc["view", "n_converted"] == 1
     assert out.loc["click", "n_sessions"] == 1
     assert out.loc["click", "n_converted"] == 0
+
+
+def test_daily_median_value_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import daily_median_value
+
+    def ev(rows):
+        return pa.table(
+            {
+                "ts": pa.array(
+                    [np.datetime64(r[0], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([float(r[1]) for r in rows], pa.float64()),
+            }
+        )
+
+    rows = [
+        ("2024-01-01T01:00:00", 1.00),
+        ("2024-01-01T02:00:00", 9.00),
+        ("2024-01-01T03:00:00", 5.00),   # day1 odd: median 500
+        ("2024-01-02T01:00:00", 2.00),
+        ("2024-01-02T02:00:00", 4.00),   # day2 even: LOWER median 200
+    ]
+    out = (
+        daily_median_value(ray.data.from_arrow(ev(rows)).repartition(2))
+        .to_pandas()
+        .sort_values("day")
+    )
+    assert list(out["median_cents"]) == [500, 200]
+    assert list(out["n"]) == [3, 2]

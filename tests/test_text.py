@@ -1040,3 +1040,33 @@ def test_heaps_law_hand_case(ray_session):
     # T=8 -> +{f}=6; docs below: 1,2,3,4
     assert list(out["n_docs"]) == [1, 2, 3, 4]
     assert list(out["vocab"]) == [2, 3, 5, 6]
+
+
+def test_casing_census_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import casing_census
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "The Quick brown Fox",  # 3 title words (The, Quick, Fox)
+                    "ALL CAPS HERE",        # uppercase only, no title words
+                    "no caps at all",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        casing_census(ray.data.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_title_words"] == 3
+    assert out.loc[0, "n_upper"] == 3
+    assert out.loc[1, "n_upper"] == 11 and out.loc[1, "n_title_words"] == 0
+    assert out.loc[2, "n_upper"] == 0 and out.loc[2, "n_lower"] == 11
