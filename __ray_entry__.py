@@ -2197,6 +2197,30 @@ def q_weekday_weekend_lift(sf_dir: str):
     return weekday_weekend_lift(_events_value_ds(sf_dir, ["event_type", "ts"]))
 
 
+def q_conversion_latency_pcts(sf_dir: str):
+    """Exact p50/p90 of first-view to first-after purchase latency in
+    whole seconds (no float interpolation); SQL explicit rank selection."""
+    from pyreshaper_ray.stages.analytics import conversion_latency_percentiles
+
+    return conversion_latency_percentiles(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    )
+
+
+def q_part_price_size_census(sf_dir: str):
+    """Per-size catalog price census (exact cents sum/min/max); SQL
+    grouped aggregates."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import part_price_size_census
+
+    return part_price_size_census(
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"]
+        )
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3464,6 +3488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "casing_census_documents": q_casing_census,
         "exact_dup_cluster_sizes": q_exact_dup_cluster_sizes,
         "weekday_weekend_lift": q_weekday_weekend_lift,
+        "conversion_latency_percentiles": q_conversion_latency_pcts,
+        "part_price_size_census": q_part_price_size_census,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8353,6 +8379,46 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1000000 * n_we * d_wd // (n_wd * d_we)
                          ELSE 0 END AS BIGINT) AS lift_ppm
         FROM a
+    """
+    # conversion latency percentiles: chained MIN-after gap per user,
+    # LOWER order statistics at ceil(p*n/100)
+    out["conversion_latency_percentiles"] = """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        ),
+        g AS (
+            SELECT (epoch_us(p.t2) - epoch_us(v.t1)) // 1000000 AS gap_s
+            FROM p JOIN v ON v.user_id = p.user_id
+        ),
+        r AS (
+            SELECT gap_s, ROW_NUMBER() OVER (ORDER BY gap_s) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM g
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+               CAST(MAX(CASE WHEN rn = GREATEST((50 * n + 99) // 100, 1)
+                             THEN gap_s END) AS BIGINT) AS p50_s,
+               CAST(MAX(CASE WHEN rn = GREATEST((90 * n + 99) // 100, 1)
+                             THEN gap_s END) AS BIGINT) AS p90_s
+        FROM r
+    """
+    # part price census by size: exact cents aggregates
+    out["part_price_size_census"] = """
+        SELECT CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(MIN(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS min_cents,
+               CAST(MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS max_cents
+        FROM part GROUP BY 1
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -382,6 +382,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "casing_census_documents",
         "exact_dup_cluster_sizes",
         "weekday_weekend_lift",
+        "conversion_latency_percentiles",
+        "part_price_size_census",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

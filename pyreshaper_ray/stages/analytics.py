@@ -8246,3 +8246,111 @@ def weekday_weekend_lift(events_ds: "ray.data.Dataset") -> pa.Table:
             "lift_ppm": pa.array([lift], pa.int64()),
         }
     )
+
+
+def conversion_latency_percentiles(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Exact p50/p90 of the view→purchase conversion latency: per user,
+    seconds between the first view and the first purchase STRICTLY after
+    it (the funnel-step-2 gap of :func:`funnel3_ordered`), then LOWER
+    order statistics over the converted-user gaps — the latency SLA the
+    growth team tracks, with no float percentile interpolation anywhere.
+
+    Per-user kernel (one sorted pass) → user-domain gap list → one
+    ``np.partition`` per rank (rank convention ``ceil(p·n/100) − 1``,
+    0-based — the :func:`value_deciles` contract).
+
+    Output: one row — n_converted, p50_s, p90_s (BIGINTs). No converted
+    users → 0 rows.
+    """
+    import math
+
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("n_converted", pa.int64()),
+            ("p50_s", pa.int64()),
+            ("p90_s", pa.int64()),
+        ]
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        et = g["event_type"].to_pylist()
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        t1 = t2 = None
+        for e, t in zip(et, ts):
+            if t1 is None:
+                if e == "view":
+                    t1 = t
+            elif e == "purchase" and t > t1:
+                t2 = t
+                break
+        if t2 is None:
+            return pa.table({"gap_s": pa.array([], pa.int64())})
+        return pa.table(
+            {"gap_s": pa.array([int((t2 - t1) // 1_000_000)], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    )
+    if t.num_rows == 0 or "gap_s" not in t.schema.names:
+        return OUT.empty_table()
+    gaps = t["gap_s"].to_numpy(zero_copy_only=False)
+    n = len(gaps)
+    out = {}
+    for p, col in ((50, "p50_s"), (90, "p90_s")):
+        k = max(math.ceil(p * n / 100), 1) - 1
+        out[col] = int(np.partition(gaps, k)[k])
+    return pa.table(
+        {
+            "n_converted": pa.array([n], pa.int64()),
+            "p50_s": pa.array([out["p50_s"]], pa.int64()),
+            "p90_s": pa.array([out["p90_s"]], pa.int64()),
+        }
+    )
+
+
+def part_price_size_census(part_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Catalog census: per part SIZE, the count and exact retail-price
+    cents aggregates (sum/min/max) — the price-band table a pricing
+    dashboard groups the catalog by (covers the part table's p_size /
+    p_retailprice surface). One size-keyed combiner-first exchange.
+
+    Output: p_size, n_parts, price_cents, min_cents, max_cents (BIGINTs).
+    """
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = to_cents(batch["p_retailprice"])
+        t = pa.table(
+            {"p_size": pc.cast(batch["p_size"], pa.int64()), "c": c}
+        )
+        g = t.group_by("p_size").aggregate(
+            [("c", "sum"), ("c", "count"), ("c", "min"), ("c", "max")]
+        )
+        return pa.table(
+            {
+                "p_size": g["p_size"],
+                "n_parts": pc.cast(g["c_count"], pa.int64()),
+                "price_cents": pc.cast(g["c_sum"], pa.int64()),
+                "min_cents": pc.cast(g["c_min"], pa.int64()),
+                "max_cents": pc.cast(g["c_max"], pa.int64()),
+            }
+        )
+
+    return (
+        part_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_size")
+        .aggregate(
+            _Sum("n_parts", alias_name="n_parts"),
+            _Sum("price_cents", alias_name="price_cents"),
+            _Min("min_cents", alias_name="min_cents"),
+            _Max("max_cents", alias_name="max_cents"),
+        )
+    )

@@ -2715,3 +2715,55 @@ def test_daily_median_value_hand_case(ray_session):
     )
     assert list(out["median_cents"]) == [500, 200]
     assert list(out["n"]) == [3, 2]
+
+
+def test_conversion_latency_percentiles_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import conversion_latency_percentiles
+
+    def ev(rows):
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [np.datetime64(r[2], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    # converted users with gaps 10s, 20s, 30s, 40s; one non-converter
+    rows = []
+    for u, gap in ((1, 10), (2, 20), (3, 30), (4, 40)):
+        rows.append((u, "view", "2024-01-01T10:00:00"))
+        rows.append((u, "purchase", f"2024-01-01T10:00:{gap:02d}"))
+    rows.append((9, "view", "2024-01-01T10:00:00"))
+    t = conversion_latency_percentiles(
+        ray.data.from_arrow(ev(rows)).repartition(3)
+    ).to_pydict()
+    # n=4: p50 rank ceil(200/100)=2 -> 20; p90 rank ceil(360/100)=4 -> 40
+    assert t["n_converted"] == [4]
+    assert t["p50_s"] == [20] and t["p90_s"] == [40]
+
+
+def test_conversion_latency_no_converters(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import conversion_latency_percentiles
+
+    ev = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")], pa.timestamp("us")
+            ),
+        }
+    )
+    assert conversion_latency_percentiles(
+        ray.data.from_arrow(ev)
+    ).num_rows == 0
