@@ -2221,6 +2221,23 @@ def q_part_price_size_census(sf_dir: str):
     )
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion census vs the ground-truth lang column —
+    the classifier evaluation gate (rows-only: the classifier is not
+    SQL-expressible; pytest gates planted-language accuracy)."""
+    from pyreshaper_ray.stages.text import langid_confusion
+
+    return langid_confusion(sf_dir)
+
+
+def q_supplier_nation_balance(sf_dir: str):
+    """Supplier balance census per nation name (broadcast 25-row dim,
+    exact cents); SQL grouped aggregates over the join."""
+    from pyreshaper_ray.stages.analytics import supplier_nation_balance_census
+
+    return supplier_nation_balance_census(sf_dir)
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3490,6 +3507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_weekend_lift": q_weekday_weekend_lift,
         "conversion_latency_percentiles": q_conversion_latency_pcts,
         "part_price_size_census": q_part_price_size_census,
+        "supplier_nation_balance": q_supplier_nation_balance,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -3752,6 +3770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_scores": q_decayed_user_scores,
         "scan_task_plan": q_scan_task_plan,
         "tier_route_plan": q_tier_route_plan,
+        "langid_confusion": q_langid_confusion,
         "shape_census": q_shape_census,
         "resample_uniform_8": q_resample_uniform,
         "zone_skip_plan": q_zone_skip_plan,
@@ -8419,6 +8438,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(CAST(ROUND(p_retailprice * 100) AS BIGINT))
                     AS BIGINT) AS max_cents
         FROM part GROUP BY 1
+    """
+    # supplier balance census per nation (broadcast dim restated as join)
+    out["supplier_nation_balance"] = """
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS bal_cents,
+               CAST(MIN(CAST(ROUND(s.s_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS min_cents,
+               CAST(MAX(CAST(ROUND(s.s_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS max_cents
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

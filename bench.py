@@ -384,6 +384,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "weekday_weekend_lift",
         "conversion_latency_percentiles",
         "part_price_size_census",
+        "supplier_nation_balance",
+        "langid_confusion",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

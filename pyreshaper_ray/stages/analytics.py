@@ -8354,3 +8354,63 @@ def part_price_size_census(part_ds: "ray.data.Dataset") -> "ray.data.Dataset":
             _Max("max_cents", alias_name="max_cents"),
         )
     )
+
+
+def supplier_nation_balance_census(sf_dir: str) -> "ray.data.Dataset":
+    """Supplier account-balance census per NATION NAME: count and exact
+    cents sum/min/max, the nation dim resolved by a broadcast lookup
+    (25 rows — never a shuffle join). Covers the supplier table's
+    s_acctbal surface alongside Q2/Q20's supplier joins.
+
+    Output: n_name, n_suppliers, bal_cents, min_cents, max_cents.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ray.data.aggregate import Max as _Max, Min as _Min, Sum as _Sum
+
+    from ..util import cached_get
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    lut_ref = ray.put(
+        dict(
+            zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+        )
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = cached_get(lut_ref)
+        names = pa.array(
+            [lut.get(k) for k in batch["s_nationkey"].to_pylist()], pa.string()
+        )
+        c = to_cents(batch["s_acctbal"])
+        t = pa.table({"n_name": names, "c": c})
+        g = t.group_by("n_name").aggregate(
+            [("c", "sum"), ("c", "count"), ("c", "min"), ("c", "max")]
+        )
+        return pa.table(
+            {
+                "n_name": g["n_name"],
+                "n_suppliers": pc.cast(g["c_count"], pa.int64()),
+                "bal_cents": pc.cast(g["c_sum"], pa.int64()),
+                "min_cents": pc.cast(g["c_min"], pa.int64()),
+                "max_cents": pc.cast(g["c_max"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(
+            _Sum("n_suppliers", alias_name="n_suppliers"),
+            _Sum("bal_cents", alias_name="bal_cents"),
+            _Min("min_cents", alias_name="min_cents"),
+            _Max("max_cents", alias_name="max_cents"),
+        )
+    )

@@ -2986,3 +2986,69 @@ def casing_census(ds_docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return ds_docs.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def langid_confusion(sf_dir: str) -> pa.Table:
+    """Language-ID evaluation: confusion census between the heuristic
+    classifier (:class:`LangId`) and the corpus's ground-truth ``lang``
+    column — the accuracy gate a curation pipeline watches before trusting
+    the classifier for routing/filtering decisions.
+
+    Shape: the classifier actor pool runs as usual (patterns compiled
+    once per actor); the per-block confusion partials reduce to one
+    ≤ langs²-row census (combiner-first, tiny exchange). Rows-only driver
+    entry (the classifier is not SQL-expressible); pytest gates accuracy
+    on PLANTED multilingual texts. NOTE: the synthetic fixture corpus
+    labels docs de/es/fr/zh but generates English-vocabulary text for all
+    of them, so on testdata the census correctly reports every prediction
+    as ``en`` — the eval op is the measurement, not the claim.
+
+    Output: true_lang, pred_lang, n (BIGINTs), plus the diagonal gives
+    accuracy.
+    """
+    import ray.data
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    cls = LangId()  # patterns compile once per worker process (closure)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        # LangId emits (doc_id, lang_pred) row-aligned with its input
+        out = cls(pa.table({"doc_id": batch["doc_id"], "text": batch["text"]}))
+        t = pa.table(
+            {
+                "true_lang": batch["lang"],
+                "pred_lang": out["lang_pred"],
+            }
+        )
+        g = t.group_by(["true_lang", "pred_lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "true_lang": g["true_lang"],
+                "pred_lang": g["pred_lang"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ..util import collect_table
+
+    t = collect_table(
+        ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    order = pc.sort_indices(
+        t, sort_keys=[("true_lang", "ascending"), ("pred_lang", "ascending")]
+    )
+    t = t.take(order)
+    return pa.table(
+        {
+            "true_lang": t["true_lang"],
+            "pred_lang": t["pred_lang"],
+            "n": pc.cast(t["n"], pa.int64()),
+        }
+    )

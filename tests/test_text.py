@@ -1070,3 +1070,29 @@ def test_casing_census_hand_case(ray_session):
     assert out.loc[0, "n_upper"] == 3
     assert out.loc[1, "n_upper"] == 11 and out.loc[1, "n_title_words"] == 0
     assert out.loc[2, "n_upper"] == 0 and out.loc[2, "n_lower"] == 11
+
+
+def test_langid_confusion_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.text import langid_confusion
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "lang": pa.array(["en", "de", "es", "fr"], pa.string()),
+            "text": pa.array(
+                [
+                    "the cat and the dog are in the house with a ball",
+                    "der Hund und die Katze sind nicht in das Haus und der Garten",
+                    "el perro y la casa que no está en los árboles de la ciudad",
+                    "le chien et la maison que je ne vois pas dans les arbres",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = langid_confusion(str(tmp_path)).to_pandas()
+    diag = out[out.true_lang == out.pred_lang]["n"].sum()
+    assert diag == 4, out.to_string()  # perfect on planted stopword text
