@@ -2238,6 +2238,20 @@ def q_supplier_nation_balance(sf_dir: str):
     return supplier_nation_balance_census(sf_dir)
 
 
+def q_top_terms_by_lang(sf_dir: str):
+    """Top-5 terms per language (grouped word count, deterministic
+    ties); SQL QUALIFY restatement with the shared tokenizer."""
+    import ray.data
+
+    from pyreshaper_ray.stages.text import top_terms_by_lang
+
+    return top_terms_by_lang(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3508,6 +3522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_latency_percentiles": q_conversion_latency_pcts,
         "part_price_size_census": q_part_price_size_census,
         "supplier_nation_balance": q_supplier_nation_balance,
+        "top_terms_by_lang": q_top_terms_by_lang,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8451,6 +8466,22 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS max_cents
         FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
         GROUP BY 1
+    """
+    # top terms per language: shared tokenizer, QUALIFY grouped top-k
+    out["top_terms_by_lang"] = """
+        WITH tok AS (
+            SELECT lang,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                       AS term
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT lang, term, n FROM c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, term ASC) <= 5
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -3052,3 +3052,62 @@ def langid_confusion(sf_dir: str) -> pa.Table:
             "n": pc.cast(t["n"], pa.int64()),
         }
     )
+
+
+def top_terms_by_lang(
+    ds_docs: "ray.data.Dataset", k: int = 5
+) -> "ray.data.Dataset":
+    """Top-``k`` terms PER LANGUAGE — the grouped word count behind
+    per-language tokenizer/stopword decisions (the lang-keyed sibling of
+    :func:`top_terms`; groups are few, so the per-group top-k is one
+    vectorized ``map_groups`` over the lang-partitioned term census).
+
+    Combiner-first: per-block (lang, term) counts (block vocabularies ×
+    langs cross the exchange, never tokens), one (lang, term)-keyed
+    :func:`~..util.hash_partitioned_agg` sum, then a lang-keyed top-k
+    with deterministic (n desc, term asc) ties — restated via QUALIFY.
+
+    Output: lang, term, n (BIGINTs), k rows per language.
+    """
+    from ..util import hash_partitioned_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = batch["lang"].take(parent)
+        t = pa.table({"lang": lang, "term": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = t.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "term": g["term"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = hash_partitioned_agg(
+        ds_docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "term"],
+        [("n", "sum", "n")],
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("n", "descending"), ("term", "ascending")],
+        )
+        g = group.take(idx[: min(k, len(idx))])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "term": g["term"],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pyarrow")
