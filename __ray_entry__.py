@@ -2252,6 +2252,15 @@ def q_top_terms_by_lang(sf_dir: str):
     )
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Newman degree-assortativity sufficient statistics of the trade
+    graph (exact BIGINT correlation components over endpoint degrees;
+    reuses the memoized edge list); SQL two-join restatement."""
+    from pyreshaper_ray.stages.graph import degree_assortativity_components
+
+    return degree_assortativity_components(_trade_graph_edges(sf_dir))
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3523,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_size_census": q_part_price_size_census,
         "supplier_nation_balance": q_supplier_nation_balance,
         "top_terms_by_lang": q_top_terms_by_lang,
+        "degree_assortativity_trade": q_degree_assortativity,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8482,6 +8492,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, term, n FROM c
         QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
                                    ORDER BY n DESC, term ASC) <= 5
+    """
+    # degree assortativity: endpoint-degree correlation components over
+    # the both-directions trade edge list
+    out["degree_assortativity_trade"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s + 1000000000 AS dst FROM pairs
+            UNION ALL
+            SELECT s + 1000000000 AS src, c AS dst FROM pairs
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dx.deg) AS BIGINT) AS sum_x,
+               CAST(SUM(dy.deg) AS BIGINT) AS sum_y,
+               CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sum_xy,
+               CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+               CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS sum_y2
+        FROM edges e
+        JOIN deg dx ON dx.src = e.src
+        JOIN deg dy ON dy.src = e.dst
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

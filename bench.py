@@ -386,6 +386,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "part_price_size_census",
         "supplier_nation_balance",
         "langid_confusion",
+        "top_terms_by_lang",
+        "degree_assortativity_trade",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

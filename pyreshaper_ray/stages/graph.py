@@ -895,3 +895,77 @@ def link_predict_bipartite(
         ["jaccard_ppm", "common_customers", "supplier_a", "supplier_b"],
         descending=[True, True, False, False],
     ).limit(top_k)
+
+
+def degree_assortativity_components(edges: "ray.data.Dataset") -> pa.Table:
+    """Exact degree-assortativity sufficient statistics of an undirected
+    graph given as a both-directions edge list: over every directed edge,
+    the endpoint-degree pairs' correlation components (M, Σx, Σy, Σxy,
+    Σx², Σy² — BIGINTs; the Pearson r of these IS Newman's assortativity
+    coefficient, and the one float division is the caller's).
+
+    Shape: one src-keyed degree census
+    (:func:`~..util.hash_partitioned_agg`), the node-domain degree table
+    broadcast once (``ray.put`` — bounded by the dim-table node domain
+    here; at a 10^9-node graph swap the broadcast for two partitioned
+    joins, same output), then a combiner-first sum over edges.
+
+    Output: one row — m, sum_x, sum_y, sum_xy, sum_x2, sum_y2.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import cached_get, collect_table, hash_partitioned_agg
+
+    deg_t = collect_table(
+        hash_partitioned_agg(
+            edges.map_batches(
+                lambda b: pa.table({"src": b["src"]}).append_column(
+                    "one", pa.array(np.ones(b.num_rows, np.int64))
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["src"],
+            [("one", "sum", "deg")],
+        )
+    )
+    nodes = deg_t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = deg_t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order], degs[order]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nd, dg = cached_get(ref)
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = dg[np.searchsorted(nd, s)]
+        y = dg[np.searchsorted(nd, d)]
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "m": pa.array([len(x)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_y": pa.array([int(y.sum())], pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+                "sum_x2": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_y2": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    agg = edges.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("g").aggregate(
+        *[
+            _Sum(c, alias_name=c)
+            for c in ("m", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+        ]
+    )
+    t = collect_table(agg)
+    return pa.table(
+        {
+            c: pc.cast(t[c], pa.int64())
+            for c in ("m", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+        }
+    )

@@ -304,3 +304,28 @@ def test_link_predict_bipartite_planted(ray_session):
         ray.data.from_arrow(t), top_k=10, max_degree=1
     ).to_pandas()
     assert len(capped) == 0
+
+
+def test_degree_assortativity_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import degree_assortativity_components
+
+    # path graph 1-2-3 (both directions): degs 1:1, 2:2, 3:1
+    # directed edges: (1,2),(2,1),(2,3),(3,2)
+    # x deg pairs: (1,2),(2,1),(2,1),(1,2) -> m=4
+    # sum_x = 1+2+2+1 = 6 = sum_y; sum_xy = 2+2+2+2 = 8
+    # sum_x2 = 1+4+4+1 = 10 = sum_y2
+    e = pa.table(
+        {
+            "src": pa.array([1, 2, 2, 3], pa.int64()),
+            "dst": pa.array([2, 1, 3, 2], pa.int64()),
+        }
+    )
+    t = degree_assortativity_components(
+        ray.data.from_arrow(e).repartition(2)
+    ).to_pydict()
+    assert t["m"] == [4]
+    assert t["sum_x"] == [6] and t["sum_y"] == [6]
+    assert t["sum_xy"] == [8]
+    assert t["sum_x2"] == [10] and t["sum_y2"] == [10]
