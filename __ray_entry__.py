@@ -2261,6 +2261,22 @@ def q_degree_assortativity(sf_dir: str):
     return degree_assortativity_components(_trade_graph_edges(sf_dir))
 
 
+def q_value_acf_daily(sf_dir: str):
+    """Daily-revenue autocovariance components at lags 0..7 (exact
+    BIGINTs); SQL self-join-at-offset restatement."""
+    from pyreshaper_ray.stages.timeseries import value_acf_daily
+
+    return value_acf_daily(_events_value_ds(sf_dir, ["ts", "value"]))
+
+
+def q_daily_new_terms(sf_dir: str):
+    """Per-day first-arrival term counts over events.props (vocabulary
+    novelty curve); SQL per-term MIN(day) + day census."""
+    from pyreshaper_ray.stages.text import daily_new_terms
+
+    return daily_new_terms(_events_value_ds(sf_dir, ["props", "ts"]))
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3533,6 +3549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_balance": q_supplier_nation_balance,
         "top_terms_by_lang": q_top_terms_by_lang,
         "degree_assortativity_trade": q_degree_assortativity,
+        "value_acf_daily": q_value_acf_daily,
+        "daily_new_terms": q_daily_new_terms,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8518,6 +8536,59 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e
         JOIN deg dx ON dx.src = e.src
         JOIN deg dy ON dy.src = e.dst
+    """
+    # daily revenue ACF components: self-join at each lag offset; lag 0
+    # carries (m, Q, S, S)
+    out["value_acf_daily"] = """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS c
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn
+            FROM d
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+        lags AS (
+            SELECT CAST(t.l AS BIGINT) AS lag FROM range(1, 8) t(l), mm
+            WHERE t.l <= m - 1
+        ),
+        lagged AS (
+            SELECT lg.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS sum_lag,
+                   CAST(SUM(a.c) AS BIGINT) AS sum_head,
+                   CAST(SUM(b.c) AS BIGINT) AS sum_tail
+            FROM lags lg
+            JOIN s a ON TRUE
+            JOIN s b ON b.rn = a.rn + lg.lag
+            GROUP BY 1
+        ),
+        zero AS (
+            SELECT CAST(0 AS BIGINT) AS lag, mm.m AS n_pairs,
+                   CAST((SELECT SUM(c * c) FROM s) AS BIGINT) AS sum_lag,
+                   CAST((SELECT SUM(c) FROM s) AS BIGINT) AS sum_head,
+                   CAST((SELECT SUM(c) FROM s) AS BIGINT) AS sum_tail
+            FROM mm
+        )
+        SELECT * FROM zero UNION ALL SELECT * FROM lagged
+    """
+    # daily new terms: per-term first day over props tokens + day census
+    out["daily_new_terms"] = """
+        WITH tok AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   unnest(regexp_split_to_array(lower(props), '[^a-z0-9]+'))
+                       AS term
+            FROM events
+        ),
+        ft AS (
+            SELECT term, MIN(day) AS fd FROM tok
+            WHERE term <> '' GROUP BY 1
+        )
+        SELECT fd AS day, CAST(COUNT(*) AS BIGINT) AS new_terms
+        FROM ft GROUP BY 1
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -388,6 +388,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "langid_confusion",
         "top_terms_by_lang",
         "degree_assortativity_trade",
+        "value_acf_daily",
+        "daily_new_terms",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -3111,3 +3111,77 @@ def top_terms_by_lang(
         )
 
     return counts.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+def daily_new_terms(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Vocabulary-novelty curve over TIME: per day, how many distinct
+    terms make their FIRST corpus appearance that day (terms from the
+    events ``props`` payloads; the calendar sibling of
+    :func:`heaps_law_documents`'s doc-id thresholds — "is the stream
+    still surprising us?").
+
+    Shape: per-block (term, min day) Arrow census → one term-keyed
+    :func:`~..util.hash_partitioned_agg` min → per-block first-day
+    bincounts → days-domain sum. Terms never re-tokenize and only
+    (term, day) pairs cross the exchange.
+
+    Output: day (TIMESTAMP), new_terms (BIGINT), one row per day with
+    ≥ 1 first arrival.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import collect_table, hash_partitioned_agg
+
+    _US_PER_DAY = 86_400_000_000
+
+    def term_first(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["props"]), pattern="[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        day = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="day"), pa.int64()
+        ).take(parent)
+        t = pa.table({"term": flat, "d": day}).filter(pc.not_equal(flat, ""))
+        g = t.group_by("term").aggregate([("d", "min")])
+        return pa.table({"term": g["term"], "d": g["d_min"]})
+
+    first = hash_partitioned_agg(
+        events_ds.map_batches(
+            term_first, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["term"],
+        [("d", "min", "fd")],
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        d = b["fd"].to_numpy(zero_copy_only=False)
+        g = pa.table({"d": pa.array(d, pa.int64())}).group_by("d").aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"d": g["d"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    t = collect_table(
+        first.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("d")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "day": pa.array([], pa.timestamp("us")),
+                "new_terms": pa.array([], pa.int64()),
+            }
+        )
+    d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(d)
+    return pa.table(
+        {
+            "day": pa.array(d[order], pa.timestamp("us")),
+            "new_terms": pa.array(n[order], pa.int64()),
+        }
+    )

@@ -2524,3 +2524,80 @@ def error_budget_burn(
             "cum_over_ppm": pa.array(np.cumsum(over), pa.int64()),
         }
     )
+
+
+def value_acf_daily(
+    events_ds: "ray.data.Dataset", max_lag: int = 7
+) -> pa.Table:
+    """Autocovariance COMPONENTS of the daily revenue series (value cents
+    summed per present day) at lags 1..``max_lag`` — the revenue-rhythm
+    sibling of :func:`acf_minute_counts`, kept in exact integers: per lag
+    L over the day-ordered series x,
+
+        n_pairs = m − L,   sum_lag = Σ x_t·x_{t+L},
+        sum_head = Σ_{t<m−L} x_t,   sum_tail = Σ_{t≥L} x_t
+
+    plus the global (m, S, Q) row at lag 0 — every normalized ACF variant
+    derives from these BIGINTs with the caller's one float step.
+
+    Combiner-first daily cents census; the lag products fold the
+    days-domain series (result-sized finalize).
+
+    Output: lag (0..max_lag), n_pairs, sum_lag, sum_head, sum_tail —
+    BIGINTs (lag 0 row: m, Q, S, S).
+    """
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("lag", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("sum_lag", pa.int64()),
+            ("sum_head", pa.int64()),
+            ("sum_tail", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch["ts"], unit="day")
+        g = (
+            pa.table({"day": d, "c": to_cents(batch["value"])})
+            .group_by("day")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {"day": g["day"], "c": pc.cast(g["c_sum"], pa.int64())}
+        )
+
+    t = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("c")
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    days = t["day"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    x = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = x[np.argsort(days)]
+    m = len(x)
+    rows = {k: [] for k in ("lag", "np", "sl", "sh", "st")}
+    rows["lag"].append(0)
+    rows["np"].append(m)
+    rows["sl"].append(int((x * x).sum()))
+    rows["sh"].append(int(x.sum()))
+    rows["st"].append(int(x.sum()))
+    for L in range(1, min(max_lag, m - 1) + 1):
+        rows["lag"].append(L)
+        rows["np"].append(m - L)
+        rows["sl"].append(int((x[:-L] * x[L:]).sum()))
+        rows["sh"].append(int(x[:-L].sum()))
+        rows["st"].append(int(x[L:].sum()))
+    return pa.table(
+        {
+            "lag": pa.array(rows["lag"], pa.int64()),
+            "n_pairs": pa.array(rows["np"], pa.int64()),
+            "sum_lag": pa.array(rows["sl"], pa.int64()),
+            "sum_head": pa.array(rows["sh"], pa.int64()),
+            "sum_tail": pa.array(rows["st"], pa.int64()),
+        }
+    )

@@ -1096,3 +1096,34 @@ def test_langid_confusion_planted(ray_session, tmp_path):
     out = langid_confusion(str(tmp_path)).to_pandas()
     diag = out[out.true_lang == out.pred_lang]["n"].sum()
     assert diag == 4, out.to_string()  # perfect on planted stopword text
+
+
+def test_daily_new_terms_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.text import daily_new_terms
+
+    ev = pa.table(
+        {
+            "props": pa.array(
+                ["alpha beta", "beta gamma", "delta", "alpha"], pa.string()
+            ),
+            "ts": pa.array(
+                [
+                    np.datetime64("2024-01-01T10:00:00", "us"),
+                    np.datetime64("2024-01-02T10:00:00", "us"),
+                    np.datetime64("2024-01-02T11:00:00", "us"),
+                    np.datetime64("2024-01-03T10:00:00", "us"),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = (
+        daily_new_terms(ray.data.from_arrow(ev).repartition(2))
+        .to_pandas()
+        .sort_values("day")
+    )
+    # day1: alpha, beta new (2); day2: gamma, delta new (2); day3: none
+    assert list(out["new_terms"]) == [2, 2]
+    assert len(out) == 2

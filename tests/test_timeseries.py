@@ -1102,3 +1102,39 @@ def test_error_budget_burn_hand_case(ray_session):
     assert list(out["err_ppm"]) == [20000, 0, 40000]
     assert list(out["over_ppm"]) == [10000, 0, 30000]
     assert list(out["cum_over_ppm"]) == [10000, 10000, 40000]
+
+
+def test_value_acf_daily_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import value_acf_daily
+
+    def ev(rows):
+        return pa.table(
+            {
+                "ts": pa.array(
+                    [np.datetime64(r[0], "us") for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([float(r[1]) for r in rows], pa.float64()),
+            }
+        )
+
+    # daily cents: day1=100, day2=200, day3=300
+    rows = [
+        ("2024-01-01T05:00:00", 1.00),
+        ("2024-01-02T05:00:00", 2.00),
+        ("2024-01-03T05:00:00", 3.00),
+    ]
+    t = (
+        value_acf_daily(ray.data.from_arrow(ev(rows)).repartition(2), max_lag=2)
+        .to_pandas()
+        .set_index("lag")
+    )
+    assert t.loc[0, "n_pairs"] == 3 and t.loc[0, "sum_lag"] == 140000
+    assert t.loc[0, "sum_head"] == 600
+    # lag 1: (100*200 + 200*300) = 80000; head 300, tail 500
+    assert t.loc[1, "n_pairs"] == 2 and t.loc[1, "sum_lag"] == 80000
+    assert t.loc[1, "sum_head"] == 300 and t.loc[1, "sum_tail"] == 500
+    # lag 2: 100*300 = 30000
+    assert t.loc[2, "sum_lag"] == 30000
