@@ -2277,6 +2277,14 @@ def q_daily_new_terms(sf_dir: str):
     return daily_new_terms(_events_value_ds(sf_dir, ["props", "ts"]))
 
 
+def q_max_quiet_gap(sf_dir: str):
+    """Longest gap between consecutive present hours (ingestion-stall
+    alarm, earliest tie wins); SQL LAG restatement."""
+    from pyreshaper_ray.stages.timeseries import max_quiet_gap_hourly
+
+    return max_quiet_gap_hourly(_events_value_ds(sf_dir, ["ts"]))
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3551,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity_trade": q_degree_assortativity,
         "value_acf_daily": q_value_acf_daily,
         "daily_new_terms": q_daily_new_terms,
+        "max_quiet_gap_hourly": q_max_quiet_gap,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8589,6 +8598,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT fd AS day, CAST(COUNT(*) AS BIGINT) AS new_terms
         FROM ft GROUP BY 1
+    """
+    # max quiet gap: LAG over present hours, earliest max
+    out["max_quiet_gap_hourly"] = """
+        WITH h AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr
+            FROM events GROUP BY 1
+        ),
+        g AS (
+            SELECT hr AS gap_end,
+                   LAG(hr) OVER (ORDER BY hr) AS gap_start,
+                   CAST((epoch_us(hr) - epoch_us(LAG(hr) OVER (ORDER BY hr)))
+                        // 3600000000 AS BIGINT) AS gap_hours
+            FROM h
+        )
+        SELECT gap_hours, gap_start, gap_end
+        FROM g WHERE gap_start IS NOT NULL
+        QUALIFY ROW_NUMBER() OVER (ORDER BY gap_hours DESC, gap_start ASC) = 1
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -390,6 +390,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "degree_assortativity_trade",
         "value_acf_daily",
         "daily_new_terms",
+        "max_quiet_gap_hourly",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

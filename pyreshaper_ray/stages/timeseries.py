@@ -2601,3 +2601,35 @@ def value_acf_daily(
             "sum_tail": pa.array(rows["st"], pa.int64()),
         }
     )
+
+
+def max_quiet_gap_hourly(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Longest silence in the stream at hour resolution: the maximum gap
+    between consecutive PRESENT hours (the "did ingestion stall?" alarm;
+    gap = 1 means no missing hour). Earliest occurrence wins ties.
+
+    Combiner-first hourly census; one diff over the hours-domain series.
+
+    Output: one row — gap_hours, gap_start (last hour BEFORE the gap),
+    gap_end (first hour after), BIGINT/TIMESTAMPs. < 2 present hours →
+    0 rows.
+    """
+    OUT = pa.schema(
+        [
+            ("gap_hours", pa.int64()),
+            ("gap_start", pa.timestamp("us")),
+            ("gap_end", pa.timestamp("us")),
+        ]
+    )
+    hrs, _n = _hourly_present_series(events_ds)
+    if len(hrs) < 2:
+        return OUT.empty_table()
+    d = np.diff(hrs)
+    i = int(np.argmax(d))  # first maximum = earliest gap
+    return pa.table(
+        {
+            "gap_hours": pa.array([int(d[i])], pa.int64()),
+            "gap_start": _hours_to_ts(hrs[i : i + 1]),
+            "gap_end": _hours_to_ts(hrs[i + 1 : i + 2]),
+        }
+    )
