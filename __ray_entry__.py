@@ -2285,6 +2285,17 @@ def q_max_quiet_gap(sf_dir: str):
     return max_quiet_gap_hourly(_events_value_ds(sf_dir, ["ts"]))
 
 
+def q_revenue_pareto_share(sf_dir: str):
+    """80/20 audit: exact revenue share of the top-20% purchasing users
+    (block-offset ranking over the user-domain spend census); SQL
+    ROW_NUMBER restatement."""
+    from pyreshaper_ray.stages.analytics import revenue_pareto_share
+
+    return revenue_pareto_share(
+        _events_value_ds(sf_dir, ["user_id", "event_type", "value"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3560,6 +3571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_acf_daily": q_value_acf_daily,
         "daily_new_terms": q_daily_new_terms,
         "max_quiet_gap_hourly": q_max_quiet_gap,
+        "revenue_pareto_share": q_revenue_pareto_share,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8615,6 +8627,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT gap_hours, gap_start, gap_end
         FROM g WHERE gap_start IS NOT NULL
         QUALIFY ROW_NUMBER() OVER (ORDER BY gap_hours DESC, gap_start ASC) = 1
+    """
+    # Pareto share: exact (spend desc, user asc) ranks, top ceil(n/5)
+    out["revenue_pareto_share"] = """
+        WITH s AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS spend
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        r AS (
+            SELECT spend,
+                   ROW_NUMBER() OVER (ORDER BY spend DESC, user_id ASC)
+                       AS rn,
+                   COUNT(*) OVER () AS n,
+                   SUM(spend) OVER () AS total
+            FROM s
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST((MAX(n) + 4) // 5 AS BIGINT) AS k_top,
+               CAST(SUM(CASE WHEN rn <= (n + 4) // 5 THEN spend ELSE 0 END)
+                    AS BIGINT) AS top_cents,
+               CAST(MAX(total) AS BIGINT) AS total_cents,
+               CAST(1000000 * SUM(CASE WHEN rn <= (n + 4) // 5
+                                       THEN spend ELSE 0 END)
+                    // MAX(total) AS BIGINT) AS share_ppm
+        FROM r
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

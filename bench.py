@@ -391,6 +391,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "value_acf_daily",
         "daily_new_terms",
         "max_quiet_gap_hourly",
+        "revenue_pareto_share",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -8414,3 +8414,81 @@ def supplier_nation_balance_census(sf_dir: str) -> "ray.data.Dataset":
             _Max("max_cents", alias_name="max_cents"),
         )
     )
+
+
+def revenue_pareto_share(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Pareto concentration check: what share of purchase revenue comes
+    from the top 20% of purchasing users (k = ceil(n/5), exact
+    (spend desc, user asc) ranking — the 80/20 audit next to
+    :func:`gini_user_activity`'s Gini).
+
+    Shape: combiner-first per-user cents census, exact distributed
+    ranks via the block-offset ROW_NUMBER primitive
+    (:func:`~.text._global_row_numbers` — one sort over the user-domain
+    table), then two result-sized sums. share_ppm = 1e6·top // total.
+
+    Output: one row — n_users, k_top, top_cents, total_cents, share_ppm
+    (BIGINTs). No purchases → 0 rows.
+    """
+    import math
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from .text import _global_row_numbers
+
+    def cents_rows(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        t = b.filter(keep)
+        g = (
+            pa.table({"user_id": t["user_id"], "c": to_cents(t["value"])})
+            .group_by("user_id")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {"user_id": g["user_id"], "spend": pc.cast(g["c_sum"], pa.int64())}
+        )
+
+    per_user = (
+        events_ds.map_batches(cents_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(_Sum("spend", alias_name="spend"))
+        .materialize()
+    )
+    stats = per_user.aggregate(_Count(), _Sum("spend", alias_name="t"))
+    n = int(stats.get("count()") or 0)
+    if n == 0:
+        return pa.schema(
+            [
+                ("n_users", pa.int64()),
+                ("k_top", pa.int64()),
+                ("top_cents", pa.int64()),
+                ("total_cents", pa.int64()),
+                ("share_ppm", pa.int64()),
+            ]
+        ).empty_table()
+    total = int(stats["t"])
+    k = math.ceil(n / 5)
+    ranked = _global_row_numbers(per_user, "spend", id_col="user_id")
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        s = b["spend"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"t": pa.array([int(s[r <= k].sum())], pa.int64())}
+        )
+
+    top = ranked.map_batches(
+        top_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(_Sum("t", alias_name="t"))
+    top_cents = int(top["t"])
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "k_top": pa.array([k], pa.int64()),
+            "top_cents": pa.array([top_cents], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "share_ppm": pa.array(
+                [1_000_000 * top_cents // total], pa.int64()
+            ),
+        }
+    )

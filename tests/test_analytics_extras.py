@@ -2767,3 +2767,30 @@ def test_conversion_latency_no_converters(ray_session):
     assert conversion_latency_percentiles(
         ray.data.from_arrow(ev)
     ).num_rows == 0
+
+
+def test_revenue_pareto_share_hand_case(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import revenue_pareto_share
+
+    def ev(rows):
+        return pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        )
+
+    # 5 purchasers: spends 80, 5, 5, 5, 5 -> top 20% = 1 user with 80
+    # of total 100 -> share 800000 ppm; a view row must be ignored
+    rows = [(1, "purchase", 80.0)]
+    rows += [(u, "purchase", 5.0) for u in (2, 3, 4, 5)]
+    rows.append((9, "view", 999.0))
+    t = revenue_pareto_share(
+        ray.data.from_arrow(ev(rows)).repartition(3)
+    ).to_pydict()
+    assert t["n_users"] == [5] and t["k_top"] == [1]
+    assert t["top_cents"] == [8000] and t["total_cents"] == [10000]
+    assert t["share_ppm"] == [800000]
