@@ -2296,6 +2296,17 @@ def q_revenue_pareto_share(sf_dir: str):
     )
 
 
+def q_session_duration_median(sf_dir: str):
+    """Exact lower-median 30m-gap session duration via the shared
+    histogram-refinement selector (no sort); SQL islands + rank
+    selection."""
+    from pyreshaper_ray.stages.windows import session_duration_median
+
+    return session_duration_median(
+        _events_value_ds(sf_dir, ["user_id", "ts", "event_id"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3572,6 +3583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_new_terms": q_daily_new_terms,
         "max_quiet_gap_hourly": q_max_quiet_gap,
         "revenue_pareto_share": q_revenue_pareto_share,
+        "session_duration_median": q_session_duration_median,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8652,6 +8664,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000000 * SUM(CASE WHEN rn <= (n + 4) // 5
                                        THEN spend ELSE 0 END)
                     // MAX(total) AS BIGINT) AS share_ppm
+        FROM r
+    """
+    # median session duration: islands + explicit rank selection
+    out["session_duration_median"] = """
+        WITH d AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(
+                            LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        ) > 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+            FROM d
+        ),
+        dur AS (
+            SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                       AS dur_s
+            FROM s GROUP BY user_id, sess
+        ),
+        r AS (
+            SELECT dur_s, ROW_NUMBER() OVER (ORDER BY dur_s) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM dur
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_s END)
+                    AS BIGINT) AS median_s
         FROM r
     """
     # co-purchase pairs: once per order containing both parts; per-order

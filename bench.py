@@ -392,6 +392,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "daily_new_terms",
         "max_quiet_gap_hourly",
         "revenue_pareto_share",
+        "session_duration_median",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -1922,3 +1922,57 @@ def session_overlap_pairs(
         .groupby("day")
         .map_groups(count_pairs, batch_format="pyarrow")
     )
+
+
+def session_duration_median(
+    events_ds: "ray.data.Dataset", gap_s: int = 1800
+) -> pa.Table:
+    """EXACT lower-median session duration (whole seconds) over all 30m-gap
+    user sessions — the engagement headline stat. Sessions derive per user
+    (one groupby(user) map_groups, vectorized reduceat); the median comes
+    from the shared histogram-refinement selector
+    (:func:`~.analytics._hist_select_ranks`) over the sessions-domain
+    duration column — no distributed sort, no driver materialization of
+    the sessions table.
+
+    Output: one row — n_sessions, median_s (BIGINTs). No sessions → 0 rows.
+    """
+    from .analytics import _hist_select_ranks
+
+    def durations(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        if len(ts) == 0:
+            return pa.table({"dur_s": pa.array([], pa.int64())})
+        brk = np.r_[True, np.diff(ts) > gap_s * 1_000_000]
+        starts = np.flatnonzero(brk)
+        bounds = np.r_[starts, len(ts)]
+        dur = (ts[bounds[1:] - 1] - ts[starts]) // 1_000_000
+        return pa.table({"dur_s": pa.array(dur.astype(np.int64), pa.int64())})
+
+    sess = (
+        events_ds.groupby("user_id")
+        .map_groups(durations, batch_format="pyarrow")
+        .materialize()
+    )
+    # Dataset.count(), not aggregate(Count()) — the latter reports 0 on
+    # map_groups outputs whose first block is schema-less/empty (Ray 2.49)
+    n = sess.count()
+    OUT = pa.schema([("n_sessions", pa.int64()), ("median_s", pa.int64())])
+    if n == 0:
+        return OUT.empty_table()
+    vals = _hist_select_ranks(
+        sess,
+        lambda b: b["dur_s"].to_numpy(zero_copy_only=False),
+        [(n - 1) // 2],
+    )
+    return pa.table(
+        {
+            "n_sessions": pa.array([n], pa.int64()),
+            "median_s": pa.array([int(vals[0])], pa.int64()),
+        }
+    )
