@@ -2307,6 +2307,24 @@ def q_session_duration_median(sf_dir: str):
     )
 
 
+def q_daily_peak_trough(sf_dir: str):
+    """Per-day hourly peak/trough with cross-multiplied ratio ppm; SQL
+    two-level census restatement."""
+    from pyreshaper_ray.stages.timeseries import daily_peak_trough
+
+    return daily_peak_trough(_events_value_ds(sf_dir, ["ts"]))
+
+
+def q_reply_latency_census(sf_dir: str):
+    """Reply-latency components per role transition over the transcripts
+    adapter ((ts, turn_idx) order, exact µs gaps); SQL LEAD restatement
+    over the shared adapter CTE."""
+    from pyreshaper_ray.sources.adapters import read_events_as_transcripts
+    from pyreshaper_ray.stages.windows import reply_latency_census
+
+    return reply_latency_census(read_events_as_transcripts(sf_dir))
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3584,6 +3602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_quiet_gap_hourly": q_max_quiet_gap,
         "revenue_pareto_share": q_revenue_pareto_share,
         "session_duration_median": q_session_duration_median,
+        "daily_peak_trough": q_daily_peak_trough,
+        "reply_latency_census": q_reply_latency_census,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8697,6 +8717,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_s END)
                     AS BIGINT) AS median_s
         FROM r
+    """
+    # daily peak/trough: (day, hour) census, min/max per day, ratio ppm
+    out["daily_peak_trough"] = """
+        WITH h AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(MAX(n) AS BIGINT) AS peak,
+               CAST(MIN(n) AS BIGINT) AS trough,
+               CAST(1000000 * MAX(n) // MIN(n) AS BIGINT) AS ratio_ppm
+        FROM h GROUP BY 1
+    """
+    # reply latency: adapter CTE + LEAD under (ts, turn_idx)
+    out["reply_latency_census"] = """
+        WITH t AS (
+            SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id AS INTEGER)       AS turn_idx,
+                   event_type                      AS role,
+                   ts
+            FROM events
+        ),
+        l AS (
+            SELECT role AS from_role,
+                   LEAD(role) OVER w AS to_role,
+                   epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        )
+        SELECT from_role, to_role,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+        FROM l WHERE to_role IS NOT NULL
+        GROUP BY 1, 2
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

@@ -393,6 +393,8 @@ def run_bench(headline_only: bool = False) -> dict:
         "max_quiet_gap_hourly",
         "revenue_pareto_share",
         "session_duration_median",
+        "daily_peak_trough",
+        "reply_latency_census",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -2633,3 +2633,47 @@ def max_quiet_gap_hourly(events_ds: "ray.data.Dataset") -> pa.Table:
             "gap_end": _hours_to_ts(hrs[i + 1 : i + 2]),
         }
     )
+
+
+def daily_peak_trough(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Per-day load peak-to-trough: max and min hourly event count among
+    the day's PRESENT hours, with the cross-multiplied ratio in exact ppm
+    (1e6·max // min — min ≥ 1 by construction) — the intraday burstiness
+    row a capacity dashboard plots.
+
+    Combiner-first (day, hour) census; one reduceat fold over the
+    hours-domain series. Output: day, n_hours, peak, trough, ratio_ppm
+    (BIGINTs).
+    """
+    from ..util import collect_table
+
+    OUT = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("n_hours", pa.int64()),
+            ("peak", pa.int64()),
+            ("trough", pa.int64()),
+            ("ratio_ppm", pa.int64()),
+        ]
+    )
+    hrs, n = _hourly_present_series(events_ds)
+    if len(hrs) == 0:
+        return OUT.empty_table()
+    day = hrs // 24
+    starts = np.flatnonzero(np.r_[True, day[1:] != day[:-1]])
+    peak = np.maximum.reduceat(n, starts)
+    trough = np.minimum.reduceat(n, starts)
+    counts = np.diff(np.r_[starts, len(n)])
+    ratio = 1_000_000 * peak // trough
+    return pa.table(
+        {
+            "day": pa.array(
+                (day[starts] * 24).astype("datetime64[h]").astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "n_hours": pa.array(counts.astype(np.int64), pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+            "trough": pa.array(trough, pa.int64()),
+            "ratio_ppm": pa.array(ratio, pa.int64()),
+        }
+    )

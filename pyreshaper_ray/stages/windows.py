@@ -1976,3 +1976,64 @@ def session_duration_median(
             "median_s": pa.array([int(vals[0])], pa.int64()),
         }
     )
+
+
+def reply_latency_census(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Reply-latency census by role transition: for each conversation's
+    adjacent turn pairs under (ts, turn_idx) order, the exact µs gap
+    summed per (from_role, to_role) — "how fast does the assistant answer
+    the user" and every other hand-off, as integer components (n_pairs,
+    sum_gap_us; the mean is the caller's one division).
+
+    Per-conversation kernel is two slices (the :func:`event_transitions`
+    shape carrying the gap); the final groupby is roles²-sized.
+
+    Output: from_role, to_role (STRING), n_pairs, sum_gap_us (BIGINTs).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("ts", "ascending"), ("turn_idx", "ascending")]
+            )
+        )
+        role = g["role"]
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "from_role": pa.array([], pa.string()),
+                    "to_role": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "from_role": role.slice(0, len(ts) - 1).combine_chunks(),
+                "to_role": role.slice(1).combine_chunks(),
+                "gap": pa.array(np.diff(ts), pa.int64()),
+            }
+        )
+        gg = t.group_by(["from_role", "to_role"]).aggregate(
+            [("gap", "sum"), ("gap", "count")]
+        )
+        return pa.table(
+            {
+                "from_role": gg["from_role"],
+                "to_role": gg["to_role"],
+                "n_pairs": pc.cast(gg["gap_count"], pa.int64()),
+                "sum_gap_us": pc.cast(gg["gap_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        ds_transcripts.groupby("conv_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_role", "to_role"])
+        .aggregate(
+            _Sum("n_pairs", alias_name="n_pairs"),
+            _Sum("sum_gap_us", alias_name="sum_gap_us"),
+        )
+    )
