@@ -2325,6 +2325,16 @@ def q_reply_latency_census(sf_dir: str):
     return reply_latency_census(read_events_as_transcripts(sf_dir))
 
 
+def q_repeat_purchase_rate(sf_dir: str):
+    """Share of purchasers with >= 2 purchases in exact ppm; SQL grouped
+    census restatement."""
+    from pyreshaper_ray.stages.analytics import repeat_purchase_rate
+
+    return repeat_purchase_rate(
+        _events_value_ds(sf_dir, ["user_id", "event_type"])
+    )
+
+
 def q_copurchase_part_pairs(sf_dir: str):
     """Top-20 co-purchased part pairs (market-basket size 2 over orders):
     orderkey-partitioned vectorized pair expansion, pair-keyed
@@ -3604,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_median": q_session_duration_median,
         "daily_peak_trough": q_daily_peak_trough,
         "reply_latency_census": q_reply_latency_census,
+        "repeat_purchase_rate": q_repeat_purchase_rate,
         "acf_minute_counts": q_acf_minute_counts,
         "hour_dod_delta": q_hour_dod_delta,
         "role_simpson_per_conv": q_role_simpson,
@@ -8753,6 +8764,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(gap) AS BIGINT) AS sum_gap_us
         FROM l WHERE to_role IS NOT NULL
         GROUP BY 1, 2
+    """
+    # repeat purchase rate: per-user purchase counts, >= 2 share in ppm
+    out["repeat_purchase_rate"] = """
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_purchasers,
+               CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeat,
+               CAST(1000000 * SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS repeat_ppm
+        FROM c
     """
     # co-purchase pairs: once per order containing both parts; per-order
     # distinct parts capped at the 64 SMALLEST part keys (the engine's

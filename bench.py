@@ -395,6 +395,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "session_duration_median",
         "daily_peak_trough",
         "reply_latency_census",
+        "repeat_purchase_rate",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

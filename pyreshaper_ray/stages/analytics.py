@@ -8492,3 +8492,62 @@ def revenue_pareto_share(events_ds: "ray.data.Dataset") -> pa.Table:
             ),
         }
     )
+
+
+def repeat_purchase_rate(events_ds: "ray.data.Dataset") -> pa.Table:
+    """Repeat-purchase rate in exact ppm: of users with ≥ 1 purchase, the
+    share with ≥ 2 — the one-number loyalty snapshot next to
+    :func:`rfm_scores`' full segmentation. One user-keyed combiner census
+    (hash-partitioned, so each user's count is wholly local); the fold is
+    two partition-local counts summed on the driver.
+
+    Output: one row — n_purchasers, n_repeat, repeat_ppm (BIGINTs).
+    No purchasers → 0 rows.
+    """
+    from ..util import collect_table, hash_partitioned_agg
+
+    def rows(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        t = b.filter(keep)
+        return pa.table({"user_id": t["user_id"]}).append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))
+        )
+
+    per_user = hash_partitioned_agg(
+        events_ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("one", "sum", "k")],
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(k)], pa.int64()),
+                "r": pa.array([int((k >= 2).sum())], pa.int64()),
+            }
+        )
+
+    t = collect_table(
+        per_user.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    OUT = pa.schema(
+        [
+            ("n_purchasers", pa.int64()),
+            ("n_repeat", pa.int64()),
+            ("repeat_ppm", pa.int64()),
+        ]
+    )
+    if t.num_rows == 0:
+        return OUT.empty_table()
+    n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+    r = int(t["r"].to_numpy(zero_copy_only=False).sum())
+    if n == 0:
+        return OUT.empty_table()
+    return pa.table(
+        {
+            "n_purchasers": pa.array([n], pa.int64()),
+            "n_repeat": pa.array([r], pa.int64()),
+            "repeat_ppm": pa.array([1_000_000 * r // n], pa.int64()),
+        }
+    )
