@@ -3560,17 +3560,69 @@ def q_skyline_users(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the correctness driver oracles a 50-query PREFIX of
-    # this dict (observed in CORRECTNESS_r02).  Round 2's first 50 keys are
-    # all green there; the 44 queries added in sessions 13-24 never got a
-    # driver row.  Round 3 therefore leads with the least-recently-oracled
-    # queries, keeps a handful of round-2 greens as canaries inside the
-    # prefix, and parks the long green tail at the end.
+    # this dict.  Rounds 1-3 cumulatively hash-checked 97 distinct queries;
+    # round 4 rotates the prefix again (VERDICT r3 item #1): 4 hash-green
+    # canaries (incl. one rewritten-code canary, asof_next_order) followed by
+    # 46 SQL-oracled queries that have never had a driver row, starting from
+    # SURVEY §10's staged tail (conv_trend, rolling_minmax_3_turns, ...),
+    # then the session-window / tier-audit / TPC-H / graph blocks.  The graph
+    # trio (pagerank/kcore) doubles as rewritten-code canaries for the round-4
+    # co-partitioned iteration.  The long already-green tail keeps its order.
     return {
-        # --- 3 round-2 greens as regression canaries (CORRECTNESS_r02 hash-green) ---
+        # --- 4 hash-green canaries (CORRECTNESS_r03) ---
         "pivot_turns": q_pivot_turns,
         "flagship_rollup_1m": q_flagship_rollup_1m,
         "dedup_exact_documents": q_dedup_exact,
-        # --- driver-unchecked as of CORRECTNESS_r02 (oracle these first) ---
+        "asof_next_order": q_asof_next_order,
+        # --- 46 never-driver-checked SQL-oracled queries (rotated in r4) ---
+        "conv_trend": q_conv_trend,
+        "rolling_minmax_3_turns": q_rolling_minmax,
+        "ngram_jaccard_neighbors": q_ngram_jaccard_neighbors,
+        "trending_terms_daily": q_trending_terms,
+        "partition_fingerprint": q_partition_fingerprint,
+        "snapshot_diff_events": q_snapshot_diff,
+        "debounce_events_10m": q_debounce_events,
+        "clean_text_documents": q_clean_text,
+        "redact_pii_documents": q_redact_pii,
+        "user_gap_stats": q_user_gap_stats,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "sample_per_source_5": q_sample_per_source,
+        "event_trigrams": q_event_trigrams,
+        "value_mad_outliers": q_value_mad_outliers,
+        "drop_repeated_turns": q_drop_repeated_turns,
+        "q3_unshipped_revenue": q_q3_unshipped,
+        "p95_chars_1h": q_p95_chars_1h,
+        "top_users_by_active_days": q_top_users_by_active_days,
+        "rollup_1w_cascade": q_rollup_1w,
+        "ewma_chars_8": q_ewma_chars,
+        "q10_returned_top20": q_q10_returned,
+        "event_type_user_overlap": q_event_type_overlap,
+        "scd2_value_history": q_scd2_value_history,
+        "concurrent_convs_at_start": q_concurrent_convs,
+        "value_deciles": q_value_deciles,
+        "winsorized_value_stats": q_winsorized_value_stats,
+        "role_runs": q_role_runs,
+        "longest_streak_days": q_longest_streak,
+        "median_value_per_type": q_median_value_per_type,
+        "wau_by_week": q_wau_by_week,
+        "doc_len_histogram": q_doc_len_histogram,
+        "tier_consistency_1h": q_tier_consistency,
+        "tier_upsert_late": q_tier_upsert_late,
+        "orphan_lineitems": q_orphan_lineitems,
+        "corpus_intake_counts": q_corpus_intake,
+        "percent_rank_convs": q_percent_rank_convs,
+        "calendarize_spans": q_calendarize_spans,
+        "pivot_turns_ipc": q_pivot_turns_ipc,
+        "daily_dashboard": q_daily_dashboard,
+        "wau_retention": q_wau_retention,
+        "ship_latency_by_priority": q_ship_latency,
+        "benford_first_digit": q_benford,
+        "term_pair_cooccurrence": q_term_pairs,
+        "pagerank_trade_graph": q_pagerank_trade_graph,
+        "kcore_trade_graph": q_kcore_trade_graph,
+        "pagerank_weighted_trade": q_pagerank_weighted,
+        # ---------------- past the 50-entry driver prefix ----------------
+        # (previously-green rounds-1..3 queries + rows-only entries, prior order)
         "matrix_profile_hourly": q_matrix_profile_hourly,
         "rs_range_hourly": q_rs_range_hourly,
         "pettitt_change_hourly": q_pettitt_change_hourly,
@@ -3584,7 +3636,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law_documents": q_heaps_law,
         "dow_adjusted_anomalies": q_dow_adjusted_anomalies,
         "systematic_sample_events": q_systematic_sample,
-        "asof_next_order": q_asof_next_order,
         "fanout_histogram_lineitems": q_fanout_histogram,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
         "error_budget_burn": q_error_budget_burn,
@@ -3630,8 +3681,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_decile_census": q_spend_decile_census,
         "theil_sen_daily_trend": q_theil_sen_trend,
         "bounce_rate_daily": q_bounce_rate_daily,
-        # three round-3 oracled additions promoted into the driver prefix
-        # (displacing rows-only entries — hash signal beats rows-only)
         "bm25_rank_documents": q_bm25_rank,
         "seasonal_naive_error_7d": q_seasonal_naive_error,
         "daily_type_entropy": q_daily_type_entropy,
@@ -3670,13 +3719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized_documents": q_dedup_normalized,
         "triangle_terms": q_triangle_terms,
         "lead_lag_daily_xcorr": q_lead_lag_xcorr,
-        # --- round-3 new ops filling the remaining driver-prefix slots ---
         "q9_nation_year_revenue": q_q9_nation_year,
         "chi2_independence_cells": q_chi2_cells,
         "lexical_diversity_by_source": q_lexical_diversity,
-        # slot 50 — end of the driver's 50-entry CORRECTNESS prefix
-        # (rows-only SNM/FFD queries moved just past the prefix so every
-        #  prefix slot carries a hash-comparable oracle)
         "adaptive_join_container_revenue": q_adaptive_join_container_revenue,
         "q15_top_supplier": q_q15_top_supplier,
         "snm_neardup_documents": q_snm_neardup,
@@ -3710,7 +3755,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": q_curation_funnel,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q8_market_share_ppm": q_q8_market_share,
-        # --- past the 50-prefix: remaining round-3 additions ---
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q12_priority_by_status": q_q12_priority_by_status,
         "q17_small_quantity_revenue": q_q17_small_quantity,
@@ -3760,61 +3804,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_ppm": q_promo_revenue_ppm,
         "monthly_revenue_change": q_monthly_revenue_change,
         "dedup_canonical_documents": q_dedup_canonical,
-        # --- new in round 3 ---
         "neardup_groups_distributed": q_neardup_groups_distributed,
         "ohlc_1m": q_ohlc_1m,
         "time_weighted_value": q_time_weighted_value,
         "latest_event_per_user": q_latest_event_per_user,
-        # --- round-3-touched canaries (dedup hash + as-of were rewritten) ---
         "asof_last_order": q_asof_last_order,
-        # ---------------- tail (51+): new-but-oracled first, so they are
-        # next in line if the driver's prefix ever widens ----------------
-        "conv_trend": q_conv_trend,
-        "rolling_minmax_3_turns": q_rolling_minmax,
-        "ngram_jaccard_neighbors": q_ngram_jaccard_neighbors,
-        "trending_terms_daily": q_trending_terms,
-        "partition_fingerprint": q_partition_fingerprint,
-        "snapshot_diff_events": q_snapshot_diff,
-        "debounce_events_10m": q_debounce_events,
-        "clean_text_documents": q_clean_text,
-        "redact_pii_documents": q_redact_pii,
-        "user_gap_stats": q_user_gap_stats,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "sample_per_source_5": q_sample_per_source,
-        "event_trigrams": q_event_trigrams,
-        "value_mad_outliers": q_value_mad_outliers,
-        "drop_repeated_turns": q_drop_repeated_turns,
-        "q3_unshipped_revenue": q_q3_unshipped,
-        "p95_chars_1h": q_p95_chars_1h,
-        "top_users_by_active_days": q_top_users_by_active_days,
         "text_embed_knn5": q_text_embed_knn,
         "lttb_downsample_8": q_lttb_downsample,
-        "rollup_1w_cascade": q_rollup_1w,
-        "ewma_chars_8": q_ewma_chars,
-        "q10_returned_top20": q_q10_returned,
-        "event_type_user_overlap": q_event_type_overlap,
-        "scd2_value_history": q_scd2_value_history,
-        "concurrent_convs_at_start": q_concurrent_convs,
-        "value_deciles": q_value_deciles,
-        "winsorized_value_stats": q_winsorized_value_stats,
-        "role_runs": q_role_runs,
-        "longest_streak_days": q_longest_streak,
-        "median_value_per_type": q_median_value_per_type,
-        "wau_by_week": q_wau_by_week,
-        "doc_len_histogram": q_doc_len_histogram,
-        "tier_consistency_1h": q_tier_consistency,
-        "tier_upsert_late": q_tier_upsert_late,
-        "orphan_lineitems": q_orphan_lineitems,
-        "corpus_intake_counts": q_corpus_intake,
-        "percent_rank_convs": q_percent_rank_convs,
-        "calendarize_spans": q_calendarize_spans,
         "cusum_shift_users": q_cusum_shift,
-        "pivot_turns_ipc": q_pivot_turns_ipc,
-        "daily_dashboard": q_daily_dashboard,
-        "wau_retention": q_wau_retention,
-        "ship_latency_by_priority": q_ship_latency,
-        "benford_first_digit": q_benford,
-        "term_pair_cooccurrence": q_term_pairs,
         "ddsketch_p95_daily": q_ddsketch_p95_daily,
         "vocab_size_documents": q_vocab_size,
         "length_percentile_documents": q_length_percentile,
@@ -3883,10 +3880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_skip_plan": q_zone_skip_plan,
         "lsh_parameter_plan": q_lsh_parameter_plan,
         "join_cardinality_estimate": q_join_cardinality_estimate,
-        "pagerank_trade_graph": q_pagerank_trade_graph,
         "skyline_users": q_skyline_users,
         "association_rules_terms": q_association_rules,
-        "kcore_trade_graph": q_kcore_trade_graph,
         "rrf_fuse_documents": q_rrf_fuse,
         "bpe_token_count": q_bpe_token_count,
         "seasonal_decompose_hourly": q_seasonal_decompose,
@@ -3896,7 +3891,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features_documents": q_audio_features,
         "pivot_daily_type_counts": q_pivot_daily_types,
         "changepoint_daily": q_changepoint_daily,
-        "pagerank_weighted_trade": q_pagerank_weighted,
         "flesch_documents": q_flesch,
         "hll_user_overlap": q_hll_overlap,
         "linear_attribution": q_linear_attribution,
