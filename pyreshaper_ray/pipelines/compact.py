@@ -9,7 +9,12 @@ per bucket, ``bucket.py::make_bucket_writer``) becomes
 ``bucket=<span-start>`` dirs each holding the concatenation of ``group``
 consecutive buckets in ascending bucket order — hive-style readers
 (pyarrow.dataset over the tier dir: export, verify, retention, decode)
-see IDENTICAL rows before and after; only the file boundaries move.
+see IDENTICAL rows before and after *modulo the hive ``bucket`` partition
+column*, whose value becomes the span id (rows from bucket 3 read back as
+``bucket=0`` after a group-of-8 coalesce). Every in-repo reader drops the
+hive column and uses the real ``window_start``/``bucket`` data columns;
+consumers that need original per-row bucket ids must take them from the
+file's columns, not the dir name.
 
 Compaction FREEZES the tier: a ``_compacted.json`` marker records the
 spans + row counts, and the flagship's wmode-'a' append path refuses to
@@ -80,6 +85,8 @@ def compact_tier(out_dir: str, tier: str, group: int = 8) -> dict:
     ]
 
     def do_span(batch: dict) -> pa.Table:
+        import shutil
+
         import pyarrow.parquet as pq
 
         from ..util import tune_worker_threads
@@ -89,10 +96,45 @@ def compact_tier(out_dir: str, tier: str, group: int = 8) -> dict:
         for start, dirs, ids in zip(
             batch["start"], batch["dirs"], batch["ids"]
         ):
+            final = os.path.join(
+                os.path.dirname(dirs[0]),
+                f"bucket={int(start):05d}",
+                "part-000.parquet",
+            )
+            # Idempotence: Ray retries failed tasks, and a crashed run may
+            # re-enter with a regrouped span list. The merged span file is
+            # self-describing — its pyreshaper_ray.bucket_span KV metadata
+            # names every original bucket it already contains — so a retry
+            # skips those dirs instead of re-reading them next to the merged
+            # file and silently duplicating their rows.
+            covered: set[int] = set()
+            if os.path.exists(final):
+                fmeta = pq.read_schema(final).metadata or {}
+                span_kv = fmeta.get(b"pyreshaper_ray.bucket_span")
+                if span_kv:
+                    covered = {int(s) for s in span_kv.decode().split(",")}
             parts = []
             n_files = 0
             kv = None
+            if covered:
+                t = pq.read_table(final)
+                kv = {
+                    k.decode(): v.decode()
+                    for k, v in (t.schema.metadata or {}).items()
+                }
+                parts.append(t.replace_schema_metadata(None))
+                n_files += 1
             for bid, d in zip(ids, dirs):
+                if int(bid) in covered:
+                    # already inside the merged span file; drop the stale
+                    # sibling dir a prior attempt failed to remove
+                    if os.path.abspath(d) != os.path.abspath(
+                        os.path.dirname(final)
+                    ) and os.path.isdir(d):
+                        shutil.rmtree(d)
+                    continue
+                if not os.path.isdir(d):
+                    continue  # removed by a prior attempt after merging
                 fs = sorted(
                     os.path.join(d, f)
                     for f in os.listdir(d)
@@ -101,28 +143,29 @@ def compact_tier(out_dir: str, tier: str, group: int = 8) -> dict:
                 n_files += len(fs)
                 for f in fs:
                     t = pq.read_table(f)
+                    meta = t.schema.metadata or {}
                     if kv is None:
-                        kv = {
-                            k.decode(): v.decode()
-                            for k, v in (t.schema.metadata or {}).items()
-                        }
+                        kv = {k.decode(): v.decode() for k, v in meta.items()}
+                    # a member may itself be a prior span (re-run with a
+                    # larger group): union its covered ids too
+                    sub_span = meta.get(b"pyreshaper_ray.bucket_span")
+                    if sub_span:
+                        covered |= {int(s) for s in sub_span.decode().split(",")}
                     parts.append(t.replace_schema_metadata(None))
             merged = pa.concat_tables(parts, promote_options="default")
-            final = os.path.join(
-                os.path.dirname(dirs[0]),
-                f"bucket={int(start):05d}",
-                "part-000.parquet",
-            )
             kv = kv or {}
-            kv["pyreshaper_ray.bucket_span"] = ",".join(str(i) for i in ids)
+            kv["pyreshaper_ray.bucket_span"] = ",".join(
+                str(i) for i in sorted(covered | {int(i) for i in ids})
+            )
             # write the coalesced file FIRST (atomic), then drop the other
-            # bucket dirs — a crash in between leaves duplicates next to a
-            # marker-less tier, which the idempotence guard surfaces loudly
+            # bucket dirs — a crash in between leaves the merged file's
+            # bucket_span metadata as the recovery record, which the skip
+            # logic above honors on the retry
             atomic_write_parquet(merged, final, kv_meta=kv)
-            import shutil
-
             for d in dirs:
-                if os.path.abspath(d) != os.path.abspath(os.path.dirname(final)):
+                if os.path.abspath(d) != os.path.abspath(
+                    os.path.dirname(final)
+                ) and os.path.isdir(d):
                     shutil.rmtree(d)
             # drop any extra parts in the surviving dir (final is the whole span)
             keep = os.path.basename(final)

@@ -7368,7 +7368,20 @@ def rfm_scores(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     ).materialize()
     n = per_user.count()
     if n == 0:
-        return per_user  # empty, schema-correct enough for callers
+        # ADVICE r3: the intermediate per_user schema (last_us) is NOT the
+        # documented output — return the empty seven-column BIGINT contract
+        # so a purchase-free corpus still schema-matches the SQL oracle.
+        # Returned as a pa.Table (an accepted queries() result type):
+        # Dataset.to_pandas() on an empty dataset drops column names.
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in (
+                    "user_id", "r_days", "f_n", "m_cents",
+                    "r_code", "f_code", "m_code",
+                )
+            }
+        )
 
     ref = per_user.aggregate(Max("last_us"))["max(last_us)"]
     ref_day = int(ref) // _US_PER_DAY

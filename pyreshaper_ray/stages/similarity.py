@@ -1778,8 +1778,12 @@ def hard_negatives(sf_dir: str, n_queries: int = 10, k: int = 3) -> pa.Table:
             col = sims[ok, j]
             cid = bids[ok]
             kk = min(k, len(col))
+            # lexsort, not argpartition: exact sim ties (planted duplicate
+            # embeddings) must keep the lower neighbor_id, matching the
+            # oracle's ROW_NUMBER (sim DESC, nid ASC) before the driver-side
+            # heap merge sees the per-block survivors
             top = (
-                np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else
+                np.lexsort((cid, -col))[:kk] if len(col) > kk else
                 np.arange(len(col))
             )
             for i in top:

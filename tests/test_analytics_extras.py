@@ -2794,3 +2794,26 @@ def test_revenue_pareto_share_hand_case(ray_session):
     assert t["n_users"] == [5] and t["k_top"] == [1]
     assert t["top_cents"] == [8000] and t["total_cents"] == [10000]
     assert t["share_ppm"] == [800000]
+
+
+def test_rfm_scores_empty_input_schema(ray_session):
+    """ADVICE r3: a purchase-free corpus must still return the documented
+    seven-column BIGINT schema, not the intermediate per_user columns."""
+    import ray.data
+
+    from pyreshaper_ray.stages.analytics import rfm_scores
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    res = rfm_scores(ray.data.from_arrow(empty))
+    out = res.to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "user_id", "r_days", "f_n", "m_cents", "r_code", "f_code", "m_code",
+    ]

@@ -99,3 +99,53 @@ def test_compact_preserves_content_and_freezes(ray_session, tmp_path):
     assert any_compacted(out) == []
     rebuilt = _sorted_pandas(read_tier(out, "1m"))
     assert rebuilt.equals(before["1m"])
+
+def test_compact_retry_skips_already_merged(ray_session, tmp_path):
+    """ADVICE r3 (medium): a task retry (or crashed-run re-run) that lands
+    after the atomic span write but before the sibling rmtree must not
+    re-read the merged span file PLUS the still-present sibling dirs.
+    The merged file's ``pyreshaper_ray.bucket_span`` KV metadata is the
+    recovery record: covered dirs are skipped, rows stay exact."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(_mk_table(range(0, 40), seed=7), str(src / "d.parquet"))
+    out = str(tmp_path / "out")
+    run_flagship(create_spec(input=str(src), out_dir=out, n_buckets=8))
+
+    before = _sorted_pandas(read_tier(out, "1m"))
+    tier_dir = os.path.join(out, "rollup_1m")
+
+    # stash the original bucket dirs so we can recreate the half-done state
+    stash = tmp_path / "stash"
+    shutil.copytree(tier_dir, str(stash))
+
+    rec = compact_tier(out, "1m", group=4)
+    assert rec["n_files_out"] == 2
+
+    # simulate "crash between atomic write and rmtree": restore the merged
+    # spans' sibling bucket dirs next to the span files and drop the marker
+    for name in os.listdir(str(stash)):
+        dst = os.path.join(tier_dir, name)
+        if not os.path.exists(dst):
+            shutil.copytree(os.path.join(str(stash), name), dst)
+    os.remove(os.path.join(tier_dir, "_compacted.json"))
+
+    # a naive re-run would duplicate 6 of 8 buckets; the span-metadata skip
+    # must yield bit-identical rows instead
+    rec2 = compact_tier(out, "1m", group=4)
+    assert rec2["rows"] == len(before)
+    after = _sorted_pandas(read_tier(out, "1m"))
+    assert after.equals(before)
+
+    # and spans absorbed into larger spans keep full coverage metadata
+    os.remove(os.path.join(tier_dir, "_compacted.json"))
+    rec3 = compact_tier(out, "1m", group=8)
+    assert rec3["rows"] == len(before)
+    meta = pq.read_schema(
+        os.path.join(tier_dir, "bucket=00000", "part-000.parquet")
+    ).metadata
+    span = meta[b"pyreshaper_ray.bucket_span"].decode()
+    assert span == ",".join(str(i) for i in range(8))
+    assert _sorted_pandas(read_tier(out, "1m")).equals(before)

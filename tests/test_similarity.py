@@ -564,3 +564,34 @@ def test_hard_negatives_planted(ray_session, tmp_path):
     out = hard_negatives(str(tmp_path), n_queries=1, k=3).to_pydict()
     assert out["query_id"] == [0, 0, 0]
     assert out["neighbor_id"] == [11, 12, 13]  # 10 excluded, order by sim
+
+
+def test_hard_negatives_tie_break_lower_id(ray_session, tmp_path):
+    """ADVICE r3: exact cosine ties at the k boundary (planted duplicate
+    embeddings) must keep the lower neighbor_id, matching the oracle's
+    ROW_NUMBER (sim DESC, nid ASC) — argpartition's arbitrary pick is out."""
+    import pyarrow.parquet as pq
+
+    from pyreshaper_ray.stages.similarity import hard_negatives
+
+    # query 0 (label 0); ids 20/21/22 are IDENTICAL other-label vectors
+    # (cos ties); with k=2 the survivors must be 20, 21 — never 22
+    vecs = {
+        0: ([1.0, 0.0, 0.0, 0.0], 0),
+        22: ([1.0, 0.5, 0.0, 0.0], 1),
+        21: ([1.0, 0.5, 0.0, 0.0], 1),
+        20: ([1.0, 0.5, 0.0, 0.0], 1),
+        23: ([0.0, 1.0, 0.0, 0.0], 1),
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(
+                [v for v, _ in vecs.values()], pa.list_(pa.float32())
+            ),
+            "label": pa.array([l for _, l in vecs.values()], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = hard_negatives(str(tmp_path), n_queries=1, k=2).to_pydict()
+    assert out["neighbor_id"] == [20, 21]
