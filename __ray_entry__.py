@@ -3522,6 +3522,18 @@ def q_seasonal_decompose(sf_dir: str):
     )
 
 
+def q_bpe_merge_token_count(sf_dir: str):
+    """EXACT BPE token count per document: merge table trained on the
+    corpus's lowest-doc_id slice (deterministic), counting through an
+    actor pool that builds the rank table once per actor in __init__.
+    Rows-only (the merge loop is not SQL-expressible); hand-verified-merge
+    pytest in tests/test_text.py. Keeps ``bpe_token_count`` (below) as the
+    pretokenizer baseline."""
+    from pyreshaper_ray.stages.text import bpe_merge_token_count
+
+    return bpe_merge_token_count(sf_dir, n_merges=256, train_docs=256)
+
+
 def q_bpe_token_count(sf_dir: str):
     """GPT-2-style pretokenizer count per document (lookahead-free RE2,
     shared verbatim with the oracle)."""
@@ -3884,6 +3896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules_terms": q_association_rules,
         "rrf_fuse_documents": q_rrf_fuse,
         "bpe_token_count": q_bpe_token_count,
+        "bpe_merge_token_count": q_bpe_merge_token_count,
         "seasonal_decompose_hourly": q_seasonal_decompose,
         "mmr_select_top5": q_mmr_select,
         "zipf_slope_documents": q_zipf_slope,

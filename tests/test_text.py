@@ -1127,3 +1127,85 @@ def test_daily_new_terms_hand_case(ray_session):
     # day1: alpha, beta new (2); day2: gamma, delta new (2); day3: none
     assert list(out["new_terms"]) == [2, 2]
     assert len(out) == 2
+
+
+def test_train_bpe_merges_hand_case():
+    """Hand-verified merge sequence (Sennrich-style, GPT-2 pretokens):
+    corpus 'low low low lower lowest' + 'newest newest widest'.
+    Pretokens: 'low'x1, ' low'x2, ' lower'x1, ' lowest'x1 (leading-space
+    variants), 'newest'x1, ' newest'x1, ' widest'x1.
+    Pair counts round 1: ('l','o')=5, ('o','w')=5, (' ','l')=4, ('e','s')=4,
+    ('s','t')=4, ... -> tie ('l','o') vs ('o','w') breaks lexicographically
+    to ('l','o')."""
+    from pyreshaper_ray.stages.text import BpeTokenCountStage, train_bpe_merges
+
+    m = train_bpe_merges(
+        ["low low low lower lowest", "newest newest widest"], n_merges=6
+    )
+    assert m == [
+        ("l", "o"),      # 5 occurrences, lexicographic winner of the tie
+        ("lo", "w"),     # 5
+        (" ", "low"),    # 4
+        ("e", "s"),      # 4 (beats (' ','low')? no: equal 4, ' ' < 'e' -> after)
+        ("es", "t"),     # 4
+        ("e", "w"),      # 2
+    ]
+    st = BpeTokenCountStage(m)
+    # ' low' fully merges to one token; ' lower' = ' low'+'e'+'r';
+    # ' lowest' = ' low'+'est'; 'newest' = 'n'+'ew'+'est'
+    assert st._n_pieces(" low") == 1
+    assert st._n_pieces(" lower") == 3
+    assert st._n_pieces(" lowest") == 2
+    assert st._n_pieces("newest") == 3
+    # unseen word falls back toward characters (only trained merges apply)
+    assert st._n_pieces("zzz") == 3
+
+
+def test_bpe_merge_token_count_stage(ray_session):
+    """Batch counting: identical texts get identical counts, counts are
+    bounded above by the pretoken-character total and below by the
+    pretoken count; determinism across runs."""
+    from pyreshaper_ray.stages.text import (
+        BpeTokenCountStage,
+        train_bpe_merges,
+    )
+
+    texts = ["the cat sat on the mat", "the cat sat on the mat", "xyzzy"]
+    merges = train_bpe_merges(texts, n_merges=16)
+    st = BpeTokenCountStage(merges)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = st(batch).to_pydict()
+    assert out["n_tokens"][0] == out["n_tokens"][1]
+    assert 0 < out["n_tokens"][2] <= len("xyzzy")
+    out2 = BpeTokenCountStage(merges)(batch).to_pydict()
+    assert out == out2
+
+
+def test_bpe_merge_token_count_pipeline(ray_session):
+    """End-to-end actor-pool run over the testdata documents table: every
+    doc gets a count, exact counts <= pretoken-regex character mass, and
+    merged counts <= pretoken counts (merges only ever shrink)."""
+    import __ray_entry__ as e
+
+    sfd = "/root/testdata/sf0.001"
+    merged = (
+        e.queries()["bpe_merge_token_count"](sfd)
+        .to_pandas()
+        .set_index("doc_id")["n_tokens"]
+    )
+    pre = (
+        e.queries()["bpe_token_count"](sfd)
+        .to_pandas()
+        .set_index("doc_id")
+        .iloc[:, 0]
+    )
+    assert len(merged) == len(pre) and len(merged) > 0
+    # BPE starts from characters and merges within pretokens: each pretoken
+    # contributes >= 1 token, so the exact count never drops below the
+    # pretoken count
+    assert (merged.loc[pre.index] >= pre).all()
