@@ -39,6 +39,29 @@ def ts_range_filter(col: str, start: str, end: str):
     )
 
 
+def ts_before_filter(col: str, end: str):
+    """One-sided pushdown: ``col < end`` (same contract as
+    :func:`ts_range_filter` — superset prefilter, callers keep the exact
+    in-kernel predicate)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as _pads
+
+    return _pads.field(col) < _pads.scalar(_dt.datetime.fromisoformat(end))
+
+
+def ts_after_filter(col: str, start: str, inclusive: bool = True):
+    """One-sided pushdown: ``col >= start`` (or strict ``>`` with
+    ``inclusive=False``)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as _pads
+
+    lo = _pads.scalar(_dt.datetime.fromisoformat(start))
+    f = _pads.field(col)
+    return (f >= lo) if inclusive else (f > lo)
+
+
 def to_cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Exact integer cents from a 2-decimal double column."""
     if isinstance(col, pa.ChunkedArray):
@@ -1320,7 +1343,9 @@ def q3_unshipped_revenue(
         return b.filter(pc.less(ts, pa.scalar(cutoff_us, pa.int64())))
 
     orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=ts_before_filter("o_orderdate", cutoff),
     ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
     orders = semi_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
@@ -1340,6 +1365,7 @@ def q3_unshipped_revenue(
     line = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=ts_after_filter("l_shipdate", cutoff, inclusive=False),
     ).map_batches(line_pred, batch_format="pyarrow", zero_copy_batch=True)
 
     j = hash_join(
@@ -2337,6 +2363,7 @@ def q10_returned_revenue(
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=ts_range_filter("o_orderdate", start, end),
     ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
 
     def line_pred(b: pa.Table) -> pa.Table:
@@ -3514,6 +3541,7 @@ def q5_local_supplier_volume(
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=ts_range_filter("o_orderdate", start, end),
     ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
 
     def line_pred(b: pa.Table) -> pa.Table:
@@ -3896,6 +3924,8 @@ def q4_late_ship_priority(sf_dir: str) -> "ray.data.Dataset":
     # per-block Arrow max partial, then hash-partitioned merge: the output
     # is orderkey-domain (~10^5 groups at sf0.1) where the built-in reduce
     # pays ~70 µs/group of Python
+    # NOTE deliberately no date pushdown here: the lateness test needs the
+    # TRUE max ship date per order — pruning l_shipdate would change the max
     max_ship = hash_partitioned_agg(
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
@@ -4663,6 +4693,7 @@ def q7_bination_volume(
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=ts_range_filter("o_orderdate", start, end),
     ).map_batches(orders_pred, batch_format="pyarrow", zero_copy_batch=True)
 
     def line_pred(b: pa.Table) -> pa.Table:
