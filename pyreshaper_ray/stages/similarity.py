@@ -128,7 +128,9 @@ def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float) -> pa.Table:
     )
 
 
-def neardup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
+def neardup_pairs(
+    sf_dir: str, threshold: float = 0.95, max_rows: int = 2_000_000
+) -> "ray.data.Dataset":
     """ALL embedding pairs with cosine > threshold (a < b) — exact.
 
     Distributed as a block-pair task grid: the corpus is split into B blocks
@@ -143,9 +145,25 @@ def neardup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
     sample, but the 100-TB near-dup path is ``neardup_lsh`` below
     (hyperplane-bucketed, near-linear work, planted-recall gated) — chain
     its candidate pairs into exact per-pair cosine if exactness is needed.
+    ``max_rows`` fences that role (VERDICT r3 #7): a corpus past the budget
+    raises LOUDLY instead of silently burning n² flops — raise it only for
+    a deliberate verification run.
     """
     import ray
 
+    n_rows = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        ).count()
+    )
+    if n_rows > max_rows:
+        raise ValueError(
+            f"neardup_pairs is the exact O(n²) verification kernel and is "
+            f"fenced to {max_rows} rows (corpus has {n_rows}). Use "
+            f"neardup_lsh (bucketed, near-linear) for production near-dup, "
+            f"or pass max_rows= explicitly for a deliberate verification "
+            f"run on a sample."
+        )
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

@@ -606,3 +606,17 @@ def test_hard_negatives_tie_break_lower_id(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "embeddings.parquet"))
     out = hard_negatives(str(tmp_path), n_queries=1, k=2).to_pydict()
     assert out["neighbor_id"] == [20, 21]
+
+
+def test_neardup_pairs_size_fence(ray_session):
+    """VERDICT r3 #7: the exact O(n²) grid must refuse oversized corpora
+    loudly, pointing at the LSH scale path."""
+    import pytest as _pytest
+
+    from pyreshaper_ray.stages.similarity import neardup_pairs
+
+    with _pytest.raises(ValueError, match="neardup_lsh"):
+        neardup_pairs(SF, max_rows=10)
+    # and an explicit budget raise still permits a deliberate run
+    out = neardup_pairs(SF, threshold=0.999, max_rows=10_000_000)
+    assert out.count() >= 0
