@@ -230,3 +230,77 @@ def test_auto_buckets_resolution(ray_session, tmp_path):
     assert tier_table(str(tmp_path / "auto")).equals(
         tier_table(str(tmp_path / "explicit"))
     )
+
+
+def test_tier_routed_rollup_and_ttl_fallthrough(ray_session, tmp_path):
+    """VERDICT r3 #9: the tier router EXECUTES — the daily window aggregate
+    served from the chosen tier must be bit-identical to the raw-turns
+    serve, and when retention has pruned every qualifying tier the query
+    falls through to raw (keep_us all-zero) with the same rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from pyreshaper_ray.pipelines.flagship import run_flagship, tier_routed_rollup
+    from pyreshaper_ray.pipelines.spec import create_spec
+    from pyreshaper_ray.sources.planner import tier_route_plan
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(11)
+    n = 4000
+    t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    ts = t0 + rng.integers(0, 20 * 86_400_000_000, n)
+    t = pa.table(
+        {
+            # unique (conv_id, turn_idx) pairs: the flagship replay-dedup
+            # must keep every row so tier-served == raw-served
+            "conv_id": pa.array([f"c{i%60:03d}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array(np.arange(n) // 60, pa.int32()),
+            "role": pa.array(["user", "assistant"] * (n // 2), pa.string()),
+            "text": pa.array(["x" * int(k) for k in rng.integers(1, 80, n)], pa.string()),
+            "tool": pa.array(["", "search"] * (n // 2), pa.string()),
+            "ts": pa.array(np.sort(ts), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(src / "d.parquet"))
+    out = str(tmp_path / "out")
+    run_flagship(
+        create_spec(
+            input=str(src), out_dir=out, n_buckets=8,
+            gapfill=False, encode=False, tiers=("1m", "1h", "1d"),
+            include_turns=False,
+        )
+    )
+
+    lo = int(np.datetime64("2024-01-03", "us").astype(np.int64))
+    hi = int(np.datetime64("2024-01-10", "us").astype(np.int64))
+    now = int(np.datetime64("2024-02-15", "us").astype(np.int64))
+    day = 86_400_000_000
+
+    # default retention at this `now`: 1m pruned, 1d chosen (coarsest)
+    plan = tier_route_plan(lo, hi, day, now)
+    chosen = {t_: c for t_, c in zip(plan["tier"].to_pylist(), plan["chosen"].to_pylist())}
+    assert chosen["1d"] and not chosen["1m"]
+
+    raw_factory = lambda: ray.data.read_parquet(str(src / "d.parquet"))
+
+    served = (
+        tier_routed_rollup(out, lo, hi, day, now, raw_ds_factory=raw_factory)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    # TTL fall-through: zero retention on every tier -> served from raw
+    dead = {"1m": 0, "1h": 0, "1d": 0, "1w": 0}
+    fallback = (
+        tier_routed_rollup(out, lo, hi, day, now, keep_us=dead,
+                           raw_ds_factory=raw_factory)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    assert len(served) == 7
+    assert served.equals(fallback)
+
+    # and the raw fall-through without a factory is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="raw fallback"):
+        tier_routed_rollup(out, lo, hi, day, now, keep_us=dead)
