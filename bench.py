@@ -131,6 +131,23 @@ def run_bench(headline_only: bool = False) -> dict:
     spec = create_spec(
         input=fixture_in, out_dir=out_dir, n_buckets=max(64, NUM_CPUS * 4), wmode="o"
     )
+    # UNTIMED warm-up (VERDICT r3 #8): the first flagship run pays Ray
+    # worker-pool spin-up + page-cache cold reads (~±2 s), which made
+    # slim-vs-full orderings look like inversions across rounds. One
+    # metrics-only warm-up run levels both timed runs below; the timed
+    # pair stays adjacent so any residual drift is visible in-file.
+    out_warm = os.path.join(out_root, f"out_warm_sf{sf}_cpus{NUM_CPUS}")
+    shutil.rmtree(out_warm, ignore_errors=True)
+    run_flagship(
+        create_spec(
+            input=fixture_in,
+            out_dir=out_warm,
+            n_buckets=max(64, NUM_CPUS * 4),
+            include_turns=False,
+            wmode="o",
+        )
+    )
+    shutil.rmtree(out_warm, ignore_errors=True)
     metrics = timed("flagship_fixture", lambda: run_flagship(spec))
     headline = queries["flagship_fixture"]
     import pyarrow.compute as pc
