@@ -2121,6 +2121,65 @@ def q_tier_routed_daily(sf_dir: str):
     )
 
 
+def q_rolling_zscore_days(sf_dir: str):
+    """Integer-exact 3σ rolling z-score flags on the daily count series
+    (trailing 7-row window, cross-multiplied decision — no floats)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import rolling_zscore_days
+
+    return rolling_zscore_days(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    )
+
+
+def q_vwap_ship_daily(sf_dir: str):
+    """Volume-weighted average price per ship day (exact integer
+    numerator/denominator components + floored vwap_cents)."""
+    from pyreshaper_ray.stages.timeseries import vwap_ship_daily
+
+    return vwap_ship_daily(sf_dir)
+
+
+def q_nearest_click_per_purchase(sf_dir: str):
+    """Both-ways nearest temporal join within user: closest click to each
+    purchase by |Δts| (tie → earlier click ts, then lower event_id)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import nearest_event_join
+
+    return nearest_event_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+    )
+
+
+def q_click_purchase_pairs(sf_dir: str):
+    """Adjacent-turn role-pair miner (the SFT prompt→response cutter):
+    click turns whose immediate successor is a purchase."""
+    from pyreshaper_ray.stages.windows import adjacent_role_pairs
+
+    return adjacent_role_pairs(read_events_as_transcripts(sf_dir))
+
+
+def q_tool_chain_census(sf_dir: str):
+    """Per-conversation ordered tool-call chain census, top-50 by
+    (count desc, chain asc)."""
+    from pyreshaper_ray.stages.windows import tool_chain_census
+
+    return tool_chain_census(read_events_as_transcripts(sf_dir))
+
+
+def q_conv_tool_char_balance(sf_dir: str):
+    """Per-conversation tooled-vs-plain character balance with exact ppm
+    share (combiner-first conv census)."""
+    from pyreshaper_ray.stages.windows import conv_role_char_balance
+
+    return conv_role_char_balance(read_events_as_transcripts(sf_dir))
+
+
 def q_tier_route_plan(sf_dir: str):
     """Continuous-aggregate read router: coarsest tier that is fine
     enough AND still retained serves the window — pure-plan operator
@@ -3680,6 +3739,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  order; new round-4 oracled additions lead so the next prefix
         #  rotation picks them up first)
         "tier_routed_daily": q_tier_routed_daily,
+        "rolling_zscore_days": q_rolling_zscore_days,
+        "vwap_ship_daily": q_vwap_ship_daily,
+        "nearest_click_per_purchase": q_nearest_click_per_purchase,
+        "click_purchase_pairs": q_click_purchase_pairs,
+        "tool_chain_census": q_tool_chain_census,
+        "conv_tool_char_balance": q_conv_tool_char_balance,
         "matrix_profile_hourly": q_matrix_profile_hourly,
         "rs_range_hourly": q_rs_range_hourly,
         "pettitt_change_hourly": q_pettitt_change_hourly,
@@ -3987,6 +4052,98 @@ def oracle_sql() -> dict[str, str]:
             WHERE window_start >= TIMESTAMP '2024-01-15 00:00:00'
         """,
         "rollup_1m": _ROLLUP_SQL,
+        "rolling_zscore_days": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) w, CAST(COUNT(*) AS BIGINT) x
+              FROM events GROUP BY 1
+            ),
+            r AS (
+              SELECT w, x,
+                     CAST(COUNT(x) OVER win AS BIGINT) n,
+                     CAST(COALESCE(SUM(x) OVER win, 0) AS BIGINT) s,
+                     CAST(COALESCE(SUM(x*x) OVER win, 0) AS BIGINT) q
+              FROM d
+              WINDOW win AS (ORDER BY w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(w AS TIMESTAMP) AS window_start,
+                   x AS n_events,
+                   CAST(CASE
+                     WHEN n < 2 THEN 0
+                     WHEN n*q - s*s > 0 THEN
+                       CASE WHEN (n*x - s)*(n*x - s)*4 > 36*(n*q - s*s)
+                            THEN 1 ELSE 0 END
+                     ELSE CASE WHEN n*x <> s THEN 1 ELSE 0 END
+                   END AS BIGINT) AS flagged
+            FROM r
+        """,
+        "vwap_ship_daily": """
+            WITH l AS (
+              SELECT date_trunc('day', l_shipdate) w,
+                     CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT) AS num,
+                     CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem
+            )
+            SELECT CAST(w AS TIMESTAMP) AS window_start,
+                   CAST(SUM(num) AS BIGINT) AS num_u,
+                   CAST(SUM(q) AS BIGINT) AS qty_sum,
+                   CAST(SUM(num) // GREATEST(SUM(q), 1) AS BIGINT) AS vwap_cents
+            FROM l GROUP BY 1
+        """,
+        "nearest_click_per_purchase": """
+            WITH p AS (SELECT user_id, event_id pid, ts pts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id cid, ts cts FROM events
+                       WHERE event_type = 'click'),
+                 j AS (SELECT p.pid, c.cid,
+                              ABS(epoch_us(p.pts) - epoch_us(c.cts)) ad,
+                              epoch_us(c.cts) cts_us
+                       FROM p JOIN c ON p.user_id = c.user_id)
+            SELECT pid AS event_id, cid AS nn_event_id,
+                   CAST(ad AS BIGINT) AS dt_abs_us
+            FROM j
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY pid ORDER BY ad, cts_us, cid) = 1
+        """,
+        "click_purchase_pairs": f"""
+            WITH t AS ({_T}),
+            o AS (
+              SELECT conv_id, CAST(turn_idx AS BIGINT) ti, role,
+                     CAST(LENGTH(text) AS BIGINT) ch,
+                     LEAD(role) OVER w AS nr,
+                     LEAD(CAST(LENGTH(text) AS BIGINT)) OVER w AS nch,
+                     LEAD(CAST(turn_idx AS BIGINT)) OVER w AS nti
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            )
+            SELECT conv_id, ti AS a_turn_idx, nti AS b_turn_idx,
+                   ch AS a_chars, nch AS b_chars
+            FROM o WHERE role = 'click' AND nr = 'purchase'
+        """,
+        "tool_chain_census": f"""
+            WITH t AS ({_T}),
+            ch AS (
+              SELECT conv_id,
+                     STRING_AGG(tool, '>' ORDER BY ts, turn_idx) AS chain
+              FROM t WHERE tool <> '' GROUP BY conv_id
+            ),
+            cc AS (SELECT chain, CAST(COUNT(*) AS BIGINT) n_convs
+                   FROM ch GROUP BY chain)
+            SELECT chain, n_convs FROM cc
+            QUALIFY ROW_NUMBER() OVER (ORDER BY n_convs DESC, chain) <= 50
+        """,
+        "conv_tool_char_balance": f"""
+            WITH t AS ({_T})
+            SELECT conv_id,
+              CAST(SUM(CASE WHEN tool <> '' THEN LENGTH(text) ELSE 0 END)
+                   AS BIGINT) AS tool_chars,
+              CAST(SUM(CASE WHEN tool = '' THEN LENGTH(text) ELSE 0 END)
+                   AS BIGINT) AS plain_chars,
+              CAST(SUM(CASE WHEN tool <> '' THEN LENGTH(text) ELSE 0 END)
+                   * 1000000 // GREATEST(SUM(LENGTH(text)), 1)
+                   AS BIGINT) AS tool_ppm
+            FROM t GROUP BY conv_id
+        """,
         # tier-routed execution: additivity makes the routed answer equal
         # to the raw daily aggregate over the window — restated directly
         "tier_routed_daily": f"""

@@ -2677,3 +2677,131 @@ def daily_peak_trough(events_ds: "ray.data.Dataset") -> pa.Table:
             "ratio_ppm": pa.array(ratio, pa.int64()),
         }
     )
+
+
+def rolling_zscore_days(events_ds: "ray.data.Dataset", k: float = 3.0) -> pa.Table:
+    """Integer-exact rolling z-score anomaly flags on the DAILY event-count
+    series: day x is anomalous vs its trailing 7-day window (the 7 days
+    strictly before x, only those present in the series) when
+
+        (n·x − S)² > k²·(n·Q − S²)          [n ≥ 2]
+
+    which is exactly z² > k² with μ = S/n, σ² = (n·Q − S²)/n² — cross-
+    multiplied so no float ever enters the decision (k² is exact for
+    integer/half-integer k). Zero-variance windows flag any x ≠ μ
+    (n·x ≠ S).
+
+    Distribution: combiner-first daily census (day-keyed, span-bounded —
+    the same documented bound as the other calendar-grid kernels in this
+    module); the rolling recurrence is a vectorized sliding window over
+    the sorted day series.
+
+    Output: window_start (day), n_events, flagged (0/1), all BIGINT.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b["ts"], unit="day")
+        g = pa.table({"w": d}).group_by("w").aggregate([([], "count_all")])
+        return pa.table(
+            {"w": g["w"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    census = collect_table(
+        events_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if census.num_rows == 0:
+        return pa.table(
+            {
+                "window_start": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "flagged": pa.array([], pa.int64()),
+            }
+        )
+    idx = pc.sort_indices(census, sort_keys=[("w", "ascending")])
+    census = census.take(idx)
+    w = census["w"].to_numpy(zero_copy_only=False)
+    x = census["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    W = 7
+    csum = np.r_[0, np.cumsum(x)]
+    csq = np.r_[0, np.cumsum(x * x)]
+    lo = np.maximum(0, np.arange(len(x)) - W)
+    n = (np.arange(len(x)) - lo).astype(np.int64)
+    S = csum[np.arange(len(x))] - csum[lo]
+    Q = csq[np.arange(len(x))] - csq[lo]
+    k2_num, k2_den = int(round(k * k * 4)), 4  # exact for half-integer k
+    lhs = (n * x - S) ** 2 * k2_den
+    var_n2 = n * Q - S * S  # n² · σ²
+    flagged = np.where(
+        n < 2,
+        0,
+        np.where(
+            var_n2 > 0,
+            (lhs > k2_num * var_n2).astype(np.int64),
+            (n * x != S).astype(np.int64),
+        ),
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "window_start": pa.array(w, pa.timestamp("us")),
+            "n_events": pa.array(x, pa.int64()),
+            "flagged": pa.array(flagged, pa.int64()),
+        }
+    )
+
+
+def vwap_ship_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Volume-weighted average price per ship day over lineitem — the
+    VWAP bar a market-data rollup keeps next to OHLC. Exact integer
+    components cross the exchange (num = Σ price_cents·qty,
+    den = Σ qty); the derived vwap_cents = num // den is also integral so
+    the whole row hash-matches SQL.
+
+    Combiner-first: per-block day-keyed partial sums; day-keyed merge.
+
+    Output: window_start (day), num_u, qty_sum, vwap_cents (BIGINTs).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b["l_shipdate"], unit="day")
+        qty = pc.cast(b["l_quantity"], pa.int64())
+        price = to_cents(b["l_extendedprice"])
+        num = pc.multiply(pc.cast(price, pa.int64()), qty)
+        t = pa.table({"w": d, "num": num, "qty": qty})
+        g = t.group_by("w").aggregate([("num", "sum"), ("qty", "sum")])
+        return pa.table(
+            {
+                "w": g["w"],
+                "num": pc.cast(g["num_sum"], pa.int64()),
+                "qty": pc.cast(g["qty_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("num", alias_name="num"), Sum("qty", alias_name="qty"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        num = b["num"].to_numpy(zero_copy_only=False)
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": pc.cast(b["w"], pa.timestamp("us")),
+                "num_u": pa.array(num, pa.int64()),
+                "qty_sum": pa.array(qty, pa.int64()),
+                "vwap_cents": pa.array(num // np.maximum(qty, 1), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -2037,3 +2037,246 @@ def reply_latency_census(ds_transcripts: "ray.data.Dataset") -> "ray.data.Datase
             _Sum("sum_gap_us", alias_name="sum_gap_us"),
         )
     )
+
+
+def nearest_event_join(
+    events_ds: "ray.data.Dataset",
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> "ray.data.Dataset":
+    """Nearest-neighbor temporal join WITHIN user: for every ``left_type``
+    event, the ``right_type`` event of the same user with the smallest
+    |Δts| — either direction (the both-ways generalization of the as-of
+    join; the shape behind "attach the closest telemetry sample to each
+    incident"). Ties break toward the EARLIER right ts, then the lower
+    right event_id. Left events of users with no right events are dropped
+    (inner semantics).
+
+    Distribution: one groupby(user) co-partition exchange; per group a
+    vectorized ``searchsorted`` of left ts into the sorted right series
+    picks the two bracketing candidates per left row — O((l+r) log r)
+    per user, never l×r.
+
+    Output: event_id, nn_event_id, dt_abs_us (BIGINTs).
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "nn_event_id": pa.array([], pa.int64()),
+                "dt_abs_us": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        is_l = et == left_type
+        is_r = et == right_type
+        if not is_l.any() or not is_r.any():
+            return empty
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(g["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        lts, lid = ts[is_l], eid[is_l]
+        rts, rid = ts[is_r], eid[is_r]
+        order = np.lexsort((rid, rts))  # ts asc, id asc — the tie order
+        rts, rid = rts[order], rid[order]
+        pos = np.searchsorted(rts, lts)
+        lo = np.clip(pos - 1, 0, len(rts) - 1)
+        hi = np.clip(pos, 0, len(rts) - 1)
+        d_lo = np.abs(lts - rts[lo])
+        d_hi = np.abs(lts - rts[hi])
+        # prefer the smaller |dt|; on equal |dt| the EARLIER right ts (lo)
+        take_lo = d_lo <= d_hi
+        sel = np.where(take_lo, lo, hi)
+        # equal-ts duplicate runs: pos-1 lands on the run's HIGHEST id —
+        # re-resolve to the run head so the lowest event_id wins, matching
+        # the oracle's ROW_NUMBER (abs_dt, ts, event_id)
+        sel = np.searchsorted(rts, rts[sel], side="left")
+        dt = np.where(take_lo, d_lo, d_hi).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(lid, pa.int64()),
+                "nn_event_id": pa.array(rid[sel], pa.int64()),
+                "dt_abs_us": pa.array(dt, pa.int64()),
+            }
+        )
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b["event_type"], value_set=pa.array([left_type, right_type])
+        )
+        return b.filter(keep)
+
+    return (
+        events_ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def adjacent_role_pairs(
+    ds_transcripts: "ray.data.Dataset",
+    role_a: str = "click",
+    role_b: str = "purchase",
+) -> "ray.data.Dataset":
+    """Adjacent-turn role-pair extraction: per conversation (ordered by
+    (ts, turn_idx)), every turn with role ``role_a`` whose IMMEDIATE
+    successor has role ``role_b`` — the prompt→response pair miner a
+    transcript pipeline uses to cut SFT training pairs out of raw streams
+    (here: the click→purchase adjacency over the adapted corpus).
+
+    Output: conv_id, a_turn_idx, b_turn_idx, a_chars, b_chars
+    (conv_id string, rest BIGINT).
+    """
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "a_turn_idx": pa.array([], pa.int64()),
+                "b_turn_idx": pa.array([], pa.int64()),
+                "a_chars": pa.array([], pa.int64()),
+                "b_chars": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2 or g.num_columns == 0:
+            return empty
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ti = pc.cast(g["turn_idx"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, ts))
+        role = g["role"].to_numpy(zero_copy_only=False)[order]
+        chars = (
+            pc.utf8_length(pc.cast(g["text"], pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        ti = ti[order]
+        hit = np.flatnonzero((role[:-1] == role_a) & (role[1:] == role_b))
+        if not len(hit):
+            return empty
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [g["conv_id"][0].as_py()] * len(hit), pa.string()
+                ),
+                "a_turn_idx": pa.array(ti[hit], pa.int64()),
+                "b_turn_idx": pa.array(ti[hit + 1], pa.int64()),
+                "a_chars": pa.array(chars[hit], pa.int64()),
+                "b_chars": pa.array(chars[hit + 1], pa.int64()),
+            }
+        )
+
+    return ds_transcripts.groupby("conv_id").map_groups(
+        per_conv, batch_format="pyarrow"
+    )
+
+
+def tool_chain_census(
+    ds_transcripts: "ray.data.Dataset", top_n: int = 50
+) -> "ray.data.Dataset":
+    """Tool-call chain mining: each conversation's ordered sequence of
+    non-empty ``tool`` values (by (ts, turn_idx)) joined with '>' is its
+    chain fingerprint; the census counts conversations per chain — the
+    "what tool workflows do agents actually run" summary. Top ``top_n``
+    by (count desc, chain asc) for a result-sized output at any corpus
+    size (the full chain census is distinct-chain-sized, potentially
+    corpus-sized at 10^12 turns — the cap is the documented bound).
+
+    Output: chain (string), n_convs (BIGINT).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        tool = g["tool"].to_numpy(zero_copy_only=False)
+        nz = tool != ""
+        if not nz.any():
+            return pa.table(
+                {"chain": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ti = pc.cast(g["turn_idx"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, ts))
+        seq = tool[order]
+        chain = ">".join(s for s in seq if s != "")
+        return pa.table(
+            {
+                "chain": pa.array([chain], pa.string()),
+                "n": pa.array([1], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds_transcripts.groupby("conv_id")
+        .map_groups(per_conv, batch_format="pyarrow")
+        .groupby("chain")
+        .aggregate(Sum("n", alias_name="n_convs"))
+    )
+    return counts.sort(["n_convs", "chain"], descending=[True, False]).limit(
+        top_n
+    )
+
+
+def conv_role_char_balance(ds_transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-conversation tooled-vs-plain character balance: Σ chars of
+    turns with a tool call vs without, plus the exact ppm share — the
+    conversation-quality feature ("how much of this dialog is tool
+    traffic") computed combiner-first (per-block conv partials, one
+    conv-keyed merge; no per-conv Python).
+
+    Output: conv_id, tool_chars, plain_chars, tool_ppm (BIGINTs).
+    """
+    from ..util import hash_partitioned_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        chars = pc.cast(
+            pc.utf8_length(pc.cast(b["text"], pa.string())), pa.int64()
+        )
+        tooled = pc.cast(
+            pc.not_equal(pc.cast(b["tool"], pa.string()), ""), pa.int64()
+        )
+        t = pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "tool_chars": pc.multiply(chars, tooled),
+                "plain_chars": pc.multiply(
+                    chars, pc.subtract(pa.scalar(1, pa.int64()), tooled)
+                ),
+            }
+        )
+        g = t.group_by("conv_id").aggregate(
+            [("tool_chars", "sum"), ("plain_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "tool_chars": pc.cast(g["tool_chars_sum"], pa.int64()),
+                "plain_chars": pc.cast(g["plain_chars_sum"], pa.int64()),
+            }
+        )
+
+    agg = hash_partitioned_agg(
+        ds_transcripts.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["conv_id"],
+        aggs=[
+            ("tool_chars", "sum", "tool_chars"),
+            ("plain_chars", "sum", "plain_chars"),
+        ],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        tc = b["tool_chars"].to_numpy(zero_copy_only=False)
+        pl = b["plain_chars"].to_numpy(zero_copy_only=False)
+        total = np.maximum(tc + pl, 1)
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "tool_chars": pa.array(tc, pa.int64()),
+                "plain_chars": pa.array(pl, pa.int64()),
+                "tool_ppm": pa.array(tc * 1_000_000 // total, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1138,3 +1138,24 @@ def test_value_acf_daily_hand_case(ray_session):
     assert t.loc[1, "sum_head"] == 300 and t.loc[1, "sum_tail"] == 500
     # lag 2: 100*300 = 30000
     assert t.loc[2, "sum_lag"] == 30000
+
+
+def test_rolling_zscore_days_hand(ray_session):
+    """Hand case: flat series never flags; a spike after >=2 flat days
+    flags; the zero-variance branch flags any deviation."""
+    import ray.data
+
+    from pyreshaper_ray.stages.timeseries import rolling_zscore_days
+
+    DAY = 86_400_000_000
+    t0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % DAY)
+    # counts per day: 5,5,5,100 -> day 4 window {5,5,5} zero-variance, 100 != 5 -> flag
+    ts = []
+    for d, n in enumerate((5, 5, 5, 100)):
+        ts.extend([t0 + d * DAY + i for i in range(n)])
+    ds = ray.data.from_arrow(
+        pa.table({"ts": pa.array(np.array(ts, np.int64), pa.timestamp("us"))})
+    ).repartition(3)
+    out = rolling_zscore_days(ds).to_pandas().sort_values("window_start")
+    assert list(out.n_events) == [5, 5, 5, 100]
+    assert list(out.flagged) == [0, 0, 0, 1]  # first: n=0; second: n=1; third: flat

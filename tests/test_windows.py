@@ -824,3 +824,80 @@ def test_session_overlap_pairs_counts_true_overlap(ray_session):
     ).to_pandas()
     assert out.iloc[0]["n_sessions"] == 3
     assert out.iloc[0]["n_overlap_pairs"] == 2
+
+
+def test_nearest_event_join_ties(ray_session):
+    """Tie semantics: equal |dt| prefers the EARLIER right ts; duplicate
+    right ts resolve to the lowest event_id; users without right events
+    drop out."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import nearest_event_join
+
+    US = 1_000_000
+    rows = [
+        # user 1: purchase at t=10s; clicks at 5s and 15s -> tie -> 5s (id 100)
+        (1, 1, "purchase", 10),
+        (100, 1, "click", 5),
+        (101, 1, "click", 15),
+        # user 2: purchase at 10s; two clicks both at 8s (ids 201, 200)
+        (2, 2, "purchase", 10),
+        (201, 2, "click", 8),
+        (200, 2, "click", 8),
+        # user 3: purchase, no clicks -> dropped
+        (3, 3, "purchase", 10),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                np.array([r[3] * US for r in rows], np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    out = (
+        nearest_event_join(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "nn_event_id"] == 100 and out.loc[1, "dt_abs_us"] == 5 * US
+    assert out.loc[2, "nn_event_id"] == 200 and out.loc[2, "dt_abs_us"] == 2 * US
+
+
+def test_adjacent_role_pairs_hand(ray_session):
+    """Pairs fire only on IMMEDIATE adjacency in (ts, turn_idx) order."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import adjacent_role_pairs
+
+    US = 1_000_000
+    rows = [  # conv a: click(1) -> purchase(2) adjacent; then view breaks one
+        ("a", 1, "click", "xx", 1),
+        ("a", 2, "purchase", "yyy", 2),
+        ("a", 3, "click", "z", 3),
+        ("a", 4, "view", "q", 4),
+        ("a", 5, "purchase", "r", 5),
+        ("b", 1, "click", "mm", 1),  # conv b: click with no successor
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array(["" for _ in rows], pa.string()),
+            "ts": pa.array(
+                np.array([r[4] * US for r in rows], np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    out = adjacent_role_pairs(ray.data.from_arrow(t).repartition(2)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.conv_id, r.a_turn_idx, r.b_turn_idx, r.a_chars, r.b_chars) == (
+        "a", 1, 2, 2, 3,
+    )
