@@ -413,6 +413,16 @@ def run_bench(headline_only: bool = False) -> dict:
         "daily_peak_trough",
         "reply_latency_census",
         "repeat_purchase_rate",
+        # round-4 additions
+        "tier_routed_daily",
+        "rolling_zscore_days",
+        "vwap_ship_daily",
+        "nearest_click_per_purchase",
+        "click_purchase_pairs",
+        "tool_chain_census",
+        "conv_tool_char_balance",
+        "bpe_merge_token_count",
+        "knn_ivf_top5",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -246,17 +246,72 @@ def components_distributed(
     return labels
 
 
+_PART_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _src_part(src: np.ndarray, n_parts: int) -> np.ndarray:
+    return (
+        (src.astype(np.uint64) * _PART_MULT) >> np.uint64(33)
+    ) % np.uint64(n_parts)
+
+
+def _partition_edges_by_src(
+    edges: "ray.data.Dataset", n_parts: int, weighted: bool = False
+) -> list:
+    """One-time hash(src) partitioning of the STATIC edge side: a standard
+    two-phase exchange (per-block split → per-partition merge+sort-by-src)
+    whose products are P src-sorted Arrow tables living in the OBJECT
+    STORE (a list of refs, never the driver). The iterative kernels fetch
+    only their own partition per task — this is the GraphX/Pregel trick
+    that makes the per-iteration exchange node-sized (masses move, the
+    edge list never moves again).
+    """
+    import ray as _ray
+
+    edges = edges.materialize()
+    refs = edges.to_arrow_refs()
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+
+    @_ray.remote(num_returns=n_parts)
+    def split_block(b: pa.Table):
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = _src_part(src, n_parts)
+        t = b.select(cols)
+        out = []
+        for p in range(n_parts):
+            out.append(t.filter(pa.array(part == p)))
+        return tuple(out) if n_parts > 1 else out[0]
+
+    @_ray.remote
+    def merge_part(*pieces: pa.Table) -> pa.Table:
+        t = pa.concat_tables(pieces, promote_options="default")
+        src = t["src"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.argsort(src, kind="stable"), pa.int64()))
+
+    pieces: list[list] = [[] for _ in range(n_parts)]
+    for r in refs:
+        outs = split_block.remote(r)
+        if n_parts == 1:
+            outs = [outs]
+        for p, o in enumerate(outs):
+            pieces[p].append(o)
+    return [merge_part.remote(*pieces[p]) for p in range(n_parts)]
+
+
 def _message_partials(
-    edges: "ray.data.Dataset",
+    edge_part_refs: list,
     masses: "ray.data.Dataset",
     n_parts: int,
     weighted: bool = False,
 ) -> "ray.data.Dataset":
-    """Co-partitioned PageRank message pass: union + hash-partition-by-src
-    co-locates each mass row with its node's out-edges, a vectorized
-    partition kernel stamps the source's mass onto its edges and pre-sums
-    the shipments by dst (combiner), so the output is per-partition
-    node-sized (node, s) partials — never an edge-sized exchange out.
+    """Co-partitioned PageRank message pass over PRE-PARTITIONED edges:
+    the node-sized mass table is hash-partitioned by node (same hash as
+    the edge partitioning, so each partition's masses meet exactly their
+    nodes' out-edges); the partition kernel fetches its own src-sorted
+    edge table from the object store (zero-copy on-node), maps each
+    edge's src to its mass via ``searchsorted``, and pre-sums the
+    shipments by dst (combiner) — the exchange is node-sized IN and
+    node-sized OUT; the edge list never re-shuffles.
 
     Unweighted: mass rows carry ``q`` (pre-divided ``r // deg``); each edge
     ships ``q(src)``. Weighted: mass rows carry ``r`` and out-weight
@@ -266,43 +321,14 @@ def _message_partials(
     Every edge's src has a mass row by construction (masses are built from
     the src-degree census, deg/wd > 0 for any node with out-edges).
     """
-
-    def edge_rows(b: pa.Table) -> pa.Table:
-        cols = {
-            "key": pc.cast(b["src"], pa.int64()),
-            "dst": pc.cast(b["dst"], pa.int64()),
-        }
-        if weighted:
-            cols["w"] = pc.cast(b["w"], pa.int64())
-            cols["r"] = pa.nulls(b.num_rows, pa.int64())
-            cols["wd"] = pa.nulls(b.num_rows, pa.int64())
-        else:
-            cols["q"] = pa.nulls(b.num_rows, pa.int64())
-        return pa.table(cols)
-
-    def mass_rows(b: pa.Table) -> pa.Table:
-        cols = {
-            "key": pc.cast(b["node"], pa.int64()),
-            "dst": pa.nulls(b.num_rows, pa.int64()),
-        }
-        if weighted:
-            cols["w"] = pa.nulls(b.num_rows, pa.int64())
-            cols["r"] = pc.cast(b["r"], pa.int64())
-            cols["wd"] = pc.cast(b["wd"], pa.int64())
-        else:
-            cols["q"] = pc.cast(b["q"], pa.int64())
-        return pa.table(cols)
+    import ray as _ray
 
     def add_part(b: pa.Table) -> pa.Table:
-        k = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (
-            (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        ) % np.uint64(n_parts)
+        k = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = _src_part(k, n_parts)
         return b.append_column(
             "__part", pa.array(part.astype(np.int64), pa.int64())
         )
-
-    payload = "r" if weighted else "q"
 
     def stamp(g: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -310,48 +336,44 @@ def _message_partials(
         )
         if g.num_columns == 0 or g.num_rows == 0:
             return empty
-        # mass rows (payload non-null) sort to the head of each key run
-        idx = pc.sort_indices(
-            g,
-            sort_keys=[("key", "ascending"), (payload, "ascending")],
-            null_placement="at_end",
-        )
-        t = g.take(idx)
-        first_idx = _first_of_run(t, "key")
-        is_edge = t["dst"].is_valid().to_numpy(zero_copy_only=False)
-        if not is_edge.any():
+        p = int(g["__part"][0].as_py())
+        et: pa.Table = _ray.get(edge_part_refs[p])
+        if et.num_rows == 0:
             return empty
-        dst = t["dst"].to_numpy(zero_copy_only=False)[is_edge].astype(np.int64)
+        node = g["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        node = node[order]
+        src = et["src"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(node, src)
+        # guard: edges whose src has no mass row (deg 0 can't happen, but
+        # keep the kernel total) ship nothing
+        pos = np.clip(pos, 0, len(node) - 1)
+        valid = node[pos] == src
         if weighted:
-            r_run = t["r"].to_numpy(zero_copy_only=False)[first_idx][
-                is_edge
-            ].astype(np.int64)
-            wd_run = t["wd"].to_numpy(zero_copy_only=False)[first_idx][
-                is_edge
-            ].astype(np.int64)
-            w = t["w"].to_numpy(zero_copy_only=False)[is_edge].astype(np.int64)
-            ship = (r_run * w) // np.maximum(wd_run, 1)
+            r = g["r"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            wd = g["wd"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            w = et["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ship = (r[pos] * w) // np.maximum(wd[pos], 1)
         else:
-            ship = t["q"].to_numpy(zero_copy_only=False)[first_idx][
-                is_edge
-            ].astype(np.int64)
+            q = g["q"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            ship = q[pos]
+        ship = np.where(valid, ship, 0)
         # in-partition dst combiner (exact int64 — no float bincount:
         # shipments can exceed 2^53)
         uniq, loc = np.unique(dst, return_inverse=True)
         s = np.zeros(len(uniq), np.int64)
         np.add.at(s, loc, ship)
+        nz = s != 0
         return pa.table(
-            {"node": pa.array(uniq, pa.int64()), "s": pa.array(s, pa.int64())}
+            {
+                "node": pa.array(uniq[nz], pa.int64()),
+                "s": pa.array(s[nz], pa.int64()),
+            }
         )
 
     return (
-        edges.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .union(
-            masses.map_batches(
-                mass_rows, batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
-        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        masses.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
         .map_groups(stamp, batch_format="pyarrow")
     )
@@ -495,11 +517,12 @@ def pagerank_fixed(
             }
         )
 
+    edge_parts = _partition_edges_by_src(edges, n_blocks)
     for _ in range(n_iters):
         masses = ranks.map_batches(
             masses_batch, batch_format="pyarrow", zero_copy_batch=True
         )
-        partials = _message_partials(edges, masses, n_parts=n_blocks)
+        partials = _message_partials(edge_parts, masses, n_parts=n_blocks)
         merged = hash_partitioned_agg(
             domain.map_batches(
                 domain_zero, batch_format="pyarrow", zero_copy_batch=True
@@ -856,8 +879,11 @@ def pagerank_weighted(
             }
         )
 
+    edge_parts = _partition_edges_by_src(edges, n_blocks, weighted=True)
     for _ in range(n_iters):
-        partials = _message_partials(edges, ranks, n_parts=n_blocks, weighted=True)
+        partials = _message_partials(
+            edge_parts, ranks, n_parts=n_blocks, weighted=True
+        )
         merged = hash_partitioned_agg(
             domain.map_batches(
                 domain_zero, batch_format="pyarrow", zero_copy_batch=True
