@@ -443,7 +443,9 @@ def knn_ivf(
     import ray
 
     if centroids == "kmeans":
-        cmat = _kmeans_centroids(sf_dir, n_cells, n_iters=3, normalize=True)
+        cmat = _kmeans_centroids(
+            sf_dir, n_cells, n_iters=3, normalize=True, sample_rows=4096
+        )
     else:
         # seed-fixed centroid sample: read only the sampled rows
         meta = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
@@ -748,7 +750,11 @@ def _assign_ids(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def _kmeans_centroids(
-    sf_dir: str, k: int, n_iters: int = 5, normalize: bool = False
+    sf_dir: str,
+    k: int,
+    n_iters: int = 5,
+    normalize: bool = False,
+    sample_rows: int | None = None,
 ) -> np.ndarray:
     """The centroid-training half of :func:`kmeans_embeddings` — the same
     deterministic distributed Lloyd's iterations, returned as a (k, dim)
@@ -757,6 +763,13 @@ def _kmeans_centroids(
     sampling them (VERDICT r3 missing #3). ``normalize=True`` row-unit-
     normalizes vectors before training — spherical k-means, the right
     objective when downstream cells are cosine cells.
+
+    ``sample_rows``: when set, train on the ``sample_rows`` lowest-vec_id
+    vectors with the SAME update rule evaluated driver-side — the faiss
+    convention (cell structures train on a bounded sample; only the
+    assignment pass scans the corpus). Deterministic, and turns the
+    n_iters full corpus passes into one bounded read — use it for ANN
+    seeding; :func:`kmeans_embeddings` keeps the full distributed path.
     """
     import pyarrow.parquet as pq
 
@@ -764,6 +777,37 @@ def _kmeans_centroids(
     from ray.data.aggregate import Sum
 
     from ..util import cached_get
+
+    if sample_rows is not None:
+        ids = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )["vec_id"]
+        cut = np.sort(ids.to_numpy(zero_copy_only=False))[
+            : int(sample_rows)
+        ]
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<=", int(cut[-1]))],
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+        m = _batch_matrix(t)
+        if normalize:
+            nn = np.linalg.norm(m, axis=1)
+            nn[nn == 0] = 1.0
+            m = m / nn[:, None]
+        cents = m[: min(k, len(m))].copy()
+        for _ in range(int(n_iters)):
+            lab = _assign_ids(m, cents)
+            mi = np.floor(m * 1e6).astype(np.int64)
+            new_c = cents.copy()
+            for c in range(len(cents)):
+                sel = lab == c
+                n = int(sel.sum())
+                if n > 0:
+                    new_c[c] = mi[sel].sum(axis=0).astype(np.float64) / 1e6 / n
+            cents = new_c
+        return cents
 
     seed_t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -1165,7 +1209,9 @@ def semdedup_embeddings(
     import ray.data
 
     if centroids == "kmeans":
-        cmat = _kmeans_centroids(sf_dir, n_cells, n_iters=3, normalize=True)
+        cmat = _kmeans_centroids(
+            sf_dir, n_cells, n_iters=3, normalize=True, sample_rows=4096
+        )
     else:
         meta = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
         all_ids = np.sort(np.array(meta["vec_id"].to_pylist(), dtype=np.int64))
