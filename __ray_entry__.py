@@ -3123,19 +3123,22 @@ def q_join_cardinality_estimate(sf_dir: str):
 _TRADE_EDGE_MEMO: dict[str, Any] = {}
 
 
-def _trade_graph_edges(sf_dir: str):
-    """Directed-both-ways edge list of the undirected customer↔supplier
-    co-transaction graph; supplier node ids offset by 10^9 to share one id
-    space. Shared by the PageRank and k-core queries. The orders⋈lineitem
-    step goes through the cost-based adaptive join (footer stats pick the
-    orders-side broadcast at these scales — the fact side never shuffles
-    for the join; measured 15.4 s → ~2 s at sf0.1/32cpu). The MATERIALIZED
-    edge list is memoized per sf_dir within a Ray session: three graph
-    queries share one deterministic build (~10 s at sf0.1) instead of
-    paying it each — results are unchanged, it is a pure cache of a
-    deterministic intermediate."""
-    if sf_dir in _TRADE_EDGE_MEMO:
-        return _TRADE_EDGE_MEMO[sf_dir]
+def _trade_graph_pairs(sf_dir: str):
+    """Weighted pair census of the undirected customer↔supplier
+    co-transaction graph: one row per distinct (custkey, suppkey) with
+    ``w`` = the co-transaction multiplicity (join-row count). The ONE
+    shared build behind every trade-graph query — the unweighted edge
+    list is exactly these pairs with ``w`` dropped, the weighted one
+    keeps it — memoized per sf_dir within a Ray session (pure cache of a
+    deterministic intermediate). The orders⋈lineitem step goes through
+    the cost-based adaptive join (footer stats pick the orders-side
+    broadcast at these scales — the fact side never shuffles for the
+    join; measured 15.4 s → ~2 s at sf0.1/32cpu)."""
+    memo_key = ("pairs", sf_dir)
+    if memo_key in _TRADE_EDGE_MEMO:
+        return _TRADE_EDGE_MEMO[memo_key]
+    from ray.data.aggregate import Sum
+
     from pyreshaper_ray.stages.joins import adaptive_join
 
     j = adaptive_join(
@@ -3148,19 +3151,34 @@ def _trade_graph_edges(sf_dir: str):
     )
 
     def pair_partial(b: pa.Table) -> pa.Table:
-        return (
+        g = (
             pa.table({"c": b["o_custkey"], "s": b["l_suppkey"]})
             .group_by(["c", "s"])
-            .aggregate([])
+            .aggregate([([], "count_all")])
         )
-
-    from ray.data.aggregate import Count
+        return pa.table(
+            {"c": g["c"], "s": g["s"], "w": pc.cast(g["count_all"], pa.int64())}
+        )
 
     pairs = (
         j.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["c", "s"])
-        .aggregate(Count(alias_name="_n"))
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()
     )
+    _TRADE_EDGE_MEMO[memo_key] = pairs
+    return pairs
+
+
+def _trade_graph_edges(sf_dir: str):
+    """Directed-both-ways UNWEIGHTED edge list (distinct pairs, supplier
+    ids offset by 10^9 into a shared id space) — derived from the shared
+    :func:`_trade_graph_pairs` census; identical edge SET to the historic
+    private build, so PageRank/k-core/assortativity results are
+    bit-unchanged."""
+    if sf_dir in _TRADE_EDGE_MEMO:
+        return _TRADE_EDGE_MEMO[sf_dir]
+    pairs = _trade_graph_pairs(sf_dir)
 
     def both_dirs(b: pa.Table) -> pa.Table:
         import numpy as np
@@ -3508,39 +3526,13 @@ def q_pagerank_weighted(sf_dir: str):
     per-edge floors (bit-exact vs the chained-CTE SQL). The weighted edge
     build (join + pair census) is memoized per sf_dir within a session,
     same pure-cache rationale as ``_trade_graph_edges``."""
-    from ray.data.aggregate import Sum
-
     from pyreshaper_ray.stages.graph import pagerank_weighted
-    from pyreshaper_ray.stages.joins import adaptive_join
 
     memo_key = ("weighted", sf_dir)
     if memo_key in _TRADE_EDGE_MEMO:
         return pagerank_weighted(_TRADE_EDGE_MEMO[memo_key], n_iters=3, top_n=20)
 
-    j = adaptive_join(
-        f"{sf_dir}/orders.parquet",
-        f"{sf_dir}/lineitem.parquet",
-        on="o_orderkey",
-        right_on="l_orderkey",
-        left_columns=["o_orderkey", "o_custkey"],
-        right_columns=["l_orderkey", "l_suppkey"],
-    )
-
-    def pair_partial(b: pa.Table) -> pa.Table:
-        g = (
-            pa.table({"c": b["o_custkey"], "s": b["l_suppkey"]})
-            .group_by(["c", "s"])
-            .aggregate([([], "count_all")])
-        )
-        return pa.table(
-            {"c": g["c"], "s": g["s"], "w": pc.cast(g["count_all"], pa.int64())}
-        )
-
-    pairs = (
-        j.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["c", "s"])
-        .aggregate(Sum("w", alias_name="w"))
-    )
+    pairs = _trade_graph_pairs(sf_dir)
 
     def both_dirs(b: pa.Table) -> pa.Table:
         import numpy as np
