@@ -414,6 +414,46 @@ def cmd_du(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_route(args: argparse.Namespace) -> int:
+    """Continuous-aggregate read through the tier router: serve a windowed
+    rollup (turn_count / char_sum / tool_calls per resolution bucket) from
+    the coarsest retained fine-enough tier of a completed run — the TSDB
+    query path over this engine's tier layouts. ``--plan-only`` prints the
+    routing decision table without executing."""
+    import numpy as np
+
+    from .sources.planner import tier_route_plan
+
+    def us(v: str) -> int:
+        return int(np.datetime64(v, "us").astype(np.int64))
+
+    res = {"1m": 60, "1h": 3600, "1d": 86400, "1w": 604800}[args.resolution]
+    res_us = res * 1_000_000
+    now_us = us(args.now) if args.now else us(args.end)
+    if args.plan_only:
+        plan = tier_route_plan(us(args.start), us(args.end), res_us, now_us)
+        print(json.dumps(plan.to_pylist()))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from .pipelines.flagship import tier_routed_rollup
+
+    out = tier_routed_rollup(
+        args.out, us(args.start), us(args.end), res_us, now_us
+    )
+    t = out.to_pandas().sort_values("window_start")
+    print(t.to_json(orient="records", date_format="iso"))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyreshaper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -498,6 +538,22 @@ def main(argv: list[str] | None = None) -> int:
     xp = sub.add_parser("explain", help="describe the physical plan (no run)")
     xp.add_argument("specfile")
     xp.set_defaults(fn=cmd_explain)
+
+    ro = sub.add_parser(
+        "route", help="serve a windowed rollup through the tier router"
+    )
+    ro.add_argument("out", help="run output directory")
+    ro.add_argument("--start", required=True, help="window start (ISO)")
+    ro.add_argument("--end", required=True, help="window end (ISO, exclusive)")
+    ro.add_argument(
+        "--resolution", default="1d", choices=("1m", "1h", "1d", "1w")
+    )
+    ro.add_argument(
+        "--now", default=None, help="retention reference time (ISO; default=end)"
+    )
+    ro.add_argument("--plan-only", action="store_true")
+    ro.add_argument("--num-cpus", type=int, default=8)
+    ro.set_defaults(fn=cmd_route)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -246,3 +246,63 @@ def test_cli_du_reports_tiers(fixture_dir, tmp_path, capsys):
     assert by_tier["turns"]["bytes"] > 0
     assert not by_tier["turns"]["compacted"]
     assert set(by_tier) >= {"turns", "series", "1m", "1h", "1d", "gapfill_1m"}
+
+
+def test_cli_route_serves_from_tier(fixture_dir, tmp_path, capsys):
+    """`route` serves a windowed rollup through the tier router; the
+    answer equals a pandas aggregate of the raw fixture turns (additive
+    tier measures), and --plan-only prints the decision table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    specfile = str(tmp_path / "spec.json")
+    out = str(tmp_path / "out")
+    main(
+        [
+            "make", specfile,
+            "--input", os.path.join(fixture_dir, "transcripts"),
+            "--out", out,
+            "--n-buckets", "4",
+        ]
+    )
+    main(["run", specfile, "--num-cpus", "2"])
+
+    # fixture ts range -> pick a [start, end) window covering some days
+    import glob
+
+    raw = pd.concat(
+        pq.read_table(f).to_pandas()
+        for f in glob.glob(os.path.join(fixture_dir, "transcripts", "*.parquet"))
+    ).drop_duplicates(subset=["conv_id", "turn_idx"])
+    day0 = raw.ts.min().floor("D")  # the fixture packs into one day
+    day1 = day0 + pd.Timedelta(days=2)
+    start, end = str(day0)[:19], str(day1)[:19]
+
+    capsys.readouterr()
+    rc = main(["route", out, "--start", start, "--end", end,
+               "--resolution", "1d", "--plan-only"])
+    assert rc == 0
+    plan = json.loads(capsys.readouterr().out.strip())
+    assert sum(1 for r in plan if r["chosen"]) == 1
+    assert [r["tier"] for r in plan if r["chosen"]] == ["1d"]
+
+    rc = main(["route", out, "--start", start, "--end", end,
+               "--resolution", "1d", "--num-cpus", "2"])
+    assert rc == 0
+    served = pd.DataFrame(
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    )
+    win = raw[(raw.ts >= day0) & (raw.ts < day1)].copy()
+    win["day"] = win.ts.dt.floor("D")
+    ref = win.groupby("day").agg(
+        turn_count=("ts", "size"),
+        char_sum=("text", lambda s: int(s.str.len().sum())),
+        tool_calls=("tool", lambda s: int((s != "").sum())),
+    ).reset_index()
+    served = served.sort_values("window_start").reset_index(drop=True)
+    ref = ref.sort_values("day").reset_index(drop=True)
+    assert len(served) == len(ref) > 0
+    assert list(served.turn_count) == list(ref.turn_count)
+    assert list(served.char_sum) == list(ref.char_sum)
+    assert list(served.tool_calls) == list(ref.tool_calls)
