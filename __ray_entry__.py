@@ -2121,6 +2121,47 @@ def q_tier_routed_daily(sf_dir: str):
     )
 
 
+def q_first_touch_attribution(sf_dir: str):
+    """First-touch attribution: each purchase credited to the user's
+    EARLIEST click within the 7-day horizon (ties -> lowest event_id)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import first_touch_attribution
+
+    return first_touch_attribution(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+    )
+
+
+def q_session_count_histogram(sf_dir: str):
+    """Users-per-session-count histogram (30m gap sessions)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import session_count_histogram
+
+    return session_count_histogram(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+    )
+
+
+def q_daily_uniques_ratio(sf_dir: str):
+    """Per day: events, distinct users, exact events-per-user ppm."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import daily_uniques_ratio
+
+    return daily_uniques_ratio(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+    )
+
+
 def q_rolling_zscore_days(sf_dir: str):
     """Integer-exact 3σ rolling z-score flags on the daily count series
     (trailing 7-row window, cross-multiplied decision — no floats)."""
@@ -3746,6 +3787,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_pairs": q_click_purchase_pairs,
         "tool_chain_census": q_tool_chain_census,
         "conv_tool_char_balance": q_conv_tool_char_balance,
+        "first_touch_attribution": q_first_touch_attribution,
+        "session_count_histogram": q_session_count_histogram,
+        "daily_uniques_ratio": q_daily_uniques_ratio,
         "matrix_profile_hourly": q_matrix_profile_hourly,
         "rs_range_hourly": q_rs_range_hourly,
         "pettitt_change_hourly": q_pettitt_change_hourly,
@@ -4090,6 +4134,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(q) AS BIGINT) AS qty_sum,
                    CAST(SUM(num) // GREATEST(SUM(q), 1) AS BIGINT) AS vwap_cents
             FROM l GROUP BY 1
+        """,
+        "first_touch_attribution": """
+            WITH t AS (SELECT user_id, event_id tid, ts tts FROM events
+                       WHERE event_type = 'click'),
+                 c AS (SELECT user_id, event_id cid, ts cts FROM events
+                       WHERE event_type = 'purchase'),
+                 j AS (SELECT c.user_id, c.cid, t.tid,
+                              epoch_us(c.cts) - epoch_us(t.tts) AS lag
+                       FROM c JOIN t ON c.user_id = t.user_id
+                        AND t.tts <= c.cts
+                        AND epoch_us(t.tts) >= epoch_us(c.cts) - 604800000000)
+            SELECT user_id, cid AS conv_event_id, tid AS touch_event_id,
+                   CAST(lag AS BIGINT) AS lead_us
+            FROM j
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY cid ORDER BY lag DESC, tid) = 1
+        """,
+        "session_count_histogram": """
+            WITH e AS (
+              SELECT user_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (SELECT user_id, CAST(SUM(brk) AS BIGINT) n_sessions
+                  FROM e GROUP BY user_id)
+            SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM s GROUP BY 1
+        """,
+        "daily_uniques_ratio": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) * 1000000
+                        // GREATEST(COUNT(DISTINCT user_id), 1) AS BIGINT)
+                       AS events_per_user_ppm
+            FROM events GROUP BY 1
         """,
         "nearest_click_per_purchase": """
             WITH p AS (SELECT user_id, event_id pid, ts pts FROM events

@@ -2280,3 +2280,195 @@ def conv_role_char_balance(ds_transcripts: "ray.data.Dataset") -> "ray.data.Data
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def first_touch_attribution(
+    events_ds: "ray.data.Dataset",
+    touch_type: str = "click",
+    conv_type: str = "purchase",
+    horizon_s: int = 7 * 86400,
+) -> "ray.data.Dataset":
+    """First-touch attribution: each conversion is attributed to the SAME
+    user's EARLIEST ``touch_type`` event within the horizon at or before
+    it — the other canonical marketing attribution model next to
+    :func:`last_touch_attribution` (which credits the latest touch).
+    Ties at the earliest timestamp credit the LOWEST event_id. Only
+    attributed conversions are emitted.
+
+    Output: user_id, conv_event_id, touch_event_id, lead_us (BIGINTs) —
+    lead_us = conversion ts − first-touch ts.
+    """
+    horizon_us = horizon_s * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            batch["event_type"], value_set=pa.array([touch_type, conv_type])
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "is_conv": pc.equal(t["event_type"], conv_type),
+                "ts": t["ts"],
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "conv_event_id": pa.array([], pa.int64()),
+                "touch_event_id": pa.array([], pa.int64()),
+                "lead_us": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or group.num_columns == 0:
+            return empty
+        uid = int(group["user_id"][0].as_py())
+        is_conv = group["is_conv"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t_ts, t_eid = ts[~is_conv], eid[~is_conv]
+        c_ts, c_eid = ts[is_conv], eid[is_conv]
+        if len(t_ts) == 0 or len(c_ts) == 0:
+            return empty
+        order = np.lexsort((t_eid, t_ts))  # ts asc, id asc — the tie order
+        t_ts, t_eid = t_ts[order], t_eid[order]
+        lo = np.searchsorted(t_ts, c_ts - horizon_us, side="left")
+        hi = np.searchsorted(t_ts, c_ts, side="right")
+        ok = lo < hi  # at least one touch inside [c_ts - horizon, c_ts]
+        if not ok.any():
+            return empty
+        sel = lo[ok]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(int(ok.sum()), uid, np.int64), pa.int64()
+                ),
+                "conv_event_id": pa.array(c_eid[ok], pa.int64()),
+                "touch_event_id": pa.array(t_eid[sel], pa.int64()),
+                "lead_us": pa.array(c_ts[ok] - t_ts[sel], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def session_count_histogram(
+    events_ds: "ray.data.Dataset", gap_s: int = 1800
+) -> "ray.data.Dataset":
+    """Distribution of 30-minute-gap session counts per user: how many
+    users had exactly n sessions — the engagement-shape summary next to
+    :func:`session_windows` (which emits the sessions themselves). One
+    groupby(user) co-partition exchange, then a census-sized histogram
+    merge.
+
+    Output: n_sessions, n_users (BIGINTs).
+    """
+    from ray.data.aggregate import Sum
+
+    gap_us = gap_s * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return pa.table(
+                {"n_sessions": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum())
+        return pa.table(
+            {
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n": pa.array([1], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("n_sessions")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+def daily_uniques_ratio(events_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per day: event count, DISTINCT active users, and the exact
+    events-per-user ppm ratio — the DAU/intensity dashboard line.
+    Additive count reduces combiner-first; the distinct measure runs its
+    own per-block-distinct → global-distinct pipeline; both meet in a
+    day-keyed zero-padded union merge (the `daily_dashboard` pattern, one
+    level coarser).
+
+    Output: window_start (day), n_events, n_users, events_per_user_ppm
+    (BIGINTs).
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b["ts"], unit="day")
+        g = pa.table({"w": d}).group_by("w").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "w": g["w"],
+                "ne": pc.cast(g["count_all"], pa.int64()),
+                "nu": pa.array(np.zeros(g.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b["ts"], unit="day")
+        return (
+            pa.table({"w": d, "user_id": pc.cast(b["user_id"], pa.int64())})
+            .group_by(["w", "user_id"])
+            .aggregate([])
+        )
+
+    users = (
+        events_ds.map_batches(
+            distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["w", "user_id"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "w": b["w"],
+                    "ne": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                    "nu": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    counts = events_ds.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = counts.union(users).groupby("w").aggregate(
+        Sum("ne", alias_name="ne"), Sum("nu", alias_name="nu")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ne = b["ne"].to_numpy(zero_copy_only=False)
+        nu = b["nu"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": pc.cast(b["w"], pa.timestamp("us")),
+                "n_events": pa.array(ne, pa.int64()),
+                "n_users": pa.array(nu, pa.int64()),
+                "events_per_user_ppm": pa.array(
+                    ne * 1_000_000 // np.maximum(nu, 1), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

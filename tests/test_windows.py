@@ -901,3 +901,70 @@ def test_adjacent_role_pairs_hand(ray_session):
     assert (r.conv_id, r.a_turn_idx, r.b_turn_idx, r.a_chars, r.b_chars) == (
         "a", 1, 2, 2, 3,
     )
+
+
+def test_first_touch_attribution_hand(ray_session):
+    """Earliest in-horizon touch wins; ties at the same ts credit the
+    lowest event_id; out-of-horizon touches are invisible."""
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import first_touch_attribution
+
+    US = 1_000_000
+    H = 100  # horizon seconds for the test
+    rows = [
+        # user 1: clicks at 5s (ids 11, 10 same ts), 20s; purchase 30s
+        #  -> first in-horizon touch = ts 5s, lowest id 10
+        (11, 1, "click", 5),
+        (10, 1, "click", 5),
+        (12, 1, "click", 20),
+        (1, 1, "purchase", 30),
+        # user 2: click far before horizon; purchase -> unattributed
+        (20, 2, "click", 10),
+        (2, 2, "purchase", 10 + H + 50),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                np.array([r[3] * US for r in rows], np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    out = first_touch_attribution(
+        ray.data.from_arrow(t).repartition(2), horizon_s=H
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.conv_event_id, r.touch_event_id, r.lead_us) == (1, 10, 25 * US)
+
+
+def test_session_count_histogram_hand(ray_session):
+    import ray.data
+
+    from pyreshaper_ray.stages.windows import session_count_histogram
+
+    US = 1_000_000
+    rows = [  # user 1: 2 sessions (gap 1h); users 2,3: 1 session each
+        (1, 1, 0), (2, 1, 60), (3, 1, 3660),
+        (4, 2, 0),
+        (5, 3, 0), (6, 3, 100),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[2] * US for r in rows], np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    out = (
+        session_count_histogram(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("n_sessions")["n_users"]
+        .to_dict()
+    )
+    assert out == {1: 2, 2: 1}
