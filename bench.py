@@ -421,6 +421,9 @@ def run_bench(headline_only: bool = False) -> dict:
         "click_purchase_pairs",
         "tool_chain_census",
         "conv_tool_char_balance",
+        "first_touch_attribution",
+        "session_count_histogram",
+        "daily_uniques_ratio",
         "bpe_merge_token_count",
         "knn_ivf_top5",
     ):
