@@ -384,7 +384,7 @@ def orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
         SegmentLookup,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     def partial(batch: pa.Table) -> pa.Table:

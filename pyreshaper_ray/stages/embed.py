@@ -73,7 +73,10 @@ class TextEmbedStage:
 
 
 def embed_documents(
-    sf_dir: str, dim: int = 32, batch_size: int = 1024, concurrency: int = 2
+    sf_dir: str,
+    dim: int = 32,
+    batch_size: int = 1024,
+    concurrency: int | tuple[int, int] = (1, 2),
 ) -> "ray.data.Dataset":
     """documents.parquet → (doc_id, embedding) via the actor-pool encoder."""
     ds = ray.data.read_parquet(

@@ -211,7 +211,7 @@ def decode_documents_as_audio(sf_dir: str, batch_size: int = 256) -> "ray.data.D
         AudioSegmentStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 
@@ -235,7 +235,7 @@ def decode_documents_as_images(sf_dir: str, batch_size: int = 256) -> "ray.data.
         ImageDecodeStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 
@@ -311,7 +311,7 @@ def sample_documents_as_video(sf_dir: str, batch_size: int = 256) -> "ray.data.D
         VideoFrameSampleStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 
@@ -390,5 +390,5 @@ def audio_features_documents(sf_dir: str, batch_size: int = 256) -> "ray.data.Da
         AudioFeatureStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=(1, 2),
     )

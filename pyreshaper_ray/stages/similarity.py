@@ -248,7 +248,7 @@ def knn_lsh(sf_dir: str, n_queries: int = 5, k: int = 5, n_bits: int = 6) -> pa.
         LshBucketer,
         fn_constructor_kwargs={"dim": dim, "n_bits": n_bits},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     def bucket_topk(group: pa.Table) -> pa.Table:

@@ -137,7 +137,7 @@ def run_text_stage(sf_dir: str, fn, columns=("doc_id", "text")) -> "ray.data.Dat
 
 def lang_id_documents(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
 
 
 _WINNOW_MOD = np.uint64((1 << 61) - 1)
@@ -3350,7 +3350,12 @@ def bpe_merge_token_count(
     ).map_batches(
         BpeTokenCountStage,
         fn_constructor_args=(merges,),
-        concurrency=2,
+        # ranged concurrency everywhere an actor pool appears in this repo:
+        # a FIXED pool size deadlocks when the previous query's actors are
+        # still being reaped and fewer CPUs remain than the pool demands
+        # (observed as a 30-min hang at num_cpus=4); (1, N) starts with
+        # whatever fits and scales up
+        concurrency=(1, 2),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
