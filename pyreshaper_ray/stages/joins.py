@@ -105,6 +105,14 @@ def hash_join(
         num_partitions=num_partitions,
         on=on,
         right_on=right_on,
+        # fractional-CPU aggregators: the hash-shuffle join spawns
+        # num_partitions ACTORS; at small CPU budgets (the 4-CPU test
+        # session) full-CPU aggregators from two overlapping joins can
+        # claim every slot and starve the upstream read tasks — observed
+        # as an indefinite hang. 0.5 CPU keeps them schedulable without
+        # changing join semantics or real-cluster throughput (aggregators
+        # are I/O-bound collectors, not compute hogs).
+        aggregator_ray_remote_args={"num_cpus": 0.5},
     )
 
 
