@@ -295,7 +295,18 @@ def _partition_edges_by_src(
             outs = [outs]
         for p, o in enumerate(outs):
             pieces[p].append(o)
-    return [merge_part.remote(*pieces[p]) for p in range(n_parts)]
+    part_refs = [merge_part.remote(*pieces[p]) for p in range(n_parts)]
+    # BLOCK until every partition table exists: the iteration kernels
+    # ray.get() these refs from INSIDE Ray Data tasks — if the merge tasks
+    # were still queued while the streaming executor held every CPU slot,
+    # the get would deadlock (observed as an indefinite hang at
+    # num_cpus=4). Waiting here costs nothing extra (the work is needed
+    # before the first message pass anyway) and guarantees the in-task
+    # gets always hit ready objects.
+    import ray as _ray2
+
+    _ray2.wait(part_refs, num_returns=len(part_refs))
+    return part_refs
 
 
 def _message_partials(
