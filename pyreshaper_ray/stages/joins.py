@@ -60,6 +60,21 @@ def broadcast_enrich(
     return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _plan_contains_join(ds) -> bool:
+    """True when the dataset's logical plan already contains a Join
+    operator (see the chained-join guard in :func:`hash_join`)."""
+    try:
+        stack = [ds._logical_plan.dag]
+    except Exception:  # private API moved — fail open (no barrier)
+        return False
+    while stack:
+        op = stack.pop()
+        if type(op).__name__ == "Join":
+            return True
+        stack.extend(getattr(op, "input_dependencies", ()))
+    return False
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -99,6 +114,21 @@ def hash_join(
         left = left.repartition(num_partitions)
     if coalesce in ("both", "right"):
         right = right.repartition(num_partitions)
+    # CHAINED-JOIN GUARD: two hash-shuffle joins inside ONE streaming plan
+    # intermittently wedge Ray 2.49's executor before any task launches
+    # (reproduced twice at the k-core semi∘semi chain in full-suite runs;
+    # the plan registers, the concurrency policy initializes, then nothing
+    # schedules). Joins are barriers anyway, so materializing a join-fed
+    # side costs one pass over data that had to be fully shuffled
+    # regardless — and guarantees each plan contains at most one Join.
+    for side in ("left", "right"):
+        ds_side = left if side == "left" else right
+        if _plan_contains_join(ds_side):
+            ds_side = ds_side.materialize()
+            if side == "left":
+                left = ds_side
+            else:
+                right = ds_side
     return left.join(
         right,
         join_type=join_type,
