@@ -2079,6 +2079,9 @@ def q_loo_source_deltas(sf_dir: str):
     )
 
 
+_ROUTE_RUN_MEMO: dict = {}
+
+
 def q_tier_routed_daily(sf_dir: str):
     """Tier routing EXECUTED (VERDICT r3 #9): the daily dashboard window
     [2024-01-05, 2024-01-12) at 1-day resolution is served from the
@@ -2096,18 +2099,26 @@ def q_tier_routed_daily(sf_dir: str):
     )
     from pyreshaper_ray.pipelines.spec import create_spec
 
-    out = tempfile.mkdtemp(prefix="pyreshaper_ray_q_route_")
-    spec = create_spec(
-        input=f"{sf_dir}/events.parquet",
-        out_dir=out,
-        n_buckets=16,
-        wmode="o",
-        gapfill=False,
-        encode=False,
-        tiers=("1m", "1h", "1d"),
-        include_turns=False,
-    )
-    run_flagship(spec, ds=read_events_as_transcripts(sf_dir))
+    # memoized per sf_dir (ADVICE r4: bench.py re-runs this query; a fresh
+    # mkdtemp per call leaked full flagship output trees in TMPDIR) — the
+    # returned Dataset reads lazily from the run dir, so the dir must
+    # outlive the call; reusing one build per sf_dir both fixes the leak
+    # and skips redundant rebuilds
+    out = _ROUTE_RUN_MEMO.get(sf_dir)
+    if out is None or not os.path.isdir(out):
+        out = tempfile.mkdtemp(prefix="pyreshaper_ray_q_route_")
+        spec = create_spec(
+            input=f"{sf_dir}/events.parquet",
+            out_dir=out,
+            n_buckets=16,
+            wmode="o",
+            gapfill=False,
+            encode=False,
+            tiers=("1m", "1h", "1d"),
+            include_turns=False,
+        )
+        run_flagship(spec, ds=read_events_as_transcripts(sf_dir))
+        _ROUTE_RUN_MEMO[sf_dir] = out
     t0 = int(np.datetime64("2024-01-05", "us").astype(np.int64))
     t1 = int(np.datetime64("2024-01-12", "us").astype(np.int64))
     now = int(np.datetime64("2024-02-15", "us").astype(np.int64))

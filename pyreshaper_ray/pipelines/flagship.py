@@ -620,12 +620,41 @@ def tier_routed_rollup(
     plan = tier_route_plan(
         range_start_us, range_end_us, resolution_us, now_us, keep_us=keep_us
     )
-    chosen = [
-        t
-        for t, c in zip(plan["tier"].to_pylist(), plan["chosen"].to_pylist())
-        if c
-    ]
     lo, hi, res = int(range_start_us), int(range_end_us), int(resolution_us)
+    # Executor-side validation on top of the pure plan (ADVICE r4):
+    # a tier can only serve the window bit-exactly when its windows nest
+    # inside the requested grid (res(tier) divides res) AND the range
+    # bounds are aligned to the tier's window width (a straddling tier
+    # window would be wholly included/excluded, diverging from the raw
+    # answer). A chosen tier whose directory was never built (run with a
+    # pruned tier list) falls through to the next coarsest candidate,
+    # then raw. Candidates = qualifying tiers, coarsest first (the
+    # plan's own preference order).
+    from ..sources.planner import _TIER_RES_US
+
+    candidates = sorted(
+        (
+            t
+            for t, f, r in zip(
+                plan["tier"].to_pylist(),
+                plan["fine_enough"].to_pylist(),
+                plan["retained"].to_pylist(),
+            )
+            if f and r
+        ),
+        key=lambda t: -_TIER_RES_US[t],
+    )
+    chosen = []
+    for t in candidates:
+        tres = _TIER_RES_US[t]
+        if res % tres != 0 or lo % tres != 0 or hi % tres != 0:
+            continue  # tier windows would straddle the requested grid
+        from .bucket import TIER_DIRS
+
+        if not os.path.isdir(os.path.join(out_dir, TIER_DIRS[t])):
+            continue  # run was built without this tier — fall through
+        chosen = [t]
+        break
 
     if chosen:
         def tier_parts(b: pa.Table) -> pa.Table:

@@ -785,6 +785,12 @@ def _kmeans_centroids(
         cut = np.sort(ids.to_numpy(zero_copy_only=False))[
             : int(sample_rows)
         ]
+        if len(cut) == 0:
+            raise ValueError(
+                "kmeans centroid training: embeddings table has no rows "
+                f"({sf_dir}/embeddings.parquet) — cannot seed ANN cells "
+                "on an empty corpus"
+            )
         t = pq.read_table(
             f"{sf_dir}/embeddings.parquet",
             columns=["vec_id", "embedding"],

@@ -2681,8 +2681,10 @@ def daily_peak_trough(events_ds: "ray.data.Dataset") -> pa.Table:
 
 def rolling_zscore_days(events_ds: "ray.data.Dataset", k: float = 3.0) -> pa.Table:
     """Integer-exact rolling z-score anomaly flags on the DAILY event-count
-    series: day x is anomalous vs its trailing 7-day window (the 7 days
-    strictly before x, only those present in the series) when
+    series: day x is anomalous vs its trailing window of the 7 PRECEDING
+    ROWS of the day series (present days only — with calendar gaps the
+    window reaches further than 7 calendar days back, matching the SQL
+    oracle's ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) when
 
         (n·x − S)² > k²·(n·Q − S²)          [n ≥ 2]
 
@@ -2690,6 +2692,11 @@ def rolling_zscore_days(events_ds: "ray.data.Dataset", k: float = 3.0) -> pa.Tab
     multiplied so no float ever enters the decision (k² is exact for
     integer/half-integer k). Zero-variance windows flag any x ≠ μ
     (n·x ≠ S).
+
+    Bound (module convention): Q = Σx² and (n·x−S)²·4 stay inside int64
+    only for daily counts |x| < ~7·10⁸ (Q ≤ 7·x² < 2⁶²; the lhs square is
+    ≤ (8·max x)²·4). Past that numpy would WRAP silently where the SQL
+    oracle errors — scale counts down first (e.g. flag on thousands).
 
     Distribution: combiner-first daily census (day-keyed, span-bounded —
     the same documented bound as the other calendar-grid kernels in this
