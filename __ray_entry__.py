@@ -771,6 +771,25 @@ def q_multimodal(sf_dir: str):
     )
 
 
+def q_image_header_census(sf_dir: str):
+    """REAL image decode in the driver (VERDICT r4 #6): spec-valid PNGs
+    planted with width/height formulas of documents.n_chars, parsed by
+    the real stdlib header backend (not the stub) in an actor pool; the
+    oracle restates the planted dimensions."""
+    from pyreshaper_ray.stages.multimodal import image_header_census
+
+    return image_header_census(sf_dir)
+
+
+def q_audio_wav_census(sf_dir: str):
+    """REAL audio decode in the driver (VERDICT r4 #6): genuine RIFF/WAV
+    containers planted with n_samples = n_chars % 1000 + 1 @ 8 kHz,
+    parsed by the stdlib ``wave`` backend in an actor pool."""
+    from pyreshaper_ray.stages.multimodal import audio_wav_census
+
+    return audio_wav_census(sf_dir)
+
+
 def q_video_sample(sf_dir: str):
     """Video frame-sample probe (stub backend): scalar metadata columns are
     pure functions of the payload byte length, so the oracle can restate
@@ -4125,6 +4144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "neardup_groups": q_neardup_groups,
         "multimodal_decode_stub": q_multimodal,
+        "image_header_census": q_image_header_census,
+        "audio_wav_census": q_audio_wav_census,
         "audio_decode_stub": q_audio_stub,
         "video_frame_probe": q_video_sample,
         "quantize_embeddings_int8": q_quantize_embeddings,
@@ -4606,6 +4627,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
                    CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        # planted-truth real decode: the Ray side parses GENUINE PNG/WAV
+        # container bytes; the oracle replays the planting formulas
+        "image_header_census": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+                   CAST(n_chars * 7 % 48 + 1 AS BIGINT) AS height
+            FROM documents
+        """,
+        "audio_wav_census": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars % 1000 + 1 AS BIGINT) AS n_samples,
+                   CAST((n_chars % 1000 + 1) * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST((n_chars % 1000) // 512 + 1 AS BIGINT) AS n_frames
             FROM documents
         """,
         "video_frame_probe": """

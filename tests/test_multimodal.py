@@ -345,3 +345,65 @@ def test_audio_features_pcm_backend_distributed(ray_session):
     assert out["n_samples"].tolist() == [4]
     assert out["rms"].tolist() == [300]
     assert out["zero_crossings"].tolist() == [3]
+
+
+def test_synthesized_png_is_spec_valid_and_header_parsed(ray_session):
+    """The planted PNGs behind image_header_census are COMPLETE valid files
+    (chunk CRCs check out, IDAT inflates to exactly h·(w+1) filter+pixel
+    bytes), and the real header backend reads back the planted dims."""
+    import struct
+    import zlib
+
+    from pyreshaper_ray.stages.multimodal import (
+        _decode_image_headers,
+        synthesize_png_column,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "n_chars": pa.array([0, 157, 4095], pa.int64()),
+        }
+    )
+    out = synthesize_png_column(t)
+    for doc_id, n, payload in zip(
+        out["doc_id"].to_pylist(),
+        t["n_chars"].to_pylist(),
+        out["payload"].to_pylist(),
+    ):
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        i, chunks = 8, {}
+        while i < len(payload):
+            ln = struct.unpack(">I", payload[i : i + 4])[0]
+            tag = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + ln]
+            crc = struct.unpack(">I", payload[i + 8 + ln : i + 12 + ln])[0]
+            assert crc == (zlib.crc32(tag + body) & 0xFFFFFFFF), tag
+            chunks[tag] = body
+            i += 12 + ln
+        w, h = n % 64 + 1, n * 7 % 48 + 1
+        assert struct.unpack(">II", chunks[b"IHDR"][:8]) == (w, h)
+        assert len(zlib.decompress(chunks[b"IDAT"])) == h * (w + 1)
+        assert b"IEND" in chunks
+        assert _decode_image_headers(payload)[:2] == (w, h)
+
+
+def test_synthesized_wav_roundtrips_through_stdlib_wave(ray_session):
+    import io
+    import wave
+
+    from pyreshaper_ray.stages.multimodal import synthesize_wav_column
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "n_chars": pa.array([999, 1000], pa.int64()),
+        }
+    )
+    out = synthesize_wav_column(t)
+    for n, payload in zip(t["n_chars"].to_pylist(), out["payload"].to_pylist()):
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getnframes() == n % 1000 + 1
+            assert w.getframerate() == 8000
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
