@@ -113,7 +113,25 @@ def pack_tokens(vals: np.ndarray, nbits: np.ndarray, head: BitWriter) -> bytes:
     n_bytes = (total_bits + 7) // 8
     buf = np.zeros(n_bytes, dtype=np.uint8)
     buf[: len(head_bytes)] = np.frombuffer(head_bytes, dtype=np.uint8)
+    pack_tokens_at(vals, nbits64, offs, buf)
+    return buf.tobytes()
 
+
+def pack_tokens_at(
+    vals: np.ndarray, nbits: np.ndarray, offs: np.ndarray, buf: np.ndarray
+) -> None:
+    """Scatter (value, nbits≤64) tokens into ``buf`` (uint8) at EXPLICIT
+    bit offsets ``offs`` — the guts of :func:`pack_tokens`, exposed so a
+    segmented caller (``bucket.encode_series_bucket``) can pack EVERY
+    conversation's token stream in ONE pass: each conversation's region
+    starts byte-aligned, regions are disjoint, and tokens never overlap,
+    so a single fused bitwise_or per byte-lane assembles all streams with
+    no per-conversation Python. Bits covered by offs/nbits must be zero
+    on entry."""
+    if len(vals) == 0:
+        return
+    vals = vals.astype(np.uint64, copy=False)
+    nbits64 = nbits.astype(np.int64, copy=False)
     end = offs + nbits64  # exclusive bit end
     pad = (-end) % 8  # right-pad to byte boundary
     end_byte = (end - 1) // 8
@@ -134,7 +152,6 @@ def pack_tokens(vals: np.ndarray, nbits: np.ndarray, head: BitWriter) -> bytes:
             byte = hi.astype(np.uint8)
         byte = np.where(live, byte, np.uint8(0))
         np.bitwise_or.at(buf, idx, byte)  # masked-to-zero lanes are no-ops
-    return buf.tobytes()
 
 
 def _bitlen_u64(x: np.ndarray) -> np.ndarray:
@@ -170,9 +187,17 @@ _DOD_BUCKETS = (
 )
 
 
-def _dod_tokens(dods: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _dod_tokens(
+    dods: np.ndarray, return_parents: bool = False
+):
     """Vectorized bucket classification → one (value, nbits) token per point
-    ('0' control for dod == 0; bucket prefix + two's-complement otherwise)."""
+    ('0' control for dod == 0; bucket prefix + two's-complement otherwise).
+
+    ``return_parents``: also return, per OUTPUT token, the index of the
+    input point it encodes (wide >2³¹ dods split into prefix + payload
+    tokens; the payload's parent is the same input point) — the segmented
+    bucket encoder uses this to keep per-conversation bit accounting exact.
+    """
     u = dods.view(np.uint64)
     vals = np.zeros(len(dods), dtype=np.uint64)
     nb = np.ones(len(dods), dtype=np.int64)
@@ -185,6 +210,7 @@ def _dod_tokens(dods: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         )
         nb[m] = pbits + vbits
         rest = rest & ~m
+    parents = np.arange(len(dods), dtype=np.int64)
     if rest.any():
         # 5-bit '11111' prefix + full 64-bit payload = 69 bits → two tokens
         idx = np.flatnonzero(rest)
@@ -192,6 +218,10 @@ def _dod_tokens(dods: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         nb[idx] = 5
         vals = np.insert(vals, idx + 1, u[idx])
         nb = np.insert(nb, idx + 1, 64)
+        if return_parents:
+            parents = np.insert(parents, idx + 1, idx)
+    if return_parents:
+        return vals, nb, parents
     return vals, nb
 
 
@@ -416,8 +446,12 @@ class DodStreamEncoder:
 
 
 def _gorilla_tokens_windowed(
-    x: np.ndarray, prev_lead: int, prev_trail: int
-) -> tuple[np.ndarray, np.ndarray, int, int]:
+    x: np.ndarray,
+    prev_lead: int,
+    prev_trail: int,
+    seg_start: np.ndarray | None = None,
+    return_parents: bool = False,
+):
     """Vectorized Gorilla tokens with the paper's greedy-containment '10'
     window reuse — byte-identical to ``gorilla_encode_windowed``.
 
@@ -428,15 +462,24 @@ def _gorilla_tokens_windowed(
     whole reuse run's '10' tokens are built in one shot. ``prev_lead`` /
     ``prev_trail`` carry the open window across chunks (streaming); -1 = no
     window yet. Returns (vals, nbits, last_lead, last_trail).
+
+    ``seg_start`` (optional bool array aligned to ``x``): True where a new
+    independent SEGMENT begins at that token — the window resets to "none"
+    there, so the tokens from position i to the next segment start are
+    byte-identical to a separate call on that segment's slice. Lets the
+    segmented bucket encoder tokenize every conversation in ONE call.
+    A zero token at a segment start emits '0' as always (matching the
+    fresh-stream behavior: no window yet, state untouched).
     """
     m = len(x)
     if m == 0:
-        return (
+        empty = (
             np.empty(0, dtype=np.uint64),
             np.empty(0, dtype=np.int64),
             prev_lead,
             prev_trail,
         )
+        return empty + (np.empty(0, dtype=np.int64),) if return_parents else empty
     zero = x == 0
     bl = _bitlen_u64(x)
     lead = np.minimum(64 - bl, 31)  # 5-bit field cap, as in the paper
@@ -456,8 +499,19 @@ def _gorilla_tokens_windowed(
         t_nz = trail[nz_idx]
         x_nz = x[nz_idx]
         mn = len(nz_idx)
+        if seg_start is not None:
+            # per-nz-token "window must reset first" flag: True when any
+            # segment boundary lies in (previous nz position, this one]
+            seg_id_nz = np.cumsum(seg_start)[nz_idx]
+            brk = np.empty(mn, dtype=bool)
+            brk[0] = seg_id_nz[0] > 0
+            brk[1:] = seg_id_nz[1:] != seg_id_nz[:-1]
+        else:
+            brk = None
         i = 0
         while i < mn:
+            if brk is not None and brk[i]:
+                L, T = -1, -1  # new segment: no open window
             if L >= 0:
                 # scan forward for the first containment violation
                 j = i
@@ -466,6 +520,8 @@ def _gorilla_tokens_windowed(
                 while j < mn:
                     end = min(j + step, mn)
                     bad = (l_nz[j:end] < L) | (t_nz[j:end] < T)
+                    if brk is not None:
+                        bad = bad | brk[j:end]
                     k = int(np.argmax(bad))
                     if bad[k]:
                         found = j + k
@@ -508,6 +564,7 @@ def _gorilla_tokens_windowed(
                 split_bits.append(np.array([mlen], dtype=np.int64))
             L, T = li, ti
             i += 1
+    parents = np.arange(m, dtype=np.int64)
     if split_pos:
         sp = np.concatenate(split_pos)
         sv = np.concatenate(split_val).astype(np.uint64)
@@ -516,6 +573,10 @@ def _gorilla_tokens_windowed(
         sp, sv, sb = sp[order], sv[order], sb[order]
         vals = np.insert(vals, sp + 1, sv)
         nb = np.insert(nb, sp + 1, sb)
+        if return_parents:
+            parents = np.insert(parents, sp + 1, sp)
+    if return_parents:
+        return vals, nb, L, T, parents
     return vals, nb, L, T
 
 

@@ -103,8 +103,90 @@ SERIES_SCHEMA = pa.schema(
 )
 
 
+def _write_be_field(
+    buf: np.ndarray, starts: np.ndarray, vals: np.ndarray, nbytes: int
+) -> None:
+    """Vectorized big-endian scatter of one fixed-width header field."""
+    v = vals.astype(np.uint64, copy=False)
+    for b in range(nbytes):
+        buf[starts + b] = (
+            (v >> np.uint64(8 * (nbytes - 1 - b))) & np.uint64(0xFF)
+        ).astype(np.uint8)
+
+
+def _pack_streams(
+    n: int,
+    head_len: np.ndarray,
+    tok_vals: np.ndarray,
+    tok_nbits: np.ndarray,
+    tok_seg: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack every conversation's token stream into ONE buffer with
+    byte-aligned per-conversation regions (header placeholders zeroed for
+    the caller to fill). Token arrays must be ordered by segment.
+    Returns (buf, region_starts, region_lengths)."""
+    bits_per = np.zeros(n, dtype=np.int64)
+    np.add.at(bits_per, tok_seg, tok_nbits)
+    lengths = head_len + (bits_per + 7) // 8
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    buf = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    if len(tok_vals):
+        from ..functions.codecs import pack_tokens_at
+
+        cs = np.cumsum(tok_nbits)
+        before = np.concatenate(([0], cs))[:-1]  # bits before each token
+        seg_base = np.zeros(n, dtype=np.int64)  # bits before each segment
+        first_of_seg = np.zeros(len(tok_seg), dtype=bool)
+        first_of_seg[0] = True
+        first_of_seg[1:] = tok_seg[1:] != tok_seg[:-1]
+        seg_base[tok_seg[first_of_seg]] = before[first_of_seg]
+        offs = (starts[tok_seg] + head_len[tok_seg]) * 8 + (
+            before - seg_base[tok_seg]
+        )
+        pack_tokens_at(tok_vals, tok_nbits, offs, buf)
+    return buf, starts, lengths
+
+
+def _binary_from_regions(
+    lengths: np.ndarray, buf: np.ndarray
+) -> pa.Array:
+    """Arrow binary column over contiguous per-conversation regions — one
+    buffer, no per-conversation bytes objects."""
+    if len(buf) > 2**31 - 1:  # binary offsets are int32
+        raise ValueError(
+            f"bucket series buffer is {len(buf)} bytes (> int32 offsets); "
+            "raise n_buckets so each bucket's encoded series stays under "
+            "2 GiB (the same sizing bound the spill exchange documents)"
+        )
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(lengths),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
 def encode_series_bucket(turns: pa.Table) -> pa.Table:
-    """Per-conversation DoD + Gorilla over a sorted, deduped bucket."""
+    """Per-conversation DoD + Gorilla over a sorted, deduped bucket —
+    SEGMENTED: one global token classification and ONE bit-packing pass
+    cover every conversation, byte-identical to per-conversation
+    ``dod_encode`` / ``gorilla_encode`` (equality gated in
+    tests/test_codecs.py::test_segmented_bucket_encode_byte_identical).
+
+    Why: the former per-conversation encode loop paid ~80 µs of fixed
+    numpy overhead per codec call — with tens of turns per conversation
+    that overhead DOMINATED the bucket phase (measured 154 of 213
+    task-seconds at sf0.1/32; VERDICT r4 #8). Token streams are
+    per-conversation independent (DoD tokens are stateless; Gorilla
+    windows reset per segment via ``seg_start``), every stream starts
+    byte-aligned after its fixed-width header, so the packed regions are
+    disjoint and one ``pack_tokens_at`` scatter assembles them all; the
+    binary columns are built zero-copy over the packed buffers.
+    """
+    from ..functions.codecs import _dod_tokens, _gorilla_tokens_windowed
+
     if turns.num_rows == 0:
         return SERIES_SCHEMA.empty_table()
     bounds = _conv_boundaries(turns["conv_id"])
@@ -117,21 +199,53 @@ def encode_series_bucket(turns: pa.Table) -> pa.Table:
     vals = turns["char_len"].to_numpy(zero_copy_only=False).astype(np.float64)
     conv = turns["conv_id"].combine_chunks()
     n = len(bounds) - 1
-    # one vectorized gather of the run-start conv ids (was a per-conv .as_py())
     conv_ids = pc.take(conv, pa.array(bounds[:-1], pa.int64()))
     n_turns = np.diff(bounds).astype(np.int64)
-    dod: list[bytes] = []
-    gor: list[bytes] = []
-    for k in range(n):
-        lo, hi = int(bounds[k]), int(bounds[k + 1])
-        dod.append(dod_encode(ts[lo:hi]))
-        gor.append(gorilla_encode(vals[lo:hi]))
+    N = len(ts)
+    starts_row = bounds[:-1].astype(np.int64)
+    local_idx = np.arange(N, dtype=np.int64) - np.repeat(starts_row, n_turns)
+
+    # --- DoD (timestamps): stream = count(4) + ts0(8) [+ delta0(8)] + toks
+    d = np.diff(ts)  # d[g-1] = within-conv delta at local_idx >= 1
+    g_d = np.flatnonzero(local_idx >= 2)  # token source rows
+    dods = d[g_d - 1] - d[g_d - 2]  # both diffs inside the conversation
+    vals_d, nb_d, par_d = _dod_tokens(dods, return_parents=True)
+    cnt_d = np.maximum(n_turns - 2, 0)
+    seg_d = np.repeat(np.arange(n, dtype=np.int64), cnt_d)[par_d]
+    head_d = np.where(n_turns >= 2, 20, 12).astype(np.int64)
+    buf_d, start_d, len_d = _pack_streams(n, head_d, vals_d, nb_d, seg_d)
+    _write_be_field(buf_d, start_d, n_turns, 4)
+    _write_be_field(buf_d, start_d + 4, ts[starts_row].view(np.uint64), 8)
+    has2 = n_turns >= 2
+    _write_be_field(
+        buf_d, (start_d + 12)[has2], d[starts_row[has2]].view(np.uint64), 8
+    )
+
+    # --- Gorilla (char_len): stream = count(4) + first raw bits(8) + toks
+    bits = vals.view(np.uint64)
+    g_g = np.flatnonzero(local_idx >= 1)
+    x = bits[g_g] ^ bits[g_g - 1]
+    cnt_g = np.maximum(n_turns - 1, 0)
+    tok_start_g = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt_g, out=tok_start_g[1:])
+    seg_start = np.zeros(len(x), dtype=bool)
+    nonempty = cnt_g > 0
+    seg_start[tok_start_g[:-1][nonempty]] = True
+    vals_g, nb_g, _, _, par_g = _gorilla_tokens_windowed(
+        x, -1, -1, seg_start=seg_start, return_parents=True
+    )
+    seg_g = np.repeat(np.arange(n, dtype=np.int64), cnt_g)[par_g]
+    head_g = np.full(n, 12, dtype=np.int64)
+    buf_g, start_g, len_g = _pack_streams(n, head_g, vals_g, nb_g, seg_g)
+    _write_be_field(buf_g, start_g, n_turns, 4)
+    _write_be_field(buf_g, start_g + 4, bits[starts_row], 8)
+
     return pa.table(
         {
             "conv_id": pc.cast(conv_ids, pa.string()),
             "n_turns": pa.array(n_turns, pa.int64()),
-            "dod_ts": pa.array(dod, pa.binary()),
-            "gorilla_char_len": pa.array(gor, pa.binary()),
+            "dod_ts": _binary_from_regions(len_d, buf_d),
+            "gorilla_char_len": _binary_from_regions(len_g, buf_g),
         }
     )
 

@@ -168,3 +168,60 @@ def test_gorilla_stream_encoder_equals_batch(xs, chunk):
     for i in range(0, len(a), chunk):
         enc.push(a[i : i + chunk])
     assert enc.finish() == gorilla_encode(a)
+
+
+def test_segmented_bucket_encode_byte_identical(ray_session):
+    """encode_series_bucket's one-pass segmented packer must equal the
+    per-conversation codecs byte-for-byte — including conversations that
+    hit every edge: 1 and 2 turns, zero dods, wide (>2^31 µs) dods that
+    split into prefix+payload tokens, huge char_len jumps that defeat
+    window reuse, NaN payloads, and identical-value runs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyreshaper_ray.functions.codecs import dod_encode, gorilla_encode
+    from pyreshaper_ray.pipelines.bucket import (
+        _conv_boundaries,
+        encode_series_bucket,
+    )
+
+    rng = np.random.default_rng(7)
+    convs = []
+    base = 1_700_000_000_000_000
+    specs = [
+        ("a1", [0]),                                   # single turn
+        ("b2", [0, 60_000_000]),                       # two turns, no tokens
+        ("c_const", list(range(0, 600_000_000, 60_000_000))),  # zero dods
+        ("d_wide", [0, 1_000_000, 2_000_000, 2_000_000 + 2**33, 2_000_000 + 2**34]),  # wide dod split
+        ("e_rand", sorted(rng.integers(0, 10**9, 40).tolist())),
+    ]
+    rows = {"conv_id": [], "ts": [], "char_len": []}
+    for cid, offs in specs:
+        vals = rng.integers(0, 5000, len(offs)).astype(np.float64)
+        if cid == "e_rand":
+            vals[3] = np.nan          # NaN payload
+            vals[4:8] = vals[3 - 1]   # identical run
+            vals[10] = 1e300          # huge jump
+        for o, v in zip(offs, vals):
+            rows["conv_id"].append(cid)
+            rows["ts"].append(base + int(o))
+            rows["char_len"].append(float(v))
+    t = pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "ts": pa.array(
+                np.array(rows["ts"], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "char_len": pa.array(rows["char_len"], pa.float64()),
+        }
+    )
+    out = encode_series_bucket(t)
+    bounds = _conv_boundaries(t["conv_id"])
+    ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    vals = t["char_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dd = out["dod_ts"].to_pylist()
+    gg = out["gorilla_char_len"].to_pylist()
+    for k in range(len(bounds) - 1):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        assert dd[k] == dod_encode(ts[lo:hi]), f"dod conv {k}"
+        assert gg[k] == gorilla_encode(vals[lo:hi]), f"gorilla conv {k}"
