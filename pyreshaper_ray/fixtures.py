@@ -126,21 +126,35 @@ def generate_transcripts(
             texts.append(text)
             tools.append(tool)
             tss.append(ts)
+    # big corpora (the sf0.2+ scaling fixtures) exceed int32 string
+    # offsets on the text column; 64-bit offsets keep the global
+    # interleave sort's gather legal. Parquet writes both types
+    # identically, so pipeline inputs are unchanged.
+    text_type = pa.large_string() if len(texts) > 8_000_000 else pa.string()
     t = pa.table(
         {
             "conv_id": pa.array(conv_ids, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(roles, pa.string()),
-            "text": pa.array(texts, pa.string()),
+            "text": pa.array(texts, text_type),
             "tool": pa.array(tools, pa.string()),
             "ts": pa.array(np.array(tss, dtype="int64"), pa.timestamp("us")),
         }
     )
-    # F1-e2: interleave like real arrival order — global sort by ts
+    # F1-e2: interleave like real arrival order — global sort by ts.
+    # The gather runs in slices: one whole-table take on a >2 GiB text
+    # column overflows Arrow's int32 string offsets (hit at the sf0.2
+    # scaling fixture); sliced takes keep every output chunk small and
+    # concat_tables preserves chunking without re-concatenating buffers.
     idx = pa.compute.sort_indices(
         t, sort_keys=[("ts", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
-    return t.take(idx)
+    step = 4_000_000
+    if t.num_rows <= step:
+        return t.take(idx)
+    return pa.concat_tables(
+        t.take(idx.slice(s, step)) for s in range(0, len(idx), step)
+    )
 
 
 def generate_conv_meta(n_conv: int = 500) -> pa.Table:
@@ -177,8 +191,17 @@ def write_fixture(
     t = generate_transcripts(n_conv=n_conv, skew_turns=skew_turns)
     n = t.num_rows
     per = (n + n_files - 1) // n_files
+    # the generator may hold text as large_string (>2 GiB corpora); each
+    # per-file slice is small, so cast back to the canonical input schema
+    # (parquet embeds the Arrow schema — readers must see string)
+    i_text = t.schema.get_field_index("text")
     for k, p in enumerate(paths):
-        pq.write_table(t.slice(k * per, per), p)
+        sl = t.slice(k * per, per)
+        if pa.types.is_large_string(sl.schema.field("text").type):
+            sl = sl.set_column(
+                i_text, "text", pa.compute.cast(sl["text"], pa.string())
+            )
+        pq.write_table(sl, p)
     pq.write_table(generate_conv_meta(n_conv), meta_path)
     with open(marker, "w") as f:
         f.write(str(n))
