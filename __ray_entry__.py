@@ -3246,9 +3246,8 @@ def _trade_graph_pairs(sf_dir: str):
     memo_key = ("pairs", sf_dir)
     if memo_key in _TRADE_EDGE_MEMO:
         return _TRADE_EDGE_MEMO[memo_key]
-    from ray.data.aggregate import Sum
-
     from pyreshaper_ray.stages.joins import adaptive_join
+    from pyreshaper_ray.util import hash_partitioned_agg
 
     j = adaptive_join(
         f"{sf_dir}/orders.parquet",
@@ -3269,12 +3268,15 @@ def _trade_graph_pairs(sf_dir: str):
             {"c": g["c"], "s": g["s"], "w": pc.cast(g["count_all"], pa.int64())}
         )
 
-    pairs = (
-        j.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["c", "s"])
-        .aggregate(Sum("w", alias_name="w"))
-        .materialize()
-    )
+    # many-group pair census → hash_partitioned_agg (the sort-based
+    # groupby.Sum spent ~5 of the build's 6.7 s at sf0.1/32; the hash
+    # exchange + per-partition Arrow group_by does it in ~0.7 s, exact)
+    pairs = hash_partitioned_agg(
+        j.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["c", "s"],
+        aggs=[("w", "sum", "w")],
+        n_parts=16,
+    ).materialize()
     _TRADE_EDGE_MEMO[memo_key] = pairs
     return pairs
 

@@ -274,6 +274,11 @@ def _partition_edges_by_src(
 
     @_ray.remote(num_returns=n_parts)
     def split_block(b: pa.Table):
+        if b.num_rows == 0 or "src" not in b.column_names:
+            # empty partitions can surface as schema-less blocks (seen at
+            # high parallelism downstream of hash_partitioned_agg) — all
+            # edge columns are int64 by contract
+            b = pa.schema([(c, pa.int64()) for c in cols]).empty_table()
         src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         part = _src_part(src, n_parts)
         t = b.select(cols)
