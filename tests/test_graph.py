@@ -366,3 +366,40 @@ print("OK")
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_partitioners_tolerate_schemaless_empty_blocks(ray_session):
+    """Datasets downstream of hash-partitioned aggregates can hand the
+    graph partitioners EMPTY blocks with an EMPTY schema (seen at 32 CPUs
+    on the trade-pair census); both partitioners must substitute
+    schema-bearing empties instead of KeyError'ing."""
+    import ray
+    import ray.data
+
+    from pyreshaper_ray.stages.graph import (
+        _partition_edges_by_src,
+        _partition_nodes,
+    )
+
+    edges_tbl = pa.table(
+        {
+            "src": pa.array([1, 2], pa.int64()),
+            "dst": pa.array([2, 1], pa.int64()),
+        }
+    )
+    empty = pa.table({})  # schema-less empty block
+    ds = ray.data.from_arrow_refs([ray.put(edges_tbl), ray.put(empty)])
+    parts = _partition_edges_by_src(ds, 2)
+    got = pa.concat_tables(ray.get(parts))
+    assert sorted(got["src"].to_pylist()) == [1, 2]
+
+    nodes_tbl = pa.table(
+        {
+            "node": pa.array([1, 2, 3], pa.int64()),
+            "deg": pa.array([1, 1, 0], pa.int64()),
+        }
+    )
+    ds2 = ray.data.from_arrow_refs([ray.put(nodes_tbl), ray.put(empty)])
+    nparts = _partition_nodes(ds2, 2, ["node", "deg"])
+    got2 = pa.concat_tables(ray.get(nparts))
+    assert sorted(got2["node"].to_pylist()) == [1, 2, 3]
