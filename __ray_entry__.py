@@ -250,6 +250,26 @@ def q_minhash_neardup(sf_dir: str):
     return minhash_dedup(sf_dir, threshold=0.8)
 
 
+def q_dup_span_extract(sf_dir: str):
+    """ExactSubstr-style duplicated-passage cut list (Lee et al. 2022):
+    maximal runs of >= 3 consecutive duplicated 5-gram windows as
+    (doc_id, tok_start, tok_end) spans. Value-checked: the SQL oracle
+    replays the string-gram truth (the engine's 64-bit gram hashes are
+    collision-free on the driver corpora, same argument as the coverage
+    sibling)."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dup_span_extract
+
+    return dup_span_extract(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        n=5,
+        min_run=3,
+    )
+
+
 def q_knn(sf_dir: str):
     from pyreshaper_ray.stages.similarity import knn_bruteforce
 
@@ -3987,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_rate_5m": q_peak_rate_5m,
         "last_touch_attribution": q_last_touch,
         "dup_ngram_coverage_5": q_dup_ngram_coverage,
+        "dup_span_extract_5": q_dup_span_extract,
         "cum_distinct_tools": q_cum_distinct_tools,
         "scale_value_by_type": q_scale_value_by_type,
         "assign_folds_documents": q_assign_folds,
@@ -7699,6 +7720,45 @@ def oracle_sql() -> dict[str, str]:
     # duplicated 5-gram coverage: gram = space-join of 5 consecutive engine
     # tokens; duplicated when seen in >= 2 distinct docs; covered tokens are
     # the union of the 5-wide windows at duplicated positions
+    # ExactSubstr cut list: runs of >= 3 consecutive duplicated 5-gram
+    # windows (1-based SQL positions mapped to the engine's 0-based)
+    out["dup_span_extract_5"] = """
+        WITH tl AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS l
+            FROM documents
+        ),
+        base AS (SELECT doc_id, l, len(l) AS nt FROM tl),
+        pos AS (
+            SELECT doc_id, l, unnest(range(1, nt - 3)) AS pos
+            FROM base WHERE nt >= 5
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   array_to_string(l[pos:pos+4], ' ') AS g
+            FROM pos
+        ),
+        dup AS (SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        dg AS (SELECT doc_id, pos FROM grams
+               WHERE g IN (SELECT g FROM dup)),
+        runs AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dg
+        ),
+        spans AS (
+            SELECT doc_id, MIN(pos) AS p0, COUNT(*) AS len
+            FROM runs GROUP BY doc_id, grp
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(p0 - 1 AS BIGINT) AS tok_start,
+               CAST(p0 - 1 + len + 3 AS BIGINT) AS tok_end,
+               CAST(len AS BIGINT) AS n_windows
+        FROM spans WHERE len >= 3
+    """
     out["dup_ngram_coverage_5"] = """
         WITH tl AS (
             SELECT doc_id,

@@ -435,6 +435,7 @@ def run_bench(headline_only: bool = False) -> dict:
         "semdedup_one_cell",
         "image_header_census",
         "audio_wav_census",
+        "dup_span_extract_5",
     ):
         def consume(fn=q[name]):
             r = fn(SF_DIR)

@@ -1414,3 +1414,120 @@ def exact_dup_cluster_sizes(ds_docs: "ray.data.Dataset") -> pa.Table:
             "n_clusters": pc.cast(t["n"], pa.int64()),
         }
     )
+
+
+DUP_SPAN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("tok_start", pa.int64()),
+        ("tok_end", pa.int64()),
+        ("n_windows", pa.int64()),
+    ]
+)
+
+
+def dup_span_extract(
+    ds_docs: "ray.data.Dataset", n: int = 5, min_run: int = 3
+) -> "ray.data.Dataset":
+    """Duplicated-PASSAGE span extraction — the cut list of the ExactSubstr
+    dedup recipe (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): where :func:`dup_ngram_coverage` reports how
+    much of a document is duplicated, this operator says WHICH token spans
+    to cut. A maximal run of >= ``min_run`` consecutive duplicated n-gram
+    windows (window duplicated = its n-gram occurs in >= 2 distinct
+    documents, same rule as the coverage sibling) becomes one span
+    ``[tok_start, tok_end]`` (0-based, inclusive; ``tok_end`` = last window
+    start + n - 1). ``min_run`` plays the role of ExactSubstr's minimum
+    match length: a run of r windows certifies a duplicated substring of
+    r + n - 1 tokens.
+
+    Scale shape identical to the coverage operator: pass A ships only
+    per-doc DISTINCT 64-bit gram hashes through one gram-keyed groupby; the
+    >= 2-doc gram set broadcasts once (bloom-filter swap documented there
+    for the 10^12-doc regime); pass B re-derives grams per block and finds
+    the runs with one boundary diff over the sorted (doc, pos) gram stream
+    — no per-document Python. Collision caveat as the sibling: a 64-bit
+    collision can only ADD a false duplicate window (exactness vs the
+    string-gram SQL oracle verified on the driver corpora).
+
+    Output: doc_id, tok_start, tok_end, n_windows (run length), one row per
+    span, only docs with at least one span.
+    """
+    from ray.data.aggregate import Count
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        flat, counts = _regex_token_hashes(batch["text"])
+        g, d, _ = _gram_hashes(flat, counts, n)
+        if len(g) == 0:
+            return pa.table(
+                {"g": pa.array([], pa.int64()), "doc": pa.array([], pa.int64())}
+            )
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        comp = np.stack([ids[d].astype(np.uint64), g], axis=1)
+        uniq = np.unique(comp, axis=0)
+        return pa.table(
+            {
+                "g": pa.array(uniq[:, 1].view(np.int64), pa.int64()),
+                "doc": pa.array(uniq[:, 0].astype(np.int64), pa.int64()),
+            }
+        )
+
+    gram_docs = (
+        ds_docs.map_batches(
+            distinct_grams, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("g")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    from ..util import collect_table
+
+    def keep_dups(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_docs"], 2)).select(["g"])
+
+    dup_t = collect_table(
+        gram_docs.map_batches(keep_dups, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    dup_sorted = np.sort(
+        dup_t["g"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    )
+    import ray as _ray
+
+    dup_ref = _ray.put(dup_sorted)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        dup = cached_get(dup_ref)
+        flat, counts = _regex_token_hashes(batch["text"])
+        g, d, p = _gram_hashes(flat, counts, n)
+        if len(g) == 0 or len(dup) == 0:
+            return DUP_SPAN_SCHEMA.empty_table()
+        pos = np.searchsorted(dup, g)
+        is_dup = (pos < len(dup)) & (dup[np.minimum(pos, len(dup) - 1)] == g)
+        if not is_dup.any():
+            return DUP_SPAN_SCHEMA.empty_table()
+        dd, pp = d[is_dup], p[is_dup]  # already (doc, pos)-ordered
+        # islands: a new run starts at a doc change or a position jump
+        new_run = np.empty(len(dd), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (dd[1:] != dd[:-1]) | (pp[1:] != pp[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        n_runs = int(run_id[-1]) + 1
+        starts = pp[new_run]
+        run_doc = dd[new_run]
+        lens = np.bincount(run_id, minlength=n_runs).astype(np.int64)
+        keep = lens >= min_run
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[run_doc[keep]], pa.int64()),
+                "tok_start": pa.array(starts[keep], pa.int64()),
+                "tok_end": pa.array(
+                    starts[keep] + lens[keep] + (n - 2), pa.int64()
+                ),
+                "n_windows": pa.array(lens[keep], pa.int64()),
+            }
+        )
+
+    return ds_docs.map_batches(spans, batch_format="pyarrow", zero_copy_batch=True)

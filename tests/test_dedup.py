@@ -426,3 +426,40 @@ def test_contamination_flags_planted(ray_session):
     assert out.index.tolist() == [1, 2]
     assert out.loc[1, "contaminated"] == 1 and out.loc[1, "test_grams"] == 1
     assert out.loc[2, "contaminated"] == 0 and out.loc[2, "test_grams"] == 0
+
+
+def test_dup_span_extract_planted_passage(ray_session):
+    """A passage shared verbatim by two documents must come back as one
+    maximal span in each (0-based token indices, end inclusive); unique
+    text around it must not extend the span; a shorter shared n-gram run
+    below min_run must be dropped."""
+    import ray.data
+
+    from pyreshaper_ray.stages.dedup import dup_span_extract
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    short = "one two three four five"  # 5 tokens → exactly 1 window
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    f"unique0 prelude {shared} coda0 endx",
+                    f"{shared} tail1 tail2 {short}",
+                    f"intro2 {short} outro2a outro2b outro2c",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        dup_span_extract(ray.data.from_arrow(docs), n=5, min_run=3)
+        .to_pandas()
+        .sort_values(["doc_id", "tok_start"])
+        .reset_index(drop=True)
+    )
+    rows = list(map(tuple, out.values.tolist()))
+    # shared = 8 tokens → 4 windows of 5, run length 4 >= 3.
+    # doc0: tokens 2..9 → windows start 2..5; doc1: tokens 0..7 → 0..3.
+    # `short` gives runs of 1 window (< min_run) in docs 1 and 2 → dropped.
+    assert rows == [(0, 2, 9, 4), (1, 0, 7, 4)], rows
