@@ -89,11 +89,12 @@ def _key_hash_u64(col: "pa.ChunkedArray", typ: pa.DataType) -> np.ndarray:
     if pa.types.is_dictionary(typ):
         col = pc.cast(col, typ.value_type)
         typ = typ.value_type
-    if (
-        pa.types.is_integer(typ)
-        or pa.types.is_boolean(typ)
-        or pa.types.is_temporal(typ)
-    ):
+    if pa.types.is_temporal(typ):
+        # 32-bit temporals (date32/time32) have no direct int64 cast —
+        # go through their storage integer first
+        col = pc.cast(col, pa.int32() if typ.bit_width == 32 else pa.int64())
+        typ = col.type
+    if pa.types.is_integer(typ) or pa.types.is_boolean(typ):
         v = pc.fill_null(pc.cast(col, pa.int64()), 0)
         return _mix64(v.to_numpy(zero_copy_only=False).view(np.uint64))
     if pa.types.is_floating(typ):
@@ -229,17 +230,30 @@ def hash_join(
         for lk, rk in zip(on, rkeys):
             ltyp = lt.schema.field(lk).type
             rtyp = rt.schema.field(rk).type
-            if pa.types.is_null(ltyp) and not pa.types.is_null(rtyp):
+            if ltyp.equals(rtyp):
+                continue
+            # Acero requires identical key types; the hash already
+            # type-normalized, so a widening cast preserves partitioning.
+            if pa.types.is_null(ltyp) and pa.types.is_null(rtyp):
+                common = pa.int64()
+            elif pa.types.is_null(ltyp):
+                common = rtyp
+            elif pa.types.is_null(rtyp):
+                common = ltyp
+            elif pa.types.is_integer(ltyp) and pa.types.is_integer(rtyp):
+                common = pa.int64()
+            elif pa.types.is_floating(ltyp) or pa.types.is_floating(rtyp):
+                common = pa.float64()
+            elif pa.types.is_large_string(ltyp) or pa.types.is_large_string(rtyp):
+                common = pa.large_string()
+            else:
+                common = ltyp  # last resort: coerce right to left
+            if not ltyp.equals(common):
                 i = lt.schema.get_field_index(lk)
-                lt = lt.set_column(i, lk, pc.cast(lt[lk], rtyp))
-            elif pa.types.is_null(rtyp) and not pa.types.is_null(ltyp):
+                lt = lt.set_column(i, lk, pc.cast(lt[lk], common))
+            if not rtyp.equals(common):
                 i = rt.schema.get_field_index(rk)
-                rt = rt.set_column(i, rk, pc.cast(rt[rk], ltyp))
-            elif pa.types.is_null(ltyp) and pa.types.is_null(rtyp):
-                i = lt.schema.get_field_index(lk)
-                lt = lt.set_column(i, lk, pc.cast(lt[lk], pa.int64()))
-                i = rt.schema.get_field_index(rk)
-                rt = rt.set_column(i, rk, pc.cast(rt[rk], pa.int64()))
+                rt = rt.set_column(i, rk, pc.cast(rt[rk], common))
         return lt.join(
             rt,
             keys=list(on),

@@ -2817,3 +2817,44 @@ def test_rfm_scores_empty_input_schema(ray_session):
     assert list(out.columns) == [
         "user_id", "r_days", "f_n", "m_cents", "r_code", "f_code", "m_code",
     ]
+
+
+def test_hash_join_key_type_normalization(ray_session):
+    """The task-based join's type-normalized key hashing must co-partition
+    equal keys even when the two sides carry them with different physical
+    types/nullability: int32 vs int64, date32 vs timestamp-cast days,
+    nullable vs non-nullable, plus SQL null-key semantics and a
+    two-column key."""
+    import numpy as np
+    import ray.data
+
+    from pyreshaper_ray.stages.joins import hash_join
+
+    # int32 keys vs int64 keys — same logical values must meet
+    L = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, None, 4], pa.int32()), "a": ["w", "x", "y", "z"]})
+    )
+    R = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 4, None], pa.int64()), "b": [20, 40, 99]})
+    )
+    j = hash_join(L, R, on="k", join_type="inner", num_partitions=7).to_pandas()
+    assert sorted(zip(j.k, j.b)) == [(2, 20), (4, 40)]  # nulls never match
+
+    # date32 on both sides
+    import datetime
+
+    d = pa.array(
+        [datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)], pa.date32()
+    )
+    L2 = ray.data.from_arrow(pa.table({"d": d, "v": [1, 2]}))
+    R2 = ray.data.from_arrow(pa.table({"d": d.slice(1, 1), "w": [9]}))
+    j2 = hash_join(L2, R2, on="d", join_type="left_outer", num_partitions=5).to_pandas()
+    assert len(j2) == 2 and sorted(j2.w.fillna(-1)) == [-1, 9]
+
+    # two-column key
+    L3 = ray.data.from_arrow(
+        pa.table({"x": [1, 1, 2], "y": ["a", "b", "a"], "v": [10, 11, 12]})
+    )
+    R3 = ray.data.from_arrow(pa.table({"x": [1, 2], "y": ["b", "a"], "u": [5, 6]}))
+    j3 = hash_join(L3, R3, on=("x", "y"), join_type="inner", num_partitions=3).to_pandas()
+    assert sorted(zip(j3.v, j3.u)) == [(11, 5), (12, 6)]
