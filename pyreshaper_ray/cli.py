@@ -87,7 +87,9 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            # honor RAY_ADDRESS so `ray job submit` runs attach to the
+            # cluster; bare local runs default to a private instance
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
@@ -138,7 +140,9 @@ def cmd_retain(args: argparse.Namespace) -> int:
     )
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            # honor RAY_ADDRESS so `ray job submit` runs attach to the
+            # cluster; bare local runs default to a private instance
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
@@ -164,7 +168,9 @@ def cmd_export(args: argparse.Namespace) -> int:
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            # honor RAY_ADDRESS so `ray job submit` runs attach to the
+            # cluster; bare local runs default to a private instance
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
@@ -250,7 +256,9 @@ def cmd_verify(args: argparse.Namespace) -> int:
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            # honor RAY_ADDRESS so `ray job submit` runs attach to the
+            # cluster; bare local runs default to a private instance
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
@@ -362,7 +370,9 @@ def cmd_compact(args: argparse.Namespace) -> int:
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            # honor RAY_ADDRESS so `ray job submit` runs attach to the
+            # cluster; bare local runs default to a private instance
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
@@ -439,7 +449,9 @@ def cmd_route(args: argparse.Namespace) -> int:
 
     if not ray.is_initialized():
         ray.init(
-            address="local",
+            # honor RAY_ADDRESS so `ray job submit` runs attach to the
+            # cluster; bare local runs default to a private instance
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=args.num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
